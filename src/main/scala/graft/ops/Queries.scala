@@ -1,0 +1,435 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.etl.Cleaning
+import Tables._
+
+/** SURVEY §2 operator inventory, grounded as named queries over the
+  * fixture tables, each (where SQL-expressible) paired with DuckDB
+  * oracle SQL in [[oracles]].
+  *
+  * Determinism rules (SURVEY §7.2): no rand()/engine hash() — orderings
+  * use natural keys or portable md5 hex; sampling uses modular
+  * arithmetic on integer keys. Every query ends in a total ORDER BY so
+  * output is reproducible row-for-row.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- 2.1/2.2 scans, projections, filters, derived columns ----
+
+  /** P1+P3: projection with predicate pushed to the parquet scan. */
+  val scanProject: Q = (s, dir) =>
+    lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .where(col("l_quantity") >= 30)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scanProjectSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_quantity >= 30 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** P2: IS NOT NULL filter (01_merchcat_etl.py:26). */
+  val filterNotNull: Q = (s, dir) =>
+    customer(s, dir)
+      .filter(col("c_mktsegment").isNotNull)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val filterNotNullSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_mktsegment IS NOT NULL ORDER BY c_custkey""".stripMargin
+
+  /** P4+P6+P7+F6: withColumn chain, when/otherwise, literals,
+    * arithmetic (mirrors sample-rate clamp 01_merchcat_etl.py:150-151). */
+  val derivedWhen: Q = (s, dir) =>
+    orders(s, dir)
+      .withColumn("size_class",
+        when(col("o_totalprice") > 200000, lit("BIG")).otherwise(lit("SMALL")))
+      .withColumn("tithe", col("o_totalprice") * lit(0.1))
+      .select("o_orderkey", "o_totalprice", "size_class", "tithe")
+      .orderBy("o_orderkey")
+
+  val derivedWhenSql =
+    """SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_totalprice > 200000 THEN 'BIG' ELSE 'SMALL' END AS size_class,
+      |  o_totalprice * 0.1 AS tithe
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** P5: rename + drop (02_merchcat_ml.py:43, fasttext_utils.py:35). */
+  val renameDrop: Q = (s, dir) =>
+    supplier(s, dir)
+      .withColumnRenamed("s_acctbal", "balance")
+      .drop("s_nationkey")
+      .orderBy("s_suppkey")
+
+  val renameDropSql =
+    """SELECT s_suppkey, s_name, s_acctbal AS balance
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  // ---- 2.3 joins ----
+
+  /** J1: left equi-join of a dimension with per-key counts
+    * (02_merchcat_ml.py:39-43); count side broadcast. */
+  val joinLeft: Q = (s, dir) => {
+    val counts = orders(s, dir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("order_count"))
+    customer(s, dir)
+      .join(broadcast(counts), col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("order_count"), lit(0L)).as("order_count"))
+      .orderBy("c_custkey")
+  }
+
+  val joinLeftSql =
+    """SELECT c_custkey, c_name, COALESCE(t.order_count, 0) AS order_count
+      |FROM customer LEFT JOIN
+      | (SELECT o_custkey, COUNT(*) AS order_count FROM orders GROUP BY 1) t
+      | ON c_custkey = t.o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J2: inner equi-join of two aggregates on the same key
+    * (02_merchcat_ml.py:527). */
+  val joinInner: Q = (s, dir) => {
+    val li = lineitem(s, dir)
+    val qty = li.groupBy("l_suppkey").agg(dsum(col("l_quantity")).as("total_qty"))
+    val cnt = li.groupBy("l_suppkey").agg(count(lit(1)).as("n_items"))
+    qty.join(cnt, Seq("l_suppkey"))
+      .select("l_suppkey", "total_qty", "n_items")
+      .orderBy("l_suppkey")
+  }
+
+  val joinInnerSql =
+    """SELECT a.l_suppkey, a.total_qty, b.n_items FROM
+      | (SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY 1) a
+      | JOIN
+      | (SELECT l_suppkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1) b
+      | ON a.l_suppkey = b.l_suppkey
+      |ORDER BY a.l_suppkey""".stripMargin
+
+  /** Semi join (capability surface beyond reference). */
+  val joinSemi: Q = (s, dir) => {
+    val bigOrders = orders(s, dir).where(col("o_totalprice") > 250000)
+    customer(s, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinSemiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Anti join (capability surface beyond reference): customers with no
+    * large order — non-empty at every SF, unlike a plain anti join
+    * against all orders. */
+  val joinAnti: Q = (s, dir) => {
+    val bigOrders = orders(s, dir).where(col("o_totalprice") > 250000)
+    customer(s, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinAntiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- 2.4 aggregations ----
+
+  /** A1: group-by count (01_merchcat_etl.py:122,147). */
+  val aggCount: Q = (s, dir) =>
+    orders(s, dir).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val aggCountSql =
+    """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A2+A3: sums + ratio-of-aggregates in a single pass — the
+    * per-merchant accuracy shape (02_merchcat_ml.py:522-530) without
+    * the reference's two-agg-plus-join detour. */
+  val aggRatio: Q = (s, dir) =>
+    lineitem(s, dir).groupBy("l_returnflag")
+      .agg(
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"),
+        count(lit(1)).as("n"),
+        (sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("double") /
+          count(lit(1)).cast("double")).as("disc_ratio"))
+      .orderBy("l_returnflag")
+
+  val aggRatioSql =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS disc_ratio
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A4: mean over groups (merchcat_utils.py:63). */
+  val aggAvg: Q = (s, dir) =>
+    customer(s, dir).groupBy("c_mktsegment")
+      .agg(davg(col("c_acctbal")).as("avg_bal"), count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  val aggAvgSql =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bal,
+      |  COUNT(*) AS n
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A5: quantile summary (merchcat_utils.py:64-71) — exact
+    * interpolating percentile, rounded to absorb engine-side FP
+    * interpolation-order differences. */
+  val aggQuantiles: Q = (s, dir) =>
+    customer(s, dir).groupBy("c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.05)"), 4).as("q05"),
+        round(expr("percentile(c_acctbal, 0.25)"), 4).as("q25"),
+        round(expr("percentile(c_acctbal, 0.50)"), 4).as("q50"),
+        round(expr("percentile(c_acctbal, 0.75)"), 4).as("q75"),
+        round(expr("percentile(c_acctbal, 0.95)"), 4).as("q95"))
+      .orderBy("c_mktsegment")
+
+  val aggQuantilesSql =
+    """SELECT c_mktsegment,
+      |  ROUND(quantile_cont(c_acctbal, 0.05), 4) AS q05,
+      |  ROUND(quantile_cont(c_acctbal, 0.25), 4) AS q25,
+      |  ROUND(quantile_cont(c_acctbal, 0.50), 4) AS q50,
+      |  ROUND(quantile_cont(c_acctbal, 0.75), 4) AS q75,
+      |  ROUND(quantile_cont(c_acctbal, 0.95), 4) AS q95
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Distinct aggregate (capability surface). */
+  val aggDistinct: Q = (s, dir) =>
+    lineitem(s, dir).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy("l_returnflag")
+
+  val aggDistinctSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Rollup (capability surface). */
+  val aggRollup: Q = (s, dir) =>
+    lineitem(s, dir).rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val aggRollupSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  // ---- 2.5 windows / 2.6 sorts / top-k ----
+
+  /** W1: per-class percentile over a deterministic shuffle order —
+    * the train/test split primitive (01_merchcat_etl.py:176-180) with
+    * md5 standing in for unseeded rand(). */
+  val windowPercentile: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(shuffleKey(col("o_orderkey")))
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(percent_rank().over(w) * 10000).cast("long").as("pct_bucket"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowPercentileSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY md5(CAST(o_orderkey AS VARCHAR))) * 10000) AS BIGINT) AS pct_bucket
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** W2+O3+R5: per-group top-k via row_number (fasttext_utils.py:33-35),
+    * deterministic ordering with unique tie-break. */
+  val windowTopK: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val windowTopKSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
+
+  /** O1/O2/O4: global sort + limit over an aggregate (top-20 suppliers
+    * by shipped quantity desc). */
+  val sortLimit: Q = (s, dir) =>
+    lineitem(s, dir).groupBy("l_suppkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_suppkey"))
+      .limit(20)
+
+  val sortLimitSql =
+    """SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY 1
+      |ORDER BY total_qty DESC, l_suppkey LIMIT 20""".stripMargin
+
+  // ---- 2.7 sampling ----
+
+  /** R1+R2: stratified sample with per-class rate cap
+    * (01_merchcat_etl.py:146-155), deterministic: rate =
+    * min(target/count, 1), membership by modular arithmetic on the key
+    * instead of Bernoulli rand. Rates side broadcast. */
+  val sampleStratified: Q = (s, dir) => {
+    val target = lit(200.0)
+    val rates = orders(s, dir).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rate",
+        when(target / col("cnt") > 1, 1.0).otherwise(target / col("cnt")))
+    orders(s, dir)
+      .join(broadcast(rates.select("o_orderpriority", "rate")), Seq("o_orderpriority"))
+      .where(pmod(col("o_orderkey"), lit(10000)) < col("rate") * 10000)
+      .select("o_orderkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  val sampleStratifiedSql =
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |JOIN (SELECT o_orderpriority,
+      |        CASE WHEN 200.0 / COUNT(*) > 1 THEN 1.0 ELSE 200.0 / COUNT(*) END AS rate
+      |      FROM orders GROUP BY 1) r USING (o_orderpriority)
+      |WHERE o_orderkey % 10000 < rate * 10000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- 2.8 string/regex scalar functions ----
+
+  /** F1+F2: the RE2-compatible cleaning chain (price/parens/&/alnum/
+    * whitespace/PAN + trim) over document text. The date-scrub step
+    * needs backreferences (not RE2-expressible) so it is covered by
+    * cleanFull (rows-only) + the golden ScalaTest suite. */
+  val cleanBasic: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"), Cleaning.cleanBasicCol(col("text")).as("clean"))
+      .orderBy("doc_id")
+
+  val cleanBasicSql =
+    """SELECT doc_id, TRIM(
+      |  regexp_replace(
+      |   regexp_replace(
+      |    regexp_replace(
+      |     regexp_replace(
+      |      regexp_replace(
+      |       regexp_replace(text,
+      |        '(((?:\d+\.)*\d+,\d+)|(\d+\.\d+))(?:[/\s]*)(?:(gbp|\%))', '', 'g'),
+      |       '(\(+)|(\)+)', '', 'g'),
+      |      '&', ' and ', 'g'),
+      |     '[^a-zA-Z0-9]+', ' ', 'g'),
+      |    '\s+', ' ', 'g'),
+      |   '\s+x{2,}\s+', ' ', 'g')) AS clean
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** U1+F7: full chain including the Java-regex date scrubber — not
+    * RE2-expressible, so rows-only (no oracle). */
+  val cleanFull: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"), Cleaning.cleanCol(col("text")).as("clean"))
+      .orderBy("doc_id")
+
+  /** F3+F4: fastText label encode (01_merchcat_etl.py:84-94) — label
+    * from `lang`, payload from cleaned text. */
+  val labelEncode: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("__label__"),
+          regexp_replace(col("lang"), "\\s+", "-"), lit(" "),
+          Cleaning.cleanBasicCol(col("text"))).as("fasttext"))
+      .orderBy("doc_id")
+
+  val labelEncodeSql =
+    """SELECT doc_id, '__label__' || regexp_replace(lang, '\s+', '-', 'g') || ' ' ||
+      |  TRIM(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '(((?:\d+\.)*\d+,\d+)|(\d+\.\d+))(?:[/\s]*)(?:(gbp|\%))', '', 'g'),
+      |    '(\(+)|(\)+)', '', 'g'), '&', ' and ', 'g'), '[^a-zA-Z0-9]+', ' ', 'g'),
+      |    '\s+', ' ', 'g'), '\s+x{2,}\s+', ' ', 'g')) AS fasttext
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** F4 inverse: label decode (merchcat_utils.py:23-28). */
+  val labelDecode: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            concat(lit("__label__"), regexp_replace(col("source"), "\\s+", "-")),
+            "__label__", ""),
+          "-", " ").as("decoded"))
+      .orderBy("doc_id")
+
+  val labelDecodeSql =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace('__label__' || regexp_replace(source, '\s+', '-', 'g'),
+      |    '__label__', '', 'g'), '-', ' ', 'g') AS decoded
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- registry ----
+
+  val all: Map[String, Q] = Map(
+    "q_scan_project" -> scanProject,
+    "q_filter_notnull" -> filterNotNull,
+    "q_derived_when" -> derivedWhen,
+    "q_rename_drop" -> renameDrop,
+    "q_join_left" -> joinLeft,
+    "q_join_inner" -> joinInner,
+    "q_join_semi" -> joinSemi,
+    "q_join_anti" -> joinAnti,
+    "q_agg_count" -> aggCount,
+    "q_agg_ratio" -> aggRatio,
+    "q_agg_avg" -> aggAvg,
+    "q_agg_quantiles" -> aggQuantiles,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_rollup" -> aggRollup,
+    "q_window_percentile" -> windowPercentile,
+    "q_window_topk" -> windowTopK,
+    "q_sort_limit" -> sortLimit,
+    "q_sample_stratified" -> sampleStratified,
+    "q_clean_basic" -> cleanBasic,
+    "q_clean_full" -> cleanFull,
+    "q_label_encode" -> labelEncode,
+    "q_label_decode" -> labelDecode,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" -> scanProjectSql,
+    "q_filter_notnull" -> filterNotNullSql,
+    "q_derived_when" -> derivedWhenSql,
+    "q_rename_drop" -> renameDropSql,
+    "q_join_left" -> joinLeftSql,
+    "q_join_inner" -> joinInnerSql,
+    "q_join_semi" -> joinSemiSql,
+    "q_join_anti" -> joinAntiSql,
+    "q_agg_count" -> aggCountSql,
+    "q_agg_ratio" -> aggRatioSql,
+    "q_agg_avg" -> aggAvgSql,
+    "q_agg_quantiles" -> aggQuantilesSql,
+    "q_agg_distinct" -> aggDistinctSql,
+    "q_agg_rollup" -> aggRollupSql,
+    "q_window_percentile" -> windowPercentileSql,
+    "q_window_topk" -> windowTopKSql,
+    "q_sort_limit" -> sortLimitSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_clean_basic" -> cleanBasicSql,
+    "q_label_encode" -> labelEncodeSql,
+    "q_label_decode" -> labelDecodeSql,
+  )
+}

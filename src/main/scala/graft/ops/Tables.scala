@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fixture-table access + cross-engine-exact numeric helpers.
+  *
+  * The DuckDB oracle hash-compares values, so every aggregate a query
+  * emits must be bit-identical across engines. Doubles summed in
+  * arbitrary order are not; decimals are. `dsum` routes a double column
+  * through DECIMAL (exact, commutative) and casts the final result back
+  * to double — same value in both engines regardless of partial-agg
+  * order. Ratios divide two already-identical doubles (IEEE → identical
+  * quotient).
+  */
+object Tables {
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = table(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame = table(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = table(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = table(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
+  def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+
+  /** Order-independent, cross-engine-exact sum of a double column. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Cross-engine-exact mean: exact sum divided by exact count. */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(lit(1)).cast("double")
+
+  /** Portable deterministic shuffle key (md5 hex is identical in Spark
+    * and DuckDB; hex-string ordering is plain ASCII) — stands in for the
+    * reference's unseeded rand() orderings (01_merchcat_etl.py:179). */
+  def shuffleKey(c: Column): Column = md5(c.cast("string"))
+}

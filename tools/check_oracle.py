@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <verify_out_dir>/<name>/ (Spark parquet result), runs the
+matching SQL from <verify_out_dir>/oracle_sql.json in DuckDB over the
+<sf_dir> parquet tables, normalizes both (columns sorted by name, rows
+sorted by all columns), and reports per-query match/mismatch.
+
+Driver-side helper only — NOT part of the library.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), key=lambda s: s.astype(str)).reset_index(drop=True)
+    return df
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        res_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(res_dir):
+            results[name] = "MISSING spark result"
+            continue
+        try:
+            got = canon(con.execute(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df())
+            exp = canon(con.execute(sql).df())
+        except Exception as e:
+            results[name] = f"ERROR {e}"
+            continue
+        if list(got.columns) != list(exp.columns):
+            results[name] = f"SCHEMA got={list(got.columns)} exp={list(exp.columns)}"
+            continue
+        if len(got) != len(exp):
+            results[name] = f"ROWS got={len(got)} exp={len(exp)}"
+            continue
+        bad = []
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
+                ga = pd.to_numeric(g, errors="coerce").astype(float)
+                ea = pd.to_numeric(e, errors="coerce").astype(float)
+                eq = (ga.values == ea.values) | (pd.isna(ga.values) & pd.isna(ea.values))
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    bad.append(f"{c}[{i}]: {ga.iloc[i]!r} vs {ea.iloc[i]!r} (maxdiff {np.nanmax(np.abs(ga.values - ea.values))})")
+            else:
+                eq = (g.astype(str).values == e.astype(str).values)
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    bad.append(f"{c}[{i}]: {g.iloc[i]!r} vs {e.iloc[i]!r}")
+        results[name] = "OK rows=%d" % len(got) if not bad else "VALUES " + "; ".join(bad[:3])
+    npass = sum(1 for v in results.values() if v.startswith("OK"))
+    for name, v in sorted(results.items()):
+        print(("PASS " if v.startswith("OK") else "FAIL ") + f"{name}: {v}")
+    print(f"== {npass}/{len(results)} pass ==")
+    sys.exit(0 if npass == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
