@@ -1,0 +1,96 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stratified sampling — the reference's signature relational primitive
+  * (`01_merchcat_etl.py:138-155`, `utils/fasttext_utils.py:44-56`).
+  *
+  * Scale design: per-class rates come from a bounded-cardinality
+  * aggregate (one row per label, ~1000 merchants in the reference), so
+  * the rates relation is always broadcastable. Two membership variants:
+  *
+  *   - seeded Bernoulli via `stat.sampleBy` (faithful to the reference,
+  *     randomized);
+  *   - deterministic modular membership on a unique integer key,
+  *     expressed as a broadcast join + filter — fully distributed, no
+  *     driver collect, reproducible, and pushdown-friendly.
+  */
+object Sampling {
+
+  /** Per-class rate with cap (`01_merchcat_etl.py:146-151`):
+    * rate = min(sampleSize/count, 1), classes under countThreshold
+    * dropped. One row per label. */
+  def cappedRates(df: DataFrame, labelCol: String, sampleSize: Double,
+                  countThreshold: Long): DataFrame =
+    df.groupBy(labelCol)
+      .agg(count(lit(1)).as("count"))
+      .where(col("count") >= countThreshold)
+      .withColumn("sample_rate", lit(sampleSize) / col("count"))
+      .withColumn("sample_rate",
+        when(col("sample_rate") > 1, 1.0).otherwise(col("sample_rate")))
+
+  /** Per-class rate with floor + overshoot
+    * (`utils/fasttext_utils.py:46-53`): if count*rate < minCount then
+    * minCount/count + 0.05 ("better to oversample near the threshold"),
+    * else rate. */
+  def flooredRates(df: DataFrame, labelCol: String, sampleRate: Double,
+                   minCount: Long): DataFrame =
+    df.groupBy(labelCol)
+      .agg(count(lit(1)).as("count"))
+      .withColumn("sample_rate",
+        when(col("count") * sampleRate < minCount,
+          lit(minCount) / col("count") + 0.05)
+          .otherwise(lit(sampleRate)))
+
+  /** Collect a rates frame to the label→rate map `stat.sampleBy` wants.
+    * Safe only because label cardinality is bounded (it is an aggregate
+    * over the label key) — never call on row-scale data. */
+  def ratesMap(rates: DataFrame, labelCol: String): Map[String, Double] =
+    rates.select(col(labelCol).cast("string"), col("sample_rate"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+
+  /** Reference semantics (`01_merchcat_etl.py:154`): seeded per-class
+    * Bernoulli sample. */
+  def sampleData(df: DataFrame, labelCol: String, sampleSize: Double,
+                 countThreshold: Long, seed: Long = 42L): DataFrame = {
+    val rates = ratesMap(cappedRates(df, labelCol, sampleSize, countThreshold), labelCol)
+    df.stat.sampleBy(labelCol, rates, seed)
+  }
+
+  /** Uniform deterministic membership hash of a key: md5 → first 8 hex
+    * chars → integer in [0, modulus). Uniform regardless of the key's
+    * own distribution (a raw `key % modulus` correlates with key range
+    * and breaks at small tables or clustered ids). */
+  def membershipBucket(key: Column, modulus: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(modulus.toLong))
+
+  /** Deterministic stratified sample: membership decided by a hash
+    * bucket of a unique key — reproducible, the rates join stays
+    * broadcast, and the whole thing is a filter Catalyst can reason
+    * about (no Bernoulli rand, no driver-held fractions map). */
+  def sampleDataDeterministic(df: DataFrame, labelCol: String, keyCol: String,
+                              sampleSize: Double, countThreshold: Long,
+                              modulus: Int = 1 << 20): DataFrame = {
+    val rates = cappedRates(df, labelCol, sampleSize, countThreshold)
+      .select(labelCol, "sample_rate")
+    df.join(broadcast(rates), Seq(labelCol))
+      .where(membershipBucket(col(keyCol), modulus) < col("sample_rate") * modulus)
+      .drop("sample_rate")
+  }
+
+  /** Deterministic variant of the floored/overshoot training-file
+    * sampler (`utils/fasttext_utils.py:44-56`). */
+  def sampleForTrainingFile(df: DataFrame, labelCol: String, keyCol: String,
+                            sampleRate: Double, minCount: Long,
+                            modulus: Int = 1 << 20): DataFrame = {
+    val rates = flooredRates(df, labelCol, sampleRate, minCount)
+      .select(labelCol, "sample_rate")
+    df.join(broadcast(rates), Seq(labelCol))
+      .where(membershipBucket(col(keyCol), modulus) < col("sample_rate") * modulus)
+      .drop("sample_rate")
+  }
+}

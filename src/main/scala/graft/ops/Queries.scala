@@ -382,6 +382,55 @@ object Queries {
       |    '__label__', '', 'g'), '-', ' ', 'g') AS decoded
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- 2.7/2.5 ETL primitives as queries ----
+
+  /** R3: floored/overshoot training-file rate derivation
+    * (utils/fasttext_utils.py:46-53) over documents by lang. */
+  val sampleRates: Q = (s, dir) =>
+    graft.etl.Sampling.flooredRates(documents(s, dir), "lang", 0.2, 30)
+      .orderBy("lang")
+
+  val sampleRatesSql =
+    """SELECT lang, COUNT(*) AS count,
+      |  CASE WHEN COUNT(*) * 0.2 < 30 THEN 30 / COUNT(*) + 0.05 ELSE 0.2 END AS sample_rate
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** W1 as the actual 90/10 split (01_merchcat_etl.py:176-189):
+    * deterministic class percentile, train slice. */
+  val splitTrain: Q = (s, dir) => {
+    val withPct = graft.etl.Split.addClassPercentileDeterministic(
+      documents(s, dir).select("doc_id", "lang"), "lang", "doc_id")
+    graft.etl.Split.split(withPct, 0.9)._1.orderBy("doc_id")
+  }
+
+  val splitTrainSql =
+    """SELECT doc_id, lang, class_percentile FROM (
+      |  SELECT doc_id, lang,
+      |    ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR))), 4) AS class_percentile
+      |  FROM documents) t
+      |WHERE class_percentile < 0.9 ORDER BY doc_id""".stripMargin
+
+  /** R5: exactly-N-per-class (fasttext_utils.py:31-42), deterministic
+    * ordering. */
+  val sampleFixedN: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(shuffleKey(col("doc_id")), col("doc_id"))
+    documents(s, dir)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 40)
+      .select("doc_id", "lang", "rank")
+      .orderBy("doc_id")
+  }
+
+  val sampleFixedNSql =
+    """SELECT doc_id, lang, rank FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      |  FROM documents) t
+      |WHERE rank <= 40 ORDER BY doc_id""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -407,6 +456,9 @@ object Queries {
     "q_clean_full" -> cleanFull,
     "q_label_encode" -> labelEncode,
     "q_label_decode" -> labelDecode,
+    "q_sample_rates" -> sampleRates,
+    "q_split_train" -> splitTrain,
+    "q_sample_fixed_n" -> sampleFixedN,
   )
 
   val oracles: Map[String, String] = Map(
@@ -431,5 +483,8 @@ object Queries {
     "q_clean_basic" -> cleanBasicSql,
     "q_label_encode" -> labelEncodeSql,
     "q_label_decode" -> labelDecodeSql,
+    "q_sample_rates" -> sampleRatesSql,
+    "q_split_train" -> splitTrainSql,
+    "q_sample_fixed_n" -> sampleFixedNSql,
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.etl._
+
+/** Entry-point-A pipeline properties over the documents fixture:
+  * split disjoint/complete, sample-size bounds, training-file format. */
+class EtlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  val cfg = Etl.Config(labelCol = "lang", textCol = "text", keyCol = "doc_id",
+    sampleSize = 60, countThreshold = 30)
+
+  test("split is disjoint and complete over the sampled set") {
+    val (train, test) = Etl.run(docs, cfg)
+    val nTrain = train.count()
+    val nTest = test.count()
+    val ids = train.select("doc_id").union(test.select("doc_id")).distinct().count()
+    assert(nTrain + nTest == ids, "train/test overlap or loss")
+    assert(nTrain > 0 && nTest > 0)
+    // roughly 90/10 per class
+    assert(nTest.toDouble / (nTrain + nTest) > 0.05 &&
+      nTest.toDouble / (nTrain + nTest) < 0.25)
+  }
+
+  test("deterministic sampling respects per-class rate cap") {
+    val labeled = Etl.cleanAndLabel(docs, cfg)
+    val sampled = Sampling.sampleDataDeterministic(labeled, "lang", "doc_id", 60, 30)
+    val perClass = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = labeled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perClass.foreach { case (lang, n) =>
+      // hash-bucket membership is binomial around rate*count
+      val expected = math.min(60.0, totals(lang).toDouble)
+      assert(n <= totals(lang), s"$lang oversampled beyond class size")
+      assert(math.abs(n - expected) <= 4 * math.sqrt(expected) + 5,
+        s"$lang: got $n, expected ~$expected of ${totals(lang)}")
+    }
+    // classes below threshold are dropped entirely
+    assert(perClass.keySet == totals.filter(_._2 >= 30).keySet)
+  }
+
+  test("seeded sampleBy variant is reproducible for a fixed seed") {
+    val labeled = Etl.cleanAndLabel(docs, cfg)
+    val a = Sampling.sampleData(labeled, "lang", 60, 30, seed = 7).count()
+    val b = Sampling.sampleData(labeled, "lang", 60, 30, seed = 7).count()
+    assert(a == b)
+  }
+
+  test("training file is a single flat file of __label__ lines") {
+    val tmp = java.nio.file.Files.createTempDirectory("tf").toString
+    val labeled = Etl.cleanAndLabel(docs, cfg)
+    labeled.write.mode("overwrite").parquet(s"$tmp/labeled")
+    implicit val s: SparkSession = spark
+    val tf = new TrainingFile(s"$tmp/labeled", s"$tmp/out", "lang", "fasttext")
+    val path = tf.generateTrainingFile(sampleRate = 0.5, minCount = 10)
+    val lines = spark.read.text(path)
+    assert(lines.count() > 0)
+    assert(lines.filter(!col("value").startsWith("__label__")).count() == 0)
+    val fixed = tf.generateFixedTrainingFile(5)
+    val fixedLines = spark.read.text(fixed).count()
+    assert(fixedLines == 5L * 5) // 5 langs × 5 rows
+    assert(TrainingFile.listTrainingFiles(s"$tmp/out").size == 2)
+  }
+}
