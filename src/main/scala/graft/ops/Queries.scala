@@ -431,6 +431,46 @@ object Queries {
       |  FROM documents) t
       |WHERE rank <= 40 ORDER BY doc_id""".stripMargin
 
+  // ---- 2.9/2.10 ML surface (M1/M2/M7): training is not SQL — rows-only ----
+
+  private def trainedScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select("doc_id", "lang", "text")
+    val cfg = graft.etl.Etl.Config(labelCol = "lang", textCol = "text",
+      keyCol = "doc_id", sampleSize = 5000, countThreshold = 10)
+    val labeled = graft.etl.Etl.cleanAndLabel(docs, cfg)
+    val withPct = graft.etl.Split.addClassPercentileDeterministic(labeled, "lang", "doc_id")
+    val (train, test) = graft.etl.Split.split(withPct, 0.9)
+    val model = graft.ml.Trainer.train(train, "lang", "text_clean",
+      graft.ml.Trainer.Params(epoch = 3, wordNgrams = 2, numFeatures = 1 << 16))
+    model.predict(test, "text_clean", "pr_lang")
+  }
+
+  /** M1+U2: train-and-batch-score (the spark_udf path,
+    * 02_merchcat_ml.py:506-513). Rows-only: training isn't in SQL. */
+  val mlScore: Q = (s, dir) =>
+    trainedScore(s, dir).select("doc_id", "lang", "pr_lang").orderBy("doc_id")
+
+  /** M2: per-class accuracy quantile summary (merchcat_utils.py:64-71).
+    * Rows-only. */
+  val mlEvalSummary: Q = (s, dir) =>
+    graft.ml.Evaluator.summary(trainedScore(s, dir), "lang", "pr_lang")
+
+  /** Featurizer shape is SQL-checkable even though training isn't:
+    * token/bigram counts of the cleaned text. */
+  val featurizeCounts: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(graft.ml.Featurize.tokensCol(col("text"))).as("n_tokens"),
+        size(graft.ml.Featurize.ngramsCol(
+          graft.ml.Featurize.tokensCol(col("text")), 2)).as("n_bigrams"))
+      .orderBy("doc_id")
+
+  val featurizeCountsSql =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)) AS n_tokens,
+      |  GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)) - 1, 0) AS n_bigrams
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -459,6 +499,9 @@ object Queries {
     "q_sample_rates" -> sampleRates,
     "q_split_train" -> splitTrain,
     "q_sample_fixed_n" -> sampleFixedN,
+    "q_ml_score" -> mlScore,
+    "q_ml_eval_summary" -> mlEvalSummary,
+    "q_featurize_counts" -> featurizeCounts,
   )
 
   val oracles: Map[String, String] = Map(
@@ -486,5 +529,6 @@ object Queries {
     "q_sample_rates" -> sampleRatesSql,
     "q_split_train" -> splitTrainSql,
     "q_sample_fixed_n" -> sampleFixedNSql,
+    "q_featurize_counts" -> featurizeCountsSql,
   )
 }

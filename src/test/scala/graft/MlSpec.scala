@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ml._
+
+/** ML sanity (SURVEY §5.5): the classifier must actually learn a
+  * separable task; evaluator contract; save/load/registry round trip;
+  * parallel tuning selects a best run. */
+class MlSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Separable synthetic set: each class has a distinctive vocabulary
+    * (stand-in for merchant narratives: brand tokens + shared noise). */
+  def synth(n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val vocab = Map(
+      "starbucks" -> Seq("coffee", "latte", "espresso", "roast"),
+      "tesco" -> Seq("grocery", "store", "supermarket", "food"),
+      "shell" -> Seq("fuel", "petrol", "station", "diesel"),
+      "netflix" -> Seq("stream", "video", "subscription", "film"))
+    val noise = Seq("cd", "deb", "ref", "pos", "4711", "card")
+    val rng = new scala.util.Random(42)
+    val rows = (0 until n).map { i =>
+      val (label, words) = vocab.toSeq(rng.nextInt(vocab.size))
+      val text = (Seq.fill(3)(words(rng.nextInt(words.size))) ++
+        Seq.fill(2)(noise(rng.nextInt(noise.size)))).mkString(" ")
+      (i.toLong, label, text)
+    }
+    rows.toDF("id", "merchant", "narrative")
+  }
+
+  lazy val data = synth(400)
+  lazy val trainDf = data.where(col("id") % 10 < 8)
+  lazy val testDf = data.where(col("id") % 10 >= 8)
+
+  test("classifier learns a separable task (accuracy >= 0.9)") {
+    val model = Trainer.train(trainDf, "merchant", "narrative",
+      Trainer.Params(epoch = 5, wordNgrams = 2, numFeatures = 1 << 14))
+    val scored = model.predict(testDf, "narrative", "pr_merchant")
+    val summary = Evaluator.summaryMap(scored, "merchant", "pr_merchant")
+    assert(summary("avg__acc") >= 0.9, s"summary=$summary")
+    assert(summary.keySet == Set("avg__acc", "q_05_acc", "q_25_acc",
+      "q_50_acc", "q_75_acc", "q_95_acc"))
+  }
+
+  test("save/load round trip predicts identically; registry resolves production") {
+    val tmp = java.nio.file.Files.createTempDirectory("ml").toString
+    val model = Trainer.train(trainDf, "merchant", "narrative",
+      Trainer.Params(epoch = 3, wordNgrams = 2, numFeatures = 1 << 14))
+    val tracking = new Tracking(tmp)
+    val runId = tracking.startRun(model.params.asMap)
+    model.save(tracking.modelDir(runId))
+    tracking.logMetrics(runId, Map("avg__acc" -> 1.0))
+    tracking.promote("merchcat", runId)
+
+    val resolved = tracking.resolve("merchcat")
+    assert(resolved.contains(tracking.modelDir(runId)))
+    val loaded = Trainer.load(resolved.get)
+    assert(loaded.params == model.params)
+    val texts = Seq("coffee latte cd", "petrol station ref", "video stream 4711")
+    assert(loaded.predictLocal(texts) == model.predictLocal(texts))
+  }
+
+  test("parallel tuning runs trials, tracks them, and ranks by objective") {
+    val tmp = java.nio.file.Files.createTempDirectory("tune").toString
+    val tracking = new Tracking(tmp)
+    val trials = Tuning.search(trainDf, testDf, "merchant", "narrative",
+      tracking, space = Tuning.Space(numFeaturesLog2 = (12, 14)),
+      maxEvals = 4, parallelism = 2)
+    assert(trials.size == 4)
+    assert(trials.head.metrics("avg__acc") >=
+      trials.last.metrics("avg__acc"))
+    assert(tracking.listRuns().size == 4)
+    // several trials can tie on the objective — compare the metric value
+    val best = tracking.bestRun("avg__acc").get
+    assert(tracking.metrics(best)("avg__acc") == trials.head.metrics("avg__acc"))
+  }
+
+  test("label round trip: encode then decode restores dash-free labels") {
+    import spark.implicits._
+    val df = Seq("virgin media", "tesco", "the works").toDF("m")
+    val out = df.select(graft.etl.Labeling.decode(
+      graft.etl.Labeling.encodeLabelToken(col("m"))).as("back"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("virgin media", "tesco", "the works"))
+  }
+}
