@@ -16,13 +16,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.Queries.mlEvalSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * LLM-pipeline extension surface. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Queries.all
+    ops.Queries.all ++ ops.ExtQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (driver records a weaker rows-only check). */
   def oracleSql: Map[String, String] =
-    ops.Queries.oracles
+    ops.Queries.oracles ++ ops.ExtQueries.oracles
 }

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ml.Featurize
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, document
+  * fingerprinting. All pure Catalyst column expressions — narrow maps
+  * over the scan, no shuffle, codegen-friendly at any scale.
+  */
+object TextStats {
+
+  /** Small per-language marker vocabularies for the n-gram/stopword
+    * language-ID heuristic. Real deployments plug in larger profiles;
+    * the operator shape (score per language → argmax with deterministic
+    * tie order) is what matters. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "ni", "ta", "men", "zai", "you"))
+
+  /** Count of tokens that appear in `markers` (occurrence count, not
+    * set intersection). */
+  def markerHits(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(lit(markers.toArray), t)))
+
+  /** Heuristic language ID: argmax of marker-hit counts with a
+    * deterministic preference order; "und" when nothing matches. */
+  def langIdCol(text: Column): Column = {
+    val toks = Featurize.tokensCol(lower(text))
+    val scores = langMarkers.map { case (lang, m) => lang -> markerHits(toks, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(Featurize.tokensCol(text))
+
+  /** BPE-ish subword count: alphanumeric runs and single punctuation
+    * marks both count as tokens (a cheap stand-in for byte-pair
+    * tokenizer length used for budget estimates). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(regexp_replace(text, "([^a-zA-Z0-9\\s])", " $1 "), "\\s+"),
+      t => length(t) > 0))
+
+  /** Ratio of non-alphanumeric, non-space chars to total length. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / length(text).cast("double"))
+      .otherwise(0.0)
+
+  /** Ratio of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = Featurize.tokensCol(lower(text))
+    when(size(toks) > 0,
+      markerHits(toks, langMarkers.head._2).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Mean token length. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = Featurize.tokensCol(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with
+    * low punctuation noise and a plausible stopword rate — the shape
+    * of C4/Gopher-style quality filters. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * 0.4 + punctPenalty * 0.4 + stopScore * 0.2, 6)
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted token
+    * bag. Identical bags (e.g. shuffled near-duplicates) collide. */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(Featurize.tokensCol(text)), " "))
+
+  /** Polynomial rolling hash over token lengths mod a prime — a cheap
+    * sequence-sensitive fingerprint (portable: integer arithmetic only). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(Featurize.tokensCol(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + length(t), lit(1000003L)))
+}

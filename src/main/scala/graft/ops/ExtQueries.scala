@@ -1,0 +1,327 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ml.Featurize
+import Tables._
+
+/** LLM-training-data-pipeline operators (dedup / similarity / text
+  * analysis / multimodal) grounded as oracle queries over `documents`
+  * and `embeddings`. Shared SQL fragments are built once; the simhash
+  * oracle is generated programmatically (16 bit lanes).
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared DuckDB fragments ----
+
+  /** tokens of `text` (matches Featurize.tokensCol). */
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), tk -> len(tk) > 0)"""
+
+  private val toksLowerSql =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'), tk -> len(tk) > 0)"""
+
+  /** 3-token shingles from a `toks` list column (matches
+    * Featurize.ngramsCol(_, 3)). */
+  private val shinglesSql =
+    """list_transform(range(1, greatest(len(toks)-2, 0)+1),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin
+
+  /** Left-fold double sum (matches Spark `aggregate(_, 0.0, _+_)`). */
+  private def foldSumSql(products: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $products), (acc, v) -> acc + v)"
+
+  // ---- dedup ----
+
+  /** Exact dedup: smallest doc_id per identical text. */
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exactDedup(documents(s, dir).select("doc_id", "text"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  val dedupExactSql =
+    """SELECT doc_id, text FROM (
+      |  SELECT doc_id, text,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** MinHash signatures (4 hash families over 3-shingles). */
+  val dedupMinhashSig: Q = (s, dir) => {
+    val sig = Dedup.minhashSignature(Dedup.shingles(col("text")), 4)
+    documents(s, dir).select(col("doc_id"),
+      element_at(sig, 1).as("m0"), element_at(sig, 2).as("m1"),
+      element_at(sig, 3).as("m2"), element_at(sig, 4).as("m3"))
+      .orderBy("doc_id")
+  }
+
+  val dedupMinhashSigSql = {
+    val mins = (0 until 4).map(i =>
+      s"  list_min(list_transform(sh, x -> md5('$i|' || x))) AS m$i").mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, $shinglesSql AS sh FROM t)
+       |SELECT doc_id,
+       |$mins
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** LSH band buckets (2 bands × 2 rows): the candidate-join key and
+    * bucket occupancy — the heart of minhash→band→bucket-join dedup,
+    * output kept linear in |docs|. */
+  val dedupLshBuckets: Q = (s, dir) => {
+    val sig = documents(s, dir).select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text")), 4).as("sig"))
+    sig.select(col("doc_id"),
+        posexplode(Dedup.bandKeys(col("sig"), 2, 2)).as(Seq("band_idx", "band")))
+      .groupBy("band_idx", "band")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy("band_idx", "band")
+  }
+
+  val dedupLshBucketsSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |m AS (SELECT doc_id,
+       |  list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
+       |  list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
+       |  list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
+       |  list_min(list_transform(sh, x -> md5('3|' || x))) AS m3 FROM s),
+       |b AS (
+       |  SELECT doc_id, 0 AS band_idx, md5(m0 || '|' || m1) AS band FROM m
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band_idx, md5(m2 || '|' || m3) AS band FROM m)
+       |SELECT band_idx, band, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** n-gram Jaccard near-dup scan: bounded query set (doc_id < 20)
+    * against same-language documents, exact 3-shingle Jaccard. */
+  val dedupJaccard: Q = (s, dir) => {
+    val sh = documents(s, dir).select(col("doc_id"), col("lang"),
+      array_distinct(Dedup.shingles(col("text"))).as("sh"))
+    val a = sh.where(col("doc_id") < 20)
+      .select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("lang"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= 0.01)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupJaccardSql =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, lang, list_distinct($shinglesSql) AS sh FROM t)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE a.doc_id < 20
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.01
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** 16-bit SimHash per document. */
+  val dedupSimhash: Q = (s, dir) =>
+    documents(s, dir).select(col("doc_id"),
+      Dedup.simhash16(Featurize.tokensCol(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+
+  val dedupSimhashSql = {
+    val hexval = (pos: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(tk), $pos, 1)) - 1)"
+    val tokVal =
+      s"(${hexval(1)} * 4096 + ${hexval(2)} * 256 + ${hexval(3)} * 16 + ${hexval(4)})"
+    val bitSums = (0 until 16).map { b =>
+      val pow = 1L << b
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(toks, tk -> ((($tokVal // $pow) % 2) * 2 - 1))),
+         |    (acc, v) -> acc + v)""".stripMargin
+    }
+    val packed = (0 until 16).map { b =>
+      s"(CASE WHEN (${bitSums(b)}) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+       |SELECT doc_id, CAST($packed AS BIGINT) AS simhash
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- similarity search ----
+
+  private val cosineSql =
+    s"""ROUND(${foldSumSql("list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i])")} /
+       |  (sqrt(${foldSumSql("list_transform(range(1, len(qv)+1), i -> qv[i] * qv[i])")}) *
+       |   sqrt(${foldSumSql("list_transform(range(1, len(cv)+1), i -> cv[i] * cv[i])")})), 6)""".stripMargin
+
+  /** Brute-force exact cosine top-5 for queries vec_id < 10. */
+  val simTopK: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.bruteTopK(emb.where(col("vec_id") < 10), emb,
+      "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val simTopKSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id, e.v AS cv, qv
+       |  FROM e, q WHERE e.vec_id <> query_id),
+       |sims AS (SELECT query_id, neighbor_id, $cosineSql AS cosine FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sims) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF approximate top-5 (rows-only: centroid assignment is not
+    * worth mirroring in SQL; recall vs brute is asserted in tests). */
+  val simIvf: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb,
+      "vec_id", "embedding", 5, nCells = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup pairs via sign-bucket LSH + cosine (rows-only:
+    * bucket construction mirrored in tests, not SQL). Threshold 0.3:
+    * the fixture embeddings are unclustered random vectors whose
+    * cosines top out well under 0.5, so a production-style 0.9+ cut
+    * would always return the empty set. */
+  val dedupEmbedding: Q = (s, dir) =>
+    Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding", 0.3)
+      .orderBy("id_a", "id_b")
+
+  // ---- text analysis ----
+
+  val textLangid: Q = (s, dir) =>
+    documents(s, dir).select(col("doc_id"),
+      TextStats.langIdCol(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val textLangidSql = {
+    val scores = TextStats.langMarkers.map { case (lang, m) =>
+      val lst = m.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, tk -> list_contains($lst, tk))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextStats.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = __best AND __best > 0 THEN '$l'")
+      .mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $scores
+       |FROM t),
+       |m AS (SELECT *, $best AS __best FROM sc)
+       |SELECT doc_id,
+       |  CASE $cases ELSE 'und' END AS lang_pred
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  val textQuality: Q = (s, dir) =>
+    documents(s, dir).select(col("doc_id"),
+      TextStats.tokenCount(col("text")).as("n_tokens"),
+      round(TextStats.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextStats.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      TextStats.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val textQualitySql = {
+    val stoplist = TextStats.langMarkers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks, $toksLowerSql AS ltoks
+       |  FROM documents),
+       |c AS (SELECT doc_id, text, len(toks) AS n_tokens,
+       |  CASE WHEN len(text) > 0 THEN
+       |    CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(len(text) AS DOUBLE) ELSE 0.0 END AS pr,
+       |  CASE WHEN len(ltoks) > 0 THEN
+       |    CAST(len(list_filter(ltoks, tk -> list_contains($stoplist, tk))) AS DOUBLE)
+       |      / CAST(len(ltoks) AS DOUBLE) ELSE 0.0 END AS sr
+       |FROM t)
+       |SELECT doc_id, n_tokens, ROUND(pr, 6) AS punct_ratio, ROUND(sr, 6) AS stopword_ratio,
+       |  ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+       |        (1.0 - least(pr * 5.0, 1.0)) * 0.4 +
+       |        least(sr * 5.0, 1.0) * 0.2, 6) AS quality
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  val textTokens: Q = (s, dir) =>
+    documents(s, dir).select(col("doc_id"),
+      TextStats.tokenCount(col("text")).as("n_ws_tokens"),
+      TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+      .orderBy("doc_id")
+
+  val textTokensSql =
+    s"""SELECT doc_id,
+       |  len($toksSql) AS n_ws_tokens,
+       |  len(list_filter(string_split_regex(
+       |    regexp_replace(text, '([^a-zA-Z0-9\\s])', ' \\1 ', 'g'), '\\s+'),
+       |    tk -> len(tk) > 0)) AS n_bpeish_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val textFingerprint: Q = (s, dir) =>
+    documents(s, dir).select(col("doc_id"),
+      TextStats.bagFingerprint(col("text")).as("bag_fp"),
+      TextStats.rollingFingerprint(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+       |SELECT doc_id,
+       |  md5(array_to_string(list_sort(toks), ' ')) AS bag_fp,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(toks, tk -> CAST(len(tk) AS BIGINT))),
+       |    (acc, v) -> (acc * 31 + v) % 1000003) AS rolling_fp
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---- multimodal ----
+
+  /** Binary-payload metadata (byte length + sha256) — the pure-column
+    * part of the multimodal plumbing; decode itself is the stubbed
+    * mapPartitions path (tested, not oracled). */
+  val multimodalMeta: Q = (s, dir) =>
+    Multimodal.withPayload(documents(s, dir).select("doc_id", "text"), "text")
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.sha256").as("sha256"))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- registry ----
+
+  val all: Map[String, Q] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_minhash_sig" -> dedupMinhashSig,
+    "q_dedup_lsh_buckets" -> dedupLshBuckets,
+    "q_dedup_jaccard" -> dedupJaccard,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_embedding" -> dedupEmbedding,
+    "q_sim_topk" -> simTopK,
+    "q_sim_ivf" -> simIvf,
+    "q_text_langid" -> textLangid,
+    "q_text_quality" -> textQuality,
+    "q_text_tokens" -> textTokens,
+    "q_text_fingerprint" -> textFingerprint,
+    "q_multimodal_meta" -> multimodalMeta,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash_sig" -> dedupMinhashSigSql,
+    "q_dedup_lsh_buckets" -> dedupLshBucketsSql,
+    "q_dedup_jaccard" -> dedupJaccardSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_sim_topk" -> simTopKSql,
+    "q_text_langid" -> textLangidSql,
+    "q_text_quality" -> textQualitySql,
+    "q_text_tokens" -> textTokensSql,
+    "q_text_fingerprint" -> textFingerprintSql,
+    "q_multimodal_meta" -> multimodalMetaSql,
+  )
+}

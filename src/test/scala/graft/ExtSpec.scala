@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext._
+
+/** LLM-pipeline extension operators: dedup finds planted duplicates,
+  * IVF recall vs brute-force truth, multimodal batch decode. */
+class ExtSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("exact dedup keeps smallest id among planted duplicates") {
+    val dup = docs.limit(5).select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val withDups = docs.select("doc_id", "text").union(dup)
+    val deduped = Dedup.exactDedup(withDups, "text", "doc_id")
+    assert(deduped.count() == docs.count())
+    assert(deduped.where(col("doc_id") >= 10000).count() == 0)
+  }
+
+  test("minhash LSH surfaces a planted near-duplicate pair") {
+    // plant: doc 9001 = doc 0's text with one token changed
+    val base = docs.where(col("doc_id") === 0).select("text").head.getString(0)
+    val tokens = base.split(" ")
+    val mutated = (tokens.take(tokens.length - 1) :+ "zzz").mkString(" ")
+    val planted = docs.select("doc_id", "text")
+      .union(Seq((9001L, mutated)).toDF("doc_id", "text"))
+    val pairs = Dedup.nearDupPairs(planted, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 9001L)), s"pairs=$pairs")
+  }
+
+  test("simhash of a near-duplicate is within small hamming distance") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different words appear in this sentence entirely"))
+      .toDF("id", "text")
+    val sh = df.select(col("id"),
+      Dedup.simhash16(graft.ml.Featurize.tokensCol(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)),
+      s"near-dup hamming ${ham(sh(1L), sh(2L))} !< distinct ${ham(sh(1L), sh(3L))}")
+  }
+
+  test("IVF top-k achieves reasonable recall against brute force") {
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5,
+      nCells = 8, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall (|brute|=${brute.size}, |ivf|=${ivf.size})")
+  }
+
+  test("embedding near-dup of an identical planted vector is found") {
+    val v = emb.where(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    val planted = emb.select("vec_id", "embedding")
+      .union(Seq((8888L, v)).toDF("vec_id", "embedding"))
+    val pairs = Dedup.embeddingNearDups(planted, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 8888L)), s"pairs=$pairs")
+  }
+
+  test("multimodal batch decode produces fixed-shape features") {
+    val media = Multimodal.withPayload(docs.limit(20).select("doc_id", "text"), "text")
+      .select(col("doc_id").as("id"), col("payload")).as[Multimodal.MediaRow]
+    val feats = Multimodal.decodeFeatures(media, dim = 8).collect()
+    assert(feats.length == 20)
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.forall(f => f.width >= 16 && f.height >= 16))
+    // deterministic: same payload -> same features
+    val again = Multimodal.decodeFeatures(media, dim = 8).collect()
+    assert(feats.sortBy(_.id).zip(again.sortBy(_.id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("langid picks the language whose markers dominate") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "le chat est dans la maison et il est chaud"),
+      (3L, "der hund und die katze sind ein team"))
+      .toDF("id", "text")
+    val out = df.select(col("id"), TextStats.langIdCol(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "de", out.toString)
+  }
+}
