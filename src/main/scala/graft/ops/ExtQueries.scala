@@ -293,6 +293,21 @@ object ExtQueries {
       |  sha256(text) AS sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- streaming (batch-equivalent of the windowed scoring agg) ----
+
+  /** §2.11: watermarked tumbling-window counts per event_type — the
+    * same transform the streaming path runs (ScoreStream.windowedCounts
+    * is engine-agnostic), oracled here in batch via date_trunc. */
+  val streamWindow: Q = (s, dir) =>
+    graft.streaming.ScoreStream.windowedCounts(events(s, dir), "ts", "event_type")
+      .orderBy("window_start", "event_type")
+
+  val streamWindowSql =
+    """SELECT date_trunc('minute', ts) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -309,6 +324,7 @@ object ExtQueries {
     "q_text_tokens" -> textTokens,
     "q_text_fingerprint" -> textFingerprint,
     "q_multimodal_meta" -> multimodalMeta,
+    "q_stream_window" -> streamWindow,
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,5 +339,6 @@ object ExtQueries {
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,
+    "q_stream_window" -> streamWindowSql,
   )
 }

@@ -25,7 +25,15 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
-  def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark refuses to map to TimestampType. Read nanos as long and
+    * truncate to microseconds — exactly what DuckDB does natively, so
+    * oracle parity holds. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.ScoreStream
+
+/** Structured-Streaming execution of the windowed scoring aggregate:
+  * the stream over the events fixture must produce exactly the batch
+  * result; stateful sessionization emits plausible sessions. */
+class StreamingSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming windowed counts equal the batch result") {
+    import spark.implicits._
+    val batchDf = graft.ops.Tables.events(spark, sfDir)
+    // stream source must be a directory of files
+    val dir = java.nio.file.Files.createTempDirectory("events").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+
+    val stream = ScoreStream.readEventsStream(spark, dir, batchDf.schema)
+    assert(stream.isStreaming)
+    val agg = ScoreStream.windowedCounts(stream, "ts", "event_type")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = ScoreStream.windowedCounts(batchDf, "ts", "event_type")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming scored counts run end-to-end with a trained model") {
+    import spark.implicits._
+    val train = Seq(("click", "user clicked a button"),
+      ("error", "system error occurred"), ("click", "clicked again"),
+      ("error", "error in module")).toDF("label", "text")
+    val model = graft.ml.Trainer.train(train, "label", "text",
+      graft.ml.Trainer.Params(epoch = 2, wordNgrams = 1, numFeatures = 1 << 10))
+
+    val batchDf = graft.ops.Tables.events(spark, sfDir)
+      .withColumn("text", concat_ws(" ", col("event_type"), col("props")))
+    val dir = java.nio.file.Files.createTempDirectory("events2").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+    val stream = ScoreStream.readEventsStream(spark, dir, batchDf.schema)
+    val agg = ScoreStream.scoredWindowedCounts(stream, model, "text", "ts")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("scored_out").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("scored_out").count() > 0)
+  }
+
+  test("sessionization emits gap-separated sessions per user") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val events = Seq(
+      ScoreStream.Event(1L, at(0), "click"),
+      ScoreStream.Event(1L, at(10), "view"),
+      ScoreStream.Event(1L, at(5000), "click"), // > 1800s gap → new session
+      ScoreStream.Event(2L, at(0), "view")).toDS()
+    val sessions = ScoreStream.sessionize(events, gapSec = 1800).collect()
+    // batch flatMapGroupsWithState emits only *closed* sessions inline:
+    // user 1's first session (2 events) closes at the 5000s event
+    assert(sessions.exists(s => s.user_id == 1 && s.n_events == 2 &&
+      s.duration_sec == 10.0), sessions.mkString(", "))
+  }
+}
