@@ -290,6 +290,32 @@ object ExtQueries {
       |  sha256(text) AS sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Custom Aggregator (UDAF surface): per-language MinHash signature
+    * merged across all documents of the group — map-side partial
+    * aggregation merges buffers, never shuffling shingles. Oracle: the
+    * same min-of-md5-segment per group in SQL. */
+  val dedupMinhashGrouped: Q = (s, dir) => {
+    val agg = org.apache.spark.sql.functions.udaf(new graft.functions.MinHashAgg(4))
+    val sig = documents(s, dir)
+      .select(col("lang"), explode(Dedup.shingles(col("text"))).as("sh"))
+      .groupBy("lang")
+      .agg(agg(col("sh")).as("sig"))
+    sig.select(col("lang"),
+      element_at(col("sig"), 1).as("m0"), element_at(col("sig"), 2).as("m1"),
+      element_at(col("sig"), 3).as("m2"), element_at(col("sig"), 4).as("m3"))
+      .orderBy("lang")
+  }
+
+  val dedupMinhashGroupedSql = {
+    val mins = (0 until 4).map(i =>
+      s"  min(substr(md5(sh), ${i * 8 + 1}, 8)) AS m$i").mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |s AS (SELECT lang, unnest($shinglesSql) AS sh FROM t)
+       |SELECT lang,
+       |$mins
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---- streaming (batch-equivalent of the windowed scoring agg) ----
 
   /** §2.11: watermarked tumbling-window counts per event_type — the
@@ -322,6 +348,7 @@ object ExtQueries {
     "q_text_fingerprint" -> textFingerprint,
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
+    "q_dedup_minhash_grouped" -> dedupMinhashGrouped,
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,5 +364,6 @@ object ExtQueries {
     "q_text_fingerprint" -> textFingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,
+    "q_dedup_minhash_grouped" -> dedupMinhashGroupedSql,
   )
 }

@@ -431,6 +431,82 @@ object Queries {
       |  FROM documents) t
       |WHERE rank <= 40 ORDER BY doc_id""".stripMargin
 
+  /** Cross join (capability surface): region × nation grid. */
+  val joinCross: Q = (s, dir) =>
+    region(s, dir).crossJoin(nation(s, dir))
+      .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+      .orderBy("r_regionkey", "n_nationkey")
+
+  val joinCrossSql =
+    """SELECT r_regionkey, r_name, n_nationkey, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin
+
+  /** Cube (capability surface): all grouping-set combinations. */
+  val aggCube: Q = (s, dir) =>
+    orders(s, dir).cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val aggCubeSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  /** M8: histogram via fixed-width binning — the distributed form of
+    * the reference's driver-side `.plot.hist(bins=100)`. */
+  val histogram: Q = (s, dir) =>
+    orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / 20000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  val histogramSql =
+    """SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bin, COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** F5: bround (half-even) — DuckDB's ROUND on doubles matches
+    * because exact .xx5 ties are not representable in binary for these
+    * inputs. */
+  val broundQ: Q = (s, dir) =>
+    orders(s, dir)
+      .select(col("o_orderkey"), bround(col("o_totalprice") / 7, 2).as("r"))
+      .orderBy("o_orderkey")
+
+  val broundSql =
+    """SELECT o_orderkey, ROUND(o_totalprice / 7, 2) AS r
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Date parts + arithmetic (capability beyond the reference, which
+    * only destroys dates). */
+  val dateParts: Q = (s, dir) =>
+    orders(s, dir).select(col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+        .as("days_to_eoy"))
+      .orderBy("o_orderkey")
+
+  val datePartsSql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** U1 through the SQL surface: the registered clean_text UDF invoked
+    * from spark.sql (rows-only — the full chain includes the
+    * backreference date regex, not RE2-expressible). */
+  val cleanUdfSql_q: Q = (s, dir) => {
+    graft.etl.Cleaning.registerUdfs(s)
+    documents(s, dir).createOrReplaceTempView("__docs")
+    s.sql("""SELECT doc_id, clean_text(text) AS clean
+            |FROM __docs ORDER BY doc_id""".stripMargin)
+  }
+
   // ---- 2.9/2.10 ML surface (M1/M2/M7): training is not SQL — rows-only ----
 
   /** Train-and-score on the documents fixture. Memoized per (session,
@@ -509,6 +585,12 @@ object Queries {
     "q_ml_score" -> mlScore,
     "q_ml_eval_summary" -> mlEvalSummary,
     "q_featurize_counts" -> featurizeCounts,
+    "q_join_cross" -> joinCross,
+    "q_agg_cube" -> aggCube,
+    "q_histogram" -> histogram,
+    "q_bround" -> broundQ,
+    "q_date_parts" -> dateParts,
+    "q_clean_udf" -> cleanUdfSql_q,
   )
 
   val oracles: Map[String, String] = Map(
@@ -537,5 +619,10 @@ object Queries {
     "q_split_train" -> splitTrainSql,
     "q_sample_fixed_n" -> sampleFixedNSql,
     "q_featurize_counts" -> featurizeCountsSql,
+    "q_join_cross" -> joinCrossSql,
+    "q_agg_cube" -> aggCubeSql,
+    "q_histogram" -> histogramSql,
+    "q_bround" -> broundSql,
+    "q_date_parts" -> datePartsSql,
   )
 }
