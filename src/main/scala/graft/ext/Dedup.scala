@@ -113,6 +113,37 @@ object Dedup {
     when(union > 0, round(inter / union, 6)).otherwise(0.0)
   }
 
+  /** Exact n-gram Jaccard pairs in aggregative form: explode distinct
+    * shingles, equi-join on (block, shingle), count matches per pair,
+    * then jaccard = inter / (|A| + |B| − inter). Each shingle is
+    * hashed/compared once and the intersection is an equi-join + count
+    * (map-side combinable) — the formulation that survives scale-up,
+    * unlike per-pair array_intersect expressions (which codegen
+    * re-evaluates per reference). `leftFilter` bounds the query side
+    * (e.g. a probe set); blocking bounds the candidate space. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, threshold: Double, k: Int = 3,
+                        leftFilter: Column = lit(true)): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+      array_distinct(shingles(col(textCol), k)).as("__sh"))
+    val counts = sh.select(col("__id"), size(col("__sh")).as("__n"))
+    val ex = sh.select(col("__id"), col("__blk"), explode(col("__sh")).as("__s"))
+    val exA = ex.where(leftFilter)
+      .select(col("__id").as("id_a"), col("__blk"), col("__s"))
+    val inter = exA
+      .join(ex.select(col("__id").as("id_b"), col("__blk"), col("__s")),
+        Seq("__blk", "__s"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+    inter
+      .join(counts.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(counts.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("jaccard", round(col("__inter").cast("double") /
+        (col("__na") + col("__nb") - col("__inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash near-duplicate pairs: LSH candidates verified with exact
     * shingle Jaccard >= `threshold`. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
@@ -151,9 +182,9 @@ object Dedup {
     * column: candidates from a sign-bucket LSH over deterministic
     * pseudo-planes, verified with exact cosine >= `threshold`. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95): DataFrame = {
+                        threshold: Double = 0.95, dim: Int = 64): DataFrame = {
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.signBucket(col(vecCol), 8).as("bucket"))
+      Similarity.signBucket(col(vecCol), 8, dim).as("bucket"))
     withBucket.as("a").join(withBucket.as("b"), Seq("bucket"))
       .where(col("a.id") < col("b.id"))
       .withColumn("cosine", Similarity.cosine(col("a.vec"), col("b.vec")))

@@ -50,22 +50,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Sign-bucket key from `nBits` deterministic pseudo-planes: plane i
-    * is the ± pattern of md5-derived bits over dimensions, so the
-    * bucket of a vector is stable across runs/engines with no stored
-    * plane matrix. Nearby vectors likely share buckets. */
-  def signBucket(vec: Column, nBits: Int): Column = {
-    val dims = size(vec)
+  /** Deterministic ±1 plane pattern for pseudo-plane `p` over `dim`
+    * dimensions, derived from md5 at PLAN time (the pattern depends
+    * only on (p, j), so hashing per row/element would be pure waste —
+    * it becomes a literal array in the plan). */
+  private[ext] def planeSigns(p: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { j =>
+      val h = md.digest(s"$p|$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Sign-bucket key from `nBits` deterministic pseudo-planes: plane p
+    * is a ±1 literal pattern over dimensions, so the bucket of a vector
+    * is stable across runs with no stored plane matrix. Nearby vectors
+    * likely share buckets. `dim` must match the embedding length. */
+  def signBucket(vec: Column, nBits: Int, dim: Int = 64): Column = {
     val bits = (0 until nBits).map { p =>
-      // pseudo-plane p: element j weight = +1 if md5(p|j) odd else -1
+      val signs = lit(planeSigns(p, dim))
       val proj = aggregate(
-        zip_with(transform(vec, x => x.cast("double")),
-          sequence(lit(0), dims - 1),
-          (x, j) => {
-            val bit = pmod(conv(substring(md5(concat(lit(p + "|"), j)), 1, 4), 16, 10)
-              .cast("long"), lit(2L))
-            when(bit === 1, x).otherwise(-x)
-          }),
+        zip_with(vec, signs, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }

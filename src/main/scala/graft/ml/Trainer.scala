@@ -120,6 +120,37 @@ class Model(
       .drop("__features", "__prediction", "rawPrediction", "probability")
   }
 
+  /** Single-row JVM-side scoring: featurize (same murmur3 hashing as
+    * HashingTF via `indexOf`) → LR predict → decoded label. Powers the
+    * registered-UDF path; the vectorized `predict` transform is the
+    * fast path. */
+  def predictOne(text: String): String = {
+    val toks = Option(text).map(_.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val grams = toks ++ (2 to params.wordNgrams).flatMap(n => toks.sliding(n)
+      .filter(_.size == n).map(_.mkString(" ")))
+    val htf = new org.apache.spark.ml.feature.HashingTF()
+      .setNumFeatures(params.numFeatures)
+    val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+    grams.foreach { g =>
+      val i = htf.indexOf(g)
+      counts(i) = counts.getOrElse(i, 0.0) + 1.0
+    }
+    val vec = org.apache.spark.ml.linalg.Vectors.sparse(
+      params.numFeatures, counts.toSeq.sortBy(_._1))
+    val idx = lrModel.predict(vec).toInt
+    indexer.labelsArray.head(idx)
+  }
+
+  /** U2 surface (`mlflow.pyfunc.spark_udf`, 02_merchcat_ml.py:506-513):
+    * register scoring as a SQL-callable UDF. The model ships to
+    * executors inside the UDF closure (it is Serializable) — no Python
+    * worker, no external model file resolution. */
+  def registerUdf(spark: SparkSession, name: String = "predict_label"): Unit = {
+    val self = this
+    spark.udf.register(name, (s: String) => self.predictOne(s))
+  }
+
   /** Driver-local scoring of a small batch (M7, `02_merchcat_ml.py:493-496`). */
   def predictLocal(texts: Seq[String])(implicit spark: SparkSession): Seq[String] = {
     import spark.implicits._

@@ -93,20 +93,12 @@ object ExtQueries {
        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** n-gram Jaccard near-dup scan: bounded query set (doc_id < 20)
-    * against same-language documents, exact 3-shingle Jaccard. */
-  val dedupJaccard: Q = (s, dir) => {
-    val sh = documents(s, dir).select(col("doc_id"), col("lang"),
-      array_distinct(Dedup.shingles(col("text"))).as("sh"))
-    val a = sh.where(col("doc_id") < 20)
-      .select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("lang"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= 0.01)
-      .select("id_a", "id_b", "jaccard")
+    * against same-language documents, exact 3-shingle Jaccard in the
+    * scalable explode-join-count form. */
+  val dedupJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id", "lang",
+      threshold = 0.01, leftFilter = col("__id") < 20)
       .orderBy("id_a", "id_b")
-  }
 
   val dedupJaccardSql =
     s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
