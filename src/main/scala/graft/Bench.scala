@@ -12,9 +12,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JIT + parquet footer caches, outside any query's timing
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => }
+    // warmup: JIT + parquet footer caches + codegen of the common
+    // exec paths (scan, hash-agg shuffle, window), outside any
+    // query's timing — otherwise the alphabetically-first query pays
+    // ~1s of one-time compilation.
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.count()
+      li.limit(10000)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("s")))
+        .count()
+    } catch { case _: Throwable => }
     // deterministic order so per-query timings are comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

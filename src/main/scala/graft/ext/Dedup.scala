@@ -123,13 +123,20 @@ object Dedup {
     * (e.g. a probe set); blocking bounds the candidate space. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, threshold: Double, k: Int = 3,
-                        leftFilter: Column = lit(true)): DataFrame = {
+                        leftFilter: Column = lit(true),
+                        broadcastLeft: Boolean = false): DataFrame = {
     val sh = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
       array_distinct(shingles(col(textCol), k)).as("__sh"))
     val counts = sh.select(col("__id"), size(col("__sh")).as("__n"))
     val ex = sh.select(col("__id"), col("__blk"), explode(col("__sh")).as("__s"))
-    val exA = ex.where(leftFilter)
+    val exA0 = ex.where(leftFilter)
       .select(col("__id").as("id_a"), col("__blk"), col("__s"))
+    // With a bounded probe set, broadcasting it turns the candidate
+    // join into a map-side hash probe of the (huge) exploded corpus —
+    // no shuffle of the corpus shingles at all. Catalyst can't infer
+    // this from parquet stats (the filter sits above an explode), so
+    // the caller asserts it.
+    val exA = if (broadcastLeft) broadcast(exA0) else exA0
     val inter = exA
       .join(ex.select(col("__id").as("id_b"), col("__blk"), col("__s")),
         Seq("__blk", "__s"))

@@ -77,49 +77,149 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** IVF index: pick `nCells` deterministic centroid vectors (every
-    * |corpus|/nCells-th id), assign every vector to its nearest
-    * centroid. Returns the corpus with a `cell` column — at scale this
-    * is the partitioning/bucketing key for the stored index. */
-  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                nCells: Int): DataFrame = {
-    val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-      .withColumn("__rn", row_number().over(Window.orderBy(col("cent_id"))))
-      .withColumn("__total", count(lit(1)).over(Window.partitionBy(lit(1))))
-      .where(pmod(col("__rn") - 1,
-        greatest(lit(1L), (col("__total") / nCells).cast("long"))) === 0)
-      .drop("__rn", "__total")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cent_id"))
-    corpus.join(broadcast(cents))
-      .withColumn("__sim", cosine(col(vecCol), col("cent_vec")))
-      .withColumn("__r", row_number().over(w))
-      .where(col("__r") === 1)
-      .select(corpus.columns.map(col) :+ col("cent_id").as("cell"): _*)
+  // ---- IVF: k-means cells, centroids held on the driver ----
+  //
+  // Centroids are k·dim doubles (a few KB) — small enough to live in
+  // the PLAN as literal arrays. Cell assignment is then a narrow
+  // per-row projection: no join, no window, no shuffle. Lloyd
+  // refinement is the classic distributed k-means: assign (narrow) →
+  // per-(cell,dim) partial sums (map-side combinable groupBy of
+  // k·dim rows) → collect k·dim rows → new literals. Every step
+  // survives a 1000-executor 100 TB corpus; the only data collected
+  // to the driver is O(k·dim) per iteration.
+
+  // Centroid arithmetic stays in COMPACT lambda form (zip_with /
+  // aggregate): the trees are ~10 nodes, planning is instant, and each
+  // value is computed exactly once per row because every non-cheap
+  // expression gets its own alias in a staged projection (below).
+  // Unrolling over the dimension into element_at chains was tried and
+  // rejected: 16 centroids × 64 dims of multiply/add nodes makes
+  // whole-stage codegen emit >100 KB methods whose janino compilation
+  // costs seconds per stage — pure fixed overhead that dwarfs row work
+  // until the corpus reaches hundreds of millions of rows.
+
+  /** dot(vec, literal centroid) — sequential fold, deterministic. */
+  private def dotLit(vec: Column, c: Array[Double]): Column =
+    aggregate(zip_with(vec, lit(c), (x, s) => x.cast("double") * s),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def normSqCompact(vec: Column): Column =
+    aggregate(vec, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  /** Cosine columns `__s0..__s{k-1}` of `vecCol` against each literal
+    * centroid, staged as SEPARATE projections (norm first, then sims):
+    * each non-cheap value is computed once under its own alias and
+    * later steps reference it by attribute. CollapseProject leaves
+    * multi-referenced non-cheap aliases alone, so the plan keeps these
+    * stages — building the same logic as one nested Column expression
+    * duplicates whole subtrees per reference and the optimizer then
+    * walks a ~10^5-node tree (measured: minutes of planning). */
+  private def withSimCols(df: DataFrame, vecCol: String,
+                          cents: Array[Array[Double]]): (DataFrame, Seq[String]) = {
+    val staged = df.withColumn("__vn", sqrt(normSqCompact(col(vecCol))))
+    val simCols = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val s = if (cn == 0) lit(0.0)
+      else when(col("__vn") > 0,
+        dotLit(col(vecCol), c) / (col("__vn") * cn)).otherwise(0.0)
+      s.as(s"__s$i")
+    }
+    (staged.select(col("*") +: simCols: _*), cents.indices.map(i => s"__s$i"))
   }
 
+  /** Nearest-centroid index (0-based; first max wins ties) as a
+    * `cell` column. */
+  private def withBestCell(df: DataFrame, vecCol: String,
+                           cents: Array[Array[Double]]): DataFrame = {
+    val (withS, names) = withSimCols(df, vecCol, cents)
+    val refs = names.map(col)
+    val cellExpr = refs.zipWithIndex.init.foldRight(lit(cents.length - 1): Column) {
+      case ((s, i), acc) => when(s === col("__m"), lit(i)).otherwise(acc)
+    }.cast("int")
+    withS.withColumn("__m", greatest(refs: _*))
+      .withColumn("cell", cellExpr)
+      .drop("__vn" +: "__m" +: names: _*)
+  }
+
+  /** Explode the `nprobe` nearest-centroid indices per row into a
+    * `cell` column (ties broken by cell index). */
+  private def withProbeCells(df: DataFrame, vecCol: String,
+                             cents: Array[Array[Double]],
+                             nprobe: Int): DataFrame = {
+    val (withS, names) = withSimCols(df, vecCol, cents)
+    val pairs = array(names.zipWithIndex.map { case (n, i) =>
+      struct((-col(n)).as("negs"), lit(i).as("cell"))
+    }: _*)
+    withS.withColumn("cell", explode(
+        slice(transform(array_sort(pairs), p => p.getField("cell")), 1, nprobe)))
+      .drop("__vn" +: names: _*)
+  }
+
+  /** Deterministic seed centroids: the `k` corpus vectors with the
+    * smallest `md5(id)` — a TakeOrdered (per-partition top-k + driver
+    * merge of k rows), never a global window/sort. */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): Array[Array[Double]] =
+    corpus.select(asDouble(col(vecCol)).as("__v"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .orderBy("__h").limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** `iters` Lloyd iterations from the md5 seed. Cells that lose all
+    * members keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2): Array[Array[Double]] = {
+    var cents = seedCentroids(corpus, idCol, vecCol, k)
+    // keep the RAW vector column: pre-casting via transform() is a
+    // lambda expr that CollapseProject would inline into every
+    // element_at reference; elemD casts per element instead.
+    val vecs = corpus.select(col(vecCol).as("__v"))
+    for (_ <- 0 until iters) {
+      val stats = withBestCell(vecs, "__v", cents)
+        .select(col("cell").as("__cell"),
+          posexplode(asDouble(col("__v"))).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(sum("__x").as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF index: corpus + `cell` (nearest k-means centroid, 0-based).
+    * At scale `cell` is the partitioning/bucketing key of the stored
+    * index; assignment itself is a narrow projection. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, iters: Int = 2): DataFrame =
+    assignCells(corpus, vecCol,
+      kmeansCentroids(corpus, idCol, vecCol, nCells, iters))
+
+  /** Add a `cell` column from driver-held centroids. */
+  def assignCells(df: DataFrame, vecCol: String,
+                  cents: Array[Array[Double]]): DataFrame =
+    withBestCell(df, vecCol, cents)
+
   /** IVF approximate top-k: probe the `nprobe` cells nearest each
-    * query, exact cosine within those cells only. */
+    * query (computed in the same narrow projection), exact cosine
+    * within those cells only. The probe side is |queries|·nprobe rows
+    * — broadcast, so the corpus never shuffles. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
-              nprobe: Int = 4): DataFrame = {
-    val indexed = ivfAssign(corpus, idCol, vecCol, nCells).cache()
-    val cents = indexed.select(col("cell")).distinct()
-      .join(indexed.where(col(idCol) === col("cell"))
-        .select(col("cell").as("c2"), col(vecCol).as("cent_vec")),
-        col("cell") === col("c2"))
-      .select("cell", "cent_vec")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("__csim").desc, col("cell"))
-    val probed = q.join(broadcast(cents))
-      .withColumn("__csim", cosine(col("qv"), col("cent_vec")))
-      .withColumn("__pr", row_number().over(wProbe))
-      .where(col("__pr") <= nprobe)
-      .select("query_id", "qv", "cell")
+              nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val indexed = assignCells(corpus, vecCol, cents)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    val probed = withProbeCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", cents, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    probed.join(indexed.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("cv"), col("cell")), Seq("cell"))
+    indexed.join(broadcast(probed), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))

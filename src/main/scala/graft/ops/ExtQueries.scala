@@ -97,7 +97,7 @@ object ExtQueries {
     * scalable explode-join-count form. */
   val dedupJaccard: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id", "lang",
-      threshold = 0.01, leftFilter = col("__id") < 20)
+      threshold = 0.01, leftFilter = col("__id") < 20, broadcastLeft = true)
       .orderBy("id_a", "id_b")
 
   val dedupJaccardSql =
@@ -164,12 +164,14 @@ object ExtQueries {
        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sims) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** IVF approximate top-5 (rows-only: centroid assignment is not
-    * worth mirroring in SQL; recall vs brute is asserted in tests). */
+  /** IVF approximate top-5 over k-means cells (rows-only: centroid
+    * assignment is not worth mirroring in SQL; recall vs brute is
+    * asserted in tests). One Lloyd iteration — the fixture vectors are
+    * unclustered, so more buys no recall, just actions. */
   val simIvf: Q = (s, dir) => {
     val emb = embeddings(s, dir)
     Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb,
-      "vec_id", "embedding", 5, nCells = 16, nprobe = 4)
+      "vec_id", "embedding", 5, nCells = 16, nprobe = 4, iters = 1)
       .orderBy("query_id", "rank")
   }
 
