@@ -325,6 +325,25 @@ object ExtQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** §2.11+: stream-stream interval join (click→purchase attribution
+    * within 10 minutes per user), oracled in its batch form. */
+  val streamJoin: Q = (s, dir) => {
+    val ev = events(s, dir)
+    graft.streaming.ScoreStream.clickPurchaseAttribution(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "purchase"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val streamJoinSql =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us, p.value
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -342,6 +361,7 @@ object ExtQueries {
     "q_text_fingerprint" -> textFingerprint,
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
+    "q_stream_join" -> streamJoin,
     "q_dedup_minhash_grouped" -> dedupMinhashGrouped,
   )
 
@@ -358,6 +378,7 @@ object ExtQueries {
     "q_text_fingerprint" -> textFingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,
+    "q_stream_join" -> streamJoinSql,
     "q_dedup_minhash_grouped" -> dedupMinhashGroupedSql,
   )
 }

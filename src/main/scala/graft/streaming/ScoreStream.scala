@@ -44,6 +44,31 @@ object ScoreStream {
     windowedCounts(scored, tsCol, "pr_label")
   }
 
+  /** Stream-stream interval join: attribute each purchase to the
+    * clicks of the same user within the preceding `gapMin` minutes.
+    * On streaming inputs both sides get watermarks (2× the gap) so
+    * Spark can bound the join state; the transform itself is
+    * engine-agnostic and the batch form is what the DuckDB oracle
+    * checks. The join shuffles on `user_id` — at scale both streams
+    * hash-partition by user and state stays per-key bounded. */
+  def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                               gapMin: Int = 10): DataFrame = {
+    val c0 = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts"))
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("__p_user"), col("ts").as("purchase_ts"), col("value"))
+    val wm = s"${2 * gapMin} minutes"
+    val c = if (c0.isStreaming) c0.withWatermark("click_ts", wm) else c0
+    val p = if (p0.isStreaming) p0.withWatermark("purchase_ts", wm) else p0
+    c.join(p, col("user_id") === col("__p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $gapMin MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"),
+        col("value"))
+  }
+
   // ---- stateful processing (flatMapGroupsWithState surface) ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -67,6 +67,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("scored_out").count() > 0)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val ev = graft.ops.Tables.events(spark, sfDir)
+    val clicksDir = java.nio.file.Files.createTempDirectory("clicks").toString
+    val purchDir = java.nio.file.Files.createTempDirectory("purch").toString
+    val clicks = ev.where(col("event_type") === "click")
+    val purchases = ev.where(col("event_type") === "purchase")
+    // two incremental drops per side — the join must still see
+    // cross-file pairs once both sides' files have arrived
+    clicks.where(col("event_id") % 2 === 0).write.parquet(s"$clicksDir/b0")
+    clicks.where(col("event_id") % 2 === 1).write.parquet(s"$clicksDir/b1")
+    purchases.where(col("event_id") % 2 === 0).write.parquet(s"$purchDir/b0")
+    purchases.where(col("event_id") % 2 === 1).write.parquet(s"$purchDir/b1")
+
+    val cs = spark.readStream.schema(clicks.schema)
+      .option("recursiveFileLookup", "true").parquet(clicksDir)
+    val ps = spark.readStream.schema(purchases.schema)
+      .option("recursiveFileLookup", "true").parquet(purchDir)
+    val joined = ScoreStream.clickPurchaseAttribution(cs, ps)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("join_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("join_out").collect().map(_.toSeq).toSet
+    val batch = ScoreStream.clickPurchaseAttribution(clicks, purchases)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("sessionization emits gap-separated sessions per user") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
