@@ -49,7 +49,12 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 4): DataFrame = {
     val nBlocks = (numHashes + 3) / 4
-    val exploded = df.select(col(idCol), explode(shingles(col(textCol))).as("__sh"))
+    // tokens staged as their own column: the n-gram expression
+    // references its token input several times, and an attribute is
+    // free to re-read while a tokenizer expression is not
+    val exploded = df
+      .select(col(idCol), Featurize.tokensCol(col(textCol)).as("__t"))
+      .select(col(idCol), explode(Featurize.ngramsCol(col("__t"), 3)).as("__sh"))
     val hashed = exploded.select(
       col(idCol) +: (0 until nBlocks).map { b =>
         (if (b == 0) md5(col("__sh"))
@@ -126,7 +131,9 @@ object Dedup {
                         leftFilter: Column = lit(true),
                         broadcastLeft: Boolean = false): DataFrame = {
     val sh = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
-      array_distinct(shingles(col(textCol), k)).as("__sh"))
+        Featurize.tokensCol(col(textCol)).as("__t"))
+      .select(col("__id"), col("__blk"),
+        array_distinct(Featurize.ngramsCol(col("__t"), k)).as("__sh"))
     val counts = sh.select(col("__id"), size(col("__sh")).as("__n"))
     val ex = sh.select(col("__id"), col("__blk"), explode(col("__sh")).as("__s"))
     val exA0 = ex.where(leftFilter)
@@ -157,7 +164,9 @@ object Dedup {
                    threshold: Double = 0.5,
                    numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val cands = lshCandidatePairs(df, textCol, idCol, numHashes, bands)
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh"))
+    val sh = df.select(col(idCol).as("__id"),
+        Featurize.tokensCol(col(textCol)).as("__t"))
+      .select(col("__id"), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
     cands
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))

