@@ -112,6 +112,52 @@ object ExtQueries {
        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.01
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** End-to-end MinHash near-dup: signatures (8 hashes) → 4 LSH bands
+    * → bucket self-join candidates → exact-jaccard verify ≥ 0.5. The
+    * fixture has no natural near-dups, so the query plants mutated
+    * copies (doc_id+100000, three tokens appended) of doc_id < 10 —
+    * deterministically in both engines — and must surface exactly
+    * those pairs. */
+  val dedupNeardup: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val aug = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text"))
+    Dedup.nearDupPairs(docs.union(aug), "text", "doc_id",
+      threshold = 0.5, numHashes = 8, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupNeardupSql = {
+    val mins = (0 until 8).map { i =>
+      val h = if (i < 4) "md5(x)" else "md5('1|' || x)"
+      s"  list_min(list_transform(sh, x -> substr($h, ${(i % 4) * 8 + 1}, 8))) AS m$i"
+    }.mkString(",\n")
+    val bands = (0 until 4).map(b => s"md5(m${2 * b} || '|' || m${2 * b + 1})")
+      .mkString("[", ", ", "]")
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text || ' zzz zzz zzz' AS text
+       |  FROM documents WHERE doc_id < 10),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM aug),
+       |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |m AS (SELECT doc_id,
+       |$mins
+       |FROM s),
+       |b AS (SELECT doc_id, unnest($bands) AS band FROM m),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM b l JOIN b r USING (band) WHERE l.doc_id < r.doc_id),
+       |d AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s)
+       |SELECT id_a, id_b,
+       |  ROUND(CAST(len(list_intersect(a.dsh, c.dsh)) AS DOUBLE) /
+       |    (len(a.dsh) + len(c.dsh) - len(list_intersect(a.dsh, c.dsh))), 6) AS jaccard
+       |FROM cand JOIN d a ON cand.id_a = a.doc_id JOIN d c ON cand.id_b = c.doc_id
+       |WHERE CAST(len(list_intersect(a.dsh, c.dsh)) AS DOUBLE) /
+       |    (len(a.dsh) + len(c.dsh) - len(list_intersect(a.dsh, c.dsh))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** 16-bit SimHash per document. */
   val dedupSimhash: Q = (s, dir) =>
     documents(s, dir).select(col("doc_id"),
@@ -352,6 +398,7 @@ object ExtQueries {
     "q_dedup_minhash_sig" -> dedupMinhashSig,
     "q_dedup_lsh_buckets" -> dedupLshBuckets,
     "q_dedup_jaccard" -> dedupJaccard,
+    "q_dedup_neardup" -> dedupNeardup,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_sim_topk" -> simTopK,
@@ -371,6 +418,7 @@ object ExtQueries {
     "q_dedup_minhash_sig" -> dedupMinhashSigSql,
     "q_dedup_lsh_buckets" -> dedupLshBucketsSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
+    "q_dedup_neardup" -> dedupNeardupSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_sim_topk" -> simTopKSql,
     "q_text_langid" -> textLangidSql,
