@@ -112,6 +112,24 @@ object Queries {
       | ON a.l_suppkey = b.l_suppkey
       |ORDER BY a.l_suppkey""".stripMargin
 
+  /** Skew-salted join (capability surface beyond reference): lineitem
+    * (fact, skewed in the general case) ⋈ orders on the order key with
+    * an 8-way salt — the hot key fans over 8 partitions, the build
+    * side is replicated 8×, and the result is row-identical to the
+    * plain join, which is exactly what the oracle checks. */
+  val joinSalted: Q = (s, dir) =>
+    Skew.saltedJoin(lineitem(s, dir), orders(s, dir),
+        "l_orderkey", "o_orderkey", salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+      .orderBy("o_orderpriority")
+
+  val joinSaltedSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Semi join (capability surface beyond reference). */
   val joinSemi: Q = (s, dir) => {
     val bigOrders = orders(s, dir).where(col("o_totalprice") > 250000)
@@ -565,6 +583,7 @@ object Queries {
     "q_join_inner" -> joinInner,
     "q_join_semi" -> joinSemi,
     "q_join_anti" -> joinAnti,
+    "q_join_salted" -> joinSalted,
     "q_agg_count" -> aggCount,
     "q_agg_ratio" -> aggRatio,
     "q_agg_avg" -> aggAvg,
@@ -602,6 +621,7 @@ object Queries {
     "q_join_inner" -> joinInnerSql,
     "q_join_semi" -> joinSemiSql,
     "q_join_anti" -> joinAntiSql,
+    "q_join_salted" -> joinSaltedSql,
     "q_agg_count" -> aggCountSql,
     "q_agg_ratio" -> aggRatioSql,
     "q_agg_avg" -> aggAvgSql,
