@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** Registry of the engine's native Catalyst expressions. */
+object GraftFunctions {
+
+  /** (identifier, info, builder) triple — the shape both
+    * `SparkSessionExtensions.injectFunction` and the imperative
+    * `FunctionRegistry` API consume. */
+  val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"dot_product takes 2 arguments, got ${children.length}")
+        DotProduct(children.head, children(1))
+      })
+
+  /** Imperative registration for sessions built without
+    * `spark.sql.extensions` (idempotent — re-registering replaces the
+    * same entry). After this, `call_function("dot_product", ...)` and
+    * SQL `dot_product(a, b)` both resolve. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      dotProduct._1, dotProduct._2, dotProduct._3)
+}
+
+/** SparkSessionExtensions entry point — the idiomatic installation:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.dotProduct)
+}

@@ -200,10 +200,12 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, dim: Int = 64): DataFrame = {
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.signBucket(col(vecCol), 8, dim).as("bucket"))
+      Similarity.signBucketNative(df.sparkSession, col(vecCol), 8, dim)
+        .as("bucket"))
     withBucket.as("a").join(withBucket.as("b"), Seq("bucket"))
       .where(col("a.id") < col("b.id"))
-      .withColumn("cosine", Similarity.cosine(col("a.vec"), col("b.vec")))
+      .withColumn("cosine",
+        Similarity.nCosine(df.sparkSession, col("a.vec"), col("b.vec")))
       .where(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
       .distinct()

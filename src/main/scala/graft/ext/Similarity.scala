@@ -20,7 +20,10 @@ object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product — deterministic accumulation order. */
+  /** Sequential-fold dot product — deterministic accumulation order.
+    * Session-free Column form (interpreted HOF); the frame-level
+    * operators below use the native codegen'd [[graft.functions.DotProduct]]
+    * instead, which computes the same left-to-right fold. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
@@ -34,6 +37,24 @@ object Similarity {
     when(d > 0, round(dot(a, b) / d, 6)).otherwise(0.0)
   }
 
+  // ---- native codegen'd kernels (need a session to register) ----
+
+  /** Codegen'd dot product — identical fold order and values to
+    * [[dot]], but a primitive loop inside whole-stage codegen instead
+    * of an interpreted lambda. */
+  private[ext] def nDot(spark: org.apache.spark.sql.SparkSession,
+                        a: Column, b: Column): Column = {
+    graft.GraftFunctions.register(spark)
+    call_function("dot_product", a, b)
+  }
+
+  /** Codegen'd cosine — same values as [[cosine]]. */
+  private[ext] def nCosine(spark: org.apache.spark.sql.SparkSession,
+                           a: Column, b: Column): Column = {
+    val d = sqrt(nDot(spark, a, a)) * sqrt(nDot(spark, b, b))
+    when(d > 0, round(nDot(spark, a, b) / d, 6)).otherwise(0.0)
+  }
+
   /** Brute-force exact top-k: every query scored against every corpus
     * vector (query side broadcast), ranked per query with id
     * tie-break. */
@@ -42,7 +63,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", nCosine(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -77,6 +98,16 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** [[signBucket]] on the native dot kernel — same values (identical
+    * fold order), codegen'd projections. */
+  private[ext] def signBucketNative(spark: org.apache.spark.sql.SparkSession,
+                                    vec: Column, nBits: Int,
+                                    dim: Int = 64): Column =
+    (0 until nBits).map { p =>
+      val proj = nDot(spark, vec, lit(planeSigns(p, dim)))
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
   // ---- IVF: k-means cells, centroids held on the driver ----
   //
   // Centroids are k·dim doubles (a few KB) — small enough to live in
@@ -88,24 +119,15 @@ object Similarity {
   // survives a 1000-executor 100 TB corpus; the only data collected
   // to the driver is O(k·dim) per iteration.
 
-  // Centroid arithmetic stays in COMPACT lambda form (zip_with /
-  // aggregate): the trees are ~10 nodes, planning is instant, and each
-  // value is computed exactly once per row because every non-cheap
-  // expression gets its own alias in a staged projection (below).
-  // Unrolling over the dimension into element_at chains was tried and
-  // rejected: 16 centroids × 64 dims of multiply/add nodes makes
-  // whole-stage codegen emit >100 KB methods whose janino compilation
-  // costs seconds per stage — pure fixed overhead that dwarfs row work
-  // until the corpus reaches hundreds of millions of rows.
-
-  /** dot(vec, literal centroid) — sequential fold, deterministic. */
-  private def dotLit(vec: Column, c: Array[Double]): Column =
-    aggregate(zip_with(vec, lit(c), (x, s) => x.cast("double") * s),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def normSqCompact(vec: Column): Column =
-    aggregate(vec, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double"))
+  // Centroid arithmetic uses the native dot kernel with plan-literal
+  // centroid arrays: tiny expression trees (planning is instant), each
+  // value computed exactly once per row under its own alias in a
+  // staged projection (below). Unrolling over the dimension into
+  // element_at chains was tried and rejected: 16 centroids × 64 dims
+  // of multiply/add nodes makes whole-stage codegen emit >100 KB
+  // methods whose janino compilation costs seconds per stage — pure
+  // fixed overhead that dwarfs row work until the corpus reaches
+  // hundreds of millions of rows.
 
   /** Cosine columns `__s0..__s{k-1}` of `vecCol` against each literal
     * centroid, staged as SEPARATE projections (norm first, then sims):
@@ -117,12 +139,14 @@ object Similarity {
     * walks a ~10^5-node tree (measured: minutes of planning). */
   private def withSimCols(df: DataFrame, vecCol: String,
                           cents: Array[Array[Double]]): (DataFrame, Seq[String]) = {
-    val staged = df.withColumn("__vn", sqrt(normSqCompact(col(vecCol))))
+    val spark = df.sparkSession
+    val staged = df.withColumn("__vn",
+      sqrt(nDot(spark, col(vecCol), col(vecCol))))
     val simCols = cents.toSeq.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
       val s = if (cn == 0) lit(0.0)
       else when(col("__vn") > 0,
-        dotLit(col(vecCol), c) / (col("__vn") * cn)).otherwise(0.0)
+        nDot(spark, col(vecCol), lit(c)) / (col("__vn") * cn)).otherwise(0.0)
       s.as(s"__s$i")
     }
     (staged.select(col("*") +: simCols: _*), cents.indices.map(i => s"__s$i"))
@@ -221,7 +245,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     indexed.join(broadcast(probed), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", nCosine(corpus.sparkSession, col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
