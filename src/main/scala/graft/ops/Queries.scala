@@ -130,6 +130,32 @@ object Queries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** As-of join (capability surface beyond reference): each view event
+    * attributed to the user's most recent click at-or-before it —
+    * composed as union + running window (AsOf.asofJoin), oracled
+    * against DuckDB's native ASOF JOIN. Clicks pre-aggregated per
+    * (user, ts) so the match is tie-free in both engines. */
+  val joinAsof: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    AsOf.asofJoin(views, clicks, "user_id", "ts", Seq("click_id"))
+      .select(col("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("view_ts_us"), col("click_id"))
+      .orderBy("view_id")
+  }
+
+  val joinAsofSql =
+    """WITH v AS (SELECT event_id AS view_id, user_id, ts FROM events
+      |  WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT view_id, v.user_id, epoch_us(v.ts) AS view_ts_us, c.click_id
+      |FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts
+      |ORDER BY view_id""".stripMargin
+
   /** Semi join (capability surface beyond reference). */
   val joinSemi: Q = (s, dir) => {
     val bigOrders = orders(s, dir).where(col("o_totalprice") > 250000)
@@ -584,6 +610,7 @@ object Queries {
     "q_join_semi" -> joinSemi,
     "q_join_anti" -> joinAnti,
     "q_join_salted" -> joinSalted,
+    "q_join_asof" -> joinAsof,
     "q_agg_count" -> aggCount,
     "q_agg_ratio" -> aggRatio,
     "q_agg_avg" -> aggAvg,
@@ -622,6 +649,7 @@ object Queries {
     "q_join_semi" -> joinSemiSql,
     "q_join_anti" -> joinAntiSql,
     "q_join_salted" -> joinSaltedSql,
+    "q_join_asof" -> joinAsofSql,
     "q_agg_count" -> aggCountSql,
     "q_agg_ratio" -> aggRatioSql,
     "q_agg_avg" -> aggAvgSql,

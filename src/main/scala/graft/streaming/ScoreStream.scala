@@ -44,6 +44,18 @@ object ScoreStream {
     windowedCounts(scored, tsCol, "pr_label")
   }
 
+  /** Streaming exact dedup: drop rows whose `idCols` repeat within the
+    * watermark horizon — the streaming face of the dedup surface, for
+    * at-least-once sources. State is bounded by the watermark (keys
+    * older than it are evicted); batch frames take the plain
+    * dropDuplicates path. */
+  def dedupedEvents(events: DataFrame, tsCol: String, idCols: Seq[String],
+                    watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
   /** Stream-stream interval join: attribute each purchase to the
     * clicks of the same user within the preceding `gapMin` minutes.
     * On streaming inputs both sides get watermarks (2× the gap) so

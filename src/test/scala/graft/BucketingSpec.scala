@@ -11,19 +11,49 @@ import org.apache.spark.sql.functions._
   * (bucket once, join shuffle-free forever). */
 class BucketingSpec extends AnyFunSuite {
 
-  lazy val warehouse: String =
-    java.nio.file.Files.createTempDirectory("wh").toString
-
   implicit lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir", warehouse)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   test("bucketed join plans without a shuffle; unbucketed shuffles") {
+    // suites share one JVM session (getOrCreate) — builder configs are
+    // ignored when another suite created it first, so force the
+    // runtime-settable confs here and restore after
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      runBucketedVsPlain()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  /** Remove a stale managed-table location (a previous crashed run's
+    * directory survives while the in-memory catalog does not). */
+  private def clearLocation(table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val dir = java.nio.file.Paths.get(wh, table)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def runBucketedVsPlain(): Unit = {
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    clearLocation("li_bucketed")
+    clearLocation("ord_bucketed")
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 

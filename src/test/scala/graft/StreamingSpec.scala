@@ -97,6 +97,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("streaming dedup drops watermark-window duplicates") {
+    val ev = graft.ops.Tables.events(spark, sfDir).limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("dups").toString
+    // same 200 events written twice → an at-least-once source
+    ev.write.parquet(s"$dir/b0")
+    ev.write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val deduped = ScoreStream.dedupedEvents(stream, "ts", Seq("event_id"),
+      watermark = "365 days") // horizon spans the fixture's whole range
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 200)
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == 200)
+  }
+
   test("sessionization emits gap-separated sessions per user") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
