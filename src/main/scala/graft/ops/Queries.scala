@@ -277,6 +277,22 @@ object Queries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  /** Sketch aggregates (capability surface beyond reference):
+    * approx_count_distinct is HyperLogLog++ and percentile_approx a
+    * quantile sketch — both mergeable, so they partial-aggregate
+    * map-side and shuffle O(sketch) bytes per group instead of
+    * O(rows); at 100 TB these replace exact distinct/percentile
+    * whenever tolerance allows. Rows-only: sketch estimates are
+    * engine-specific (tolerance vs exact asserted in SketchSpec). */
+  val aggSketch: Q = (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("approx_median_qty"))
+      .orderBy("l_returnflag")
+
   // ---- 2.5 windows / 2.6 sorts / top-k ----
 
   /** W1: per-class percentile over a deterministic shuffle order —
@@ -611,6 +627,7 @@ object Queries {
     "q_join_anti" -> joinAnti,
     "q_join_salted" -> joinSalted,
     "q_join_asof" -> joinAsof,
+    "q_agg_sketch" -> aggSketch,
     "q_agg_count" -> aggCount,
     "q_agg_ratio" -> aggRatio,
     "q_agg_avg" -> aggAvg,

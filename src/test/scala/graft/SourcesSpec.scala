@@ -45,6 +45,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == docs.count())
   }
 
+  test("partitionBy write prunes partitions on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("part").toString
+    docs.select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    // hive-style layout: one directory per lang value
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("lang=")), dirs.toString)
+
+    val pruned = spark.read.parquet(tmp).where(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    // the filter must become a PartitionFilters entry on the scan —
+    // non-matching directories are never opened
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    assert(pruned.count() ==
+      docs.where(col("lang") === "en").count())
+  }
+
   test("seeded df.sample is reproducible (O4/R4)") {
     val a = docs.sample(0.3, seed = 11).count()
     val b = docs.sample(0.3, seed = 11).count()
