@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-plan audit: the optimizations the engine is designed
+  * around must actually appear in the executed plans — filter/column
+  * pushdown into the parquet scan, broadcast of bounded sides,
+  * two-phase aggregation, window group-limit for top-k, and zero
+  * Python/interpreted-UDF nodes anywhere in the driver surface. AQE is
+  * disabled inside the audit so final plans are visible directly. */
+class PlanSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: (SparkSession, String) => DataFrame): String = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try q(spark, dir).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("scan+filter pushes the predicate and prunes columns") {
+    val plan = planOf(ops.Queries.scanProject)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,30"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      "scan must read only the three projected columns\n" + plan)
+  }
+
+  test("count-side of the reference join broadcasts") {
+    val plan = planOf(ops.Queries.joinLeft)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("group-by aggregates in two phases (partial + final)") {
+    val plan = planOf(ops.Queries.aggCount)
+    assert("partial_count".r.findFirstIn(plan).isDefined, plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("per-group top-k plans a window group limit") {
+    val plan = planOf(ops.Queries.windowTopK)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("no query in the driver surface touches Python or RDD scans") {
+    SparkEntry.queries.foreach { case (name, q) =>
+      val plan = try planOf(q) catch {
+        case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}")
+      }
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("PythonUDF"),
+        s"$name contains a Python node")
+      assert(!plan.contains("ExistingRDD"),
+        s"$name plans an opaque RDD scan (breaks pushdown/codegen)")
+    }
+  }
+}
