@@ -583,8 +583,12 @@ object Queries {
       val labeled = graft.etl.Etl.cleanAndLabel(docs, cfg)
       val withPct = graft.etl.Split.addClassPercentileDeterministic(labeled, "lang", "doc_id")
       val (train, test) = graft.etl.Split.split(withPct, 0.9)
+      // demo-sized budget: the fixture text is uncorrelated with the
+      // label (no signal to converge on), so extra L-BFGS iterations
+      // and hash width buy nothing here; convergence quality is
+      // asserted on separable data in MlSpec
       val model = graft.ml.Trainer.train(train, "lang", "text_clean",
-        graft.ml.Trainer.Params(epoch = 3, wordNgrams = 2, numFeatures = 1 << 15))
+        graft.ml.Trainer.Params(epoch = 2, wordNgrams = 2, numFeatures = 1 << 14))
       model.predict(test, "text_clean", "pr_lang")
     })
 
