@@ -463,10 +463,13 @@ object Queries {
     graft.etl.Split.split(withPct, 0.9)._1.orderBy("doc_id")
   }
 
+  // round_even, not ROUND: Spark's bround is half-even, DuckDB's ROUND
+  // half-away — they diverge whenever percent_rank hits an exact
+  // 5-at-5th-decimal tie (k/(n-1) = 0.03125 at sf0.001 surfaced this)
   val splitTrainSql =
     """SELECT doc_id, lang, class_percentile FROM (
       |  SELECT doc_id, lang,
-      |    ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+      |    round_even(PERCENT_RANK() OVER (PARTITION BY lang
       |      ORDER BY md5(CAST(doc_id AS VARCHAR))), 4) AS class_percentile
       |  FROM documents) t
       |WHERE class_percentile < 0.9 ORDER BY doc_id""".stripMargin
@@ -526,16 +529,15 @@ object Queries {
     """SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bin, COUNT(*) AS n
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** F5: bround (half-even) — DuckDB's ROUND on doubles matches
-    * because exact .xx5 ties are not representable in binary for these
-    * inputs. */
+  /** F5: bround (half-even) ⟷ DuckDB round_even — identical off ties
+    * and, unlike ROUND, identical ON representable ties too. */
   val broundQ: Q = (s, dir) =>
     orders(s, dir)
       .select(col("o_orderkey"), bround(col("o_totalprice") / 7, 2).as("r"))
       .orderBy("o_orderkey")
 
   val broundSql =
-    """SELECT o_orderkey, ROUND(o_totalprice / 7, 2) AS r
+    """SELECT o_orderkey, round_even(o_totalprice / 7, 2) AS r
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Date parts + arithmetic (capability beyond the reference, which
