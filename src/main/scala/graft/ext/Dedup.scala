@@ -175,6 +175,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns verified near-dup PAIRS into dedup GROUPS (keep the
+    * component minimum, drop the rest). Iterative min-label
+    * propagation: each round every node adopts the smallest label in
+    * its closed neighborhood; converges in ≤ diameter rounds (near-dup
+    * components are shallow chains in practice). Each round is one
+    * equi-join + partial-aggregated groupBy on the node id — the
+    * DataFrame-native formulation that scales; intermediate labels are
+    * persisted and lineage is cut per round. Returns (id, component).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    labels.count()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("__nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("__nbr_min"), col("component"))).as("component"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("p"), Seq("id"))
+        .where(col("n.component") =!= col("p.component")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 16-bit SimHash from md5 material: per token take 4 hex chars as a
     * 16-bit hash; each bit votes +1/−1 weighted by occurrence; the sign
     * vector packs into an integer. Pure integer arithmetic → portable. */

@@ -68,6 +68,16 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall (|brute|=${brute.size}, |ivf|=${ivf.size})")
   }
 
+  test("connected components merge chains of pairs transitively") {
+    import spark.implicits._
+    // 1-2-3 chained, 4-5 separate, 6 absent from any pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L),
+      comp.toString)
+  }
+
   test("embedding near-dup of an identical planted vector is found") {
     val v = emb.where(col("vec_id") === 0).select("embedding").head
       .getSeq[Float](0).toArray
