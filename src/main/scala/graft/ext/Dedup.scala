@@ -191,9 +191,20 @@ object Dedup {
       .union(pairs
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).persist()
-    labels.count()
+    // seed with the closed-neighborhood min — diameter-1 components
+    // (plain duplicate pairs, the common case) are final immediately,
+    // so the loop below only confirms. Small per-round shuffles are
+    // right-sized by AQE; the floor cost is the per-round JOB, which is
+    // why convergence is read from the same action that materializes
+    // the round (below) instead of a separate change-count join.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("component"))
+      .persist()
+    // labels only ever decrease, so sum(component) is strictly
+    // monotone: equality across rounds ⟺ fixpoint. The sum is read in
+    // the same action that materializes the round's cache — ONE job
+    // per round, no change-count join.
+    var checksum = labels.agg(sum(col("component"))).head.getLong(0)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -206,12 +217,11 @@ object Dedup {
           least(col("component"),
             coalesce(col("__nbr_min"), col("component"))).as("component"))
         .persist()
-      val changed = next.as("n")
-        .join(labels.as("p"), Seq("id"))
-        .where(col("n.component") =!= col("p.component")).count()
+      val nextSum = next.agg(sum(col("component"))).head.getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == checksum
+      checksum = nextSum
       i += 1
     }
     edges.unpersist()
