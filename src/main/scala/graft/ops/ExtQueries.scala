@@ -118,15 +118,25 @@ object ExtQueries {
     * copies (doc_id+100000, three tokens appended) of doc_id < 10 —
     * deterministically in both engines — and must surface exactly
     * those pairs. */
-  val dedupNeardup: Q = (s, dir) => {
-    val docs = documents(s, dir).select("doc_id", "text")
-    val aug = docs.where(col("doc_id") < 10)
-      .select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" zzz zzz zzz")).as("text"))
-    Dedup.nearDupPairs(docs.union(aug), "text", "doc_id",
-      threshold = 0.5, numHashes = 8, bands = 4)
-      .orderBy("id_a", "id_b")
-  }
+  /** Planted-duplicate near-dup pairs, memoized per (session, dir):
+    * q_dedup_neardup and q_dedup_components share this intermediate
+    * instead of re-running the signature pipeline (same pattern as
+    * Queries.trainedScore). */
+  private val plantedPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def plantedNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    plantedPairsCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      val aug = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zzz zzz zzz")).as("text"))
+      Dedup.nearDupPairs(docs.union(aug), "text", "doc_id",
+        threshold = 0.5, numHashes = 8, bands = 4).persist()
+    })
+
+  val dedupNeardup: Q = (s, dir) =>
+    plantedNearDupPairs(s, dir).orderBy("id_a", "id_b")
 
   val dedupNeardupSql = {
     val mins = (0 until 8).map { i =>
@@ -162,17 +172,10 @@ object ExtQueries {
     * pairs of the planted-duplicate corpus (min-label propagation;
     * component = smallest doc_id reachable). Oracle: DuckDB recursive
     * CTE computing min reachable id over the same edges. */
-  val dedupComponents: Q = (s, dir) => {
-    val docs = documents(s, dir).select("doc_id", "text")
-    val aug = docs.where(col("doc_id") < 10)
-      .select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" zzz zzz zzz")).as("text"))
-    val pairs = Dedup.nearDupPairs(docs.union(aug), "text", "doc_id",
-      threshold = 0.5, numHashes = 8, bands = 4)
-    Dedup.connectedComponents(pairs)
+  val dedupComponents: Q = (s, dir) =>
+    Dedup.connectedComponents(plantedNearDupPairs(s, dir))
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
-  }
 
   val dedupComponentsSql = {
     // same signature/band/verify construction as dedupNeardupSql
