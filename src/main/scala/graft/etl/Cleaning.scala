@@ -121,8 +121,11 @@ object Cleaning {
 )"""
 
   /** Java-syntax equivalent of `regex_utils.date_pattern`
-    * (utils/regex_utils.py:109). */
-  val datePattern: String = "(?iux)" + COMBINED
+    * (utils/regex_utils.py:109). Python's `re.U` makes `\d`/`\w`
+    * Unicode-aware; Java spells that `U` (UNICODE_CHARACTER_CLASS —
+    * lower-case `u` is UNICODE_CASE only, which would leave `\d`
+    * ASCII-bound and diverge on non-ASCII digit dates). */
+  val datePattern: String = "(?iUx)" + COMBINED
 
   /** utils/regex_utils.py:107 */
   val priceRegex: String =

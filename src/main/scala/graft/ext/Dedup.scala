@@ -48,17 +48,25 @@ object Dedup {
     * that holds at 100 TB. Docs with no shingles are dropped. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 4): DataFrame = {
-    val nBlocks = (numHashes + 3) / 4
     // tokens staged as their own column: the n-gram expression
     // references its token input several times, and an attribute is
     // free to re-read while a tokenizer expression is not
     val exploded = df
       .select(col(idCol), Featurize.tokensCol(col(textCol)).as("__t"))
       .select(col(idCol), explode(Featurize.ngramsCol(col("__t"), 3)).as("__sh"))
+    minhashFromExploded(exploded, idCol, "__sh", numHashes)
+  }
+
+  /** [[minhashSignatures]] over an already-exploded (id, shingle)
+    * frame — lets pipelines that materialize shingles once (e.g.
+    * [[nearDupPairs]]) reuse them instead of re-tokenizing. */
+  def minhashFromExploded(exploded: DataFrame, idCol: String, shCol: String,
+                          numHashes: Int): DataFrame = {
+    val nBlocks = (numHashes + 3) / 4
     val hashed = exploded.select(
       col(idCol) +: (0 until nBlocks).map { b =>
-        (if (b == 0) md5(col("__sh"))
-         else md5(concat(lit(b + "|"), col("__sh")))).as(s"__h$b")
+        (if (b == 0) md5(col(shCol))
+         else md5(concat(lit(b + "|"), col(shCol)))).as(s"__h$b")
       }: _*)
     val aggs = (0 until numHashes).map { i =>
       min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m${i}")
@@ -130,28 +138,31 @@ object Dedup {
                         blockCol: String, threshold: Double, k: Int = 3,
                         leftFilter: Column = lit(true),
                         broadcastLeft: Boolean = false): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+    // the per-doc shingle-set size rides along through the explode as a
+    // plain int column, so |A| and |B| arrive at the pair aggregation
+    // as grouping keys — no separate counts pass over the corpus and no
+    // post-hoc count joins (the tokenize→ngram pipeline runs once per
+    // join side instead of three times)
+    val ex = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
         Featurize.tokensCol(col(textCol)).as("__t"))
       .select(col("__id"), col("__blk"),
         array_distinct(Featurize.ngramsCol(col("__t"), k)).as("__sh"))
-    val counts = sh.select(col("__id"), size(col("__sh")).as("__n"))
-    val ex = sh.select(col("__id"), col("__blk"), explode(col("__sh")).as("__s"))
+      .select(col("__id"), col("__blk"), size(col("__sh")).as("__n"),
+        explode(col("__sh")).as("__s"))
     val exA0 = ex.where(leftFilter)
-      .select(col("__id").as("id_a"), col("__blk"), col("__s"))
+      .select(col("__id").as("id_a"), col("__blk"), col("__n").as("__na"), col("__s"))
     // With a bounded probe set, broadcasting it turns the candidate
     // join into a map-side hash probe of the (huge) exploded corpus —
     // no shuffle of the corpus shingles at all. Catalyst can't infer
     // this from parquet stats (the filter sits above an explode), so
     // the caller asserts it.
     val exA = if (broadcastLeft) broadcast(exA0) else exA0
-    val inter = exA
-      .join(ex.select(col("__id").as("id_b"), col("__blk"), col("__s")),
+    exA
+      .join(ex.select(col("__id").as("id_b"), col("__blk"),
+          col("__n").as("__nb"), col("__s")),
         Seq("__blk", "__s"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
-    inter
-      .join(counts.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(counts.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .groupBy("id_a", "id_b", "__na", "__nb").agg(count(lit(1)).as("__inter"))
       .withColumn("jaccard", round(col("__inter").cast("double") /
         (col("__na") + col("__nb") - col("__inter")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
@@ -159,14 +170,28 @@ object Dedup {
   }
 
   /** MinHash near-duplicate pairs: LSH candidates verified with exact
-    * shingle Jaccard >= `threshold`. */
+    * shingle Jaccard >= `threshold`. The tokenize→shingle pass runs
+    * ONCE: the per-doc shingle arrays are persisted (memory-and-disk,
+    * evicted LRU) and feed both the signature pipeline (via explode)
+    * and the two verification joins — without the cache the corpus
+    * would be re-tokenized three times. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5,
                    numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val cands = lshCandidatePairs(df, textCol, idCol, numHashes, bands)
     val sh = df.select(col(idCol).as("__id"),
         Featurize.tokensCol(col(textCol)).as("__t"))
       .select(col("__id"), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
+      .persist()
+    val sig = minhashFromExploded(
+        sh.select(col("__id"), explode(col("__sh")).as("__s")),
+        "__id", "__s", numHashes)
+      .withColumnRenamed("__id", "id")
+    val banded = sig.select(col("id"),
+      explode(bandKeysFromColumns(numHashes, bands)).as("band"))
+    val cands = banded.as("a").join(banded.as("b"), Seq("band"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
     cands
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
@@ -178,9 +203,10 @@ object Dedup {
   /** Connected components over an undirected pair list — the step that
     * turns verified near-dup PAIRS into dedup GROUPS (keep the
     * component minimum, drop the rest). Iterative min-label
-    * propagation: each round every node adopts the smallest label in
-    * its closed neighborhood; converges in ≤ diameter rounds (near-dup
-    * components are shallow chains in practice). Each round is one
+    * propagation with pointer jumping: each round every node adopts the
+    * smallest of {its label, its neighbors' labels, its label's label};
+    * the jump halves remaining chains, so convergence is O(log
+    * diameter) rounds. Each round is one
     * equi-join + partial-aggregated groupBy on the node id — the
     * DataFrame-native formulation that scales; intermediate labels are
     * persisted and lineage is cut per round. Returns (id, component).
@@ -197,14 +223,21 @@ object Dedup {
     // right-sized by AQE; the floor cost is the per-round JOB, which is
     // why convergence is read from the same action that materializes
     // the round (below) instead of a separate change-count join.
+    // Lineage is cut per round with a (lazy) localCheckpoint: each
+    // round's plan references `labels` three times, so without the cut
+    // the plan tree grows 3^rounds. On a fault-tolerant cluster run,
+    // swap for checkpoint() against reliable storage.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
-      .persist()
+      .localCheckpoint(false)
     // labels only ever decrease, so sum(component) is strictly
     // monotone: equality across rounds ⟺ fixpoint. The sum is read in
     // the same action that materializes the round's cache — ONE job
-    // per round, no change-count join.
-    var checksum = labels.agg(sum(col("component"))).head.getLong(0)
+    // per round, no change-count join. coalesce: an empty pair list
+    // sums to NULL otherwise (and must not NPE — a corpus with zero
+    // verified near-dups is a perfectly normal input).
+    var checksum = labels.agg(coalesce(sum(col("component")), lit(0L)))
+      .head.getLong(0)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -212,13 +245,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("__nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // neighbor-min propagation PLUS pointer jumping (adopt the label
+      // of your current label) in the same round: the jump halves the
+      // remaining chain, so long paths converge in O(log diameter)
+      // rounds instead of O(diameter). Both joins read the cached
+      // `labels`, so a round is still one pipeline / one job.
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(labels.select(col("id").as("component"),
+          col("component").as("__cc")), Seq("component"), "left")
         .select(col("id"),
           least(col("component"),
-            coalesce(col("__nbr_min"), col("component"))).as("component"))
-        .persist()
-      val nextSum = next.agg(sum(col("component"))).head.getLong(0)
-      labels.unpersist()
+            coalesce(col("__nbr_min"), col("component")),
+            coalesce(col("__cc"), col("component"))).as("component"))
+        .localCheckpoint(false)
+      val nextSum = next.agg(coalesce(sum(col("component")), lit(0L)))
+        .head.getLong(0)
       labels = next
       converged = nextSum == checksum
       checksum = nextSum
@@ -248,19 +290,39 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** Embedding-cosine near-duplicate pairs over an `Array[Float]`
-    * column: candidates from a sign-bucket LSH over deterministic
-    * pseudo-planes, verified with exact cosine >= `threshold`. */
+    * column: candidates from a sign-bucket LSH over `nBits`
+    * deterministic pseudo-planes, verified with exact cosine >=
+    * `threshold`.
+    *
+    * Scale knobs: `nBits` sizes the bucket space (2^nBits) — more bits
+    * shrink bucket occupancy, which is what bounds the Σ bucket²
+    * candidate cost of the self-join; `probeHamming = 1` compensates
+    * the recall lost to extra bits by also probing every bucket one
+    * bit-flip away (each vector explodes to nBits+1 probe rows of a
+    * few bytes; the corpus-side frame stays un-exploded, so a pair at
+    * hamming ≤ 1 is found exactly once after the id ordering filter).
+    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, dim: Int = 64): DataFrame = {
+                        threshold: Double = 0.95, dim: Int = 64,
+                        nBits: Int = 16, probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      s"only hamming-0/1 multiprobe is implemented, got $probeHamming")
+    val spark = df.sparkSession
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.signBucketNative(df.sparkSession, col(vecCol), 8, dim)
+      Similarity.signBucketNative(spark, col(vecCol), nBits, dim)
         .as("bucket"))
-    withBucket.as("a").join(withBucket.as("b"), Seq("bucket"))
-      .where(col("a.id") < col("b.id"))
+    val probes =
+      if (probeHamming == 0) array(col("bucket"))
+      else array(col("bucket") +:
+        (0 until nBits).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val probed = withBucket.select(col("id").as("__pid"), col("vec").as("__pvec"),
+      explode(probes).as("bucket"))
+    probed.join(withBucket, Seq("bucket"))
+      .where(col("__pid") < col("id"))
       .withColumn("cosine",
-        Similarity.nCosine(df.sparkSession, col("a.vec"), col("b.vec")))
+        Similarity.nCosine(spark, col("__pvec"), col("vec")))
       .where(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select(col("__pid").as("id_a"), col("id").as("id_b"), col("cosine"))
       .distinct()
   }
 }

@@ -74,8 +74,9 @@ object Similarity {
   /** Deterministic ±1 plane pattern for pseudo-plane `p` over `dim`
     * dimensions, derived from md5 at PLAN time (the pattern depends
     * only on (p, j), so hashing per row/element would be pure waste —
-    * it becomes a literal array in the plan). */
-  private[ext] def planeSigns(p: Int, dim: Int): Array[Double] = {
+    * it becomes a literal array in the plan). Public so oracle
+    * generators can emit the identical patterns as SQL literals. */
+  def planeSigns(p: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { j =>
       val h = md.digest(s"$p|$j".getBytes("UTF-8"))

@@ -279,14 +279,56 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding near-dup pairs via sign-bucket LSH + cosine (rows-only:
-    * bucket construction mirrored in tests, not SQL). Threshold 0.3:
-    * the fixture embeddings are unclustered random vectors whose
-    * cosines top out well under 0.5, so a production-style 0.9+ cut
-    * would always return the empty set. */
-  val dedupEmbedding: Q = (s, dir) =>
-    Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding", 0.3)
+  /** Embedding near-dup pairs via 16-bit sign-bucket LSH with
+    * hamming-1 multiprobe + exact-cosine verify at a production-style
+    * 0.95 threshold. The fixture embeddings are unclustered random
+    * vectors (pair cosines top out well under 0.5), so the query
+    * plants exact copies (vec_id+100000) of vec_id < 10 in both
+    * engines and must surface exactly those pairs. Oracle: the same
+    * md5-derived ±1 plane patterns emitted as SQL literals (the
+    * simhash-bit-lane technique). */
+  val dedupEmbedding: Q = (s, dir) => {
+    val emb = embeddings(s, dir).select("vec_id", "embedding")
+    val planted = emb.union(emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.embeddingNearDups(planted, "vec_id", "embedding",
+      threshold = 0.95, dim = 64, nBits = 16, probeHamming = 1)
       .orderBy("id_a", "id_b")
+  }
+
+  val dedupEmbeddingSql = {
+    val nBits = 16
+    val planes = (0 until nBits).map { p =>
+      Similarity.planeSigns(p, 64)
+        .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    }.mkString("[", ",\n    ", "]")
+    val bucketTerms = (0 until nBits).map { p =>
+      val fold = foldSumSql(
+        s"list_transform(range(1, len(v)+1), i -> v[i] * planes[${p + 1}][i])")
+      s"(CASE WHEN $fold >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" +\n    ")
+    val probeList = ("bucket" +: (0 until nBits).map(p => s"xor(bucket, ${1L << p})"))
+      .mkString("[", ", ", "]")
+    val cosine =
+      s"""ROUND(${foldSumSql("list_transform(range(1, len(av)+1), i -> av[i] * bv[i])")} /
+         |    (sqrt(${foldSumSql("list_transform(range(1, len(av)+1), i -> av[i] * av[i])")}) *
+         |     sqrt(${foldSumSql("list_transform(range(1, len(bv)+1), i -> bv[i] * bv[i])")})), 6)""".stripMargin
+    s"""WITH pl AS (SELECT $planes AS planes),
+       |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v FROM e0
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, v FROM e0 WHERE vec_id < 10),
+       |b AS (SELECT vec_id, v,
+       |    $bucketTerms AS bucket
+       |  FROM e, pl),
+       |pr AS (SELECT vec_id, v, unnest($probeList) AS probe FROM b),
+       |cand AS (SELECT DISTINCT p.vec_id AS id_a, t.vec_id AS id_b,
+       |    p.v AS av, t.v AS bv
+       |  FROM pr p JOIN b t ON p.probe = t.bucket WHERE p.vec_id < t.vec_id),
+       |sims AS (SELECT id_a, id_b, $cosine AS cosine FROM cand)
+       |SELECT DISTINCT id_a, id_b, cosine FROM sims
+       |WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ---- text analysis ----
 
@@ -480,6 +522,7 @@ object ExtQueries {
     "q_dedup_neardup" -> dedupNeardupSql,
     "q_dedup_components" -> dedupComponentsSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_sim_topk" -> simTopKSql,
     "q_text_langid" -> textLangidSql,
     "q_text_quality" -> textQualitySql,

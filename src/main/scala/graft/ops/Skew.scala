@@ -21,14 +21,22 @@ object Skew {
   /** Equi-join where `left` has skewed key values: each left row gets
     * a salt in [0, salts); `right` is exploded into `salts` replicas,
     * so every (key, salt) bucket finds its matches and the hot key's
-    * rows spread over `salts` partitions instead of one. Result is
-    * row-identical to the unsalted join (the salt never leaks). The
-    * salt is seeded-random — any distribution works, uniform is best;
-    * join semantics don't depend on it. */
+    * rows spread over `salts` partitions instead of one. For inner /
+    * left / left_semi joins the result is row-identical to the unsalted
+    * join (the salt never leaks). Right/full outer are rejected: the
+    * right side is replicated `salts`×, so an unmatched right row would
+    * be emitted once per replica. The salt is seeded-random — any
+    * distribution works, uniform is best; join semantics don't depend
+    * on it. */
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String, salts: Int,
                  joinType: String = "inner", seed: Long = 42L): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+        "left_semi", "leftanti", "left_anti", "cross")
+        .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin replicates the right side, which breaks right/full " +
+        s"outer semantics; unsupported joinType: $joinType")
     val l = left.withColumn("__salt", floor(rand(seed) * salts).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -88,34 +88,50 @@ object ScoreStream {
   case class Session(user_id: Long, n_events: Long, duration_sec: Double)
 
   /** Gap-based sessionization per user: emit a session when `gapSec`
-    * passes without activity (ProcessingTime timeout in streams; final
-    * flush on batch end in tests). Demonstrates the custom-state
-    * surface (`KeyValueGroupedDataset.flatMapGroupsWithState`). */
+    * passes without activity (ProcessingTime timeout in streams; the
+    * trailing open session is flushed at the end of a batch run).
+    * Demonstrates the custom-state surface
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`). */
   def sessionize(events: Dataset[Event], gapSec: Long = 1800)
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
+    val streaming = events.isStreaming
     def fn(userId: Long, rows: Iterator[Event],
            state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
-      val out = scala.collection.mutable.Buffer.empty[Session]
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        if (st.count > 0 && t - st.last > gapSec * 1000) {
-          out += Session(userId, st.count, (st.last - st.start) / 1000.0)
-          st = SessionState(0, Long.MaxValue, Long.MinValue)
-        }
-        st = SessionState(st.count + 1, math.min(st.start, t), math.max(st.last, t))
-      }
-      if (state.hasTimedOut || !sorted.isEmpty) state.update(st)
       if (state.hasTimedOut) {
-        out += Session(userId, st.count, (st.last - st.start) / 1000.0)
+        // gapSec of processing time with no new events: the open
+        // session is idle — flush it and drop the state.
+        val st = state.get
         state.remove()
+        Iterator.single(Session(userId, st.count, (st.last - st.start) / 1000.0))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+        val out = scala.collection.mutable.Buffer.empty[Session]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          if (st.count > 0 && t - st.last > gapSec * 1000) {
+            out += Session(userId, st.count, (st.last - st.start) / 1000.0)
+            st = SessionState(0, Long.MaxValue, Long.MinValue)
+          }
+          st = SessionState(st.count + 1, math.min(st.start, t), math.max(st.last, t))
+        }
+        if (st.count > 0) {
+          if (streaming) {
+            state.update(st)
+            state.setTimeoutDuration(gapSec * 1000)
+          } else {
+            // batch runs the group exactly once — no later trigger will
+            // ever time the state out, so flush the open session now
+            out += Session(userId, st.count, (st.last - st.start) / 1000.0)
+          }
+        }
+        out.iterator
       }
-      out.iterator
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+        if (streaming) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
   }
 }

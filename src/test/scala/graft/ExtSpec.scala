@@ -78,6 +78,21 @@ class ExtSpec extends AnyFunSuite {
       comp.toString)
   }
 
+  test("connected components of an empty pair list is empty (no NPE)") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("connected components converge on a long chain (pointer jumping)") {
+    import spark.implicits._
+    // 0-1-2-...-40: diameter 40, must finish within maxIter=20 rounds
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, maxIter = 20)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(comp == Set(0L), comp.toString)
+  }
+
   test("embedding near-dup of an identical planted vector is found") {
     val v = emb.where(col("vec_id") === 0).select("embedding").head
       .getSeq[Float](0).toArray
@@ -86,6 +101,29 @@ class ExtSpec extends AnyFunSuite {
     val pairs = Dedup.embeddingNearDups(planted, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 8888L)), s"pairs=$pairs")
+  }
+
+  test("widening sign-bucket planes bounds candidate cost (Σ occupancy²)") {
+    // the self-join candidate count is Σ bucket-occupancy²; doubling the
+    // planes from 8 to 16 must collapse it even on a SKEWED corpus
+    // (every vector duplicated 3×, so true-dup buckets stay occupied)
+    val skewed = (0 until 3).map(r =>
+      emb.select((col("vec_id") + r * 100000).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    def sumSq(nBits: Int): Long = skewed
+      .select(Similarity.signBucket(col("embedding"), nBits, 64).as("b"))
+      .groupBy("b").count()
+      .agg(sum(col("count") * col("count"))).head.getLong(0)
+    val s8 = sumSq(8)
+    val s16 = sumSq(16)
+    val n = skewed.count()
+    // floor: true triplicates always share a bucket — n/3 groups of 3
+    // contribute 9 each = 3n to Σocc² at ANY width; what widening must
+    // collapse is the excess from unrelated vectors colliding
+    val floor = 3 * n
+    assert(s16 - floor < (s8 - floor) / 4,
+      s"sumSq8=$s8 sumSq16=$s16 floor=$floor")
+    assert(s16 <= 3 * floor, s"sumSq16=$s16 floor=$floor")
   }
 
   test("multimodal batch decode produces fixed-shape features") {

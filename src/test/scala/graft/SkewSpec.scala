@@ -52,6 +52,15 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.exists(r => r(0) == 999L && r(2) == null))
   }
 
+  test("salted join rejects right/full outer (right side is replicated)") {
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", "dk", salts = 8, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", "dk", salts = 8, joinType = "full_outer")
+    }
+  }
+
   test("salted count equals plain groupBy count") {
     val plain = fact.groupBy("k").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -125,9 +125,14 @@ class StreamingSpec extends AnyFunSuite {
       ScoreStream.Event(1L, at(5000), "click"), // > 1800s gap → new session
       ScoreStream.Event(2L, at(0), "view")).toDS()
     val sessions = ScoreStream.sessionize(events, gapSec = 1800).collect()
-    // batch flatMapGroupsWithState emits only *closed* sessions inline:
-    // user 1's first session (2 events) closes at the 5000s event
+    // user 1's first session (2 events) closes at the 5000s event;
+    // trailing open sessions flush at the end of the batch run
     assert(sessions.exists(s => s.user_id == 1 && s.n_events == 2 &&
       s.duration_sec == 10.0), sessions.mkString(", "))
+    assert(sessions.exists(s => s.user_id == 1 && s.n_events == 1 &&
+      s.duration_sec == 0.0), sessions.mkString(", "))
+    assert(sessions.exists(s => s.user_id == 2 && s.n_events == 1),
+      sessions.mkString(", "))
+    assert(sessions.length == 3, sessions.mkString(", "))
   }
 }
