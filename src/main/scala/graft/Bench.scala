@@ -9,6 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // At bench SF most shuffles are tiny: prefer the advisory
+      // partition size over parallelism when AQE coalesces, so a
+      // 100-row shuffle is 1 task instead of `cpus` near-empty tasks.
+      // At production scale data volume swamps the advisory size and
+      // this setting is inert.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -53,6 +53,14 @@ class TrainingFile(
     writeSingle(df, s"$outputLocation/final/$unique-n-$n.txt")
   }
 
+  /** S4 surface without sampling: every row's `fasttextColumn` to ONE
+    * stable flat file under `final/` (deterministic name — repeated
+    * runs overwrite in place, unlike the UUID-named sampled variants).
+    * Exists so the write→list→read-back contract can sit under a
+    * deterministic driver oracle. */
+  def writeAllTo(fileName: String): String =
+    writeSingle(data, s"$outputLocation/final/$fileName")
+
   /** Stratified-rate file (`generate_training_file`,
     * `utils/fasttext_utils.py:44-64`): floored/overshoot per-class
     * rates then seeded sampleBy. */

@@ -38,22 +38,15 @@ object Tuning {
   case class Trial(runId: String, params: Trainer.Params,
                    metrics: Map[String, Double])
 
-  /** Run `maxEvals` random-search trials with up to `parallelism`
-    * concurrent Spark jobs; every trial logged to `tracking`; returns
-    * trials sorted best-first by `objective`. */
-  def search(train: DataFrame, validation: DataFrame,
-             labelCol: String, textCol: String,
-             tracking: Tracking,
-             space: Space = Space(),
-             maxEvals: Int = 8,
-             parallelism: Int = 4,
-             objective: String = "avg__acc",
-             seed: Long = 42L): Seq[Trial] = {
-    val rng = new Random(seed)
-    val candidates = Seq.fill(maxEvals)(sample(space, rng))
+  /** Evaluate every config with up to `parallelism` concurrent Spark
+    * jobs, logging each to `tracking`; failed trials are dropped. */
+  private def evalAll(configs: Seq[Trainer.Params],
+                      train: DataFrame, validation: DataFrame,
+                      labelCol: String, textCol: String,
+                      tracking: Tracking, parallelism: Int): Seq[Trial] = {
     val results = TrieMap.empty[Int, Trial]
     val pool = Executors.newFixedThreadPool(parallelism)
-    candidates.zipWithIndex.foreach { case (params, i) =>
+    configs.zipWithIndex.foreach { case (params, i) =>
       pool.submit(new Runnable {
         def run(): Unit = Try {
           val runId = tracking.startRun(params.asMap)
@@ -67,6 +60,65 @@ object Tuning {
     }
     pool.shutdown()
     pool.awaitTermination(2, TimeUnit.HOURS)
-    results.values.toSeq.sortBy(t => -t.metrics.getOrElse(objective, Double.MinValue))
+    results.values.toSeq
+  }
+
+  private def byObjective(trials: Seq[Trial], objective: String): Seq[Trial] =
+    trials.sortBy(t => -t.metrics.getOrElse(objective, Double.MinValue))
+
+  /** Run `maxEvals` random-search trials with up to `parallelism`
+    * concurrent Spark jobs; every trial logged to `tracking`; returns
+    * trials sorted best-first by `objective`. */
+  def search(train: DataFrame, validation: DataFrame,
+             labelCol: String, textCol: String,
+             tracking: Tracking,
+             space: Space = Space(),
+             maxEvals: Int = 8,
+             parallelism: Int = 4,
+             objective: String = "avg__acc",
+             seed: Long = 42L): Seq[Trial] = {
+    val rng = new Random(seed)
+    val candidates = Seq.fill(maxEvals)(sample(space, rng))
+    byObjective(evalAll(candidates, train, validation, labelCol, textCol,
+      tracking, parallelism), objective)
+  }
+
+  /** Successive halving — the ADAPTIVE budget allocation the reference
+    * gets from Hyperopt TPE (02_merchcat_ml.py:305-323), without a
+    * surrogate model: sample `n0` configs, train each for only
+    * `rung0Epochs` epochs, promote the best half to a doubled epoch
+    * budget, repeat until one rung remains. Total training epochs are
+    * ~`n0 · rung0Epochs · (1 + log₂ n0 / 2)` versus random search's
+    * `maxEvals · E[epochs]` — budget concentrates on configs that
+    * already look good instead of being spent uniformly. Returns the
+    * final rung's trials best-first (their `params.epoch` is the last
+    * rung's budget). */
+  def searchHalving(train: DataFrame, validation: DataFrame,
+                    labelCol: String, textCol: String,
+                    tracking: Tracking,
+                    space: Space = Space(),
+                    n0: Int = 8,
+                    rung0Epochs: Int = 2,
+                    parallelism: Int = 4,
+                    objective: String = "avg__acc",
+                    seed: Long = 42L): Seq[Trial] = {
+    require(n0 > 0 && rung0Epochs > 0, s"need n0/rung0Epochs > 0")
+    val rng = new Random(seed)
+    var survivors = Seq.fill(n0)(sample(space, rng))
+    var budget = rung0Epochs
+    var lastRung: Seq[Trial] = Nil
+    var done = false
+    while (!done) {
+      val rung = byObjective(
+        evalAll(survivors.map(_.copy(epoch = budget)), train, validation,
+          labelCol, textCol, tracking, parallelism), objective)
+      lastRung = rung
+      if (rung.size <= 1) done = true
+      else {
+        survivors = rung.take((rung.size + 1) / 2).map(_.params)
+        budget *= 2
+      }
+    }
+    lastRung
   }
 }

@@ -571,27 +571,41 @@ object Queries {
 
   // ---- 2.9/2.10 ML surface (M1/M2/M7): training is not SQL — rows-only ----
 
-  /** Train-and-score on the documents fixture. Memoized per (session,
-    * dir): q_ml_score and q_ml_eval_summary share one deterministic
-    * model + scored frame instead of training twice. */
+  /** Train-and-score on the documents fixture, memoized per (session,
+    * dir): q_ml_score, q_ml_eval_summary and q_ml_planted_accuracy
+    * share ONE deterministic model + scored frame instead of training
+    * three times (training is the costliest fixed overhead in the
+    * bench, invariant to budget).
+    *
+    * The raw fixture text is random — uncorrelated with the label — so
+    * a model trained on it can only demonstrate plumbing. Three
+    * label-correlated tokens (`xsig<lang>`) are therefore appended to
+    * every document, deterministically, before the reference pipeline
+    * (clean → label → split → train → score): a working trainer must
+    * recover the signal, which q_ml_planted_accuracy asserts. */
   private val trainedScoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def trainedScore(s: SparkSession, dir: String): DataFrame =
     trainedScoreCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
-      val docs = documents(s, dir).select("doc_id", "lang", "text")
+      val sig = concat(lit("xsig"), col("lang"))
+      val docs = documents(s, dir).select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("text"), sig, sig, sig).as("text"))
       val cfg = graft.etl.Etl.Config(labelCol = "lang", textCol = "text",
         keyCol = "doc_id", sampleSize = 5000, countThreshold = 10)
       val labeled = graft.etl.Etl.cleanAndLabel(docs, cfg)
       val withPct = graft.etl.Split.addClassPercentileDeterministic(labeled, "lang", "doc_id")
       val (train, test) = graft.etl.Split.split(withPct, 0.9)
-      // demo-sized budget: the fixture text is uncorrelated with the
-      // label (no signal to converge on), so extra L-BFGS iterations
-      // and hash width buy nothing here; convergence quality is
-      // asserted on separable data in MlSpec
+      // demo-sized budget: the planted signal is 3 dedicated tokens
+      // per doc, so a small hash space and few epochs recover it;
+      // bigger budgets only pay more fixed Spark-ML job overhead
+      // (measured invariant to numFeatures/maxIter in round 1)
       val model = graft.ml.Trainer.train(train, "lang", "text_clean",
-        graft.ml.Trainer.Params(epoch = 2, wordNgrams = 2, numFeatures = 1 << 14))
-      model.predict(test, "text_clean", "pr_lang")
+        graft.ml.Trainer.Params(epoch = 3, wordNgrams = 1, numFeatures = 1 << 13))
+      // four downstream actions read this frame (score, summary,
+      // accuracy check + output) — cache the scored test split (bounded
+      // by construction) instead of re-featurizing per action
+      model.predict(test, "text_clean", "pr_lang").persist()
     })
 
   /** M1+U2: train-and-batch-score (the spark_udf path,
@@ -603,6 +617,67 @@ object Queries {
     * Rows-only. */
   val mlEvalSummary: Q = (s, dir) =>
     graft.ml.Evaluator.summary(trainedScore(s, dir), "lang", "pr_lang")
+
+  /** M1+M2 accuracy demonstration (the reference's headline claim,
+    * 02_merchcat_ml.py:328): per-class accuracy on the held-out split
+    * of the planted-signal corpus. The query THROWS if overall accuracy
+    * falls under 0.9, so a non-learning trainer fails the driver gate
+    * outright; rows-only otherwise (training is not SQL). */
+  val mlPlantedAccuracy: Q = (s, dir) => {
+    val scored = trainedScore(s, dir)
+    val perClass = scored.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pr_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n").cast("double"), 4))
+    val rows = perClass.collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val correct = rows.map(_.getAs[Long]("n_correct")).sum
+    val overall = correct.toDouble / math.max(n, 1L)
+    require(overall >= 0.9,
+      f"planted-signal accuracy $overall%.4f < 0.9 — trainer failed to learn")
+    perClass.orderBy("lang")
+  }
+
+  /** S3+S4+S5 driver-grounded: fastText-format lines → the
+    * single-flat-file TrainingFile sink (coalesce funnel + part-file
+    * copy) → file listing → read back with spark.read.text → per-label
+    * line count and an order-independent content checksum. The oracle
+    * derives the same aggregate straight from the parquet table, so any
+    * loss in the write→list→read round trip shows up as a mismatch. */
+  val trainingFileRoundtrip: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_tf_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    documents(s, dir)
+      .select(col("lang"),
+        concat(lit("__label__"), col("lang"), lit(" "), col("text")).as("line"))
+      .write.mode("overwrite").parquet(s"$base/data.parquet")
+    val tf = new graft.etl.TrainingFile(
+      s"$base/data.parquet", s"$base/out", "lang", "line")
+    val path = tf.writeAllTo("roundtrip.txt")
+    val listed = graft.etl.TrainingFile.listTrainingFiles(s"$base/out")
+    require(listed.exists(_.endsWith("roundtrip.txt")),
+      s"written training file missing from listing: $listed")
+    s.read.text(path)
+      .select(regexp_extract(col("value"), "^__label__(\\S+)", 1).as("lang"),
+        conv(substring(md5(col("value")), 1, 8), 16, 10).cast("long").as("__h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_lines"), sum(col("__h")).as("content_sum"))
+      .orderBy("lang")
+  }
+
+  val trainingFileRoundtripSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(line), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""WITH l AS (
+       |  SELECT lang, '__label__' || lang || ' ' || text AS line FROM documents)
+       |SELECT lang, COUNT(*) AS n_lines,
+       |  CAST(SUM($hex8) AS BIGINT) AS content_sum
+       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Featurizer shape is SQL-checkable even though training isn't:
     * token/bigram counts of the cleaned text. */
@@ -653,6 +728,8 @@ object Queries {
     "q_sample_fixed_n" -> sampleFixedN,
     "q_ml_score" -> mlScore,
     "q_ml_eval_summary" -> mlEvalSummary,
+    "q_ml_planted_accuracy" -> mlPlantedAccuracy,
+    "q_training_file" -> trainingFileRoundtrip,
     "q_featurize_counts" -> featurizeCounts,
     "q_join_cross" -> joinCross,
     "q_agg_cube" -> aggCube,
@@ -689,6 +766,7 @@ object Queries {
     "q_sample_rates" -> sampleRatesSql,
     "q_split_train" -> splitTrainSql,
     "q_sample_fixed_n" -> sampleFixedNSql,
+    "q_training_file" -> trainingFileRoundtripSql,
     "q_featurize_counts" -> featurizeCountsSql,
     "q_join_cross" -> joinCrossSql,
     "q_agg_cube" -> aggCubeSql,

@@ -84,6 +84,22 @@ class MlSpec extends AnyFunSuite {
     assert(tracking.metrics(best)("avg__acc") == trials.head.metrics("avg__acc"))
   }
 
+  test("successive halving matches random search on fewer total epochs") {
+    val tmp = java.nio.file.Files.createTempDirectory("tune_sh").toString
+    val space = Tuning.Space(numFeaturesLog2 = (12, 14))
+    val random = Tuning.search(trainDf, testDf, "merchant", "narrative",
+      new Tracking(tmp + "/rand"), space, maxEvals = 4, parallelism = 2)
+    val halved = Tuning.searchHalving(trainDf, testDf, "merchant", "narrative",
+      new Tracking(tmp + "/sh"), space, n0 = 4, rung0Epochs = 1, parallelism = 2)
+    val randomBest = random.head.metrics("avg__acc")
+    val halvedBest = halved.head.metrics("avg__acc")
+    assert(halvedBest >= randomBest, s"halved=$halvedBest random=$randomBest")
+    // budget actually spent: rungs of 4@1 + 2@2 + 1@4 = 12 epochs vs
+    // random's 4 trials at 5-15 sampled epochs each
+    val randomEpochs = random.map(_.params.epoch).sum
+    assert(12 < randomEpochs, s"randomEpochs=$randomEpochs")
+  }
+
   test("label round trip: encode then decode restores dash-free labels") {
     import spark.implicits._
     val df = Seq("virgin media", "tesco", "the works").toDF("m")
