@@ -92,11 +92,14 @@ object Dedup {
         slice(sig, b * rowsPerBand + 1, rowsPerBand)))
     }: _*)
 
-  /** Exact dedup: keep the smallest id per identical (normalized) text.
-    * Hash-partition by the text itself — at 100 TB the group key is the
-    * full text; for very long docs dedupe on `md5(text)` instead. */
+  /** Exact dedup: keep the smallest id per identical (normalized)
+    * text. The window partitions on `md5(text)` rather than the text
+    * itself, so the shuffle/sort key is a fixed 32 chars regardless of
+    * document length (the row still carries the text — only the
+    * comparator is bounded). Equal md5 ⟺ equal text up to the 2^-128
+    * collision chance, the standard content-dedup trade. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }

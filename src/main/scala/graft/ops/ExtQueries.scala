@@ -491,6 +491,37 @@ object ExtQueries {
       | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** §2.11+: gap-based sessionization through the CUSTOM-STATE surface
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`,
+    * ScoreStream.sessionize) — per-user sessions split at >4 h of
+    * inactivity. SQL-expressible despite the imperative state fn, so
+    * the stateful path sits under the driver gate: the oracle rebuilds
+    * sessions with lag + a cumulative break-sum. Millisecond epoch on
+    * both sides (java.sql.Timestamp.getTime floors micros to ms, as
+    * does epoch_ms). */
+  val sessionizeQ: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      .as[graft.streaming.ScoreStream.Event]
+    graft.streaming.ScoreStream.sessionize(ev, gapSec = 14400).toDF()
+      .orderBy("user_id", "n_events", "duration_sec")
+  }
+
+  val sessionizeSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+      |g AS (SELECT user_id, tms,
+      |  CASE WHEN lag(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+      |       OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) > 14400000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |s AS (SELECT user_id, tms,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tms
+      |    ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(MAX(tms) - MIN(tms) AS DOUBLE) / 1000.0 AS duration_sec
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -511,6 +542,7 @@ object ExtQueries {
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
     "q_stream_join" -> streamJoin,
+    "q_sessionize" -> sessionizeQ,
     "q_dedup_minhash_grouped" -> dedupMinhashGrouped,
   )
 
@@ -531,6 +563,7 @@ object ExtQueries {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,
     "q_stream_join" -> streamJoinSql,
+    "q_sessionize" -> sessionizeSql,
     "q_dedup_minhash_grouped" -> dedupMinhashGroupedSql,
   )
 }
