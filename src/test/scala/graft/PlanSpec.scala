@@ -50,6 +50,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("jaccard bounded probe side broadcasts (corpus shingles never shuffle)") {
+    val plan = planOf(ops.ExtQueries.dedupJaccard)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("brute-force ANN plans the inherent broadcast nested loop") {
+    val plan = planOf(ops.ExtQueries.simTopK)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sessionize plans typed stateful processing; exact dedup keys on md5") {
+    val p1 = planOf(ops.ExtQueries.sessionizeQ)
+    // batch execution lowers flatMapGroupsWithState to MapGroupsExec
+    // (streaming plans FlatMapGroupsWithStateExec); either way the
+    // typed state fn sits over one hash-shuffle on the group key
+    assert(p1.contains("MapGroups") || p1.contains("FlatMapGroupsWithState"), p1)
+    val p2 = planOf(ops.ExtQueries.dedupExact)
+    assert(p2.contains("md5"), p2)
+  }
+
   test("no query in the driver surface touches Python or RDD scans") {
     SparkEntry.queries.foreach { case (name, q) =>
       val plan = try planOf(q) catch {
