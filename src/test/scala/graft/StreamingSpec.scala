@@ -115,6 +115,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").select("event_id").distinct().count() == 200)
   }
 
+  test("sessionize runs as a streaming query (ProcessingTimeTimeout path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[ScoreStream.Event]
+    source.addData(
+      ScoreStream.Event(1L, at(0), "click"),
+      ScoreStream.Event(1L, at(10), "view"),
+      ScoreStream.Event(1L, at(5000), "click"))
+    val sessions = ScoreStream.sessionize(source.toDS(), gapSec = 1800)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // a registered processing-time timeout keeps the engine scheduling
+    // (empty) batches, so processAllAvailable never latches — poll the
+    // sink with a deadline instead
+    val deadline = System.currentTimeMillis() + 120000
+    while (spark.table("sess_out").isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop()
+    // the first session closes inline at the 5000s event; the trailing
+    // open session stays in state awaiting its processing-time timeout
+    val out = spark.table("sess_out").as[ScoreStream.Session].collect()
+    assert(out.toSeq == Seq(ScoreStream.Session(1L, 2, 10.0)), out.mkString(", "))
+  }
+
   test("sessionization emits gap-separated sessions per user") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
