@@ -84,6 +84,34 @@ object TextStats {
     round(lenScore * 0.4 + punctPenalty * 0.4 + stopScore * 0.2, 6)
   }
 
+  /** Fraction of repeated (non-distinct) n-grams in a pre-computed
+    * gram array — the Gopher-style repetition quality signal. Callers
+    * should pass an ATTRIBUTE (stage the gram expression under its own
+    * alias first): a raw n-gram expression referenced four times here
+    * would be re-evaluated per reference under codegen. */
+  def repetitionRatio(grams: Column): Column =
+    when(size(grams) > 0,
+      round((size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double"), 6))
+      .otherwise(0.0)
+
+  /** PII scrub patterns, applied in order (email before PAN before
+    * phone, so a card number is masked before the greedy phone class
+    * can absorb its digits). Patterns stay in the Java∩RE2 regex
+    * subset so the same strings run in the DuckDB oracle. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>"),
+    ("\\d{13,16}", "<pan>"),
+    ("\\+?\\d[\\d -]{7,}\\d", "<phone>"))
+
+  /** Mask emails, card PANs and phone numbers — the redaction pass an
+    * LLM training pipeline runs before anything else sees the text.
+    * Narrow regexp_replace chain, codegen'd like the cleaning chain. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
   /** Order-insensitive content fingerprint: md5 of the sorted token
     * bag. Identical bags (e.g. shuffled near-duplicates) collide. */
   def bagFingerprint(text: Column): Column =

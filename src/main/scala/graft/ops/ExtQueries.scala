@@ -397,6 +397,57 @@ object ExtQueries {
        |    tk -> len(tk) > 0)) AS n_bpeish_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Repetition quality signal: fraction of duplicate token bigrams
+    * per document (staged projection keeps the gram array evaluated
+    * once). */
+  val textRepetition: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"),
+        Featurize.ngramsCol(Featurize.tokensCol(col("text")), 2).as("__g"))
+      .select(col("doc_id"),
+        TextStats.repetitionRatio(col("__g")).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  val textRepetitionSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 0)+1),
+       |    i -> concat_ws(' ', toks[i], toks[i+1])) AS g FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN len(g) > 0 THEN
+       |    ROUND(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+       |      / CAST(len(g) AS DOUBLE), 6)
+       |  ELSE 0.0 END AS rep_ratio
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** PII redaction: every document gets a deterministic planted
+    * email + phone + card-number suffix (the random fixture has no
+    * natural PII), then the scrub chain must mask all three — in both
+    * engines, so the masked text is value-compared, not just counted. */
+  val textPii: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach a.user@example.com or +44 7911 123456 pan 4111111111111111"))
+          .as("__t"))
+      .select(col("doc_id"), TextStats.scrubPii(col("__t")).as("scrubbed"))
+      .orderBy("doc_id")
+
+  val textPiiSql = {
+    // DuckDB single-quoted literals are standard SQL — backslashes
+    // pass through verbatim, so the Java pattern string is the RE2
+    // pattern string (the patterns stay in the common subset)
+    val chain = TextStats.piiPatterns.foldLeft("t.planted") {
+      case (expr, (p, r)) =>
+        s"regexp_replace($expr, '${p.replace("'", "''")}', '$r', 'g')"
+    }
+    s"""WITH t AS (SELECT doc_id,
+       |  text || ' reach a.user@example.com or +44 7911 123456 pan 4111111111111111'
+       |    AS planted
+       |  FROM documents)
+       |SELECT doc_id, $chain AS scrubbed
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val textFingerprint: Q = (s, dir) =>
     documents(s, dir).select(col("doc_id"),
       TextStats.bagFingerprint(col("text")).as("bag_fp"),
@@ -538,6 +589,8 @@ object ExtQueries {
     "q_text_langid" -> textLangid,
     "q_text_quality" -> textQuality,
     "q_text_tokens" -> textTokens,
+    "q_text_repetition" -> textRepetition,
+    "q_text_pii" -> textPii,
     "q_text_fingerprint" -> textFingerprint,
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
@@ -559,6 +612,8 @@ object ExtQueries {
     "q_text_langid" -> textLangidSql,
     "q_text_quality" -> textQualitySql,
     "q_text_tokens" -> textTokensSql,
+    "q_text_repetition" -> textRepetitionSql,
+    "q_text_pii" -> textPiiSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,

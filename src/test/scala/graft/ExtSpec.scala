@@ -126,6 +126,26 @@ class ExtSpec extends AnyFunSuite {
     assert(s16 <= 3 * floor, s"sumSq16=$s16 floor=$floor")
   }
 
+  test("pii scrub masks email, card PAN and phone; repetition ratio counts dups") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "card 4111111111111111 charged"),
+      (3L, "call +44 7911 123456 today"),
+      (4L, "a b a b a b")).toDF("id", "text")
+    val scrubbed = df.select(col("id"), TextStats.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrubbed(1L) == "mail <email> now", scrubbed(1L))
+    assert(scrubbed(2L) == "card <pan> charged", scrubbed(2L))
+    assert(scrubbed(3L) == "call <phone> today", scrubbed(3L))
+    val rep = df.select(col("id"),
+        graft.ml.Featurize.ngramsCol(graft.ml.Featurize.tokensCol(col("text")), 2).as("__g"))
+      .select(col("id"), TextStats.repetitionRatio(col("__g")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // "a b a b a b": 5 bigrams, 2 distinct ("a b", "b a") -> 3/5
+    assert(rep(4L) == 0.6, rep.toString)
+  }
+
   test("multimodal batch decode produces fixed-shape features") {
     val media = Multimodal.withPayload(docs.limit(20).select("doc_id", "text"), "text")
       .select(col("doc_id").as("id"), col("payload")).as[Multimodal.MediaRow]
