@@ -292,6 +292,29 @@ object Dedup {
   def hamming16(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** [[simhash16]], frame form: explode tokens (outer — empty docs
+    * keep a row and hash to 0 like the column form), hash each token
+    * ONCE, accumulate the 16 ±1 bit votes as partial-aggregated sum
+    * columns, sign-pack. The column form's per-lane lambdas defeat
+    * codegen CSE and re-evaluate the md5 pass once per bit — 16× the
+    * hashing; this is the formulation for corpus-scale runs. Values
+    * are identical (same hash, same votes, same packing). */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol), explode_outer(Featurize.tokensCol(col(textCol))).as("__tk"))
+      .select(col(idCol),
+        conv(substring(md5(col("__tk")), 1, 4), 16, 10).cast("long").as("__h"))
+    val votes = (0 until 16).map { b =>
+      sum(pmod(floor(col("__h") / math.pow(2, b).toLong).cast("long"), lit(2L))
+        * 2 - 1).as(s"__s$b")
+    }
+    val agg = ex.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val packed = (0 until 16).map { b =>
+      when(col(s"__s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col(idCol), packed.as("simhash"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over an `Array[Float]`
     * column: candidates from a sign-bucket LSH over `nBits`
     * deterministic pseudo-planes, verified with exact cosine >=

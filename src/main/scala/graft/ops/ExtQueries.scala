@@ -216,10 +216,10 @@ object ExtQueries {
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
-  /** 16-bit SimHash per document. */
+  /** 16-bit SimHash per document, scalable explode+partial-agg form
+    * (each token hashed once; the column form re-hashes per bit lane). */
   val dedupSimhash: Q = (s, dir) =>
-    documents(s, dir).select(col("doc_id"),
-      Dedup.simhash16(Featurize.tokensCol(col("text"))).as("simhash"))
+    Dedup.simhashSignatures(documents(s, dir), "text", "doc_id")
       .orderBy("doc_id")
 
   val dedupSimhashSql = {

@@ -103,6 +103,19 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 8888L)), s"pairs=$pairs")
   }
 
+  test("simhash frame form equals the column form (incl. empty docs)") {
+    import spark.implicits._
+    val withEmpty = docs.select("doc_id", "text")
+      .union(Seq((99991L, ""), (99992L, "   ")).toDF("doc_id", "text"))
+    val colForm = withEmpty.select(col("doc_id"),
+        Dedup.simhash16(graft.ml.Featurize.tokensCol(col("text"))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frameForm = Dedup.simhashSignatures(withEmpty, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frameForm == colForm)
+    assert(frameForm(99991L) == 0L)
+  }
+
   test("widening sign-bucket planes bounds candidate cost (Σ occupancy²)") {
     // the self-join candidate count is Σ bucket-occupancy²; doubling the
     // planes from 8 to 16 must collapse it even on a SKEWED corpus
