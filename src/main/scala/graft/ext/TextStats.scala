@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ml.Featurize
 
@@ -36,6 +36,26 @@ object TextStats {
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
+  }
+
+  /** [[langIdCol]] over a frame with STAGED projections: tokens → one
+    * marker-hit column per language → argmax by attribute. The column
+    * form inlines the tokenizer into every score reference (each score
+    * appears in `greatest` and in its own `when`), so it tokenizes
+    * 2·|languages| times per row; this form tokenizes once. */
+  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val scoreCols = langMarkers.map { case (l, _) => s"__s_$l" }
+    val scored = df
+      .withColumn("__toks", Featurize.tokensCol(lower(col(textCol))))
+      .select(col("*") +: langMarkers.map { case (l, m) =>
+        markerHits(col("__toks"), m).as(s"__s_$l") }: _*)
+      .withColumn("__best", greatest(scoreCols.map(col): _*))
+    val pick = langMarkers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"__s_$l") === col("__best") && col("__best") > 0, lit(l))
+        .otherwise(acc)
+    }
+    scored.withColumn(outCol, pick)
+      .drop("__toks" +: "__best" +: scoreCols: _*)
   }
 
   /** Whitespace token count. */
@@ -74,15 +94,24 @@ object TextStats {
       .otherwise(0.0)
   }
 
-  /** Composite quality score in [0,1]: rewards mid-length docs with
-    * low punctuation noise and a plausible stopword rate — the shape
-    * of C4/Gopher-style quality filters. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
-    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+  /** Composite quality score from PRE-STAGED components (token count,
+    * punct ratio, stopword ratio already computed under their own
+    * aliases): rewards mid-length docs with low punctuation noise and
+    * a plausible stopword rate — the shape of C4/Gopher-style quality
+    * filters. Callers computing several text stats should stage the
+    * components once and combine by attribute (see `q_text_quality`)
+    * rather than let each output column re-tokenize the text. */
+  def qualityScoreFrom(nTokens: Column, punct: Column, stop: Column): Column = {
+    val lenScore = least(nTokens.cast("double") / 50.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punct * 5.0, lit(1.0))
+    val stopScore = least(stop * 5.0, lit(1.0))
     round(lenScore * 0.4 + punctPenalty * 0.4 + stopScore * 0.2, 6)
   }
+
+  /** One-shot column form of [[qualityScoreFrom]] — convenient, but
+    * evaluates the tokenizer per component. */
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(tokenCount(text), punctRatio(text), stopwordRatio(text))
 
   /** Fraction of repeated (non-distinct) n-grams in a pre-computed
     * gram array — the Gopher-style repetition quality signal. Callers

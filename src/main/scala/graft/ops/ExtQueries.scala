@@ -332,9 +332,12 @@ object ExtQueries {
 
   // ---- text analysis ----
 
+  /** Staged frame form — tokenizes once per row instead of once per
+    * (language × reference). */
   val textLangid: Q = (s, dir) =>
-    documents(s, dir).select(col("doc_id"),
-      TextStats.langIdCol(col("text")).as("lang_pred"))
+    TextStats.withLangId(documents(s, dir).select("doc_id", "text"),
+        "text", "lang_pred")
+      .select("doc_id", "lang_pred")
       .orderBy("doc_id")
 
   val textLangidSql = {
@@ -356,12 +359,20 @@ object ExtQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Staged projection: tokenizer/regex components evaluate ONCE each,
+    * later columns reference them by attribute (a one-projection form
+    * would re-tokenize per output column — the HOF-CSE trap). */
   val textQuality: Q = (s, dir) =>
-    documents(s, dir).select(col("doc_id"),
-      TextStats.tokenCount(col("text")).as("n_tokens"),
-      round(TextStats.punctRatio(col("text")), 6).as("punct_ratio"),
-      round(TextStats.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-      TextStats.qualityScore(col("text")).as("quality"))
+    documents(s, dir)
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.punctRatio(col("text")).as("__pr"),
+        TextStats.stopwordRatio(col("text")).as("__sr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__pr"), 6).as("punct_ratio"),
+        round(col("__sr"), 6).as("stopword_ratio"),
+        TextStats.qualityScoreFrom(col("n_tokens"), col("__pr"), col("__sr"))
+          .as("quality"))
       .orderBy("doc_id")
 
   val textQualitySql = {

@@ -181,5 +181,10 @@ class ExtSpec extends AnyFunSuite {
     val out = df.select(col("id"), TextStats.langIdCol(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "de", out.toString)
+    // staged frame form returns the same predictions as the column form
+    val staged = TextStats.withLangId(df, "text", "l")
+      .select("id", "l")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(staged == out, staged.toString)
   }
 }
