@@ -142,13 +142,21 @@ object TextStats {
     }
 
   /** Order-insensitive content fingerprint: md5 of the sorted token
-    * bag. Identical bags (e.g. shuffled near-duplicates) collide. */
+    * bag. Identical bags (e.g. shuffled near-duplicates) collide.
+    * Token-array form so several fingerprints can share one staged
+    * tokenize pass. */
+  def bagFingerprintOfTokens(tokens: Column): Column =
+    md5(array_join(array_sort(tokens), " "))
+
   def bagFingerprint(text: Column): Column =
-    md5(array_join(array_sort(Featurize.tokensCol(text)), " "))
+    bagFingerprintOfTokens(Featurize.tokensCol(text))
 
   /** Polynomial rolling hash over token lengths mod a prime — a cheap
     * sequence-sensitive fingerprint (portable: integer arithmetic only). */
-  def rollingFingerprint(text: Column): Column =
-    aggregate(Featurize.tokensCol(text), lit(0L),
+  def rollingFingerprintOfTokens(tokens: Column): Column =
+    aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * 31 + length(t), lit(1000003L)))
+
+  def rollingFingerprint(text: Column): Column =
+    rollingFingerprintOfTokens(Featurize.tokensCol(text))
 }

@@ -459,10 +459,13 @@ object ExtQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Staged: one tokenize pass feeds both fingerprints. */
   val textFingerprint: Q = (s, dir) =>
-    documents(s, dir).select(col("doc_id"),
-      TextStats.bagFingerprint(col("text")).as("bag_fp"),
-      TextStats.rollingFingerprint(col("text")).as("rolling_fp"))
+    documents(s, dir)
+      .select(col("doc_id"), Featurize.tokensCol(col("text")).as("__t"))
+      .select(col("doc_id"),
+        TextStats.bagFingerprintOfTokens(col("__t")).as("bag_fp"),
+        TextStats.rollingFingerprintOfTokens(col("__t")).as("rolling_fp"))
       .orderBy("doc_id")
 
   val textFingerprintSql =

@@ -684,9 +684,10 @@ object Queries {
   val featurizeCounts: Q = (s, dir) =>
     documents(s, dir)
       .select(col("doc_id"),
-        size(graft.ml.Featurize.tokensCol(col("text"))).as("n_tokens"),
-        size(graft.ml.Featurize.ngramsCol(
-          graft.ml.Featurize.tokensCol(col("text")), 2)).as("n_bigrams"))
+        graft.ml.Featurize.tokensCol(col("text")).as("__t"))
+      .select(col("doc_id"),
+        size(col("__t")).as("n_tokens"),
+        size(graft.ml.Featurize.ngramsCol(col("__t"), 2)).as("n_bigrams"))
       .orderBy("doc_id")
 
   val featurizeCountsSql =
