@@ -76,14 +76,19 @@ object TextStats {
         .cast("double") / length(text).cast("double"))
       .otherwise(0.0)
 
-  /** Ratio of tokens that are (English) stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = Featurize.tokensCol(lower(text))
-    when(size(toks) > 0,
-      markerHits(toks, langMarkers.head._2).cast("double") /
-        size(toks).cast("double"))
+  /** Ratio of tokens (pre-lowered, pre-staged array) that are
+    * (English) stopwords. The array is referenced three times — pass
+    * an attribute, not a tokenizer expression. */
+  def stopwordRatioOfTokens(lowerToks: Column): Column =
+    when(size(lowerToks) > 0,
+      markerHits(lowerToks, langMarkers.head._2).cast("double") /
+        size(lowerToks).cast("double"))
       .otherwise(0.0)
-  }
+
+  /** Ratio of tokens that are (English) stopwords (one-shot form —
+    * tokenizes per reference; prefer [[stopwordRatioOfTokens]]). */
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioOfTokens(Featurize.tokensCol(lower(text)))
 
   /** Mean token length. */
   def meanTokenLength(text: Column): Column = {

@@ -364,10 +364,12 @@ object ExtQueries {
     * would re-tokenize per output column — the HOF-CSE trap). */
   val textQuality: Q = (s, dir) =>
     documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        Featurize.tokensCol(lower(col("text"))).as("__lt"))
       .select(col("doc_id"),
         TextStats.tokenCount(col("text")).as("n_tokens"),
         TextStats.punctRatio(col("text")).as("__pr"),
-        TextStats.stopwordRatio(col("text")).as("__sr"))
+        TextStats.stopwordRatioOfTokens(col("__lt")).as("__sr"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("__pr"), 6).as("punct_ratio"),
         round(col("__sr"), 6).as("stopword_ratio"),
