@@ -90,14 +90,17 @@ object TextStats {
   def stopwordRatio(text: Column): Column =
     stopwordRatioOfTokens(Featurize.tokensCol(lower(text)))
 
-  /** Mean token length. */
-  def meanTokenLength(text: Column): Column = {
-    val toks = Featurize.tokensCol(text)
-    when(size(toks) > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(toks).cast("double"))
+  /** Mean token length over a pre-staged token array (referenced three
+    * times — pass an attribute). */
+  def meanTokenLengthOfTokens(tokens: Column): Column =
+    when(size(tokens) > 0,
+      aggregate(tokens, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(tokens).cast("double"))
       .otherwise(0.0)
-  }
+
+  /** Mean token length (one-shot form). */
+  def meanTokenLength(text: Column): Column =
+    meanTokenLengthOfTokens(Featurize.tokensCol(text))
 
   /** Composite quality score from PRE-STAGED components (token count,
     * punct ratio, stopword ratio already computed under their own

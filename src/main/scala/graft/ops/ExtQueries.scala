@@ -396,19 +396,31 @@ object ExtQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Staged: the whitespace token array feeds the count and the mean
+    * length; the BPE-ish count has its own split. */
   val textTokens: Q = (s, dir) =>
-    documents(s, dir).select(col("doc_id"),
-      TextStats.tokenCount(col("text")).as("n_ws_tokens"),
-      TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+    documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        Featurize.tokensCol(col("text")).as("__t"))
+      .select(col("doc_id"),
+        size(col("__t")).as("n_ws_tokens"),
+        TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+        TextStats.meanTokenLengthOfTokens(col("__t")).as("mean_tok_len"))
       .orderBy("doc_id")
 
   val textTokensSql =
-    s"""SELECT doc_id,
-       |  len($toksSql) AS n_ws_tokens,
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |SELECT doc_id,
+       |  len(toks) AS n_ws_tokens,
        |  len(list_filter(string_split_regex(
        |    regexp_replace(text, '([^a-zA-Z0-9\\s])', ' \\1 ', 'g'), '\\s+'),
-       |    tk -> len(tk) > 0)) AS n_bpeish_tokens
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |    tk -> len(tk) > 0)) AS n_bpeish_tokens,
+       |  CASE WHEN len(toks) > 0 THEN
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, tk -> CAST(len(tk) AS BIGINT))),
+       |      (acc, v) -> acc + v) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |  ELSE 0.0 END AS mean_tok_len
+       |FROM t ORDER BY doc_id""".stripMargin
 
   /** Repetition quality signal: fraction of duplicate token bigrams
     * per document (staged projection keeps the gram array evaluated
