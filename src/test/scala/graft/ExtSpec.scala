@@ -39,6 +39,36 @@ class ExtSpec extends AnyFunSuite {
     val pairs = Dedup.nearDupPairs(planted, "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 9001L)), s"pairs=$pairs")
+    // the candidates-only API surfaces at least the verified pairs
+    val cands = Dedup.lshCandidatePairs(planted, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(cands), s"missing candidates: ${pairs -- cands}")
+  }
+
+  test("array-form minhash signature and band keys match the frame form") {
+    // the ad-hoc column form must agree with the scalable
+    // explode+partial-agg form it documents itself against
+    val sample = docs.where(col("doc_id") < 50).select("doc_id", "text")
+    val arrForm = sample.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text")), 4).as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("m0"), element_at(col("sig"), 2).as("m1"),
+        element_at(col("sig"), 3).as("m2"), element_at(col("sig"), 4).as("m3"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toMap
+    val frameForm = Dedup.minhashSignatures(sample, "text", "doc_id", 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toMap
+    assert(arrForm == frameForm)
+    // band keys from the array signature match the column-wise keys
+    val viaArray = sample.select(col("doc_id"),
+        Dedup.bandKeys(Dedup.minhashSignature(Dedup.shingles(col("text")), 4),
+          bands = 2, rowsPerBand = 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaCols = Dedup.minhashSignatures(sample, "text", "doc_id", 4)
+      .select(col("doc_id"), Dedup.bandKeysFromColumns(4, 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaArray == viaCols)
   }
 
   test("simhash of a near-duplicate is within small hamming distance") {
@@ -53,6 +83,11 @@ class ExtSpec extends AnyFunSuite {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)),
       s"near-dup hamming ${ham(sh(1L), sh(2L))} !< distinct ${ham(sh(1L), sh(3L))}")
+    // the column-level distance agrees with the local computation
+    import spark.implicits._
+    val pairHam = Seq((sh(1L), sh(2L))).toDF("a", "b")
+      .select(Dedup.hamming16(col("a"), col("b")).cast("int")).head.getInt(0)
+    assert(pairHam == ham(sh(1L), sh(2L)))
   }
 
   test("IVF top-k achieves reasonable recall against brute force") {
@@ -66,6 +101,10 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall=$recall (|brute|=${brute.size}, |ivf|=${ivf.size})")
+    // the stored-index builder assigns every vector a valid cell
+    val indexed = Similarity.ivfAssign(emb, "vec_id", "embedding", nCells = 8)
+    assert(indexed.where(col("cell") < 0 || col("cell") >= 8).count() == 0)
+    assert(indexed.select("cell").distinct().count() > 1)
   }
 
   test("connected components merge chains of pairs transitively") {
