@@ -168,12 +168,22 @@ object ExtQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Components over the planted pairs, memoized like the pairs
+    * themselves: q_dedup_components and q_dedup_apply share one
+    * propagation run. */
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def plantedComponents(s: SparkSession, dir: String): DataFrame =
+    componentsCache.computeIfAbsent(s.hashCode() + "|" + dir, _ =>
+      Dedup.connectedComponents(plantedNearDupPairs(s, dir)).persist())
+
   /** Pairs → groups: connected components over the verified near-dup
     * pairs of the planted-duplicate corpus (min-label propagation;
     * component = smallest doc_id reachable). Oracle: DuckDB recursive
     * CTE computing min reachable id over the same edges. */
   val dedupComponents: Q = (s, dir) =>
-    Dedup.connectedComponents(plantedNearDupPairs(s, dir))
+    plantedComponents(s, dir)
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
@@ -214,6 +224,65 @@ object ExtQueries {
        |  SELECT e.b, walk.r FROM walk JOIN edges e ON e.a = walk.id)
        |SELECT id AS doc_id, MIN(r) AS component
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
+  /** The APPLY step of near-dup removal — what a user actually runs
+    * after pairs→groups: keep only each component's minimum id (plus
+    * every untouched document). Left-anti join against the non-minimal
+    * members, so the corpus never shuffles on anything wider than its
+    * id. Drops the 10 planted copies plus whatever natural near-dups
+    * the corpus holds at the 0.5 threshold. */
+  val dedupApply: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val aug = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text"))
+    val losers = plantedComponents(s, dir)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs.union(aug).join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  val dedupApplySql = {
+    val mins = (0 until 8).map { i =>
+      val h = if (i < 4) "md5(x)" else "md5('1|' || x)"
+      s"  list_min(list_transform(sh, x -> substr($h, ${(i % 4) * 8 + 1}, 8))) AS m$i"
+    }.mkString(",\n")
+    val bands = (0 until 4).map(b => s"md5(m${2 * b} || '|' || m${2 * b + 1})")
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text || ' zzz zzz zzz' AS text
+       |  FROM documents WHERE doc_id < 10),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM aug),
+       |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |m AS (SELECT doc_id,
+       |$mins
+       |FROM s),
+       |b AS (SELECT doc_id, unnest($bands) AS band FROM m),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM b l JOIN b r USING (band) WHERE l.doc_id < r.doc_id),
+       |d AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN d a ON cand.id_a = a.doc_id JOIN d c ON cand.id_b = c.doc_id
+       |  WHERE CAST(len(list_intersect(a.dsh, c.dsh)) AS DOUBLE) /
+       |    (len(a.dsh) + len(c.dsh) - len(list_intersect(a.dsh, c.dsh))) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |walk(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, walk.r FROM walk JOIN edges e ON e.a = walk.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM walk GROUP BY id)
+       |SELECT a.doc_id FROM aug a
+       |WHERE NOT EXISTS (SELECT 1 FROM comp
+       |  WHERE comp.id = a.doc_id AND comp.component <> a.doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** 16-bit SimHash per document, scalable explode+partial-agg form
@@ -610,6 +679,7 @@ object ExtQueries {
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_neardup" -> dedupNeardup,
     "q_dedup_components" -> dedupComponents,
+    "q_dedup_apply" -> dedupApply,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_sim_topk" -> simTopK,
@@ -634,6 +704,7 @@ object ExtQueries {
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_neardup" -> dedupNeardupSql,
     "q_dedup_components" -> dedupComponentsSql,
+    "q_dedup_apply" -> dedupApplySql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_sim_topk" -> simTopKSql,

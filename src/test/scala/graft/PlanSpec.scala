@@ -77,12 +77,13 @@ class PlanSpec extends AnyFunSuite {
       }
       assert(!plan.contains("BatchEvalPython") && !plan.contains("PythonUDF"),
         s"$name contains a Python node")
-      // q_dedup_components is exempt from the RDD-scan rule: iterative
-      // label propagation cuts lineage per round via localCheckpoint
-      // (the plan would otherwise grow 3^rounds), so its RESULT is a
-      // materialized RDD by design — nothing upstream of it skips
-      // pushdown, and the rule still guards every scan-shaped query.
-      if (name != "q_dedup_components")
+      // The connected-components consumers are exempt from the
+      // RDD-scan rule: iterative label propagation cuts lineage per
+      // round via localCheckpoint (the plan would otherwise grow
+      // 3^rounds), so the label frame is a materialized RDD by design
+      // — nothing upstream of it skips pushdown, and the rule still
+      // guards every scan-shaped query.
+      if (!Set("q_dedup_components", "q_dedup_apply").contains(name))
         assert(!plan.contains("ExistingRDD"),
           s"$name plans an opaque RDD scan (breaks pushdown/codegen)")
     }
