@@ -37,6 +37,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.where(col("text").isNull).count() == 0)
   }
 
+  test("orc round trip preserves rows, schema and values") {
+    val tmp = java.nio.file.Files.createTempDirectory("orc").toString
+    val in = docs.select("doc_id", "lang", "n_chars")
+    in.write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp)
+    assert(back.schema == in.schema)
+    assert(back.count() == in.count())
+    assert(back.agg(sum("n_chars")).head.getLong(0) ==
+      in.agg(sum("n_chars")).head.getLong(0))
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.where(col("doc_id") < 10).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"), plan)
+  }
+
   test("text sink/scan round trip (S3/S4)") {
     val tmp = java.nio.file.Files.createTempDirectory("txt").toString
     docs.select(concat_ws("|", col("doc_id"), col("lang")).as("value"))
