@@ -115,6 +115,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").select("event_id").distinct().count() == 200)
   }
 
+  test("checkpointed file-sink stream resumes exactly-once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.ops.Tables.events(spark, sfDir)
+    val src = java.nio.file.Files.createTempDirectory("ck_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("ck_sink").toString
+    val chk = java.nio.file.Files.createTempDirectory("ck_chk").toString
+    def runOnce(): Unit = {
+      val stream = ScoreStream.readEventsStream(spark, src, ev.schema)
+      val q = stream.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // first half, process, then append the second half and RESTART the
+    // query from the same checkpoint — the sink must end exactly-once
+    ev.where(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    runOnce()
+    ev.where(col("event_id") % 2 =!= 0).write.mode("append").parquet(src)
+    runOnce()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == ev.count(), s"${out.count()} != ${ev.count()}")
+    assert(out.select("event_id").distinct().count() == ev.count())
+  }
+
   test("sessionize runs as a streaming query (ProcessingTimeTimeout path)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
