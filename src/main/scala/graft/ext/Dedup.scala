@@ -195,10 +195,22 @@ object Dedup {
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // verify with STAGED jaccard components: the one-expression
+    // jaccard() references each distinct-array twice and the
+    // intersection twice, and codegen re-evaluates per reference —
+    // here every non-cheap value is computed once under an alias
     cands
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("__da", array_distinct(col("sh_a")))
+      .withColumn("__db", array_distinct(col("sh_b")))
+      .withColumn("__inter",
+        size(array_intersect(col("__da"), col("__db"))).cast("double"))
+      .withColumn("__union",
+        (size(col("__da")) + size(col("__db"))).cast("double") - col("__inter"))
+      .withColumn("jaccard",
+        when(col("__union") > 0, round(col("__inter") / col("__union"), 6))
+          .otherwise(0.0))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

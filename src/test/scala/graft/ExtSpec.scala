@@ -45,6 +45,14 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.subsetOf(cands), s"missing candidates: ${pairs -- cands}")
   }
 
+  test("ad-hoc jaccard column matches set arithmetic") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c", "a"), Seq("b", "c", "d"))).toDF("x", "y")
+    // inter {b,c} = 2, union {a,b,c,d} = 4
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0)
+    assert(j == 0.5, j.toString)
+  }
+
   test("array-form minhash signature and band keys match the frame form") {
     // the ad-hoc column form must agree with the scalable
     // explode+partial-agg form it documents itself against
