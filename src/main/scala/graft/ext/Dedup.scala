@@ -349,16 +349,19 @@ object Dedup {
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Similarity.signBucketNative(spark, col(vecCol), nBits, dim)
         .as("bucket"))
+      .withColumn("__n", sqrt(Similarity.nDot(spark, col("vec"), col("vec"))))
     val probes =
       if (probeHamming == 0) array(col("bucket"))
       else array(col("bucket") +:
         (0 until nBits).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val probed = withBucket.select(col("id").as("__pid"), col("vec").as("__pvec"),
-      explode(probes).as("bucket"))
+      col("__n").as("__pn"), explode(probes).as("bucket"))
     probed.join(withBucket, Seq("bucket"))
       .where(col("__pid") < col("id"))
-      .withColumn("cosine",
-        Similarity.nCosine(spark, col("__pvec"), col("vec")))
+      // norms staged once per vector above; per-candidate work is one dot
+      .withColumn("cosine", Similarity.cosineFromNorms(
+        Similarity.nDot(spark, col("__pvec"), col("vec")),
+        col("__pn"), col("__n")))
       .where(col("cosine") >= threshold)
       .select(col("__pid").as("id_a"), col("id").as("id_b"), col("cosine"))
       .distinct()

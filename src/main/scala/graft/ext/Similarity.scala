@@ -48,22 +48,34 @@ object Similarity {
     call_function("dot_product", a, b)
   }
 
-  /** Codegen'd cosine — same values as [[cosine]]. */
-  private[ext] def nCosine(spark: org.apache.spark.sql.SparkSession,
-                           a: Column, b: Column): Column = {
-    val d = sqrt(nDot(spark, a, a)) * sqrt(nDot(spark, b, b))
-    when(d > 0, round(nDot(spark, a, b) / d, 6)).otherwise(0.0)
+  /** Cosine from a per-pair dot and PRE-STAGED per-side norms (pass
+    * attributes). A self-contained per-pair cosine expression would
+    * recompute both norms per row — and the `when` guard duplicates
+    * the divisor subtree, so ~5 dot passes per pair where one
+    * suffices; every frame-level operator therefore stages
+    * `sqrt(dot(v,v))` once per vector BEFORE its join and combines
+    * here. Values match the naive form exactly: same folds, same
+    * operand order (left norm multiplies first). */
+  private[ext] def cosineFromNorms(dot: Column, normA: Column,
+                                   normB: Column): Column = {
+    val d = normA * normB
+    when(d > 0, round(dot / d, 6)).otherwise(0.0)
   }
 
   /** Brute-force exact top-k: every query scored against every corpus
     * vector (query side broadcast), ranked per query with id
-    * tie-break. */
+    * tie-break. Norms are computed once per VECTOR before the join —
+    * the per-pair work is a single dot product. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
+    val s = corpus.sparkSession
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__qn", sqrt(nDot(s, col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("__cn", sqrt(nDot(s, col("cv"), col("cv"))))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", nCosine(corpus.sparkSession, col("qv"), col("cv")))
+      .withColumn("cosine", cosineFromNorms(
+        nDot(s, col("qv"), col("cv")), col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -236,17 +248,21 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
               nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val s = corpus.sparkSession
     val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
     val indexed = assignCells(corpus, vecCol, cents)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+      .withColumn("__cn", sqrt(nDot(s, col("cv"), col("cv"))))
     val probed = withProbeCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "qv", cents, nprobe)
+      .withColumn("__qn", sqrt(nDot(s, col("qv"), col("qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     indexed.join(broadcast(probed), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", nCosine(corpus.sparkSession, col("qv"), col("cv")))
+      .withColumn("cosine", cosineFromNorms(
+        nDot(s, col("qv"), col("cv")), col("__qn"), col("__cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
