@@ -23,7 +23,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (driver records a weaker rows-only check). */
+    * (driver records a weaker rows-only check). Dynamic oracles embed
+    * data-derived literals and appear once their query has run in this
+    * process (Verify runs every query before dumping this map). */
   def oracleSql: Map[String, String] =
-    ops.Queries.oracles ++ ops.ExtQueries.oracles
+    ops.Queries.oracles ++ ops.ExtQueries.oracles ++ ops.ExtQueries.dynamicOracles
 }

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ml.Featurize
 
@@ -92,16 +91,24 @@ object Dedup {
         slice(sig, b * rowsPerBand + 1, rowsPerBand)))
     }: _*)
 
-  /** Exact dedup: keep the smallest id per identical (normalized)
-    * text. The window partitions on `md5(text)` rather than the text
-    * itself, so the shuffle/sort key is a fixed 32 chars regardless of
-    * document length (the row still carries the text — only the
-    * comparator is bounded). Equal md5 ⟺ equal text up to the 2^-128
-    * collision chance, the standard content-dedup trade. */
+  /** Exact dedup: keep the smallest id per identical text, in the
+    * hash-agg + semi-join shape. The winner set is `groupBy(md5(text))
+    * .agg(min(id))` — its exchange carries (32-B hash, id) computed
+    * map-side, never document bodies — and winners semi-join back to
+    * the corpus on the id column. A window over `md5(text)` would
+    * instead push every body through a hash exchange on a key that can
+    * never pre-exist in storage; here the only wide-row join key is
+    * the id, which a stored corpus CAN be bucketed/partitioned on
+    * (co-located semi-join ⇒ zero body movement), and when the winner
+    * set is small AQE broadcasts it (no body shuffle either way).
+    * Equal md5 ⟺ equal text up to the 2^-128 collision chance, the
+    * standard content-dedup trade. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val winners = df
+      .select(md5(col(textCol)).as("__h"), col(idCol))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(winners, Seq(idCol), "left_semi")
   }
 
   /** MinHash-LSH candidate pairs: signatures (scalable frame form) →
@@ -226,7 +233,25 @@ object Dedup {
     * DataFrame-native formulation that scales; intermediate labels are
     * persisted and lineage is cut per round. Returns (id, component).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          reliable: Boolean = false): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, reliable)._1
+
+  /** [[connectedComponents]] also returning the number of propagation
+    * rounds executed (including the final fixpoint-confirming round) —
+    * the pointer-jumping guarantee is rounds ≤ ⌈log₂ diameter⌉ + a
+    * confirm, which the spec asserts on a long-chain fixture.
+    *
+    * `reliable = false` cuts per-round lineage with a lazy
+    * localCheckpoint (executor-local blocks; one job per round —
+    * right for single-app batch runs). `reliable = true` uses
+    * `checkpoint()` against `spark.sparkContext.setCheckpointDir`
+    * storage instead: blocks survive executor loss on a long cluster
+    * run, at the price of an eager write job per round. */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 20,
+                                    reliable: Boolean = false): (DataFrame, Int) = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint(false)
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs
@@ -242,9 +267,8 @@ object Dedup {
     // round's plan references `labels` three times, so without the cut
     // the plan tree grows 3^rounds. On a fault-tolerant cluster run,
     // swap for checkpoint() against reliable storage.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("component"))
-      .localCheckpoint(false)
+    var labels = cut(edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("component")))
     // labels only ever decrease, so sum(component) is strictly
     // monotone: equality across rounds ⟺ fixpoint. The sum is read in
     // the same action that materializes the round's cache — ONE job
@@ -265,15 +289,14 @@ object Dedup {
       // remaining chain, so long paths converge in O(log diameter)
       // rounds instead of O(diameter). Both joins read the cached
       // `labels`, so a round is still one pipeline / one job.
-      val next = labels
+      val next = cut(labels
         .join(nbrMin, Seq("id"), "left")
         .join(labels.select(col("id").as("component"),
           col("component").as("__cc")), Seq("component"), "left")
         .select(col("id"),
           least(col("component"),
             coalesce(col("__nbr_min"), col("component")),
-            coalesce(col("__cc"), col("component"))).as("component"))
-        .localCheckpoint(false)
+            coalesce(col("__cc"), col("component"))).as("component")))
       val nextSum = next.agg(coalesce(sum(col("component")), lit(0L)))
         .head.getLong(0)
       labels = next
@@ -282,7 +305,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    (labels, i)
   }
 
   /** 16-bit SimHash from md5 material: per token take 4 hex chars as a

@@ -44,13 +44,48 @@ object Multimodal {
   case class MediaFeatures(id: Long, width: Int, height: Int,
                            features: Array[Float])
 
-  /** STUB codec: deterministic fake decode. A real deployment swaps
-    * this object for JNI/javacpp bindings; the call sites don't change. */
+  /** Real pure-JVM PNG header decode — no codec library needed: the
+    * PNG spec fixes the 8-byte signature, then the IHDR chunk (4-byte
+    * length + "IHDR" type at offsets 8..15) with width and height as
+    * big-endian u32 at offsets 16 and 20. */
+  object PngHeader {
+    private val Signature: Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    /** (width, height) if the payload starts with a valid PNG
+      * signature + IHDR chunk header; None otherwise. */
+    def dims(payload: Array[Byte]): Option[(Int, Int)] =
+      if (payload.length >= 24 &&
+          payload.view.slice(0, 8).sameElements(Signature) &&
+          payload.view.slice(12, 16)
+            .sameElements("IHDR".getBytes("US-ASCII"))) {
+        val bb = java.nio.ByteBuffer.wrap(payload, 16, 8)
+        Some((bb.getInt, bb.getInt))
+      } else None
+
+    /** Minimal PNG signature + IHDR prefix for the given dimensions
+      * (spec fixtures plant these payloads). */
+    def prefix(width: Int, height: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.put(Signature).putInt(13).put("IHDR".getBytes("US-ASCII"))
+        .putInt(width).putInt(height)
+      bb.array()
+    }
+  }
+
+  /** Codec with one REAL format path (PNG dimensions via [[PngHeader]])
+    * and a deterministic fake for everything else — pixel decode and
+    * feature extraction stay stubbed because this environment has no
+    * image libraries; a real deployment swaps those for JNI/javacpp
+    * bindings without touching the call sites. */
   object FakeCodec {
-    /** "Decode" a payload into (width, height, feature vector). */
+    /** Decode a payload into (width, height, feature vector): true
+      * header dimensions for PNG payloads, fake-but-deterministic
+      * otherwise. */
     def decode(payload: Array[Byte], dim: Int = 8): (Int, Int, Array[Float]) = {
-      val w = 16 + (if (payload.isEmpty) 0 else math.abs(payload(0).toInt) % 64)
-      val h = 16 + (if (payload.length < 2) 0 else math.abs(payload(1).toInt) % 64)
+      val (w, h) = PngHeader.dims(payload).getOrElse((
+        16 + (if (payload.isEmpty) 0 else math.abs(payload(0).toInt) % 64),
+        16 + (if (payload.length < 2) 0 else math.abs(payload(1).toInt) % 64)))
       val feats = Array.tabulate(dim) { i =>
         if (payload.isEmpty) 0f
         else payload(i % payload.length).toFloat / 128f

@@ -247,9 +247,17 @@ object Similarity {
     * — broadcast, so the corpus never shuffles. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
-              nprobe: Int = 4, iters: Int = 2): DataFrame = {
+              nprobe: Int = 4, iters: Int = 2): DataFrame =
+    ivfTopKWith(queries, corpus, idCol, vecCol, k,
+      kmeansCentroids(corpus, idCol, vecCol, nCells, iters), nprobe)
+
+  /** [[ivfTopK]] against caller-held centroids — lets a caller build
+    * the index once (or persist centroids) and share them across
+    * queries and oracle generation. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int, cents: Array[Array[Double]],
+                  nprobe: Int): DataFrame = {
     val s = corpus.sparkSession
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
     val indexed = assignCells(corpus, vecCol, cents)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
       .withColumn("__cn", sqrt(nDot(s, col("cv"), col("cv"))))

@@ -51,8 +51,12 @@ object Trainer {
     // per-task overhead multiplies by maxIter: for small/medium training
     // samples (the post-stratification case), fewer fat partitions beat
     // many thin ones. Cap at default parallelism; never increase.
+    // partition count read from the executed plan — `train.rdd` would
+    // materialize an RDD conversion of the persisted frame just to ask
+    val trainParts =
+      train.queryExecution.executedPlan.outputPartitioning.numPartitions
     val nPart = math.max(1, math.min(
-      train.rdd.getNumPartitions,
+      trainParts,
       train.sparkSession.sparkContext.defaultParallelism / 4))
     val featurized = Featurize.addFeatures(
       indexer.transform(train), textCol, "__features",

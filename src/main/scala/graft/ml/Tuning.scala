@@ -60,7 +60,10 @@ object Tuning {
     }
     pool.shutdown()
     pool.awaitTermination(2, TimeUnit.HOURS)
-    results.values.toSeq
+    // submission order, not TrieMap iteration order: with the stable
+    // sort in byObjective this makes rankings (and halving's survivor
+    // selection under ties) deterministic across runs
+    results.toSeq.sortBy(_._1).map(_._2)
   }
 
   private def byObjective(trials: Seq[Trial], objective: String): Seq[Trial] =

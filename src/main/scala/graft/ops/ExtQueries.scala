@@ -125,6 +125,15 @@ object ExtQueries {
   private val plantedPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Drop memoized cross-query intermediates (see Queries.clearMemo). */
+  def clearMemo(): Unit = {
+    plantedPairsCache.values.forEach(df => { df.unpersist(); () })
+    plantedPairsCache.clear()
+    componentsCache.values.forEach(df => { df.unpersist(); () })
+    componentsCache.clear()
+    ivfCentsCache.clear()
+  }
+
   private def plantedNearDupPairs(s: SparkSession, dir: String): DataFrame =
     plantedPairsCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
       val docs = documents(s, dir).select("doc_id", "text")
@@ -230,8 +239,12 @@ object ExtQueries {
     * after pairs→groups: keep only each component's minimum id (plus
     * every untouched document). Left-anti join against the non-minimal
     * members, so the corpus never shuffles on anything wider than its
-    * id. Drops the 10 planted copies plus whatever natural near-dups
-    * the corpus holds at the 0.5 threshold. */
+    * id. No broadcast hint: the loser set grows with the corpus's
+    * duplicate rate (tens of % of a web corpus — unbounded at 100 TB),
+    * so the join shape must stay a shuffled anti-join; AQE still
+    * promotes it to broadcast at runtime whenever the set is actually
+    * small. Drops the 10 planted copies plus whatever natural
+    * near-dups the corpus holds at the 0.5 threshold. */
   val dedupApply: Q = (s, dir) => {
     val docs = documents(s, dir).select("doc_id", "text")
     val aug = docs.where(col("doc_id") < 10)
@@ -240,7 +253,7 @@ object ExtQueries {
     val losers = plantedComponents(s, dir)
       .where(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
-    docs.union(aug).join(broadcast(losers), Seq("doc_id"), "left_anti")
+    docs.union(aug).join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -337,16 +350,102 @@ object ExtQueries {
        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sims) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** IVF approximate top-5 over k-means cells (rows-only: centroid
-    * assignment is not worth mirroring in SQL; recall vs brute is
-    * asserted in tests). One Lloyd iteration — the fixture vectors are
-    * unclustered, so more buys no recall, just actions. */
+  /** IVF centroids (16 cells, 1 Lloyd iteration, md5-seeded),
+    * memoized per (session, dir). The query and its oracle generator
+    * must see the SAME centroid doubles — the Lloyd update's
+    * distributed double-sum is not fold-order deterministic across
+    * runs — so the centroids are computed once here and shared: the
+    * query plans them as literals, and [[dynamicOracles]] emits the
+    * identical values into the oracle SQL (the plane-literal
+    * technique of [[dedupEmbeddingSql]]). */
+  private val ivfCentsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def ivfCents(s: SparkSession, dir: String): Array[Array[Double]] =
+    ivfCentsCache.computeIfAbsent(s.hashCode() + "|" + dir, _ =>
+      Similarity.kmeansCentroids(embeddings(s, dir), "vec_id", "embedding",
+        16, iters = 1))
+
+  /** IVF approximate top-5 over k-means cells. One Lloyd iteration —
+    * the fixture vectors are unclustered, so more buys no recall, just
+    * actions. Oracled via centroid literals (see [[ivfCents]]); recall
+    * vs brute force is additionally asserted in tests. */
   val simIvf: Q = (s, dir) => {
     val emb = embeddings(s, dir)
-    Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb,
-      "vec_id", "embedding", 5, nCells = 16, nprobe = 4, iters = 1)
+    Similarity.ivfTopKWith(emb.where(col("vec_id") < 10), emb,
+      "vec_id", "embedding", 5, ivfCents(s, dir), nprobe = 4)
       .orderBy("query_id", "rank")
   }
+
+  /** DuckDB double literal: an exponent suffix forces DOUBLE typing
+    * (a plain decimal literal parses as DECIMAL, whose re-conversion
+    * to double is not guaranteed bit-exact); Double.toString is
+    * shortest-round-trip, so the parsed value is the original bits. */
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains("E")) s else s + "E0"
+  }
+
+  /** The IVF query mirrored in SQL against literal centroids: same
+    * staged norms, same per-centroid cosine (literal centroid norms),
+    * same first-max-wins cell argmax, same (sim DESC, cell) probe
+    * ranking, same rounded verify cosine and (cosine DESC, id) top-k. */
+  def simIvfSqlFor(cents: Array[Array[Double]]): String = {
+    val k = cents.length
+    val centsLit = cents.map(_.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def simExpr(i: Int): String =
+      if (cnorms(i) == 0) "CAST(0.0 AS DOUBLE)"
+      else {
+        val fold = foldSumSql(
+          s"list_transform(range(1, len(cv)+1), j -> cv[j] * cents[${i + 1}][j])")
+        s"(CASE WHEN vn > 0 THEN $fold / (vn * ${dlit(cnorms(i))}) ELSE 0.0 END)"
+      }
+    val sims = (0 until k).map(i => s"  ${simExpr(i)} AS s_$i").mkString(",\n")
+    val best = s"greatest(${(0 until k).map("s_" + _).mkString(", ")})"
+    val cellCase = (0 until k - 1).map(i => s"WHEN s_$i = best THEN $i")
+      .mkString("\n    ") + s"\n    ELSE ${k - 1}"
+    val probeStructs = (0 until k).map(i => s"{'s': s_$i, 'cell': $i}")
+      .mkString("[", ", ", "]")
+    val vnFold = foldSumSql("list_transform(range(1, len(cv)+1), j -> cv[j] * cv[j])")
+    val pairFold = foldSumSql("list_transform(range(1, len(qv)+1), j -> qv[j] * cv[j])")
+    s"""WITH ct AS (SELECT $centsLit AS cents),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |n AS (SELECT vec_id, cv, sqrt($vnFold) AS vn FROM e),
+       |s AS (SELECT vec_id, cv, vn,
+       |$sims
+       |FROM n, ct),
+       |m AS (SELECT *, $best AS best FROM s),
+       |a AS (SELECT vec_id, cv, vn,
+       |  CAST(CASE $cellCase END AS INTEGER) AS cell FROM m),
+       |p0 AS (SELECT vec_id AS query_id, cv AS qv, vn AS qn,
+       |    unnest($probeStructs) AS pc
+       |  FROM m WHERE vec_id < 10),
+       |pr AS (SELECT query_id, qv, qn, pc.cell AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY pc.s DESC, pc.cell) AS prk
+       |  FROM p0),
+       |j AS (SELECT query_id, a.vec_id AS neighbor_id,
+       |    CASE WHEN qn * vn > 0
+       |         THEN ROUND($pairFold / (qn * vn), 6) ELSE 0.0 END AS cosine
+       |  FROM pr JOIN a ON pr.cell = a.cell
+       |  WHERE pr.prk <= 4 AND pr.query_id <> a.vec_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM j) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracles only expressible AFTER their query has run in this
+    * process (they embed data-derived literals). Verify dumps
+    * oracle_sql.json after executing every query, so the centroid
+    * cache holds exactly one entry by then; any other access pattern
+    * falls back to the rows-only check. */
+  def dynamicOracles: Map[String, String] =
+    if (ivfCentsCache.size == 1)
+      Map("q_sim_ivf" -> simIvfSqlFor(ivfCentsCache.values.iterator.next()))
+    else Map.empty
 
   /** Embedding near-dup pairs via 16-bit sign-bucket LSH with
     * hamming-1 multiprobe + exact-cosine verify at a production-style

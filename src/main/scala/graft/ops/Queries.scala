@@ -586,6 +586,17 @@ object Queries {
   private val trainedScoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Drop the memoized cross-query intermediates (and their cached
+    * partitions). Bench uses this between timing passes so a repeat
+    * pass re-pays the real pipeline cost instead of reading a cache —
+    * min-of-passes then removes environment contention without hiding
+    * work. */
+  def clearMemo(): Unit = {
+    trainedScoreCache.values.forEach(df => { df.unpersist(); () })
+    trainedScoreCache.clear()
+    clearTuningMemo()
+  }
+
   private def trainedScore(s: SparkSession, dir: String): DataFrame =
     trainedScoreCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
       val sig = concat(lit("xsig"), col("lang"))
@@ -639,6 +650,71 @@ object Queries {
     perClass.orderBy("lang")
   }
 
+  /** M5 under the driver gate: a small deterministic hyperparameter
+    * search on a bounded planted-signal slice — successive halving
+    * must match-or-beat random search's best objective while spending
+    * no more than HALF random's total training epochs, else the query
+    * THROWS (the q_ml_planted_accuracy pattern). Rows-only: training
+    * is not SQL. Memoized per (session, dir) — the search is the
+    * expensive part, and Verify/Bench/PlanSpec all touch the query. */
+  private val tuningCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[ops] def clearTuningMemo(): Unit = tuningCache.clear()
+
+  val tuningHalving: Q = (s, dir) =>
+    tuningCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
+      import s.implicits._
+      val sig = concat(lit("xsig"), col("lang"))
+      // bounded slice: the demo must cost the same at every SF. The
+      // text is pure label signal + shared noise (the random fixture
+      // prose is dropped): every sampled config can saturate the task,
+      // so the halving-vs-random comparison measures budget
+      // ALLOCATION, not config luck on one hard document — the
+      // harder-task halving≥random claim is MlSpec's separate job.
+      val docs = documents(s, dir).where(col("doc_id") < 400)
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ", lit("pay"), sig, lit("txn"), sig, sig).as("text"))
+      val cfg = graft.etl.Etl.Config(labelCol = "lang", textCol = "text",
+        keyCol = "doc_id", sampleSize = 5000, countThreshold = 10)
+      val labeled = graft.etl.Etl.cleanAndLabel(docs, cfg).persist()
+      val train = labeled.where(col("doc_id") % 10 < 8)
+      val validation = labeled.where(col("doc_id") % 10 >= 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tune").toString
+      // epoch floor 8 so random's 6 trials spend >= 48 epochs; halving's
+      // rungs (4@2 + 2@4 + 1@8 = 24) then cost at most half for any
+      // seeded draw, and its final rung trains at random's epoch floor
+      // so the comparison measures allocation, not a starved finisher
+      val space = graft.ml.Tuning.Space(epoch = (8, 15),
+        numFeaturesLog2 = (14, 15))
+      val random = graft.ml.Tuning.search(train, validation,
+        "lang", "text_clean", new graft.ml.Tracking(tmp + "/rand"),
+        space, maxEvals = 6, parallelism = 4)
+      val halved = graft.ml.Tuning.searchHalving(train, validation,
+        "lang", "text_clean", new graft.ml.Tracking(tmp + "/sh"),
+        space, n0 = 4, rung0Epochs = 2, parallelism = 4)
+      labeled.unpersist()
+      val randomEpochs = random.map(_.params.epoch).sum
+      // rung schedule n0=4, budgets 2,4,8 → 4·2 + 2·4 + 1·8
+      var (n, b, halvingEpochs) = (4, 2, 0)
+      var going = true
+      while (going) {
+        halvingEpochs += n * b
+        if (n <= 1) going = false else { n = (n + 1) / 2; b *= 2 }
+      }
+      val randomBest = random.head.metrics("avg__acc")
+      val halvedBest = halved.head.metrics("avg__acc")
+      require(halvedBest >= randomBest,
+        f"halving best $halvedBest%.4f < random best $randomBest%.4f")
+      require(halvingEpochs * 2 <= randomEpochs,
+        s"halving spent $halvingEpochs epochs, random $randomEpochs — " +
+          "adaptive allocation must cost at most half")
+      Seq(
+        ("halving", halved.size, halvingEpochs, halvedBest),
+        ("random", random.size, randomEpochs, randomBest))
+        .toDF("method", "n_final_trials", "total_epochs", "best_acc")
+    })
+
   /** S3+S4+S5 driver-grounded: fastText-format lines → the
     * single-flat-file TrainingFile sink (coalesce funnel + part-file
     * copy) → file listing → read back with spark.read.text → per-label
@@ -647,8 +723,12 @@ object Queries {
     * loss in the write→list→read round trip shows up as a mismatch. */
   val trainingFileRoundtrip: Q = (s, dir) => {
     implicit val sp: SparkSession = s
+    // scoped by pid as well as fixture dir: two concurrent harness
+    // processes (Verify + Bench) over the same fixture must not
+    // overwrite each other's round trip mid-read
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_tf_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      "graft_tf_" + Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()).getAbsolutePath
     documents(s, dir)
       .select(col("lang"),
         concat(lit("__label__"), col("lang"), lit(" "), col("text")).as("line"))
@@ -730,6 +810,7 @@ object Queries {
     "q_ml_score" -> mlScore,
     "q_ml_eval_summary" -> mlEvalSummary,
     "q_ml_planted_accuracy" -> mlPlantedAccuracy,
+    "q_tuning_halving" -> tuningHalving,
     "q_training_file" -> trainingFileRoundtrip,
     "q_featurize_counts" -> featurizeCounts,
     "q_join_cross" -> joinCross,

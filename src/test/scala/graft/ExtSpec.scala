@@ -140,6 +140,33 @@ class ExtSpec extends AnyFunSuite {
     assert(comp == Set(0L), comp.toString)
   }
 
+  test("pointer jumping meets the logarithmic round bound") {
+    import spark.implicits._
+    // chain of 32 edges (diameter 32): label distance doubles per
+    // round (seed covers distance 1, round k covers 2^k), so labels
+    // settle in ceil(log2 32) = 5 rounds + 1 fixpoint-confirming
+    // round — the O(log diameter) guarantee, asserted, not assumed
+    val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(labels.agg(max(col("component"))).head.getLong(0) == 0L)
+    assert(rounds <= 6, s"rounds=$rounds exceeds ceil(log2(32))+1")
+  }
+
+  test("reliable checkpoint mode produces identical components") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(pairs, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local, s"reliable=$reliable local=$local")
+    // the reliable run actually wrote checkpoint data
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty)
+  }
+
   test("embedding near-dup of an identical planted vector is found") {
     val v = emb.where(col("vec_id") === 0).select("embedding").head
       .getSeq[Float](0).toArray
@@ -217,6 +244,22 @@ class ExtSpec extends AnyFunSuite {
     val again = Multimodal.decodeFeatures(media, dim = 8).collect()
     assert(feats.sortBy(_.id).zip(again.sortBy(_.id))
       .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("PNG payloads decode to their true header dimensions") {
+    import spark.implicits._
+    // a real PNG signature + IHDR prefix (width 123, height 45) with
+    // trailing junk; a non-PNG payload falls back to the fake dims
+    val png = Multimodal.PngHeader.prefix(123, 45) ++ Array[Byte](1, 2, 3)
+    val notPng = "just some text".getBytes("UTF-8")
+    assert(Multimodal.PngHeader.dims(png).contains((123, 45)))
+    assert(Multimodal.PngHeader.dims(notPng).isEmpty)
+    val media = Seq(Multimodal.MediaRow(1L, png), Multimodal.MediaRow(2L, notPng))
+      .toDS()
+    val feats = Multimodal.decodeFeatures(media, dim = 4)
+      .collect().map(f => f.id -> ((f.width, f.height))).toMap
+    assert(feats(1L) == ((123, 45)), feats.toString)
+    assert(feats(2L)._1 >= 16 && feats(2L)._2 >= 16, feats.toString)
   }
 
   test("langid picks the language whose markers dominate") {

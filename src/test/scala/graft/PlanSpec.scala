@@ -70,6 +70,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("md5"), p2)
   }
 
+  test("exact dedup never shuffles document bodies") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = ext.Dedup.exactDedup(
+          spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          "text", "doc_id")
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      // the winner aggregation must exchange SOMETHING — and nothing
+      // it exchanges may be the document body (only (md5, id) rows)
+      assert(shuffles.nonEmpty, plan.toString)
+      shuffles.foreach { s =>
+        assert(!s.output.exists(_.name == "text"),
+          s"exchange carries document bodies:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no query in the driver surface touches Python or RDD scans") {
     SparkEntry.queries.foreach { case (name, q) =>
       val plan = try planOf(q) catch {
