@@ -685,11 +685,14 @@ object Queries {
       // rungs (4@2 + 2@4 + 1@8 = 24) then cost at most half for any
       // seeded draw, and its final rung trains at random's epoch floor
       // so the comparison measures allocation, not a starved finisher
+      // small hash space: the pure-signal vocabulary is tiny, and
+      // L-BFGS cost scales with numFeatures × classes — 2^12..2^13
+      // keeps each trial cheap without losing separability
       val space = graft.ml.Tuning.Space(epoch = (8, 15),
-        numFeaturesLog2 = (14, 15))
+        numFeaturesLog2 = (12, 13))
       val random = graft.ml.Tuning.search(train, validation,
         "lang", "text_clean", new graft.ml.Tracking(tmp + "/rand"),
-        space, maxEvals = 6, parallelism = 4)
+        space, maxEvals = 6, parallelism = 6)
       val halved = graft.ml.Tuning.searchHalving(train, validation,
         "lang", "text_clean", new graft.ml.Tracking(tmp + "/sh"),
         space, n0 = 4, rung0Epochs = 2, parallelism = 4)
@@ -776,6 +779,128 @@ object Queries {
       |  GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)) - 1, 0) AS n_bigrams
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- widening coverage: pivot / set ops / running windows /
+  //      collect aggregates / JSONL source+sink ----
+
+  /** Pivot with an EXPLICIT value list — the scale-safe form (no
+    * distinct-scan of the pivot column; at 100 TB an implicit pivot
+    * is a full extra pass). Missing cells filled to 0 so the result
+    * matches SQL's conditional-sum formulation. */
+  val pivotQ: Q = (s, dir) =>
+    orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
+  val pivotSql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** INTERSECT / EXCEPT (distinct set semantics in both engines),
+    * tagged and unioned into one deterministic result. */
+  val setOps: Q = (s, dir) => {
+    val withOrders = orders(s, dir).select(col("o_custkey").as("custkey"))
+    val building = customer(s, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    building.intersect(withOrders).withColumn("set_op", lit("intersect"))
+      .union(building.except(withOrders).withColumn("set_op", lit("except")))
+      .orderBy("set_op", "custkey")
+  }
+
+  val setOpsSql =
+    """SELECT custkey, 'intersect' AS set_op FROM (
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT custkey, 'except' AS set_op FROM (
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders)
+      |ORDER BY set_op, custkey""".stripMargin
+
+  /** Running total (decimal-exact window sum) + lag/lead — the
+    * cumulative/offset window surface; one hash exchange on the
+    * partition key serves all three frames. */
+  val windowRunning: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, dir)
+      .withColumn("run_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .select("o_orderkey", "o_custkey", "run_total", "prev_price", "next_price")
+      .orderBy("o_orderkey")
+  }
+
+  val windowRunningSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total,
+      |  LAG(o_totalprice, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** collect_set + sort_array serialized to a deterministic string —
+    * the list-aggregate surface without relying on array output
+    * comparison. */
+  val aggCollect: Q = (s, dir) =>
+    orders(s, dir).groupBy("o_orderpriority")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+      .orderBy("o_orderpriority")
+
+  val aggCollectSql =
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+      |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** JSONL round trip — the lingua franca of LLM training corpora:
+    * rows → to_json lines → text sink → spark.read.json (schema
+    * inferred) → per-language counts + an order-independent content
+    * checksum, so any fidelity loss through JSON encode/decode shows
+    * up as a value mismatch against the parquet-direct oracle. */
+  val jsonlRoundtrip: Q = (s, dir) => {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_jsonl_" + Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()).getAbsolutePath
+    documents(s, dir)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("value"))
+      .write.mode("overwrite").text(base)
+    s.read.json(base)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_sum"))
+      .orderBy("lang")
+  }
+
+  val jsonlRoundtripSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(SUM($hex8) AS BIGINT) AS text_sum
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -819,6 +944,11 @@ object Queries {
     "q_bround" -> broundQ,
     "q_date_parts" -> dateParts,
     "q_clean_udf" -> cleanUdfSql_q,
+    "q_pivot" -> pivotQ,
+    "q_set_ops" -> setOps,
+    "q_window_running" -> windowRunning,
+    "q_agg_collect" -> aggCollect,
+    "q_jsonl_roundtrip" -> jsonlRoundtrip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -855,5 +985,10 @@ object Queries {
     "q_histogram" -> histogramSql,
     "q_bround" -> broundSql,
     "q_date_parts" -> datePartsSql,
+    "q_pivot" -> pivotSql,
+    "q_set_ops" -> setOpsSql,
+    "q_window_running" -> windowRunningSql,
+    "q_agg_collect" -> aggCollectSql,
+    "q_jsonl_roundtrip" -> jsonlRoundtripSql,
   )
 }
