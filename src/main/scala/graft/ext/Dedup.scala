@@ -111,16 +111,34 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Drop LSH buckets with more than `maxBucket` members before the
+    * self-join. Candidate cost is Σ bucket-occupancy², so ONE
+    * degenerate bucket (a boilerplate page duplicated millions of
+    * times, an empty-ish shingle set) turns the join quadratic — the
+    * standard production guard caps occupancy and accepts the recall
+    * loss inside capped buckets (members that ALSO share a healthy
+    * bucket still pair up). The occupancy count is a partial-agg on
+    * the band key (narrow rows), engaged only when a cap is set. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val counts = banded.groupBy("band").agg(count(lit(1)).as("__bn"))
+      banded.join(counts.where(col("__bn") <= maxBucket), Seq("band"))
+        .drop("__bn")
+    }
+
   /** MinHash-LSH candidate pairs: signatures (scalable frame form) →
     * explode band keys → self-join per bucket → (idA < idB) pairs.
     * Output is linear in Σ bucket², so callers should verify +
-    * threshold right after. */
+    * threshold right after — and cap degenerate buckets via
+    * `maxBucket` on corpora with heavy boilerplate. */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 8, bands: Int = 4): DataFrame = {
+                        numHashes: Int = 8, bands: Int = 4,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     val sig = minhashSignatures(df, textCol, idCol, numHashes)
       .withColumnRenamed(idCol, "id")
-    val banded = sig.select(col("id"),
-      explode(bandKeysFromColumns(numHashes, bands)).as("band"))
+    val banded = capBuckets(sig.select(col("id"),
+      explode(bandKeysFromColumns(numHashes, bands)).as("band")), maxBucket)
     banded.as("a").join(banded.as("b"), Seq("band"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -187,7 +205,8 @@ object Dedup {
     * would be re-tokenized three times. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5,
-                   numHashes: Int = 8, bands: Int = 4): DataFrame = {
+                   numHashes: Int = 8, bands: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
         Featurize.tokensCol(col(textCol)).as("__t"))
       .select(col("__id"), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
@@ -196,8 +215,8 @@ object Dedup {
         sh.select(col("__id"), explode(col("__sh")).as("__s")),
         "__id", "__s", numHashes)
       .withColumnRenamed("__id", "id")
-    val banded = sig.select(col("id"),
-      explode(bandKeysFromColumns(numHashes, bands)).as("band"))
+    val banded = capBuckets(sig.select(col("id"),
+      explode(bandKeysFromColumns(numHashes, bands)).as("band")), maxBucket)
     val cands = banded.as("a").join(banded.as("b"), Seq("band"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

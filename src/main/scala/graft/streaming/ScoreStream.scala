@@ -81,6 +81,32 @@ object ScoreStream {
         col("value"))
   }
 
+  /** Stream-static enrichment: join each micro-batch against a
+    * (small) dimension frame, broadcast so the stream side never
+    * shuffles. Spark re-plans the static side per micro-batch, so a
+    * dimension backed by a refreshable table picks up updates between
+    * batches — the standard streaming-enrichment shape. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Idempotent micro-batch sink: each batch lands in its own
+    * `batch_id=<id>` directory with overwrite semantics, so a batch
+    * REPLAYED after a failure (same checkpointed id) overwrites its
+    * own previous attempt instead of appending duplicates —
+    * exactly-once output from an at-least-once trigger, the
+    * foreachBatch contract. Readers take `outDir` with partition
+    * discovery. */
+  def idempotentParquetSink(sdf: DataFrame, outDir: String,
+                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    sdf.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   // ---- stateful processing (flatMapGroupsWithState surface) ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -167,6 +167,25 @@ class ExtSpec extends AnyFunSuite {
     assert(wrote != null && wrote.nonEmpty)
   }
 
+  test("bucket cap bounds the candidate join on degenerate corpora") {
+    import spark.implicits._
+    // 40 copies of one boilerplate doc: every copy lands in the same
+    // LSH buckets, so the uncapped candidate join goes quadratic
+    // (40·39/2 pairs from one bucket family)
+    val boiler = spark.range(40)
+      .select((col("id") + 500000).as("doc_id"),
+        lit("same boilerplate text repeated verbatim on every single page").as("text"))
+    val corpus = docs.select("doc_id", "text").union(boiler)
+    val full = Dedup.nearDupPairs(corpus, "text", "doc_id", threshold = 0.5)
+      .where(col("id_a") >= 500000).count()
+    assert(full == 40L * 39 / 2, s"full=$full")
+    // capped: the degenerate buckets are dropped entirely — the
+    // documented recall trade — and the pipeline stays linear
+    val capped = Dedup.nearDupPairs(corpus, "text", "doc_id", threshold = 0.5,
+      maxBucket = 10)
+    assert(capped.where(col("id_a") >= 500000).count() == 0)
+  }
+
   test("embedding near-dup of an identical planted vector is found") {
     val v = emb.where(col("vec_id") === 0).select("embedding").head
       .getSeq[Float](0).toArray

@@ -37,6 +37,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.where(col("text").isNull).count() == 0)
   }
 
+  test("corrupt JSONL rows are quarantined, valid rows still parse") {
+    // real-world LLM corpora arrive as JSONL with broken lines mixed
+    // in; PERMISSIVE mode must parse the good rows and capture each
+    // bad line verbatim instead of failing the job
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl_bad")
+    java.nio.file.Files.writeString(tmp.resolve("part-0.jsonl"),
+      """{"doc_id": 1, "lang": "en", "text": "hello world"}
+        |{"doc_id": 2, "lang": "fr", "text": "bonjour"}
+        |{"doc_id": 3, "lang": "de", "text": "truncated...
+        |not json at all
+        |""".stripMargin)
+    val df = spark.read
+      .schema("doc_id BIGINT, lang STRING, text STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp.toString)
+      .cache() // Spark requires a materialized plan to filter on the corrupt column alone
+    assert(df.count() == 4)
+    val good = df.where(col("_corrupt_record").isNull)
+    assert(good.count() == 2)
+    assert(good.agg(sum("doc_id")).head.getLong(0) == 3L)
+    val bad = df.where(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0))
+    assert(bad.length == 2 && bad.exists(_.contains("not json at all")), bad.mkString("|"))
+    df.unpersist()
+  }
+
   test("orc round trip preserves rows, schema and values") {
     val tmp = java.nio.file.Files.createTempDirectory("orc").toString
     val in = docs.select("doc_id", "lang", "n_chars")

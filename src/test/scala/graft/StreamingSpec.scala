@@ -139,6 +139,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == ev.count())
   }
 
+  test("stream-static broadcast enrichment joins each micro-batch") {
+    import spark.implicits._
+    val ev = graft.ops.Tables.events(spark, sfDir).limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("enrich_src").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue"))
+      .toDF("event_type", "category")
+    val stream = ScoreStream.readEventsStream(spark, dir, ev.schema)
+    val enriched = ScoreStream.enrichWithDim(stream, dim, Seq("event_type"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich_out")
+    assert(out.count() == 100)
+    // left join: known types enriched, unknown types survive with null
+    assert(out.where(col("event_type") === "click" &&
+      col("category") =!= "engagement").count() == 0)
+    assert(out.columns.contains("category"))
+  }
+
+  test("foreachBatch sink is idempotent under batch replay") {
+    val ev = graft.ops.Tables.events(spark, sfDir).limit(300)
+    val src = java.nio.file.Files.createTempDirectory("idem_src").toString
+    val out = java.nio.file.Files.createTempDirectory("idem_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("idem_chk").toString
+    ev.write.mode("overwrite").parquet(src)
+    def runOnce(): Unit = {
+      val stream = ScoreStream.readEventsStream(spark, src, ev.schema)
+      val q = ScoreStream.idempotentParquetSink(stream, out, chk)
+      q.awaitTermination()
+      q.stop()
+      // the manager deregisters terminated queries asynchronously; the
+      // next run reuses the same checkpoint and must not race it
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    }
+    runOnce()
+    // simulate a crash AFTER the sink wrote but BEFORE the engine
+    // committed: drop the batch-0 commit marker — on restart Spark
+    // REPLAYS batch 0 under the same id, and the per-batch overwrite
+    // must absorb the duplicate delivery
+    val commit = new java.io.File(s"$chk/commits/0")
+    assert(commit.exists(), "checkpoint layout changed?")
+    assert(commit.delete())
+    // the local ChecksumFs keeps a .crc sidecar that would block the
+    // replayed commit's rename — a real HDFS/S3 crash loses both
+    new java.io.File(s"$chk/commits/.0.crc").delete()
+    runOnce()
+    val result = spark.read.parquet(out)
+    assert(result.count() == 300, s"${result.count()} != 300 (duplicated replay?)")
+    assert(result.select("event_id").distinct().count() == 300)
+  }
+
   test("sessionize runs as a streaming query (ProcessingTimeTimeout path)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
