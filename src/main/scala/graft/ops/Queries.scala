@@ -901,6 +901,23 @@ object Queries {
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Dense global ids by a portable key WITHOUT the one-partition
+    * global window (see [[graft.etl.Ids]]): range-partitioned sort +
+    * narrow per-partition index + literal offsets. The oracle is the
+    * naive `ROW_NUMBER() OVER (ORDER BY key)` the operator replaces —
+    * equal output, scalable plan. */
+  val globalIds: Q = (s, dir) =>
+    graft.etl.Ids.assignContiguous(
+        documents(s, dir).select("doc_id", "lang"),
+        md5(col("doc_id").cast("string")), numParts = 8, idName = "uid")
+      .select("doc_id", "lang", "uid")
+      .orderBy("doc_id")
+
+  val globalIdsSql =
+    """SELECT doc_id, lang,
+      |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS uid
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -949,6 +966,7 @@ object Queries {
     "q_window_running" -> windowRunning,
     "q_agg_collect" -> aggCollect,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
+    "q_global_ids" -> globalIds,
   )
 
   val oracles: Map[String, String] = Map(
@@ -990,5 +1008,6 @@ object Queries {
     "q_window_running" -> windowRunningSql,
     "q_agg_collect" -> aggCollectSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q_global_ids" -> globalIdsSql,
   )
 }

@@ -21,6 +21,19 @@ class EtlSpec extends AnyFunSuite {
   val cfg = Etl.Config(labelCol = "lang", textCol = "text", keyCol = "doc_id",
     sampleSize = 60, countThreshold = 30)
 
+  test("contiguous id assignment equals the global rank of the key") {
+    val out = Ids.assignContiguous(docs.select("doc_id"),
+      md5(col("doc_id").cast("string")), numParts = 5)
+      .withColumn("__k", md5(col("doc_id").cast("string")))
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    val n = docs.count()
+    assert(out.map(_._1).sorted.toSeq == (0L until n), "ids not dense 0..n-1")
+    // ascending uid must walk the key in ascending order — the global
+    // rank property, achieved without any single-partition stage
+    val byUid = out.sortBy(_._1).map(_._2)
+    assert(byUid.toSeq == byUid.sorted.toSeq, "uid order != key order")
+  }
+
   test("split is disjoint and complete over the sampled set") {
     val (train, test) = Etl.run(docs, cfg)
     val nTrain = train.count()

@@ -70,6 +70,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("md5"), p2)
   }
 
+  test("contiguous id assignment plans no single-partition exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = etl.Ids.assignContiguous(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("doc_id").cast("string")),
+        numParts = 5)
+      val plan = out.queryExecution.executedPlan
+      val single = plan.collect {
+        case s: ShuffleExchangeExec if s.outputPartitioning == SinglePartition => s
+      }
+      assert(single.isEmpty,
+        s"global-rank assignment must not funnel through one partition:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("exact dedup never shuffles document bodies") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
