@@ -241,6 +241,65 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup: match a NEW batch of documents against an
+    * EXISTING corpus without ever self-joining the corpus — the
+    * daily-increment production shape. The corpus side contributes a
+    * band index (id, band) and shingle arrays (at scale both live as
+    * stored tables bucketed by band / id, written once per corpus
+    * build); the increment computes signatures for ITS rows only and
+    * probes the index with an equi-join, so per-increment cost is
+    * |new| × bucket-occupancy, not |corpus|². Pairs WITHIN the
+    * increment are found by the small increment self-join; corpus-
+    * internal pairs are assumed already handled by the corpus build.
+    * Returns (id_a = increment id, id_b = matched id, jaccard ≥
+    * threshold), with increment-internal pairs ordered id_a < id_b. */
+  def nearDupIncremental(newDocs: DataFrame, corpus: DataFrame,
+                         textCol: String, idCol: String,
+                         threshold: Double = 0.5,
+                         numHashes: Int = 8, bands: Int = 4,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("__id"), Featurize.tokensCol(col(textCol)).as("__t"))
+      .select(col("__id"), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
+      .persist()
+    def banded(sh: DataFrame) = {
+      val sig = minhashFromExploded(
+        sh.select(col("__id"), explode(col("__sh")).as("__s")),
+        "__id", "__s", numHashes).withColumnRenamed("__id", "id")
+      capBuckets(sig.select(col("id"),
+        explode(bandKeysFromColumns(numHashes, bands)).as("band")), maxBucket)
+    }
+    val newSh = shingled(newDocs)
+    val corpusSh = shingled(corpus)
+    val newBands = banded(newSh)
+    val corpusBands = banded(corpusSh)
+    // increment probes the corpus index; plus the (small) increment
+    // self-join — never corpus × corpus
+    val cands = newBands.as("a").join(corpusBands.as("b"), Seq("band"))
+      .where(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .union(newBands.as("a").join(newBands.as("b"), Seq("band"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
+      .distinct()
+    cands
+      .join(newSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(newSh.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+        .union(corpusSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")))
+        .dropDuplicates("id_b"), Seq("id_b"))
+      .withColumn("__da", array_distinct(col("sh_a")))
+      .withColumn("__db", array_distinct(col("sh_b")))
+      .withColumn("__inter",
+        size(array_intersect(col("__da"), col("__db"))).cast("double"))
+      .withColumn("__union",
+        (size(col("__da")) + size(col("__db"))).cast("double") - col("__inter"))
+      .withColumn("jaccard",
+        when(col("__union") > 0, round(col("__inter") / col("__union"), 6))
+          .otherwise(0.0))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns verified near-dup PAIRS into dedup GROUPS (keep the
     * component minimum, drop the rest). Iterative min-label

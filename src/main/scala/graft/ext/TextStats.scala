@@ -167,4 +167,18 @@ object TextStats {
 
   def rollingFingerprint(text: Column): Column =
     rollingFingerprintOfTokens(Featurize.tokensCol(text))
+
+  /** Latin-1/Latin-Extended accent fold table (covers the diacritics a
+    * western-web crawl actually carries; a full-ICU pass would be a
+    * library dependency this environment excludes). */
+  val accentFrom = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+  val accentTo = "aaaaaaceeeeiiiinooooouuuuyy"
+
+  /** Canonical text normalization: lowercase → accent fold →
+    * whitespace collapse → trim. Narrow codegen'd chain (translate +
+    * one regex), the first pass of every dedup/quality pipeline so
+    * that "Café" and "cafe" hash identically downstream. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      translate(lower(text), accentFrom, accentTo), "\\s+", " "))
 }

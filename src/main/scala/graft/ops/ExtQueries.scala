@@ -298,6 +298,59 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Incremental near-dup — the daily-increment production shape: a
+    * 10-document increment (mutated copies of doc_id < 10, ids
+    * +200000) probes the EXISTING corpus's band index; the corpus is
+    * never self-joined. Must surface exactly the (increment, origin)
+    * pairs. */
+  val dedupIncremental: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val inc = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" qqq qqq qqq")).as("text"))
+    Dedup.nearDupIncremental(inc, docs, "text", "doc_id", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupIncrementalSql = {
+    val mins = (0 until 8).map { i =>
+      val h = if (i < 4) "md5(x)" else "md5('1|' || x)"
+      s"  list_min(list_transform(sh, x -> substr($h, ${(i % 4) * 8 + 1}, 8))) AS m$i"
+    }.mkString(",\n")
+    val bands = (0 until 4).map(b => s"md5(m${2 * b} || '|' || m${2 * b + 1})")
+      .mkString("[", ", ", "]")
+    s"""WITH inc AS (
+       |  SELECT doc_id + 200000 AS doc_id, text || ' qqq qqq qqq' AS text
+       |  FROM documents WHERE doc_id < 10),
+       |tn AS (SELECT doc_id, $toksSql AS toks FROM inc),
+       |sn AS (SELECT doc_id, $shinglesSql AS sh FROM tn),
+       |mn AS (SELECT doc_id,
+       |$mins
+       |FROM sn),
+       |bn AS (SELECT doc_id, unnest($bands) AS band FROM mn),
+       |tc AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sc AS (SELECT doc_id, $shinglesSql AS sh FROM tc),
+       |mc AS (SELECT doc_id,
+       |$mins
+       |FROM sc),
+       |bc AS (SELECT doc_id, unnest($bands) AS band FROM mc),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bn a JOIN bc b USING (band) WHERE a.doc_id <> b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM bn a JOIN bn b USING (band) WHERE a.doc_id < b.doc_id),
+       |d AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sn
+       |  UNION ALL SELECT doc_id, list_distinct(sh) FROM sc)
+       |SELECT id_a, id_b,
+       |  ROUND(CAST(len(list_intersect(a.dsh, c.dsh)) AS DOUBLE) /
+       |    (len(a.dsh) + len(c.dsh) - len(list_intersect(a.dsh, c.dsh))), 6) AS jaccard
+       |FROM cand JOIN d a ON cand.id_a = a.doc_id JOIN d c ON cand.id_b = c.doc_id
+       |WHERE CAST(len(list_intersect(a.dsh, c.dsh)) AS DOUBLE) /
+       |    (len(a.dsh) + len(c.dsh) - len(list_intersect(a.dsh, c.dsh))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** 16-bit SimHash per document, scalable explode+partial-agg form
     * (each token hashed once; the column form re-hashes per bit lane). */
   val dedupSimhash: Q = (s, dir) =>
@@ -641,6 +694,57 @@ object ExtQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Canonical normalization (lower → accent fold → whitespace
+    * collapse): the fixture text is ASCII, so accented tokens are
+    * planted onto every row and the NORMALIZED TEXT itself is
+    * value-compared (DuckDB strip_accents must agree with the
+    * translate fold on the covered range). */
+  val textNormalize: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" Café  NAÏVE Zürich crème")).as("__t"))
+      .select(col("doc_id"),
+        graft.ext.TextStats.normalizeText(col("__t")).as("normalized"))
+      .orderBy("doc_id")
+
+  val textNormalizeSql =
+    """SELECT doc_id,
+      |  trim(regexp_replace(strip_accents(lower(
+      |    text || ' Café  NAÏVE Zürich crème')),
+      |    '\s+', ' ', 'g')) AS normalized
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact distributional profile per language: count, mean and sample
+    * std of n_chars, all derived from decimal-exact sums so the
+    * doubles are bit-identical across engines (the profiling pass a
+    * corpus build runs before sampling decisions). */
+  val profileStats: Q = (s, dir) =>
+    documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("decimal(18,0)")).as("__s"),
+        sum((col("n_chars").cast("long") * col("n_chars").cast("long"))
+          .cast("decimal(28,0)")).as("__ss"))
+      .select(col("lang"), col("n"),
+        round(col("__s").cast("double") / col("n"), 4).as("mean_chars"),
+        round(sqrt(
+          (col("__ss").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") / col("n")) /
+            (col("n") - 1)), 4).as("std_chars"))
+      .orderBy("lang")
+
+  val profileStatsSql =
+    """WITH a AS (SELECT lang, COUNT(*) AS n,
+      |  SUM(CAST(n_chars AS DECIMAL(18,0))) AS s,
+      |  SUM(CAST(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)
+      |    AS DECIMAL(28,0))) AS ss
+      |FROM documents GROUP BY 1)
+      |SELECT lang, n,
+      |  ROUND(CAST(s AS DOUBLE) / n, 4) AS mean_chars,
+      |  ROUND(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |    / (n - 1)), 4) AS std_chars
+      |FROM a ORDER BY lang""".stripMargin
+
   /** Staged: one tokenize pass feeds both fingerprints. */
   val textFingerprint: Q = (s, dir) =>
     documents(s, dir)
@@ -794,6 +898,9 @@ object ExtQueries {
     "q_stream_join" -> streamJoin,
     "q_sessionize" -> sessionizeQ,
     "q_dedup_minhash_grouped" -> dedupMinhashGrouped,
+    "q_dedup_incremental" -> dedupIncremental,
+    "q_text_normalize" -> textNormalize,
+    "q_profile_stats" -> profileStats,
   )
 
   val oracles: Map[String, String] = Map(
@@ -818,5 +925,8 @@ object ExtQueries {
     "q_stream_join" -> streamJoinSql,
     "q_sessionize" -> sessionizeSql,
     "q_dedup_minhash_grouped" -> dedupMinhashGroupedSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_text_normalize" -> textNormalizeSql,
+    "q_profile_stats" -> profileStatsSql,
   )
 }

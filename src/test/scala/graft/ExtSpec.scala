@@ -167,6 +167,23 @@ class ExtSpec extends AnyFunSuite {
     assert(wrote != null && wrote.nonEmpty)
   }
 
+  test("incremental near-dup probes the corpus without re-pairing it") {
+    import spark.implicits._
+    // corpus holds an internal duplicate pair (777001, 777002) that an
+    // increment run must NOT re-emit; the increment near-dups doc 0
+    val boilerplate = "identical corpus internal duplicate text body here"
+    val corpus = docs.select("doc_id", "text")
+      .union(Seq((777001L, boilerplate), (777002L, boilerplate)).toDF("doc_id", "text"))
+    val base = docs.where(col("doc_id") === 0).select("text").head.getString(0)
+    val inc = Seq((900001L, base + " zzz zzz zzz")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupIncremental(inc, corpus, "text", "doc_id",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900001L, 0L)), s"pairs=$pairs")
+    assert(!pairs.exists(p => p._1 >= 777000L && p._1 < 778000L),
+      s"corpus-internal pair re-emitted: $pairs")
+  }
+
   test("bucket cap bounds the candidate join on degenerate corpora") {
     import spark.implicits._
     // 40 copies of one boilerplate doc: every copy lands in the same
