@@ -82,6 +82,39 @@ object Sampling {
       .drop("sample_rate")
   }
 
+  /** Temperature-weighted mixture sampling (T = 2, i.e. weights ∝
+    * √count) — the standard multilingual-training-mix move: low-
+    * resource classes are upsampled relative to proportional
+    * allocation, capped at taking a class whole. √ is hard-wired
+    * rather than a general `pow(n, 1/T)` because sqrt is IEEE
+    * correctly-rounded (bit-identical in every engine) while pow is
+    * not — a pow-boundary membership flip would poison determinism.
+    *
+    * The class-count collect is bounded (one row per label); weights
+    * fold in sorted-label order so the normalizer is a DEFINED
+    * left-to-right sum both engines can reproduce. Membership is the
+    * usual md5-bucket filter — distributed, reproducible,
+    * pushdown-friendly. */
+  def sampleTemperature(df: DataFrame, labelCol: String, keyCol: String,
+                        target: Double, modulus: Int = 1 << 20): DataFrame = {
+    val counts = df.groupBy(labelCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val tot = counts.map { case (_, n) => math.sqrt(n.toDouble) }
+      .foldLeft(0.0)(_ + _)
+    val rates = counts.map { case (l, n) =>
+      val nd = n.toDouble
+      val want = math.min(target * (math.sqrt(nd) / tot), nd)
+      l -> want / nd
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF(labelCol, "__rate")
+    df.join(broadcast(ratesDf), Seq(labelCol))
+      .where(membershipBucket(col(keyCol), modulus) < col("__rate") * modulus)
+      .drop("__rate")
+  }
+
   /** Deterministic variant of the floored/overshoot training-file
     * sampler (`utils/fasttext_utils.py:44-56`). */
   def sampleForTrainingFile(df: DataFrame, labelCol: String, keyCol: String,

@@ -901,6 +901,36 @@ object Queries {
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Temperature-weighted training mix (√count weights, capped):
+    * the multilingual upsampling move, deterministic md5-bucket
+    * membership, rate arithmetic mirrored op-for-op in the oracle
+    * (sqrt/div/mul/min are all IEEE-exact cross-engine; the
+    * normalizer folds in sorted-label order on both sides). */
+  val sampleTemperatureQ: Q = (s, dir) =>
+    graft.etl.Sampling.sampleTemperature(
+        documents(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+        target = 300)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val sampleTemperatureSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+       |t AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)), (a, b) -> a + b) AS tot
+       |  FROM c),
+       |r AS (SELECT lang,
+       |    least(300.0 * (sqrt(CAST(n AS DOUBLE)) / tot), CAST(n AS DOUBLE))
+       |      / CAST(n AS DOUBLE) AS rate
+       |  FROM c, t)
+       |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+       |WHERE ($hex8) % 1048576 < rate * 1048576
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Dense global ids by a portable key WITHOUT the one-partition
     * global window (see [[graft.etl.Ids]]): range-partitioned sort +
     * narrow per-partition index + literal offsets. The oracle is the
@@ -967,6 +997,7 @@ object Queries {
     "q_agg_collect" -> aggCollect,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_global_ids" -> globalIds,
+    "q_sample_temperature" -> sampleTemperatureQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1009,5 +1040,6 @@ object Queries {
     "q_agg_collect" -> aggCollectSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_global_ids" -> globalIdsSql,
+    "q_sample_temperature" -> sampleTemperatureSql,
   )
 }

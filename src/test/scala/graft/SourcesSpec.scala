@@ -104,6 +104,34 @@ class SourcesSpec extends AnyFunSuite {
       docs.where(col("lang") === "en").count())
   }
 
+  test("schema evolution: mergeSchema unions columns across file versions") {
+    val tmp = java.nio.file.Files.createTempDirectory("evolve").toString
+    docs.select("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    docs.select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/v1", s"$tmp/v2")
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars"))
+    assert(merged.count() == 2 * docs.count())
+    // v1 rows surface the added column as null, v2 rows carry values
+    assert(merged.where(col("n_chars").isNull).count() == docs.count())
+  }
+
+  test("compaction rewrites many small files into size-derived few") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    docs.repartition(20).write.mode("overwrite").parquet(s"$tmp/in")
+    def partFiles(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles(s"$tmp/in") == 20)
+    // target half the input bytes → exactly 2 output files
+    val target = graft.etl.Compaction.dirBytes(spark, s"$tmp/in") / 2
+    val chosen = graft.etl.Compaction.compact(spark, s"$tmp/in", s"$tmp/out", target)
+    assert(chosen == 2 || chosen == 3, s"chosen=$chosen") // ceil of ~2.0x
+    assert(partFiles(s"$tmp/out") == chosen)
+    assert(spark.read.parquet(s"$tmp/out").count() == docs.count())
+  }
+
   test("seeded df.sample is reproducible (O4/R4)") {
     val a = docs.sample(0.3, seed = 11).count()
     val b = docs.sample(0.3, seed = 11).count()
