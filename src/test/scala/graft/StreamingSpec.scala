@@ -139,6 +139,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == ev.count())
   }
 
+  test("windowed counts run on the RocksDB state store (scale backend)") {
+    // the default HDFS-backed store keeps all state on the executor
+    // heap — a 100M-key watermark horizon OOMs it; RocksDB spills to
+    // local disk and is the backend a 100 TB streaming job runs on.
+    // Same query, same results, one config switch.
+    val batchDf = graft.ops.Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("rocks_src").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = ScoreStream.readEventsStream(spark, dir, batchDf.schema)
+      val agg = ScoreStream.windowedCounts(stream, "ts", "event_type")
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("rocks_out").start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("rocks_out")
+        .select("window_start", "event_type", "n", "total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = ScoreStream.windowedCounts(batchDf, "ts", "event_type")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static broadcast enrichment joins each micro-batch") {
     import spark.implicits._
     val ev = graft.ops.Tables.events(spark, sfDir).limit(100)
