@@ -58,7 +58,18 @@ object Dedup {
 
   /** [[minhashSignatures]] over an already-exploded (id, shingle)
     * frame — lets pipelines that materialize shingles once (e.g.
-    * [[nearDupPairs]]) reuse them instead of re-tokenizing. */
+    * [[nearDupPairs]]) reuse them instead of re-tokenizing.
+    *
+    * The min is taken over the NUMERIC value of each 8-hex-char
+    * segment, not the string: `min(string)` has no fixed-size mutable
+    * buffer, so Spark falls back to SortAggregate — a sort of the
+    * exploded (doc × shingle) frame, the largest dataset in the whole
+    * dedup pipeline, on BOTH sides of the shuffle. `min(long)` keeps
+    * the aggregation hash-based and the explode pipeline sort-free;
+    * fixed-length lowercase hex orders identically numerically and
+    * lexicographically, and the final projection restores the exact
+    * hex strings, so every downstream value (band keys, oracles) is
+    * bit-identical. */
   def minhashFromExploded(exploded: DataFrame, idCol: String, shCol: String,
                           numHashes: Int): DataFrame = {
     val nBlocks = (numHashes + 3) / 4
@@ -68,9 +79,13 @@ object Dedup {
          else md5(concat(lit(b + "|"), col(shCol)))).as(s"__h$b")
       }: _*)
     val aggs = (0 until numHashes).map { i =>
-      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m${i}")
+      min(conv(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
+        .cast("long")).as(s"__m$i")
     }
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: (0 until numHashes).map { i =>
+        lpad(lower(hex(col(s"__m$i"))), 8, "0").as(s"m$i")
+      }: _*)
   }
 
   /** Band keys over signature columns m0..m{n-1} of a
