@@ -126,6 +126,13 @@ class PlanSpec extends AnyFunSuite {
       if (!Set("q_dedup_components", "q_dedup_apply").contains(name))
         assert(!plan.contains("ExistingRDD"),
           s"$name plans an opaque RDD scan (breaks pushdown/codegen)")
+      // min/max over var-length types silently falls back to
+      // SortAggregate — a sort of the pre-aggregation rows on both
+      // sides of the shuffle (caught live on the minhash pipeline:
+      // min(hex string) sorted the whole exploded shingle frame).
+      // Nothing in the surface needs one; keep it that way.
+      assert(!plan.contains("SortAggregate"),
+        s"$name plans a SortAggregate (var-length agg buffer fallback)")
     }
   }
 }
