@@ -289,19 +289,20 @@ object Dedup {
     val newBands = banded(newSh)
     val corpusBands = banded(corpusSh)
     // increment probes the corpus index; plus the (small) increment
-    // self-join — never corpus × corpus
-    val cands = newBands.as("a").join(corpusBands.as("b"), Seq("band"))
+    // self-join — never corpus × corpus. The two candidate branches
+    // verify against THEIR OWN side's shingles (a corpus-index hit
+    // verifies against the corpus copy), so no id-disambiguation
+    // aggregate is needed — an id reused across sides with different
+    // text should be assigned a fresh id upstream.
+    val crossCands = newBands.as("a").join(corpusBands.as("b"), Seq("band"))
       .where(col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .union(newBands.as("a").join(newBands.as("b"), Seq("band"))
-        .where(col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
-      .distinct()
-    cands
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val selfCands = newBands.as("a").join(newBands.as("b"), Seq("band"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    def verified(cands: DataFrame, shB: DataFrame): DataFrame = cands
       .join(newSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-      .join(newSh.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
-        .union(corpusSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")))
-        .dropDuplicates("id_b"), Seq("id_b"))
+      .join(shB.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
       .withColumn("__da", array_distinct(col("sh_a")))
       .withColumn("__db", array_distinct(col("sh_b")))
       .withColumn("__inter",
@@ -313,6 +314,7 @@ object Dedup {
           .otherwise(0.0))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    verified(crossCands, corpusSh).union(verified(selfCands, newSh))
   }
 
   /** Connected components over an undirected pair list — the step that
