@@ -107,6 +107,51 @@ object ScoreStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  // ---- transformWithState (the Spark 4 arbitrary-state successor) ----
+
+  case class ValueEvent(user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user totals on the `transformWithState` API — the
+    * typed-composable-state successor to flatMapGroupsWithState
+    * (named states with per-state TTL, timers, RocksDB-backed).
+    * Value totals accumulate in integer cents so the running sum is
+    * exact regardless of arrival order. Update mode: each micro-batch
+    * emits the latest totals for the users it touched. */
+  class RunningTotals extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ValueEvent, UserTotal] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var count: ValueState[Long] = _
+    @transient private var cents: ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count", E.scalaLong, TTLConfig.NONE)
+      cents = getHandle.getValueState[Long]("cents", E.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[ValueEvent],
+                                 tv: TimerValues): Iterator[UserTotal] = {
+      var n = if (count.exists()) count.get() else 0L
+      var c = if (cents.exists()) cents.get() else 0L
+      rows.foreach { e => n += 1; c += math.round(e.value * 100) }
+      count.update(n)
+      cents.update(c)
+      Iterator.single(UserTotal(key, n, c / 100.0))
+    }
+  }
+
+  /** Per-user running event counts + exact value totals via
+    * [[RunningTotals]]. Requires the RocksDB state store provider
+    * (the only backend transformWithState runs on — also the right
+    * one at scale). */
+  def runningTotals(events: Dataset[ValueEvent])
+                   (implicit spark: SparkSession): Dataset[UserTotal] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
+  }
+
   // ---- stateful processing (flatMapGroupsWithState surface) ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -220,6 +220,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.select("event_id").distinct().count() == 300)
   }
 
+  test("transformWithState accumulates running totals across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = MemoryStream[ScoreStream.ValueEvent]
+      val totals = ScoreStream.runningTotals(source.toDS())
+      val q = totals.writeStream.outputMode("update")
+        .format("memory").queryName("twstate_out").start()
+      source.addData(ScoreStream.ValueEvent(1L, 10.25),
+        ScoreStream.ValueEvent(1L, 1.50), ScoreStream.ValueEvent(2L, 3.00))
+      q.processAllAvailable()
+      // second batch: state must carry user 1's totals forward
+      source.addData(ScoreStream.ValueEvent(1L, 0.25))
+      q.processAllAvailable()
+      q.stop()
+      val latest = spark.table("twstate_out")
+        .as[ScoreStream.UserTotal].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(latest(1L).n_events == 3 && latest(1L).total_value == 12.0,
+        latest.toString)
+      assert(latest(2L).n_events == 1 && latest(2L).total_value == 3.0,
+        latest.toString)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionize runs as a streaming query (ProcessingTimeTimeout path)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
