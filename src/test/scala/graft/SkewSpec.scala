@@ -61,6 +61,40 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the skewed partition at runtime (no manual salt)") {
+    // the modern first answer to join skew: AQE detects the oversized
+    // partition post-shuffle and splits it across tasks — salting
+    // remains for aggregations and AQE-off environments. Thresholds
+    // lowered so the 9000-row hot key trips detection at test scale;
+    // broadcast disabled so the join actually shuffles.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    // conf.get can return an explicit null default — flatten to unset
+    val prev = confs.keys
+      .map(k => k -> util.Try(Option(spark.conf.get(k))).toOption.flatten).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val wide = fact.withColumn("pad", lpad(col("v").cast("string"), 64, "x"))
+      val joined = wide.join(dim, col("k") === col("dk"))
+      // execute THIS queryExecution (count() would plan a separate
+      // one and leave this adaptive plan unfinalized)
+      assert(joined.collect().length == 10000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted count equals plain groupBy count") {
     val plain = fact.groupBy("k").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
