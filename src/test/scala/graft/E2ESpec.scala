@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextStats}
+
+/** The whole user story in one test: a raw corpus with planted exact
+  * duplicates, near-duplicates and label signal goes through
+  * normalize → exact dedup → near-dup apply → quality filter →
+  * temperature sample → split → train → evaluate → export, using only
+  * the library's public operators — the composition a reference user
+  * switching to this engine would actually run. */
+class E2ESpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("LLM corpus pipeline: normalize → dedup → filter → sample → train → export") {
+    import spark.implicits._
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n0 = raw.count()
+
+    // plant: label signal on every doc, 5 exact copies, 5 mutated near-dups
+    val sig = concat(lit("xsig"), col("lang"))
+    val docs = raw.select(col("doc_id"), col("lang"),
+      concat_ws(" ", col("text"), sig, sig, sig).as("text"))
+    val exactCopies = docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 600000).as("doc_id"), col("lang"), col("text"))
+    val nearCopies = docs.where(col("doc_id") >= 5 && col("doc_id") < 10)
+      .select((col("doc_id") + 700000).as("doc_id"), col("lang"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text"))
+    val corpus = docs.union(exactCopies).union(nearCopies)
+
+    // 1. normalize (planted copies normalize identically to originals)
+    val normalized = corpus.withColumn("text", TextStats.normalizeText(col("text")))
+
+    // 2. exact dedup drops the 5 identical copies (min-id wins)
+    val exact = Dedup.exactDedup(normalized, "text", "doc_id")
+    assert(exact.count() == n0 + 5, "exact dedup should drop the 5 copies")
+    assert(exact.where(col("doc_id") >= 600000 && col("doc_id") < 700000).count() == 0)
+
+    // 3. near-dup pairs → components → apply drops the 5 mutated copies
+    val pairs = Dedup.nearDupPairs(exact, "text", "doc_id", threshold = 0.5)
+    val comps = Dedup.connectedComponents(pairs)
+    val losers = comps.where(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+    assert(deduped.where(col("doc_id") >= 700000).count() == 0,
+      "near-dup apply should drop the mutated copies")
+    // the fixture also holds natural near-dups at the 0.5 threshold —
+    // those go too; only the planted survivors are asserted exactly
+    assert(deduped.count() <= n0 && deduped.count() > n0 - 60, deduped.count().toString)
+
+    // 4. quality floor (planted signal guarantees >= 4 tokens)
+    val filtered = deduped.where(TextStats.tokenCount(col("text")) >= 4)
+
+    // 5. temperature-weighted sample toward a 300-doc training mix
+    val mixed = graft.etl.Sampling.sampleTemperature(
+      filtered, "lang", "doc_id", target = 300)
+    assert(mixed.count() > 0 && mixed.count() <= filtered.count())
+
+    // 6. clean/label/split with the reference pipeline
+    val cfg = graft.etl.Etl.Config(labelCol = "lang", textCol = "text",
+      keyCol = "doc_id", sampleSize = 5000, countThreshold = 5)
+    val labeled = graft.etl.Etl.cleanAndLabel(mixed, cfg)
+    val withPct = graft.etl.Split.addClassPercentileDeterministic(
+      labeled, "lang", "doc_id")
+    val (train, test) = graft.etl.Split.split(withPct, 0.9)
+
+    // 7. train + evaluate: the planted signal must be recovered
+    val model = graft.ml.Trainer.train(train, "lang", "text_clean",
+      graft.ml.Trainer.Params(epoch = 3, wordNgrams = 1, numFeatures = 1 << 13))
+    val scored = model.predict(test, "text_clean", "pr_lang")
+    val acc = scored.where(col("pr_lang") === col("lang")).count().toDouble /
+      math.max(scored.count(), 1L)
+    assert(acc >= 0.9, f"end-to-end accuracy $acc%.3f < 0.9")
+
+    // 8. export the training file and read it back intact
+    val out = java.nio.file.Files.createTempDirectory("e2e_tf").toString
+    train.select(col("lang"), col("fasttext").as("line"))
+      .write.mode("overwrite").parquet(s"$out/data.parquet")
+    val tf = new graft.etl.TrainingFile(s"$out/data.parquet", s"$out/txt", "lang", "line")
+    val path = tf.writeAllTo("train.txt")
+    assert(spark.read.text(path).count() == train.count())
+  }
+}
