@@ -745,6 +745,34 @@ object ExtQueries {
       |    / (n - 1)), 4) AS std_chars
       |FROM a ORDER BY lang""".stripMargin
 
+  /** Fuzzy string matching — the entity-resolution primitive: a
+    * bounded probe set (doc_id < 20) against same-language documents
+    * by Levenshtein distance over 30-char prefixes. The probe side
+    * broadcasts (bounded by construction), the corpus is read once
+    * and never shuffled; blocking on `lang` bounds the candidate
+    * space exactly like the jaccard scan. Edit distance is integer →
+    * exact cross-engine. */
+  val fuzzyMatch: Q = (s, dir) => {
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 30).as("__p"))
+    val probes = d.where(col("doc_id") < 20)
+      .select(col("doc_id").as("id_a"), col("lang"), col("__p").as("__pa"))
+    broadcast(probes).join(d, Seq("lang"))
+      .where(col("id_a") < col("doc_id"))
+      .withColumn("dist", levenshtein(col("__pa"), col("__p")))
+      .where(col("dist") <= 15)
+      .select(col("id_a"), col("doc_id").as("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val fuzzyMatchSql =
+    """WITH d AS (SELECT doc_id, lang, substr(text, 1, 30) AS p FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE a.doc_id < 20 AND levenshtein(a.p, b.p) <= 15
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Staged: one tokenize pass feeds both fingerprints. */
   val textFingerprint: Q = (s, dir) =>
     documents(s, dir)
@@ -901,6 +929,7 @@ object ExtQueries {
     "q_dedup_incremental" -> dedupIncremental,
     "q_text_normalize" -> textNormalize,
     "q_profile_stats" -> profileStats,
+    "q_fuzzy_match" -> fuzzyMatch,
   )
 
   val oracles: Map[String, String] = Map(
@@ -928,5 +957,6 @@ object ExtQueries {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_profile_stats" -> profileStatsSql,
+    "q_fuzzy_match" -> fuzzyMatchSql,
   )
 }
