@@ -152,6 +152,68 @@ object ScoreStream {
       .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Gap sessionization on transformWithState with EVENT-TIME timers:
+    * intra-batch gaps close sessions inline; the trailing open
+    * session registers a timer at `last + gap`, and when the
+    * WATERMARK passes it, [[handleExpiredTimer]] emits the session
+    * and clears state — so idle sessions flush on event-time
+    * progress, not wall-clock luck. Stale timers (superseded by a
+    * later event) are recognized by re-checking `last + gap` at
+    * expiry. */
+  class SessionTimers(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues, ValueState}
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var s = if (st.exists()) st.get() else SessionState(0, Long.MaxValue, Long.MinValue)
+      val out = scala.collection.mutable.Buffer.empty[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (s.count > 0 && t - s.last > gapMs) {
+          out += Session(key, s.count, (s.last - s.start) / 1000.0)
+          s = SessionState(0, Long.MaxValue, Long.MinValue)
+        }
+        s = SessionState(s.count + 1, math.min(s.start, t), math.max(s.last, t))
+      }
+      if (s.count > 0) {
+        st.update(s)
+        getHandle.registerTimer(s.last + gapMs)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Session] = {
+      if (st.exists()) {
+        val s = st.get()
+        // a later event may have extended the session past this timer
+        if (s.last + gapMs <= info.getExpiryTimeInMs) {
+          st.clear()
+          return Iterator.single(Session(key, s.count, (s.last - s.start) / 1000.0))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** [[SessionTimers]] over a watermarked event stream (event-time
+    * mode requires the watermark; RocksDB state store required). */
+  def sessionizeWithTimers(events: Dataset[Event], gapSec: Long,
+                           watermarkDelay: String = "0 seconds")
+                          (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimers(gapSec * 1000),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   // ---- stateful processing (flatMapGroupsWithState surface) ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -248,6 +248,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("event-time timers flush idle sessions when the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+      val source = MemoryStream[ScoreStream.Event]
+      val sessions = ScoreStream.sessionizeWithTimers(source.toDS(), gapSec = 1800)
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName("timer_out").start()
+      // batch 1: an open session for user 1 (watermark reaches 10s)
+      source.addData(ScoreStream.Event(1L, at(0), "click"),
+        ScoreStream.Event(1L, at(10), "view"))
+      q.processAllAvailable()
+      assert(spark.table("timer_out").isEmpty, "session closed too early")
+      // batch 2: unrelated user far in the future pushes the watermark
+      // past user 1's (10s + 1800s) timer; batch 3 fires it
+      source.addData(ScoreStream.Event(99L, at(10000), "click"))
+      q.processAllAvailable()
+      source.addData(ScoreStream.Event(99L, at(10001), "view"))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("timer_out").as[ScoreStream.Session].collect().toSeq
+      assert(out.contains(ScoreStream.Session(1L, 2, 10.0)),
+        s"idle session not flushed by its event-time timer: $out")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionize runs as a streaming query (ProcessingTimeTimeout path)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
