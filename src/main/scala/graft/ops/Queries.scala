@@ -690,12 +690,19 @@ object Queries {
       // keeps each trial cheap without losing separability
       val space = graft.ml.Tuning.Space(epoch = (8, 15),
         numFeaturesLog2 = (12, 13))
-      val random = graft.ml.Tuning.search(train, validation,
+      // the two searches are independent — run them concurrently and
+      // let Spark's scheduler interleave their trial jobs
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fRandom = Future(graft.ml.Tuning.search(train, validation,
         "lang", "text_clean", new graft.ml.Tracking(tmp + "/rand"),
-        space, maxEvals = 6, parallelism = 6)
-      val halved = graft.ml.Tuning.searchHalving(train, validation,
+        space, maxEvals = 6, parallelism = 6))
+      val fHalved = Future(graft.ml.Tuning.searchHalving(train, validation,
         "lang", "text_clean", new graft.ml.Tracking(tmp + "/sh"),
-        space, n0 = 4, rung0Epochs = 2, parallelism = 4)
+        space, n0 = 4, rung0Epochs = 2, parallelism = 4))
+      val random = Await.result(fRandom, Duration.Inf)
+      val halved = Await.result(fHalved, Duration.Inf)
       labeled.unpersist()
       val randomEpochs = random.map(_.params.epoch).sum
       // rung schedule n0=4, budgets 2,4,8 → 4·2 + 2·4 + 1·8
