@@ -28,7 +28,17 @@ object PlanDump {
         org.apache.spark.sql.functions.md5(
           org.apache.spark.sql.functions.col("doc_id").cast("string")), 5),
       "q_window_topk" -> graft.ops.Queries.windowTopK(spark, dir),
-      "q_sample_temperature" -> graft.ops.Queries.sampleTemperatureQ(spark, dir))
+      "q_sample_temperature" -> graft.ops.Queries.sampleTemperatureQ(spark, dir),
+      "nearDupPairs (no orderBy)" -> graft.ext.Dedup.nearDupPairs(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "text", "doc_id"),
+      "nearDupIncremental (no orderBy)" -> {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        graft.ext.Dedup.nearDupIncremental(
+          docs.where(org.apache.spark.sql.functions.col("doc_id") < 10),
+          docs, "text", "doc_id")
+      })
     val sb = new StringBuilder
     targets.foreach { case (name, df) =>
       sb.append(s"===== $name =====\n")
