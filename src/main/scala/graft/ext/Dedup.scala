@@ -33,7 +33,7 @@ object Dedup {
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
     val blocks = (0 until (numHashes + 3) / 4).map { b =>
       if (b == 0) transform(shingleCol, x => md5(x))
-      else transform(shingleCol, x => md5(concat(lit(b + "|"), x)))
+      else transform(shingleCol, x => md5(concat(lit(s"$b|"), x)))
     }
     array((0 until numHashes).map { i =>
       array_min(transform(blocks(i / 4), h => substring(h, (i % 4) * 8 + 1, 8)))
@@ -76,7 +76,7 @@ object Dedup {
     val hashed = exploded.select(
       col(idCol) +: (0 until nBlocks).map { b =>
         (if (b == 0) md5(col(shCol))
-         else md5(concat(lit(b + "|"), col(shCol)))).as(s"__h$b")
+         else md5(concat(lit(s"$b|"), col(shCol)))).as(s"__h$b")
       }: _*)
     val aggs = (0 until numHashes).map { i =>
       min(conv(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
@@ -371,7 +371,7 @@ object Dedup {
     // sums to NULL otherwise (and must not NPE — a corpus with zero
     // verified near-dups is a perfectly normal input).
     var checksum = labels.agg(coalesce(sum(col("component")), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -393,7 +393,7 @@ object Dedup {
             coalesce(col("__nbr_min"), col("component")),
             coalesce(col("__cc"), col("component"))).as("component")))
       val nextSum = next.agg(coalesce(sum(col("component")), lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
       labels = next
       converged = nextSum == checksum
       checksum = nextSum

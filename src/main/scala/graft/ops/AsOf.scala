@@ -39,6 +39,6 @@ object AsOf {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     carried.where(col("__is_left") === 1)
-      .select(left.columns.map(col) ++ payloadCols.map(col): _*)
+      .select((left.columns.map(col) ++ payloadCols.map(col)).toIndexedSeq: _*)
   }
 }

@@ -135,7 +135,7 @@ object ExtQueries {
   }
 
   private def plantedNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    plantedPairsCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
+    plantedPairsCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
       val docs = documents(s, dir).select("doc_id", "text")
       val aug = docs.where(col("doc_id") < 10)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -184,7 +184,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def plantedComponents(s: SparkSession, dir: String): DataFrame =
-    componentsCache.computeIfAbsent(s.hashCode() + "|" + dir, _ =>
+    componentsCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
       Dedup.connectedComponents(plantedNearDupPairs(s, dir)).persist())
 
   /** Pairs → groups: connected components over the verified near-dup
@@ -415,7 +415,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   private def ivfCents(s: SparkSession, dir: String): Array[Array[Double]] =
-    ivfCentsCache.computeIfAbsent(s.hashCode() + "|" + dir, _ =>
+    ivfCentsCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
       Similarity.kmeansCentroids(embeddings(s, dir), "vec_id", "embedding",
         16, iters = 1))
 

@@ -598,7 +598,7 @@ object Queries {
   }
 
   private def trainedScore(s: SparkSession, dir: String): DataFrame =
-    trainedScoreCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
+    trainedScoreCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
       val sig = concat(lit("xsig"), col("lang"))
       val docs = documents(s, dir).select(col("doc_id"), col("lang"),
         concat_ws(" ", col("text"), sig, sig, sig).as("text"))
@@ -663,7 +663,7 @@ object Queries {
   private[ops] def clearTuningMemo(): Unit = tuningCache.clear()
 
   val tuningHalving: Q = (s, dir) =>
-    tuningCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
+    tuningCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
       import s.implicits._
       val sig = concat(lit("xsig"), col("lang"))
       // bounded slice: the demo must cost the same at every SF. The

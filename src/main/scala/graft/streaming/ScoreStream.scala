@@ -192,7 +192,7 @@ object ScoreStream {
       if (st.exists()) {
         val s = st.get()
         // a later event may have extended the session past this timer
-        if (s.last + gapMs <= info.getExpiryTimeInMs) {
+        if (s.last + gapMs <= info.getExpiryTimeInMs()) {
           st.clear()
           return Iterator.single(Session(key, s.count, (s.last - s.start) / 1000.0))
         }
