@@ -125,6 +125,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("operators tolerate empty inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactDedup(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.nearDupPairs(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.simhashSignatures(empty, "text", "doc_id").count() == 0)
+    assert(graft.etl.Ids.assignContiguous(empty,
+      md5(col("doc_id").cast("string")), 4).count() == 0)
+    val emptyLabeled = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(graft.etl.Sampling.sampleTemperature(emptyLabeled,
+      "lang", "doc_id", target = 100).count() == 0)
+  }
+
   test("scrubPii leaves no email addresses behind") {
     import spark.implicits._
     val email = for {
