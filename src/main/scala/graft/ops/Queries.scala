@@ -938,6 +938,23 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** ntile decile assignment per group — the bucketing window
+    * (QuantileDiscretizer-style feature prep) with a tie-free
+    * deterministic ordering. */
+  val windowNtile: Q = (s, dir) =>
+    orders(s, dir)
+      .withColumn("decile", ntile(10).over(
+        Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")))
+      .select("o_orderkey", "o_orderpriority", "decile")
+      .orderBy("o_orderkey")
+
+  val windowNtileSql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(NTILE(10) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Dense global ids by a portable key WITHOUT the one-partition
     * global window (see [[graft.etl.Ids]]): range-partitioned sort +
     * narrow per-partition index + literal offsets. The oracle is the
@@ -1005,6 +1022,7 @@ object Queries {
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_global_ids" -> globalIds,
     "q_sample_temperature" -> sampleTemperatureQ,
+    "q_window_ntile" -> windowNtile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1048,5 +1066,6 @@ object Queries {
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_global_ids" -> globalIdsSql,
     "q_sample_temperature" -> sampleTemperatureSql,
+    "q_window_ntile" -> windowNtileSql,
   )
 }

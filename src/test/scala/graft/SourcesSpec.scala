@@ -132,6 +132,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out").count() == docs.count())
   }
 
+  test("atomic publish: readers see whole versions only; crashes leave the old one live") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("publish").toString
+    graft.etl.Publish.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table)
+    assert(graft.etl.Publish.read(spark, table).count() == 2)
+    graft.etl.Publish.write(Seq((1L, "a2"), (2L, "b2"), (3L, "c")).toDF("id", "v"), table)
+    val current = graft.etl.Publish.read(spark, table)
+    assert(current.count() == 3)
+    assert(current.where(col("v") === "a2").count() == 1)
+    // a "crashed" writer: version directory exists, manifest never
+    // flipped — readers keep seeing the published version
+    Seq((9L, "junk")).toDF("id", "v")
+      .write.parquet(s"$table/v_crashed_writer")
+    assert(graft.etl.Publish.read(spark, table).count() == 3)
+    // both committed versions remain on disk (time-travel-lite)
+    assert(graft.etl.Publish.versions(table).size == 3)
+  }
+
   test("seeded df.sample is reproducible (O4/R4)") {
     val a = docs.sample(0.3, seed = 11).count()
     val b = docs.sample(0.3, seed = 11).count()
