@@ -55,4 +55,18 @@ object Publish {
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
       .map(_.getName).toSeq.sorted
   }
+
+  /** Delete every version except the published one (crashed writers'
+    * orphans and superseded history). Returns the removed names. */
+  def vacuum(tableDir: String): Seq[String] = {
+    val keep = currentVersion(tableDir)
+    versions(tableDir).filterNot(keep.contains).map { v =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$tableDir/$v"))
+      v
+    }
+  }
 }

@@ -769,6 +769,29 @@ object Queries {
        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Atomic-publish round trip under the driver gate: write an OLD
+    * half-table version, then publish the full table, read back
+    * through the manifest and aggregate — a stale or partial read
+    * (the failure modes Publish exists to prevent) would mismatch the
+    * parquet-direct oracle. */
+  val publishRoundtrip: Q = (s, dir) => {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pub_" + Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()).getAbsolutePath
+    val df = documents(s, dir).select("doc_id", "lang", "n_chars")
+    graft.etl.Publish.write(df.where(col("doc_id") % 2 === 0), base)
+    graft.etl.Publish.write(df, base)
+    graft.etl.Publish.read(s, base)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val publishRoundtripSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Featurizer shape is SQL-checkable even though training isn't:
     * token/bigram counts of the cleaned text. */
   val featurizeCounts: Q = (s, dir) =>
@@ -1023,6 +1046,7 @@ object Queries {
     "q_global_ids" -> globalIds,
     "q_sample_temperature" -> sampleTemperatureQ,
     "q_window_ntile" -> windowNtile,
+    "q_publish" -> publishRoundtrip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1067,5 +1091,6 @@ object Queries {
     "q_global_ids" -> globalIdsSql,
     "q_sample_temperature" -> sampleTemperatureSql,
     "q_window_ntile" -> windowNtileSql,
+    "q_publish" -> publishRoundtripSql,
   )
 }

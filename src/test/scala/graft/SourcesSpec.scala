@@ -148,6 +148,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(graft.etl.Publish.read(spark, table).count() == 3)
     // both committed versions remain on disk (time-travel-lite)
     assert(graft.etl.Publish.versions(table).size == 3)
+    // vacuum removes the orphan and the superseded version; the
+    // published one survives and still reads
+    val removed = graft.etl.Publish.vacuum(table)
+    assert(removed.size == 2, removed.toString)
+    assert(graft.etl.Publish.versions(table).size == 1)
+    assert(graft.etl.Publish.read(spark, table).count() == 3)
   }
 
   test("seeded df.sample is reproducible (O4/R4)") {
