@@ -43,11 +43,14 @@ object Ids {
       .persist()
     val counts = ranged.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until numParts)
+    val offsets: Array[Long] = (0 until numParts)
       .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offExpr = (0 until numParts).foldRight(lit(0L): Column) { (p, acc) =>
-      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-    }
+      .take(numParts).toArray
+    // One array literal + O(1) element_at per row. A when(pid===0,..)
+    // .otherwise(when(pid===1,..)..) fold would be a linear-depth
+    // expression tree — fine at 8 partitions, a janino method-size
+    // blowup at the 10^4-10^5 partitions a large corpus needs.
+    val offExpr = element_at(lit(offsets), col("__pid") + 1)
     ranged.withColumn(idName, offExpr + col("__idx")).drop("__pid", "__idx")
   }
 }

@@ -34,6 +34,16 @@ class EtlSpec extends AnyFunSuite {
     assert(byUid.toSeq == byUid.sorted.toSeq, "uid order != key order")
   }
 
+  test("contiguous ids compile and run at numParts = 4096") {
+    // The offset lookup must be O(1) per row (element_at on one array
+    // literal). A when-chain fold over numParts would emit a
+    // 4096-branch expression tree here and die in janino codegen.
+    val out = Ids.assignContiguous(docs.select("doc_id").limit(100),
+      col("doc_id"), numParts = 4096)
+    val ids = out.select("uid").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until ids.length), "ids not dense 0..n-1 at 4096 parts")
+  }
+
   test("split is disjoint and complete over the sampled set") {
     val (train, test) = Etl.run(docs, cfg)
     val nTrain = train.count()

@@ -282,6 +282,41 @@ class ExtSpec extends AnyFunSuite {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("real encoded PNGs decode to true dimensions and pixel features") {
+    import spark.implicits._
+    // a genuine 10x6 PNG, solid red, written by ImageIO — the decode
+    // path must recover the true dims AND pixel-derived features
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, png(10, 6, 0xFF0000)),   // red
+      Multimodal.MediaRow(2L, png(4, 8, 0x0000FF))).toDS() // blue
+    val feats = Multimodal.decodeFeatures(media, dim = 8)
+      .collect().map(f => f.id -> f).toMap
+    assert((feats(1L).width, feats(1L).height) == ((10, 6)))
+    assert((feats(2L).width, feats(2L).height) == ((4, 8)))
+    // features 0..2 are mean R,G,B in 0..1: red image -> (1,0,0)
+    assert(math.abs(feats(1L).features(0) - 1f) < 1e-3 &&
+      feats(1L).features(1) < 1e-3 && feats(1L).features(2) < 1e-3,
+      feats(1L).features.mkString(","))
+    assert(feats(2L).features(0) < 1e-3 &&
+      math.abs(feats(2L).features(2) - 1f) < 1e-3,
+      feats(2L).features.mkString(","))
+    // band luminances (slots 3..7) of a solid image are all equal
+    val bands = feats(1L).features.drop(3)
+    assert(bands.forall(b => math.abs(b - bands(0)) < 1e-3))
+    // real resize: 10x6 red -> 3x3 PNG that still decodes red
+    val small = Multimodal.Codec.resize(png(10, 6, 0xFF0000), 3, 3)
+    val (rw, rh, rf) = Multimodal.Codec.decode(small, 3)
+    assert((rw, rh) == ((3, 3)) && math.abs(rf(0) - 1f) < 1e-2)
+  }
+
   test("PNG payloads decode to their true header dimensions") {
     import spark.implicits._
     // a real PNG signature + IHDR prefix (width 123, height 45) with
