@@ -160,14 +160,26 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity of two shingle-set columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a)
-    val db = array_distinct(b)
-    val inter = size(array_intersect(da, db)).cast("double")
-    val union = (size(da) + size(db)).cast("double") - size(array_intersect(da, db))
-    when(union > 0, round(inter / union, 6)).otherwise(0.0)
-  }
+  /** Exact n-gram Jaccard similarity of two shingle-set columns.
+    *
+    * Every non-cheap subexpression occurs EXACTLY ONCE in the tree:
+    * naive `inter / (|A|+|B|-inter)` references the `array_intersect`
+    * twice and codegen re-evaluates per reference. A single Column has
+    * no projection to stage aliases in, so this uses the HOF
+    * let-binding idiom instead — wrap each value in a one-element
+    * array and bind it to a lambda variable; the variable is a cheap
+    * attribute reference however often the body uses it. (In a
+    * DataFrame pipeline, prefer staged `withColumn` aliases — see the
+    * verify step in [[nearDupPairs]].) */
+  def jaccard(a: Column, b: Column): Column =
+    element_at(zip_with(array(array_distinct(a)), array(array_distinct(b)),
+      (da, db) =>
+        element_at(transform(
+          array(size(array_intersect(da, db)).cast("double")), inter =>
+            element_at(transform(
+              array((size(da) + size(db)).cast("double") - inter), un =>
+                when(un > 0, round(inter / un, 6)).otherwise(0.0)), lit(1))),
+          lit(1))), lit(1))
 
   /** Exact n-gram Jaccard pairs in aggregative form: explode distinct
     * shingles, equi-join on (block, shingle), count matches per pair,
@@ -217,11 +229,21 @@ object Dedup {
     * ONCE: the per-doc shingle arrays are persisted (memory-and-disk,
     * evicted LRU) and feed both the signature pipeline (via explode)
     * and the two verification joins — without the cache the corpus
-    * would be re-tokenized three times. */
+    * would be re-tokenized three times.
+    *
+    * Cache lifecycle: with `materialize = true` (default) the verified
+    * pairs — small relative to the corpus — are computed eagerly into
+    * executor-local checkpoint blocks and the shingle cache is
+    * RELEASED before returning, so a long-lived session running the
+    * operator repeatedly never accumulates dead shingle arrays. Pass
+    * `materialize = false` to get the lazy plan instead (plan audits,
+    * further composition before any action); the shingle cache then
+    * lives until the session's ContextCleaner collects it. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5,
                    numHashes: Int = 8, bands: Int = 4,
-                   maxBucket: Int = Int.MaxValue): DataFrame = {
+                   maxBucket: Int = Int.MaxValue,
+                   materialize: Boolean = true): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
         Featurize.tokensCol(col(textCol)).as("__t"))
       .select(col("__id"), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
@@ -236,11 +258,11 @@ object Dedup {
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify with STAGED jaccard components: the one-expression
-    // jaccard() references each distinct-array twice and the
-    // intersection twice, and codegen re-evaluates per reference —
-    // here every non-cheap value is computed once under an alias
-    cands
+    // verify with STAGED jaccard components: a one-expression jaccard
+    // would reference the distinct-arrays and the intersection more
+    // than once, and codegen re-evaluates per reference — here every
+    // non-cheap value is computed once under an alias
+    val out = cands
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
       .withColumn("__da", array_distinct(col("sh_a")))
@@ -254,6 +276,12 @@ object Dedup {
           .otherwise(0.0))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    if (!materialize) out
+    else {
+      val done = out.localCheckpoint() // eager: computes + stores pairs
+      sh.unpersist(false)
+      done
+    }
   }
 
   /** Incremental near-dup: match a NEW batch of documents against an
@@ -267,12 +295,20 @@ object Dedup {
     * increment are found by the small increment self-join; corpus-
     * internal pairs are assumed already handled by the corpus build.
     * Returns (id_a = increment id, id_b = matched id, jaccard ≥
-    * threshold), with increment-internal pairs ordered id_a < id_b. */
+    * threshold), with increment-internal pairs ordered id_a < id_b.
+    *
+    * Cache lifecycle: as in [[nearDupPairs]] — `materialize = true`
+    * (default) computes the pairs eagerly and releases both shingle
+    * caches before returning (a daily-increment loop must not
+    * accumulate one dead corpus-shingle cache per day);
+    * `materialize = false` returns the lazy plan with caller-managed
+    * caches. */
   def nearDupIncremental(newDocs: DataFrame, corpus: DataFrame,
                          textCol: String, idCol: String,
                          threshold: Double = 0.5,
                          numHashes: Int = 8, bands: Int = 4,
-                         maxBucket: Int = Int.MaxValue): DataFrame = {
+                         maxBucket: Int = Int.MaxValue,
+                         materialize: Boolean = true): DataFrame = {
     def shingled(df: DataFrame) = df
       .select(col(idCol).as("__id"), Featurize.tokensCol(col(textCol)).as("__t"))
       .select(col("__id"), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
@@ -314,7 +350,14 @@ object Dedup {
           .otherwise(0.0))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    verified(crossCands, corpusSh).union(verified(selfCands, newSh))
+    val out = verified(crossCands, corpusSh).union(verified(selfCands, newSh))
+    if (!materialize) out
+    else {
+      val done = out.localCheckpoint() // eager: computes + stores pairs
+      newSh.unpersist(false)
+      corpusSh.unpersist(false)
+      done
+    }
   }
 
   /** Connected components over an undirected pair list — the step that

@@ -901,6 +901,117 @@ object ExtQueries {
       |FROM s GROUP BY user_id, sess
       |ORDER BY 1, 2, 3""".stripMargin
 
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Scratch dir scoped by fixture + pid (concurrent Verify/Bench
+    * processes must not collide), wiped on entry so every call runs
+    * the stream end-to-end from scratch. */
+  private def scratchDir(tag: String, dir: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}_" +
+        ProcessHandle.current().pid())
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(); ()
+    }
+    rm(f)
+    f.getAbsolutePath
+  }
+
+  /** §2.11+: the SAME gap sessionization through the Spark-4
+    * `transformWithState` surface — EVENT-TIME timers, RocksDB state
+    * store — executed as a REAL streaming query (AvailableNow over the
+    * events fixture, memory sink). With a zero-delay watermark the
+    * final watermark is the fixture's max event time, so exactly the
+    * sessions whose gap has provably elapsed close: mid-stream
+    * sessions inline when the next event arrives, idle sessions via
+    * their event-time timer in the terminal no-data batch. The oracle
+    * rebuilds sessions with lag + cumulative break-sum and applies the
+    * same closed-session predicate (last + gap ≤ max ts). */
+  val sessionizeTimersQ: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // the file stream source wants a DIRECTORY of files — stage the
+    // fixture into one via symlink (no data copy)
+    val src = scratchDir("st_src", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(src, "events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream.schema(raw.schema).parquet(src)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[graft.streaming.ScoreStream.Event]
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink = s"sessionize_timers_${sinkSeq.incrementAndGet()}"
+    try {
+      val q = graft.streaming.ScoreStream
+        .sessionizeWithTimers(stream, gapSec = 14400)
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .option("checkpointLocation", scratchDir("st_chk", dir))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    s.table(sink).orderBy("user_id", "n_events", "duration_sec")
+  }
+
+  val sessionizeTimersSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+      |g AS (SELECT user_id, tms,
+      |  CASE WHEN lag(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+      |       OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) > 14400000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |s AS (SELECT user_id, tms,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tms
+      |    ROWS UNBOUNDED PRECEDING) AS sess FROM g),
+      |sess AS (SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(MAX(tms) - MIN(tms) AS DOUBLE) / 1000.0 AS duration_sec,
+      |  MAX(tms) AS last FROM s GROUP BY user_id, sess)
+      |SELECT user_id, n_events, duration_sec
+      |FROM sess WHERE last + 14400000 <= (SELECT MAX(tms) FROM e)
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** §2.11+: streaming exact dedup end-to-end under the oracle — an
+    * at-least-once source (the events fixture plus a re-delivered
+    * subset) streamed through `dropDuplicatesWithinWatermark` into the
+    * idempotent `batch_id=N` parquet sink, read back and compared to
+    * plain DISTINCT over the original table. Proves the
+    * at-least-once → exactly-once output path, not just the operator:
+    * any duplicate surviving dedup, and any row duplicated or lost by
+    * the sink's overwrite discipline, breaks the hash match. */
+  val streamDedupQ: Q = (s, dir) => {
+    val base = scratchDir("sd", dir)
+    val ev = events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(s"$base/src/b0")
+    // re-delivery: every 7th event arrives twice
+    ev.where(col("event_id") % 7 === 0)
+      .write.mode("overwrite").parquet(s"$base/src/b1")
+    val stream = s.readStream.schema(ev.schema)
+      .option("recursiveFileLookup", "true").parquet(s"$base/src")
+    val deduped = graft.streaming.ScoreStream.dedupedEvents(
+      stream, "ts", Seq("event_id"), watermark = "365 days")
+    val q = graft.streaming.ScoreStream.idempotentParquetSink(
+      deduped, s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val streamDedupSql =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -925,6 +1036,8 @@ object ExtQueries {
     "q_stream_window" -> streamWindow,
     "q_stream_join" -> streamJoin,
     "q_sessionize" -> sessionizeQ,
+    "q_sessionize_timers" -> sessionizeTimersQ,
+    "q_stream_dedup" -> streamDedupQ,
     "q_dedup_minhash_grouped" -> dedupMinhashGrouped,
     "q_dedup_incremental" -> dedupIncremental,
     "q_text_normalize" -> textNormalize,
@@ -953,6 +1066,8 @@ object ExtQueries {
     "q_stream_window" -> streamWindowSql,
     "q_stream_join" -> streamJoinSql,
     "q_sessionize" -> sessionizeSql,
+    "q_sessionize_timers" -> sessionizeTimersSql,
+    "q_stream_dedup" -> streamDedupSql,
     "q_dedup_minhash_grouped" -> dedupMinhashGroupedSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_text_normalize" -> textNormalizeSql,

@@ -690,20 +690,27 @@ object Queries {
       // keeps each trial cheap without losing separability
       val space = graft.ml.Tuning.Space(epoch = (8, 15),
         numFeaturesLog2 = (12, 13))
-      // the two searches are independent — run them concurrently and
-      // let Spark's scheduler interleave their trial jobs
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val fRandom = Future(graft.ml.Tuning.search(train, validation,
-        "lang", "text_clean", new graft.ml.Tracking(tmp + "/rand"),
-        space, maxEvals = 6, parallelism = 6))
-      val fHalved = Future(graft.ml.Tuning.searchHalving(train, validation,
-        "lang", "text_clean", new graft.ml.Tracking(tmp + "/sh"),
-        space, n0 = 4, rung0Epochs = 2, parallelism = 4))
-      val random = Await.result(fRandom, Duration.Inf)
-      val halved = Await.result(fHalved, Duration.Inf)
-      labeled.unpersist()
+      // the two searches are independent — run them concurrently on a
+      // DEDICATED two-thread pool (not the global ExecutionContext:
+      // parking unbounded waits on a shared pool starves whoever else
+      // uses it) and bound the wait, so a hung trial fails this query
+      // loudly instead of wedging the whole Verify run
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val fRandom = Future(graft.ml.Tuning.search(train, validation,
+          "lang", "text_clean", new graft.ml.Tracking(tmp + "/rand"),
+          space, maxEvals = 6, parallelism = 6))
+        val fHalved = Future(graft.ml.Tuning.searchHalving(train, validation,
+          "lang", "text_clean", new graft.ml.Tracking(tmp + "/sh"),
+          space, n0 = 4, rung0Epochs = 2, parallelism = 4))
+        // generous: ~13 bounded trials on a 400-doc slice finish in
+        // seconds; 10 minutes only trips on a genuinely wedged trial
+        val random = Await.result(fRandom, 10.minutes)
+        val halved = Await.result(fHalved, 10.minutes)
+        labeled.unpersist()
       val randomEpochs = random.map(_.params.epoch).sum
       // rung schedule n0=4, budgets 2,4,8 → 4·2 + 2·4 + 1·8
       var (n, b, halvingEpochs) = (4, 2, 0)
@@ -723,6 +730,7 @@ object Queries {
         ("halving", halved.size, halvingEpochs, halvedBest),
         ("random", random.size, randomEpochs, randomBest))
         .toDF("method", "n_final_trials", "total_epochs", "best_acc")
+      } finally pool.shutdown()
     })
 
   /** S3+S4+S5 driver-grounded: fastText-format lines → the

@@ -29,15 +29,17 @@ object PlanDump {
           org.apache.spark.sql.functions.col("doc_id").cast("string")), 5),
       "q_window_topk" -> graft.ops.Queries.windowTopK(spark, dir),
       "q_sample_temperature" -> graft.ops.Queries.sampleTemperatureQ(spark, dir),
+      // materialize = false: the audit wants the full lazy tree, not a
+      // scan of the eagerly-checkpointed result
       "nearDupPairs (no orderBy)" -> graft.ext.Dedup.nearDupPairs(
         spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
-        "text", "doc_id"),
+        "text", "doc_id", materialize = false),
       "nearDupIncremental (no orderBy)" -> {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text")
         graft.ext.Dedup.nearDupIncremental(
           docs.where(org.apache.spark.sql.functions.col("doc_id") < 10),
-          docs, "text", "doc_id")
+          docs, "text", "doc_id", materialize = false)
       })
     val sb = new StringBuilder
     targets.foreach { case (name, df) =>

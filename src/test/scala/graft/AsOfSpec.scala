@@ -42,7 +42,7 @@ class AsOfSpec extends AnyFunSuite {
       .toDF("k", "t", "payload", "seq")
     val out = AsOf.asofJoin(left, right, "k", "t",
       Seq("payload"), tieBreak = Seq("seq"))
-      .head.getString(3)
+      .head().getString(3)
     assert(out == "high")
   }
 }

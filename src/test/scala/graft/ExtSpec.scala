@@ -31,7 +31,7 @@ class ExtSpec extends AnyFunSuite {
 
   test("minhash LSH surfaces a planted near-duplicate pair") {
     // plant: doc 9001 = doc 0's text with one token changed
-    val base = docs.where(col("doc_id") === 0).select("text").head.getString(0)
+    val base = docs.where(col("doc_id") === 0).select("text").head().getString(0)
     val tokens = base.split(" ")
     val mutated = (tokens.take(tokens.length - 1) :+ "zzz").mkString(" ")
     val planted = docs.select("doc_id", "text")
@@ -49,8 +49,36 @@ class ExtSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c", "a"), Seq("b", "c", "d"))).toDF("x", "y")
     // inter {b,c} = 2, union {a,b,c,d} = 4
-    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0)
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
     assert(j == 0.5, j.toString)
+    // the HOF let-binding form must reference each non-cheap
+    // subexpression exactly once — no per-reference re-evaluation
+    // alias: the auto-generated column name embeds the pretty-printed
+    // expression, which would double-count the pattern below
+    val analyzed = df.select(Dedup.jaccard(col("x"), col("y")).as("j"))
+      .queryExecution.analyzed.toString
+    assert("array_intersect".r.findAllIn(analyzed).size == 1, analyzed)
+    assert("array_distinct".r.findAllIn(analyzed).size == 2, analyzed)
+    // empty ∩ empty: union 0 -> defined 0.0, not null/NaN
+    val z = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("near-dup operators release their shingle caches") {
+    val sc = spark.sparkContext
+    val planted = docs.limit(50).select("doc_id", "text")
+    val before = sc.getPersistentRDDs.keySet.toSet
+    Dedup.nearDupPairs(planted, "text", "doc_id", threshold = 0.5).count()
+    val leakedP = sc.getPersistentRDDs.keySet.toSet -- before
+    // at most the eagerly-checkpointed result survives — the shingle
+    // cache itself must be gone the moment the operator returns
+    assert(leakedP.size <= 1, s"nearDupPairs leaked caches: $leakedP")
+    val before2 = sc.getPersistentRDDs.keySet.toSet
+    Dedup.nearDupIncremental(planted.where(col("doc_id") < 5), planted,
+      "text", "doc_id", threshold = 0.5).count()
+    val leakedI = sc.getPersistentRDDs.keySet.toSet -- before2
+    assert(leakedI.size <= 1, s"nearDupIncremental leaked caches: $leakedI")
   }
 
   test("array-form minhash signature and band keys match the frame form") {
@@ -94,7 +122,7 @@ class ExtSpec extends AnyFunSuite {
     // the column-level distance agrees with the local computation
     import spark.implicits._
     val pairHam = Seq((sh(1L), sh(2L))).toDF("a", "b")
-      .select(Dedup.hamming16(col("a"), col("b")).cast("int")).head.getInt(0)
+      .select(Dedup.hamming16(col("a"), col("b")).cast("int")).head().getInt(0)
     assert(pairHam == ham(sh(1L), sh(2L)))
   }
 
@@ -148,7 +176,7 @@ class ExtSpec extends AnyFunSuite {
     // round — the O(log diameter) guarantee, asserted, not assumed
     val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
-    assert(labels.agg(max(col("component"))).head.getLong(0) == 0L)
+    assert(labels.agg(max(col("component"))).head().getLong(0) == 0L)
     assert(rounds <= 6, s"rounds=$rounds exceeds ceil(log2(32))+1")
   }
 
@@ -174,7 +202,7 @@ class ExtSpec extends AnyFunSuite {
     val boilerplate = "identical corpus internal duplicate text body here"
     val corpus = docs.select("doc_id", "text")
       .union(Seq((777001L, boilerplate), (777002L, boilerplate)).toDF("doc_id", "text"))
-    val base = docs.where(col("doc_id") === 0).select("text").head.getString(0)
+    val base = docs.where(col("doc_id") === 0).select("text").head().getString(0)
     val inc = Seq((900001L, base + " zzz zzz zzz")).toDF("doc_id", "text")
     val pairs = Dedup.nearDupIncremental(inc, corpus, "text", "doc_id",
       threshold = 0.5)
@@ -204,7 +232,7 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("embedding near-dup of an identical planted vector is found") {
-    val v = emb.where(col("vec_id") === 0).select("embedding").head
+    val v = emb.where(col("vec_id") === 0).select("embedding").head()
       .getSeq[Float](0).toArray
     val planted = emb.select("vec_id", "embedding")
       .union(Seq((8888L, v)).toDF("vec_id", "embedding"))
@@ -236,7 +264,7 @@ class ExtSpec extends AnyFunSuite {
     def sumSq(nBits: Int): Long = skewed
       .select(Similarity.signBucket(col("embedding"), nBits, 64).as("b"))
       .groupBy("b").count()
-      .agg(sum(col("count") * col("count"))).head.getLong(0)
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
     val s8 = sumSq(8)
     val s16 = sumSq(16)
     val n = skewed.count()

@@ -22,12 +22,12 @@ class FunctionsSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(r == 32.0)
     // float arrays implicitly cast
     val f = spark.sql(
       "SELECT dot_product(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), array(3.0D, 4.0D)) AS d")
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(f == 11.0)
   }
 
@@ -50,7 +50,7 @@ class FunctionsSpec extends AnyFunSuite {
       val q = emb.select(
         call_function("dot_product", col("embedding"), col("embedding")).as("d"))
         .agg(max("d"))
-      assert(q.head.getDouble(0) > 0)
+      assert(q.head().getDouble(0) > 0)
       val plan = q.queryExecution.executedPlan.toString
       // the projection containing dot_product must be a codegen stage,
       // not an interpreted fallback

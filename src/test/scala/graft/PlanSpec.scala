@@ -117,13 +117,16 @@ class PlanSpec extends AnyFunSuite {
       }
       assert(!plan.contains("BatchEvalPython") && !plan.contains("PythonUDF"),
         s"$name contains a Python node")
-      // The connected-components consumers are exempt from the
-      // RDD-scan rule: iterative label propagation cuts lineage per
-      // round via localCheckpoint (the plan would otherwise grow
-      // 3^rounds), so the label frame is a materialized RDD by design
-      // — nothing upstream of it skips pushdown, and the rule still
-      // guards every scan-shaped query.
-      if (!Set("q_dedup_components", "q_dedup_apply").contains(name))
+      // Checkpoint-by-design queries are exempt from the RDD-scan
+      // rule: connected-components cuts lineage per round via
+      // localCheckpoint (the plan would otherwise grow 3^rounds), and
+      // the near-dup operators eagerly checkpoint their verified-pairs
+      // output so the big shingle caches can be released before
+      // returning. In both cases the materialized RDD is the SMALL
+      // result — everything upstream of it planned with full pushdown
+      // — and the rule still guards every scan-shaped query.
+      if (!Set("q_dedup_components", "q_dedup_apply",
+          "q_dedup_neardup", "q_dedup_incremental").contains(name))
         assert(!plan.contains("ExistingRDD"),
           s"$name plans an opaque RDD scan (breaks pushdown/codegen)")
       // min/max over var-length types silently falls back to

@@ -24,8 +24,8 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.option("header", "true")
       .schema("doc_id BIGINT, lang STRING, n_chars BIGINT").csv(tmp)
     assert(back.count() == in.count())
-    assert(back.agg(sum("n_chars")).head.getLong(0) ==
-      in.agg(sum("n_chars")).head.getLong(0))
+    assert(back.agg(sum("n_chars")).head().getLong(0) ==
+      in.agg(sum("n_chars")).head().getLong(0))
   }
 
   test("json round trip preserves rows") {
@@ -57,7 +57,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 4)
     val good = df.where(col("_corrupt_record").isNull)
     assert(good.count() == 2)
-    assert(good.agg(sum("doc_id")).head.getLong(0) == 3L)
+    assert(good.agg(sum("doc_id")).head().getLong(0) == 3L)
     val bad = df.where(col("_corrupt_record").isNotNull)
       .select("_corrupt_record").collect().map(_.getString(0))
     assert(bad.length == 2 && bad.exists(_.contains("not json at all")), bad.mkString("|"))
@@ -71,8 +71,8 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.orc(tmp)
     assert(back.schema == in.schema)
     assert(back.count() == in.count())
-    assert(back.agg(sum("n_chars")).head.getLong(0) ==
-      in.agg(sum("n_chars")).head.getLong(0))
+    assert(back.agg(sum("n_chars")).head().getLong(0) ==
+      in.agg(sum("n_chars")).head().getLong(0))
     // predicate pushdown reaches the ORC scan like parquet
     val plan = back.where(col("doc_id") < 10).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"), plan)
