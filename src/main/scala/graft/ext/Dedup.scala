@@ -238,12 +238,21 @@ object Dedup {
     * operator repeatedly never accumulates dead shingle arrays. Pass
     * `materialize = false` to get the lazy plan instead (plan audits,
     * further composition before any action); the shingle cache then
-    * lives until the session's ContextCleaner collects it. */
+    * lives until the session's ContextCleaner collects it.
+    *
+    * `reliable` (with `materialize = true`) mirrors
+    * [[connectedComponentsWithRounds]]: the default localCheckpoint
+    * stores pairs as executor-local blocks with lineage CUT — on a real
+    * cluster, losing an executor after return makes the frame
+    * unrecomputable. `reliable = true` writes the pairs to the
+    * configured checkpoint directory (`checkpoint()`) so they survive
+    * executor loss / dynamic deallocation on long cluster runs. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5,
                    numHashes: Int = 8, bands: Int = 4,
                    maxBucket: Int = Int.MaxValue,
-                   materialize: Boolean = true): DataFrame = {
+                   materialize: Boolean = true,
+                   reliable: Boolean = false): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
         Featurize.tokensCol(col(textCol)).as("__t"))
       .select(col("__id"), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
@@ -278,7 +287,9 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
     if (!materialize) out
     else {
-      val done = out.localCheckpoint() // eager: computes + stores pairs
+      // eager: computes + stores pairs (reliable → checkpoint-dir
+      // storage that survives executor loss; else executor-local)
+      val done = if (reliable) out.checkpoint() else out.localCheckpoint()
       sh.unpersist(false)
       done
     }
@@ -302,13 +313,15 @@ object Dedup {
     * caches before returning (a daily-increment loop must not
     * accumulate one dead corpus-shingle cache per day);
     * `materialize = false` returns the lazy plan with caller-managed
-    * caches. */
+    * caches. `reliable` as in [[nearDupPairs]]: checkpoint-dir storage
+    * for the materialized pairs instead of executor-local blocks. */
   def nearDupIncremental(newDocs: DataFrame, corpus: DataFrame,
                          textCol: String, idCol: String,
                          threshold: Double = 0.5,
                          numHashes: Int = 8, bands: Int = 4,
                          maxBucket: Int = Int.MaxValue,
-                         materialize: Boolean = true): DataFrame = {
+                         materialize: Boolean = true,
+                         reliable: Boolean = false): DataFrame = {
     def shingled(df: DataFrame) = df
       .select(col(idCol).as("__id"), Featurize.tokensCol(col(textCol)).as("__t"))
       .select(col("__id"), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
@@ -353,7 +366,7 @@ object Dedup {
     val out = verified(crossCands, corpusSh).union(verified(selfCands, newSh))
     if (!materialize) out
     else {
-      val done = out.localCheckpoint() // eager: computes + stores pairs
+      val done = if (reliable) out.checkpoint() else out.localCheckpoint()
       newSh.unpersist(false)
       corpusSh.unpersist(false)
       done

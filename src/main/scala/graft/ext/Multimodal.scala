@@ -135,13 +135,59 @@ object Multimodal {
       (w, h, feats)
     }
 
-    /** Decode a payload into (width, height, feature vector). */
+    /** Max pixels a payload may declare before we refuse to decode it
+      * fully (64 MPix ≈ 256 MB of INT_RGB): an untrusted corpus WILL
+      * contain decompression bombs — a few-KB payload whose header
+      * declares enormous dimensions. `ImageIO.read` allocates
+      * width×height up front and the resulting `OutOfMemoryError`
+      * is not an `Exception` — it would kill the executor, not the
+      * row. So dimensions are read from the HEADER first (readers
+      * parse only metadata for `getWidth`/`getHeight`) and oversized
+      * payloads take the no-pixel fallback. */
+    private[ext] val MaxPixels: Long = 64L * 1024 * 1024
+
+    /** Header-only (width, height) via the registered ImageIO reader —
+      * no pixel allocation. None if no reader accepts the payload. */
+    private[ext] def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+
+    private def withinBudget(payload: Array[Byte]): Boolean =
+      headerDims(payload).exists { case (w, h) =>
+        w > 0 && h > 0 && w.toLong * h <= MaxPixels
+      }
+
+    /** Decode a payload into (width, height, feature vector). Payloads
+      * whose header declares more than [[MaxPixels]] are NOT pixel-
+      * decoded: they report their true header dimensions with
+      * byte-derived features (the truncated-upload fallback shape). */
     def decode(payload: Array[Byte], dim: Int = 8): (Int, Int, Array[Float]) =
       try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
-        if (img == null) fallback(payload, dim)
-        else (img.getWidth, img.getHeight, pixelFeatures(img, dim))
+        if (!withinBudget(payload)) {
+          headerDims(payload) match {
+            case Some((w, h)) =>
+              val (_, _, feats) = fallback(payload, dim); (w, h, feats)
+            case None => fallback(payload, dim)
+          }
+        } else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null) fallback(payload, dim)
+          else (img.getWidth, img.getHeight, pixelFeatures(img, dim))
+        }
       } catch { case _: Exception => fallback(payload, dim) }
 
     /** Real image resize: decode, scale to (w, h) with bilinear
@@ -149,8 +195,10 @@ object Multimodal {
       * byte truncation/padding to w bytes (the placeholder shape). */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
+        val img =
+          if (!withinBudget(payload)) null
+          else javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
         if (img == null) java.util.Arrays.copyOf(payload, w)
         else {
           val out = new java.awt.image.BufferedImage(

@@ -906,12 +906,15 @@ object ExtQueries {
   /** Scratch dir scoped by fixture + pid (concurrent Verify/Bench
     * processes must not collide), wiped on entry so every call runs
     * the stream end-to-end from scratch. */
-  private def scratchDir(tag: String, dir: String): String = {
+  private[graft] def scratchDir(tag: String, dir: String): String = {
     val f = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${tag}_${Integer.toHexString(dir.hashCode)}_" +
         ProcessHandle.current().pid())
     def rm(x: java.io.File): Unit = {
-      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      // never recurse through a symlink: listFiles/delete would resolve
+      // it and wipe the LINK TARGET (e.g. the staged events fixture)
+      if (!java.nio.file.Files.isSymbolicLink(x.toPath))
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
       x.delete(); ()
     }
     rm(f)

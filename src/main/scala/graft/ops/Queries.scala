@@ -710,7 +710,6 @@ object Queries {
         // seconds; 10 minutes only trips on a genuinely wedged trial
         val random = Await.result(fRandom, 10.minutes)
         val halved = Await.result(fHalved, 10.minutes)
-        labeled.unpersist()
       val randomEpochs = random.map(_.params.epoch).sum
       // rung schedule n0=4, budgets 2,4,8 → 4·2 + 2·4 + 1·8
       var (n, b, halvingEpochs) = (4, 2, 0)
@@ -730,7 +729,12 @@ object Queries {
         ("halving", halved.size, halvingEpochs, halvedBest),
         ("random", random.size, randomEpochs, randomBest))
         .toDF("method", "n_final_trials", "total_epochs", "best_acc")
-      } finally pool.shutdown()
+      } finally {
+        // in finally, not after the awaits: a timed-out or failed
+        // search must not leak the persisted frame for the session
+        labeled.unpersist()
+        pool.shutdown()
+      }
     })
 
   /** S3+S4+S5 driver-grounded: fastText-format lines → the

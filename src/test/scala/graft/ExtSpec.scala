@@ -212,6 +212,75 @@ class ExtSpec extends AnyFunSuite {
       s"corpus-internal pair re-emitted: $pairs")
   }
 
+  test("reliable near-dup pairs write to the checkpoint dir and match local") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val base = docs.where(col("doc_id") === 0).select("text").head().getString(0)
+    val corpus = docs.select("doc_id", "text")
+      .union(Seq((910001L, base + " qqq qqq")).toDF("doc_id", "text"))
+    def run(rel: Boolean) =
+      Dedup.nearDupPairs(corpus, "text", "doc_id", threshold = 0.5,
+          reliable = rel)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run(rel = false)
+    val reliable = run(rel = true)
+    assert(reliable == local && reliable.contains((0L, 910001L)),
+      s"reliable=$reliable local=$local")
+    // the reliable run actually wrote pairs to checkpoint storage
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty)
+  }
+
+  test("decompression-bomb payloads are never pixel-decoded") {
+    // a REAL bomb: a valid tiny PNG whose IHDR is patched to declare
+    // 30000x30000 (900 MPix ≈ 3.6 GB of INT_RGB). Full ImageIO.read
+    // would allocate that up front and die with OutOfMemoryError —
+    // the header-budget guard must report the true header dims and
+    // take the byte-derived fallback instead.
+    def tinyPng(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val bomb = tinyPng()
+    // IHDR layout: length@8, "IHDR"@12, width@16, height@20, then 5
+    // more data bytes, then CRC32 over type+data @29
+    val bb = java.nio.ByteBuffer.wrap(bomb)
+    bb.putInt(16, 30000).putInt(20, 30000)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13)
+    bb.putInt(29, crc.getValue.toInt)
+    val (w, h, feats) = Multimodal.Codec.decode(bomb, 4)
+    assert((w, h) == ((30000, 30000)), s"($w,$h)")
+    // fallback features are byte-derived, deterministic, finite
+    assert(feats.length == 4 && feats.forall(f => !f.isNaN))
+    // resize must also refuse: falls back to byte truncation
+    assert(Multimodal.Codec.resize(bomb, 8, 8).length == 8)
+    // a small in-budget PNG still pixel-decodes for real
+    val (sw, sh, _) = Multimodal.Codec.decode(tinyPng(), 4)
+    assert((sw, sh) == ((2, 2)))
+  }
+
+  test("scratch-dir wipe deletes symlinks without following them") {
+    val fixture = java.nio.file.Files.createTempDirectory("graft_fix")
+    val precious = fixture.resolve("part-0000.parquet")
+    java.nio.file.Files.write(precious, "data".getBytes)
+    val scratch = graft.ops.ExtQueries.scratchDir("lnktest", fixture.toString)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(scratch))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(scratch, "events.parquet"), fixture)
+    // second call wipes the scratch dir; recursing THROUGH the link
+    // would delete the fixture's contents
+    graft.ops.ExtQueries.scratchDir("lnktest", fixture.toString)
+    assert(java.nio.file.Files.exists(precious),
+      "wipe followed the symlink and deleted the fixture")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(scratch, "events.parquet")))
+  }
+
   test("bucket cap bounds the candidate join on degenerate corpora") {
     import spark.implicits._
     // 40 copies of one boilerplate doc: every copy lands in the same
