@@ -246,7 +246,14 @@ object Dedup {
     * cluster, losing an executor after return makes the frame
     * unrecomputable. `reliable = true` writes the pairs to the
     * configured checkpoint directory (`checkpoint()`) so they survive
-    * executor loss / dynamic deallocation on long cluster runs. */
+    * executor loss / dynamic deallocation on long cluster runs.
+    * NOTE checkpoint files are NOT deleted automatically: Spark only
+    * garbage-collects them when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+    * default). A recurring caller (e.g. a daily
+    * [[nearDupIncremental]] loop) must either enable that conf or
+    * wipe the checkpoint dir between runs, or the dir grows without
+    * bound. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5,
                    numHashes: Int = 8, bands: Int = 4,
@@ -288,8 +295,16 @@ object Dedup {
     if (!materialize) out
     else {
       // eager: computes + stores pairs (reliable → checkpoint-dir
-      // storage that survives executor loss; else executor-local)
-      val done = if (reliable) out.checkpoint() else out.localCheckpoint()
+      // storage that survives executor loss; else executor-local).
+      // reliable runs TWO jobs over the plan (the eager count, then
+      // the checkpoint write) — persist the pairs across them so the
+      // second job reads cached blocks instead of recomputing the
+      // candidate join + jaccard verification.
+      val done =
+        if (reliable) {
+          out.persist()
+          try out.checkpoint() finally out.unpersist(false)
+        } else out.localCheckpoint()
       sh.unpersist(false)
       done
     }
@@ -314,7 +329,10 @@ object Dedup {
     * accumulate one dead corpus-shingle cache per day);
     * `materialize = false` returns the lazy plan with caller-managed
     * caches. `reliable` as in [[nearDupPairs]]: checkpoint-dir storage
-    * for the materialized pairs instead of executor-local blocks. */
+    * for the materialized pairs instead of executor-local blocks —
+    * including its cleanup contract (checkpoint files persist unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` or the
+    * caller wipes the dir; a daily loop must do one of the two). */
   def nearDupIncremental(newDocs: DataFrame, corpus: DataFrame,
                          textCol: String, idCol: String,
                          threshold: Double = 0.5,
@@ -366,7 +384,12 @@ object Dedup {
     val out = verified(crossCands, corpusSh).union(verified(selfCands, newSh))
     if (!materialize) out
     else {
-      val done = if (reliable) out.checkpoint() else out.localCheckpoint()
+      // as in nearDupPairs: cache across the eager-count + write jobs
+      val done =
+        if (reliable) {
+          out.persist()
+          try out.checkpoint() finally out.unpersist(false)
+        } else out.localCheckpoint()
       newSh.unpersist(false)
       corpusSh.unpersist(false)
       done
@@ -398,7 +421,10 @@ object Dedup {
     * right for single-app batch runs). `reliable = true` uses
     * `checkpoint()` against `spark.sparkContext.setCheckpointDir`
     * storage instead: blocks survive executor loss on a long cluster
-    * run, at the price of an eager write job per round. */
+    * run, at the price of an eager write job per round. Cleanup as in
+    * [[nearDupPairs]]: per-round checkpoint files persist unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` or the
+    * caller wipes the checkpoint dir after the run. */
   def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 20,
                                     reliable: Boolean = false): (DataFrame, Int) = {
     def cut(df: DataFrame): DataFrame =

@@ -146,59 +146,63 @@ object Multimodal {
       * payloads take the no-pixel fallback. */
     private[ext] val MaxPixels: Long = 64L * 1024 * 1024
 
-    /** Header-only (width, height) via the registered ImageIO reader —
-      * no pixel allocation. None if no reader accepts the payload. */
-    private[ext] def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    /** One-pass guarded read: parse the header with the registered
+      * reader and, ONLY if the declared dims fit [[MaxPixels]], decode
+      * pixels with the SAME reader — one codec setup per payload (the
+      * per-row hot path of an image-corpus scan) instead of a header
+      * parse followed by a fresh `ImageIO.read` that re-parses it.
+      *  - `Right(img)`          in-budget, pixels decoded
+      *  - `Left(Some((w, h)))`  over-budget bomb: true header dims,
+      *                          no pixel allocation
+      *  - `Left(None)`          no registered reader, malformed
+      *                          header, or zero/negative declared dims
+      */
+    private[ext] def guardedRead(
+        payload: Array[Byte]): Either[Option[(Int, Int)], java.awt.image.BufferedImage] = {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
+        if (!readers.hasNext) Left(None)
         else {
           val r = readers.next()
           try {
             r.setInput(iis, true, true)
-            Some((r.getWidth(0), r.getHeight(0)))
+            val w = r.getWidth(0)  // header-only: no pixel allocation
+            val h = r.getHeight(0)
+            if (w <= 0 || h <= 0) Left(None) // zero/negative declared dims: not real dims
+            else if (w.toLong * h > MaxPixels) Left(Some((w, h)))
+            else Right(r.read(0))
           } finally r.dispose()
         }
-      } catch { case _: Exception => None }
+      } catch { case _: Exception => Left(None) }
       finally iis.close()
     }
-
-    private def withinBudget(payload: Array[Byte]): Boolean =
-      headerDims(payload).exists { case (w, h) =>
-        w > 0 && h > 0 && w.toLong * h <= MaxPixels
-      }
 
     /** Decode a payload into (width, height, feature vector). Payloads
       * whose header declares more than [[MaxPixels]] are NOT pixel-
       * decoded: they report their true header dimensions with
-      * byte-derived features (the truncated-upload fallback shape). */
+      * byte-derived features (the truncated-upload fallback shape).
+      * Malformed headers (no reader, zero/negative dims) take the
+      * plain fallback with its synthetic nonzero dims. */
     def decode(payload: Array[Byte], dim: Int = 8): (Int, Int, Array[Float]) =
       try {
-        if (!withinBudget(payload)) {
-          headerDims(payload) match {
-            case Some((w, h)) =>
-              val (_, _, feats) = fallback(payload, dim); (w, h, feats)
-            case None => fallback(payload, dim)
-          }
-        } else {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
-          if (img == null) fallback(payload, dim)
-          else (img.getWidth, img.getHeight, pixelFeatures(img, dim))
+        guardedRead(payload) match {
+          case Right(img) if img != null =>
+            (img.getWidth, img.getHeight, pixelFeatures(img, dim))
+          case Left(Some((w, h))) =>
+            val (_, _, feats) = fallback(payload, dim); (w, h, feats)
+          case _ => fallback(payload, dim)
         }
       } catch { case _: Exception => fallback(payload, dim) }
 
     /** Real image resize: decode, scale to (w, h) with bilinear
-      * interpolation, re-encode as PNG. Non-image payloads fall back to
-      * byte truncation/padding to w bytes (the placeholder shape). */
+      * interpolation, re-encode as PNG. Non-image payloads (and
+      * over-budget bombs) fall back to byte truncation/padding to w
+      * bytes (the placeholder shape). */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       try {
-        val img =
-          if (!withinBudget(payload)) null
-          else javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+        val img = guardedRead(payload).getOrElse(null)
         if (img == null) java.util.Arrays.copyOf(payload, w)
         else {
           val out = new java.awt.image.BufferedImage(

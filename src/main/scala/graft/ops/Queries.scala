@@ -731,9 +731,9 @@ object Queries {
         .toDF("method", "n_final_trials", "total_epochs", "best_acc")
       } finally {
         // in finally, not after the awaits: a timed-out or failed
-        // search must not leak the persisted frame for the session
-        labeled.unpersist()
-        pool.shutdown()
+        // search must not leak the persisted frame for the session —
+        // and the pool must shut down even if unpersist itself throws
+        try labeled.unpersist() finally pool.shutdown()
       }
     })
 
