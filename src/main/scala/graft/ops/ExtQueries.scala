@@ -1015,6 +1015,56 @@ object ExtQueries {
     """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** §2.11+: per-user running totals through `transformWithState`
+    * (TimeMode.None, Update mode, RocksDB state store), executed as a
+    * REAL streaming query — AvailableNow over the events fixture into
+    * a memory sink. Update mode re-emits a user's cumulative totals
+    * each micro-batch that touches the user, so the FINAL totals are
+    * the max-`n_events` row per user (the count is strictly
+    * increasing). The processor accumulates integer cents
+    * (`round(value*100)`), so the running sum is exact regardless of
+    * batch boundaries and the oracle's DECIMAL(18,2) sum matches
+    * bit-for-bit after the same /100 double rounding. */
+  val streamTotalsQ: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val src = scratchDir("tot_src", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(src, "events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream.schema(raw.schema).parquet(src)
+      .select(col("user_id"), col("value"))
+      .as[graft.streaming.ScoreStream.ValueEvent]
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink = s"stream_totals_${sinkSeq.incrementAndGet()}"
+    try {
+      val q = graft.streaming.ScoreStream.runningTotals(stream)
+        .writeStream.outputMode("update").format("memory").queryName(sink)
+        .option("checkpointLocation", scratchDir("tot_chk", dir))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    s.table(sink)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .orderBy("user_id")
+  }
+
+  val streamTotalsSql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -1041,6 +1091,7 @@ object ExtQueries {
     "q_sessionize" -> sessionizeQ,
     "q_sessionize_timers" -> sessionizeTimersQ,
     "q_stream_dedup" -> streamDedupQ,
+    "q_stream_totals" -> streamTotalsQ,
     "q_dedup_minhash_grouped" -> dedupMinhashGrouped,
     "q_dedup_incremental" -> dedupIncremental,
     "q_text_normalize" -> textNormalize,
@@ -1071,6 +1122,7 @@ object ExtQueries {
     "q_sessionize" -> sessionizeSql,
     "q_sessionize_timers" -> sessionizeTimersSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_totals" -> streamTotalsSql,
     "q_dedup_minhash_grouped" -> dedupMinhashGroupedSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_text_normalize" -> textNormalizeSql,
