@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{BloomMightContain, DotProduct}
 
 /** Registry of the engine's native Catalyst expressions. */
 object GraftFunctions {
@@ -20,13 +20,25 @@ object GraftFunctions {
         DotProduct(children.head, children(1))
       })
 
+  val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"bloom_might_contain takes 2 arguments, got ${children.length}")
+        BloomMightContain(children.head, children(1))
+      })
+
+  private val all = Seq(dotProduct, bloomMightContain)
+
   /** Imperative registration for sessions built without
     * `spark.sql.extensions` (idempotent — re-registering replaces the
     * same entry). After this, `call_function("dot_product", ...)` and
     * SQL `dot_product(a, b)` both resolve. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      dotProduct._1, dotProduct._2, dotProduct._3)
+    all.foreach { f =>
+      spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
+    }
 }
 
 /** SparkSessionExtensions entry point — the idiomatic installation:
@@ -37,6 +49,8 @@ object GraftFunctions {
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProduct)
+    ext.injectFunction(GraftFunctions.bloomMightContain)
+  }
 }

@@ -1065,6 +1065,57 @@ object ExtQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** §2.11+: stream-stream LEFT OUTER interval join as a REAL
+    * streaming query (AvailableNow, append-mode memory sink): matched
+    * click→purchase pairs emit as they join; unmatched clicks emit
+    * with null purchase columns when the global watermark (min over
+    * both streams of max-event-time − 20 min) passes the end of their
+    * 10-min match window — the state-eviction point. The oracle is the
+    * batch LEFT JOIN with exactly that eviction predicate on the
+    * null rows: clicks still inside the final watermark horizon are
+    * (correctly) still in state when AvailableNow drains, so they
+    * appear in neither. */
+  val streamJoinOuterQ: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val src = scratchDir("sjo_src", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(src, "events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def side(t: String) = s.readStream.schema(raw.schema).parquet(src)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .where(col("event_type") === t)
+    val joined = graft.streaming.ScoreStream.clickPurchaseAttributionOuter(
+      side("click"), side("purchase"))
+    val sink = s"stream_join_outer_${sinkSeq.incrementAndGet()}"
+    val q = joined
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .option("checkpointLocation", scratchDir("sjo_chk", dir))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy("click_id", "purchase_id")
+  }
+
+  val streamJoinOuterSql =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id AS puser, ts AS pts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT LEAST(
+      |    (SELECT MAX(epoch_ms(ts)) FROM events WHERE event_type = 'click'),
+      |    (SELECT MAX(epoch_ms(ts)) FROM events WHERE event_type = 'purchase'))
+      |    - 1200000 AS w),
+      |j AS (SELECT c.click_id, p.purchase_id, c.user_id, c.cts,
+      |    epoch_us(p.pts) - epoch_us(c.cts) AS gap_us, p.value
+      |  FROM c LEFT JOIN p ON c.user_id = p.puser
+      |    AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 10 MINUTE)
+      |SELECT click_id, purchase_id, user_id, gap_us, value FROM j
+      |WHERE purchase_id IS NOT NULL
+      |   OR epoch_ms(cts) + 600000 < (SELECT w FROM wm)
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -1092,6 +1143,7 @@ object ExtQueries {
     "q_sessionize_timers" -> sessionizeTimersQ,
     "q_stream_dedup" -> streamDedupQ,
     "q_stream_totals" -> streamTotalsQ,
+    "q_stream_join_outer" -> streamJoinOuterQ,
     "q_dedup_minhash_grouped" -> dedupMinhashGrouped,
     "q_dedup_incremental" -> dedupIncremental,
     "q_text_normalize" -> textNormalize,
@@ -1123,6 +1175,7 @@ object ExtQueries {
     "q_sessionize_timers" -> sessionizeTimersSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_totals" -> streamTotalsSql,
+    "q_stream_join_outer" -> streamJoinOuterSql,
     "q_dedup_minhash_grouped" -> dedupMinhashGroupedSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_text_normalize" -> textNormalizeSql,

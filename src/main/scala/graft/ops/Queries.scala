@@ -188,6 +188,31 @@ object Queries {
       |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Bloom-pruned join (capability surface beyond reference): lineitem
+    * pruned by a bloom filter over high-value orders' keys
+    * ([[graft.ops.BloomJoin]], native codegen'd probe above the scan),
+    * then the normal equi-join + agg. The bloom is a pre-filter only —
+    * the join removes its false positives — so the oracle is the plain
+    * inner join: any row the filter wrongly drops (a false NEGATIVE,
+    * which blooms must never produce) breaks the hash match. */
+  val joinBloom: Q = (s, dir) => {
+    val bigOrders = orders(s, dir).where(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_orderpriority")
+    graft.ops.BloomJoin.prunedJoin(
+        lineitem(s, dir).select("l_orderkey", "l_quantity"), bigOrders,
+        "l_orderkey", "o_orderkey", expectedItems = 40000)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val joinBloomSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 400000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- 2.4 aggregations ----
 
   /** A1: group-by count (01_merchcat_etl.py:122,147). */
@@ -1018,6 +1043,7 @@ object Queries {
     "q_join_inner" -> joinInner,
     "q_join_semi" -> joinSemi,
     "q_join_anti" -> joinAnti,
+    "q_join_bloom" -> joinBloom,
     "q_join_salted" -> joinSalted,
     "q_join_asof" -> joinAsof,
     "q_agg_sketch" -> aggSketch,
@@ -1070,6 +1096,7 @@ object Queries {
     "q_join_inner" -> joinInnerSql,
     "q_join_semi" -> joinSemiSql,
     "q_join_anti" -> joinAntiSql,
+    "q_join_bloom" -> joinBloomSql,
     "q_join_salted" -> joinSaltedSql,
     "q_join_asof" -> joinAsofSql,
     "q_agg_count" -> aggCountSql,

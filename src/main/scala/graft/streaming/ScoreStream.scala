@@ -64,7 +64,25 @@ object ScoreStream {
     * checks. The join shuffles on `user_id` — at scale both streams
     * hash-partition by user and state stays per-key bounded. */
   def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame,
-                               gapMin: Int = 10): DataFrame = {
+                               gapMin: Int = 10): DataFrame =
+    attributionJoin(clicks, purchases, gapMin, "inner")
+
+  /** LEFT OUTER form of [[clickPurchaseAttribution]]: every click
+    * emits — matched clicks with their purchases as they join,
+    * UNMATCHED clicks with null purchase columns once the global
+    * watermark passes the end of their match window (`click_ts + gap`,
+    * the point where no future purchase can match and the click's join
+    * state is evicted). This is the streaming-state-eviction semantics
+    * a funnel pipeline needs: "clicks that provably converted to
+    * nothing" become rows, not silence. At scale the state bound is
+    * the same as the inner form — per-user-key rows inside the
+    * watermark horizon. */
+  def clickPurchaseAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                                    gapMin: Int = 10): DataFrame =
+    attributionJoin(clicks, purchases, gapMin, "left_outer")
+
+  private def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                              gapMin: Int, joinType: String): DataFrame = {
     val c0 = clicks.select(col("event_id").as("click_id"), col("user_id"),
       col("ts").as("click_ts"))
     val p0 = purchases.select(col("event_id").as("purchase_id"),
@@ -74,7 +92,8 @@ object ScoreStream {
     val p = if (p0.isStreaming) p0.withWatermark("purchase_ts", wm) else p0
     c.join(p, col("user_id") === col("__p_user") &&
         col("purchase_ts") > col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $gapMin MINUTES"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $gapMin MINUTES"),
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("gap_us"),
