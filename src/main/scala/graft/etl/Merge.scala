@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed change-set application — the `MERGE INTO` / CDC-apply analog
+  * for the parquet-only environment (pair with [[Publish]] to land the
+  * merged result atomically). The reference refreshes its corpus by
+  * full overwrite (`02_merchcat_ml.py` retrain-from-scratch); at 100 TB
+  * a full rewrite per refresh is not viable, so incremental keyed
+  * upsert is the operation a production corpus actually needs.
+  *
+  * Scale shape: the CHANGES side (typically ≪ base) is the only side
+  * that shuffles — one partial-aggregatable `max_by` reduce resolves
+  * each key to its latest change, and the touched-key set is broadcast
+  * into a left-anti join so the base table streams through without an
+  * exchange. The base is read once and never sorted, shuffled, or
+  * collected.
+  */
+object Merge {
+
+  /** Resolve a CDC change stream to its latest change per key by
+    * `seqCol` (commit/sequence ordering): a single two-phase
+    * `max_by(struct(...), seq)` hash aggregate — no window, no sort,
+    * map-side partials shrink the shuffle to ≤ one row per key per
+    * task. */
+  def latestChanges(changes: DataFrame, key: String, seqCol: String): DataFrame = {
+    val payload = changes.columns.filter(_ != key).toSeq
+    changes.groupBy(col(key))
+      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("_latest"))
+      .select(col(key) +: payload.map(c => col(s"_latest.`$c`").as(c)): _*)
+  }
+
+  /** Apply a CDC change set to a base table. Per key the highest-`seqCol`
+    * change wins; a winning `opCol == "d"` deletes the key; any other
+    * winning op upserts the change's payload (update if the key exists
+    * in base, insert if not). Base rows with no change pass through
+    * untouched. `changes` must carry every base column plus `seqCol`
+    * and `opCol`; the result has exactly the base schema.
+    *
+    * `broadcastChanges = false` opts out of the broadcast anti join for
+    * the rare change set too large to broadcast — Spark then plans a
+    * shuffled anti join on the key.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, key: String,
+               seqCol: String = "seq", opCol: String = "op",
+               broadcastChanges: Boolean = true): DataFrame = {
+    val latest = latestChanges(changes, key, seqCol)
+    val touched = latest.select(key)
+    val untouched = base.join(
+      if (broadcastChanges) broadcast(touched) else touched,
+      Seq(key), "left_anti")
+    val upserts = latest.where(col(opCol) =!= lit("d"))
+      .select(base.columns.map(c => col(s"`$c`")).toSeq: _*)
+    untouched.unionByName(upserts)
+  }
+}

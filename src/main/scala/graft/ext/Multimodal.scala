@@ -158,7 +158,8 @@ object Multimodal {
       *                          header, or zero/negative declared dims
       */
     private[ext] def guardedRead(
-        payload: Array[Byte]): Either[Option[(Int, Int)], java.awt.image.BufferedImage] = {
+        payload: Array[Byte],
+        maxPixels: Long = MaxPixels): Either[Option[(Int, Int)], java.awt.image.BufferedImage] = {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -171,7 +172,7 @@ object Multimodal {
             val w = r.getWidth(0)  // header-only: no pixel allocation
             val h = r.getHeight(0)
             if (w <= 0 || h <= 0) Left(None) // zero/negative declared dims: not real dims
-            else if (w.toLong * h > MaxPixels) Left(Some((w, h)))
+            else if (w.toLong * h > maxPixels) Left(Some((w, h)))
             else Right(r.read(0))
           } finally r.dispose()
         }
@@ -184,10 +185,13 @@ object Multimodal {
       * decoded: they report their true header dimensions with
       * byte-derived features (the truncated-upload fallback shape).
       * Malformed headers (no reader, zero/negative dims) take the
-      * plain fallback with its synthetic nonzero dims. */
-    def decode(payload: Array[Byte], dim: Int = 8): (Int, Int, Array[Float]) =
+      * plain fallback with its synthetic nonzero dims. `maxPixels`
+      * is overridable so specs can exercise the budget boundary with
+      * small REAL images instead of multi-hundred-MB fixtures. */
+    def decode(payload: Array[Byte], dim: Int = 8,
+               maxPixels: Long = MaxPixels): (Int, Int, Array[Float]) =
       try {
-        guardedRead(payload) match {
+        guardedRead(payload, maxPixels) match {
           case Right(img) if img != null =>
             (img.getWidth, img.getHeight, pixelFeatures(img, dim))
           case Left(Some((w, h))) =>

@@ -1032,6 +1032,51 @@ object Queries {
       |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS uid
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** CDC MERGE apply ([[graft.etl.Merge]]): a change set derived
+    * deterministically from the corpus — updates (id%7), deletes
+    * (id%13), inserts (id%29, shifted keys), with id%91 carrying BOTH
+    * an update and a later delete so latest-wins ordering is exercised.
+    * The oracle resolves latest-per-key with QUALIFY row_number and
+    * applies NOT EXISTS + UNION ALL — classic SQL MERGE decomposition. */
+  val mergeUpsert: Q = (s, dir) => {
+    val base = documents(s, dir).select("doc_id", "lang", "text")
+    val changes =
+      base.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("u").as("op"),
+          col("lang"), concat(col("text"), lit(" [v2]")).as("text"))
+      .unionByName(base.where(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), lit(3L).as("seq"), lit("d").as("op"),
+          col("lang"), col("text")))
+      .unionByName(base.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("seq"),
+          lit("u").as("op"), col("lang"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+    graft.etl.Merge.applyCdc(base, changes, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val mergeUpsertSql =
+    """WITH changes AS (
+      |  SELECT doc_id, 2 AS seq, 'u' AS op, lang, text || ' [v2]' AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 3, 'd', lang, text
+      |  FROM documents WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT d.doc_id + 1000000, 1, 'u', d.lang,
+      |    'new doc ' || CAST(d.doc_id AS VARCHAR)
+      |  FROM documents d WHERE d.doc_id % 29 = 0
+      |),
+      |latest AS (
+      |  SELECT * FROM changes
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1
+      |)
+      |SELECT b.doc_id, b.lang, b.text FROM documents b
+      |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = b.doc_id)
+      |UNION ALL
+      |SELECT doc_id, lang, text FROM latest WHERE op <> 'd'
+      |ORDER BY doc_id""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -1085,6 +1130,7 @@ object Queries {
     "q_sample_temperature" -> sampleTemperatureQ,
     "q_window_ntile" -> windowNtile,
     "q_publish" -> publishRoundtrip,
+    "q_merge_upsert" -> mergeUpsert,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1131,5 +1177,6 @@ object Queries {
     "q_sample_temperature" -> sampleTemperatureSql,
     "q_window_ntile" -> windowNtileSql,
     "q_publish" -> publishRoundtripSql,
+    "q_merge_upsert" -> mergeUpsertSql,
   )
 }

@@ -34,6 +34,37 @@ class EtlSpec extends AnyFunSuite {
     assert(byUid.toSeq == byUid.sorted.toSeq, "uid order != key order")
   }
 
+  test("CDC merge: latest-wins upsert, delete, insert, passthrough; base never shuffles") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "en", "one"), (2L, "en", "two"), (3L, "de", "drei"),
+      (4L, "fr", "quatre")).toDF("doc_id", "lang", "text")
+    val changes = Seq(
+      // key 2: update then later delete — delete must win
+      (2L, 1L, "u", "en", "two v2"),
+      (2L, 2L, "d", "en", "two v2"),
+      // key 3: delete then later update — update must win
+      (3L, 1L, "d", "de", "drei"),
+      (3L, 2L, "u", "de", "drei v2"),
+      // key 9: pure insert (not in base)
+      (9L, 1L, "u", "en", "nine")
+    ).toDF("doc_id", "seq", "op", "lang", "text")
+    val out = Merge.applyCdc(base, changes, "doc_id")
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, "en", "one"),        // untouched passthrough
+      (3L, "de", "drei v2"),    // latest update wins over earlier delete
+      (4L, "fr", "quatre"),     // untouched passthrough
+      (9L, "en", "nine")))      // insert
+    assert(out.schema.fieldNames.toSeq == base.schema.fieldNames.toSeq)
+    // scale shape: the base side joins against a BROADCAST key set —
+    // no exchange on the base branch of the anti join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftanti"), plan)
+  }
+
   test("contiguous ids compile and run at numParts = 4096") {
     // The offset lookup must be O(1) per row (element_at on one array
     // literal). A when-chain fold over numParts would emit a

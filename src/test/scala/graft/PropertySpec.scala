@@ -138,6 +138,76 @@ class PropertySpec extends AnyFunSuite {
       "lang", "doc_id", target = 100).count() == 0)
   }
 
+  // --- pixel-budget boundary (decompression-bomb guard) ---
+
+  /** Deterministically-filled real PNG of the given dimensions. */
+  private def realPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Valid tiny PNG whose IHDR is patched to declare (w, h), CRC
+    * recomputed — the decompression-bomb shape. */
+  private def patchedBomb(w: Int, h: Int): Array[Byte] = {
+    val png = realPng(2, 2)
+    val bb = java.nio.ByteBuffer.wrap(png)
+    bb.putInt(16, w).putInt(20, h)
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 4 + 13) // IHDR type + 13 data bytes
+    bb.putInt(29, crc.getValue.toInt)
+    png
+  }
+
+  test("pixel-budget boundary: exactly-at-budget decodes, one-under falls back") {
+    // every PNG payload starts 0x89..., so the byte-derived fallback's
+    // feats(0) = payload(0)/128 = -0.9296875 < 0, while genuine pixel
+    // features are means in [0, 1] — a deterministic path discriminator.
+    val dims = sample(Gen.listOfN(24,
+      Gen.zip(Gen.choose(1, 48), Gen.choose(1, 48))), 11L)
+    (dims :+ ((1, 1))).foreach { case (w, h) =>
+      val p = realPng(w, h)
+      val px = w.toLong * h
+      // budget == w*h: in budget (guard is strictly >) → pixel decode
+      val (dw, dh, feats) = Multimodal.Codec.decode(p, 4, maxPixels = px)
+      assert((dw, dh) == ((w, h)))
+      assert(feats(0) >= 0f, s"expected pixel features at budget==w*h for ($w,$h)")
+      // budget == w*h - 1: over budget → true header dims, byte fallback
+      val (fw, fh, ffeats) = Multimodal.Codec.decode(p, 4, maxPixels = px - 1)
+      assert((fw, fh) == ((w, h)))
+      assert(ffeats(0) == p(0).toFloat / 128f && ffeats(0) < 0f,
+        s"expected byte-derived fallback just over budget for ($w,$h)")
+    }
+  }
+
+  test("bomb guard survives declared dims whose product overflows Int") {
+    // if the budget check multiplied in Int, each of these would wrap
+    // (2^32 → 0, 46341² → negative, …), "pass" the budget, and the
+    // subsequent pixel decode would attempt a >2³¹-element allocation —
+    // killing the JVM with an uncatchable OutOfMemoryError. The Long
+    // multiply must classify them all as over-budget: true header dims
+    // reported, byte-derived fallback features, no pixel allocation.
+    val overflowShapes = Seq(
+      (65536, 65536),             // 2^32: wraps to exactly 0 in Int
+      (1 << 30, 8),               // 2^33: wraps to 0
+      (Int.MaxValue, 2),          // wraps to -2
+      (46341, 46341))             // just past 2^31: wraps negative
+    overflowShapes.foreach { case (w, h) =>
+      val bomb = patchedBomb(w, h)
+      val (dw, dh, feats) = Multimodal.Codec.decode(bomb, 4)
+      assert((dw, dh) == ((w, h)), s"($dw,$dh) for declared ($w,$h)")
+      assert(feats(0) < 0f, s"expected byte fallback for ($w,$h)")
+    }
+  }
+
   test("scrubPii leaves no email addresses behind") {
     import spark.implicits._
     val email = for {
