@@ -181,4 +181,28 @@ object TextStats {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       translate(lower(text), accentFrom, accentTo), "\\s+", " "))
+
+  /** Adjacent token-pair frequencies over a corpus — the counting step
+    * inside one BPE vocabulary-training merge iteration (find the most
+    * frequent adjacent pair, merge it, repeat). One narrow pass builds
+    * both shifted slices of the token array and zips them (no
+    * self-join, no window); the explode fans out ~n_tokens rows per
+    * document into a two-phase hash count whose map-side partials
+    * shrink the shuffle to distinct pairs per task; top-k lands as
+    * TakeOrderedAndProject (per-partition heads, never a global sort
+    * materialization). At 100 TB the shuffle carries only (pair, count)
+    * partials — bounded by vocabulary², in practice Zipf-small. */
+  def pairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = col("__toks")
+    df.withColumn("__toks", Featurize.tokensCol(col(textCol)))
+      .where(size(toks) > 1)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (l, r) => struct(l.as("l"), r.as("r")))).as("pr"))
+      .select(col("pr.l").as("l"), col("pr.r").as("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l"), col("r"))
+      .limit(k)
+  }
 }

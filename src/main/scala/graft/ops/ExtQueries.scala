@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.ml.Featurize
 import Tables._
@@ -714,6 +715,22 @@ object ExtQueries {
       |    '\s+', ' ', 'g')) AS normalized
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Adjacent token-pair frequencies ([[TextStats.pairCounts]]) — the
+    * counting inner loop of BPE vocabulary training, top-40 pairs under
+    * a total (n desc, l, r) order so the limit boundary is
+    * deterministic. The oracle zips the two shifted list slices with
+    * DuckDB's positional multi-unnest. */
+  val bpePairs: Q = (s, dir) =>
+    TextStats.pairCounts(documents(s, dir).select("text"), "text", k = 40)
+
+  val bpePairsSql =
+    s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+       |p AS (SELECT unnest(toks[1:len(toks)-1]) AS l,
+       |             unnest(toks[2:len(toks)]) AS r
+       |      FROM t WHERE len(toks) > 1)
+       |SELECT l, r, COUNT(*) AS n FROM p
+       |GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 40""".stripMargin
+
   /** Exact distributional profile per language: count, mean and sample
     * std of n_chars, all derived from decimal-exact sums so the
     * doubles are bit-identical across engines (the profiling pass a
@@ -1116,6 +1133,51 @@ object ExtQueries {
       |   OR epoch_ms(cts) + 600000 < (SELECT w FROM wm)
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** §2.11+: stream-static broadcast enrichment
+    * (`ScoreStream.enrichWithDim`) — each micro-batch of the events
+    * stream joins a static dimension (per-event-type attributes,
+    * derived once from the batch table) under a broadcast hint, then
+    * feeds a streaming aggregation, run as a REAL AvailableNow query
+    * into a complete-mode memory sink. The stream side never shuffles
+    * for the join; only the post-enrichment aggregate exchanges.
+    * Oracled against the equivalent batch join in DuckDB. */
+  val streamEnrichQ: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // static dimension: one row per event type with derived attributes
+    val dim = raw.select("event_type").distinct()
+      .withColumn("category", substring(col("event_type"), 1, 1))
+    val src = scratchDir("enr_src", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(src, "events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream.schema(raw.schema).parquet(src)
+      .select("event_type", "value")
+    val enriched = graft.streaming.ScoreStream.enrichWithDim(
+      stream, dim, Seq("event_type"))
+    val sink = s"stream_enrich_${sinkSeq.incrementAndGet()}"
+    val q = enriched
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .writeStream.outputMode("complete").format("memory").queryName(sink)
+      .option("checkpointLocation", scratchDir("enr_chk", dir))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy("category")
+  }
+
+  val streamEnrichSql =
+    """WITH dim AS (SELECT DISTINCT event_type,
+      |    substr(event_type, 1, 1) AS category FROM events)
+      |SELECT d.category, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -1144,9 +1206,11 @@ object ExtQueries {
     "q_stream_dedup" -> streamDedupQ,
     "q_stream_totals" -> streamTotalsQ,
     "q_stream_join_outer" -> streamJoinOuterQ,
+    "q_stream_enrich" -> streamEnrichQ,
     "q_dedup_minhash_grouped" -> dedupMinhashGrouped,
     "q_dedup_incremental" -> dedupIncremental,
     "q_text_normalize" -> textNormalize,
+    "q_bpe_pairs" -> bpePairs,
     "q_profile_stats" -> profileStats,
     "q_fuzzy_match" -> fuzzyMatch,
   )
@@ -1176,9 +1240,11 @@ object ExtQueries {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_totals" -> streamTotalsSql,
     "q_stream_join_outer" -> streamJoinOuterSql,
+    "q_stream_enrich" -> streamEnrichSql,
     "q_dedup_minhash_grouped" -> dedupMinhashGroupedSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_text_normalize" -> textNormalizeSql,
+    "q_bpe_pairs" -> bpePairsSql,
     "q_profile_stats" -> profileStatsSql,
     "q_fuzzy_match" -> fuzzyMatchSql,
   )
