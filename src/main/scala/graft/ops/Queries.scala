@@ -1077,6 +1077,25 @@ object Queries {
       |SELECT doc_id, lang, text FROM latest WHERE op <> 'd'
       |ORDER BY doc_id""".stripMargin
 
+  /** Z-order clustering key ([[graft.etl.ZOrder]]): Morton interleave
+    * of two bounded dimensions — the codegen'd bit-arithmetic
+    * expression is mirrored term-for-term in the oracle SQL
+    * (generated by the same [[graft.etl.ZOrder.interleaveSql]]). The
+    * write-side layout (range partition + in-file sort on this key)
+    * is spec-asserted to tighten per-file bounding boxes. */
+  val zorderKey: Q = (s, dir) =>
+    orders(s, dir).select(col("o_orderkey"),
+      graft.etl.ZOrder.interleave(
+        col("o_custkey") % 256, col("o_orderkey") % 256, 8).as("zvalue"))
+      .orderBy("o_orderkey")
+
+  val zorderKeySql = {
+    val z = graft.etl.ZOrder.interleaveSql(
+      "o_custkey % 256", "o_orderkey % 256", 8)
+    s"""SELECT o_orderkey, $z AS zvalue
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -1131,6 +1150,7 @@ object Queries {
     "q_window_ntile" -> windowNtile,
     "q_publish" -> publishRoundtrip,
     "q_merge_upsert" -> mergeUpsert,
+    "q_zorder_key" -> zorderKey,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1178,5 +1198,6 @@ object Queries {
     "q_window_ntile" -> windowNtileSql,
     "q_publish" -> publishRoundtripSql,
     "q_merge_upsert" -> mergeUpsertSql,
+    "q_zorder_key" -> zorderKeySql,
   )
 }

@@ -156,6 +156,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(graft.etl.Publish.read(spark, table).count() == 3)
   }
 
+  test("z-order interleave matches a reference Morton encoding") {
+    import spark.implicits._
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val pairs = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        etl.ZOrder.interleave(col("a"), col("b"), 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b, 4), s"($a,$b)")
+    }
+    // locality sanity: (0,0) and (1,1) are 3 apart; (0,0) and (15,15) far
+    assert(ref(0, 0, 4) == 0 && ref(1, 1, 4) == 3 && ref(15, 15, 4) == 255)
+  }
+
+  test("z-order clusterWrite tightens per-file bounding boxes vs unordered layout") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val zdir = java.nio.file.Files.createTempDirectory("zord").toString
+    val pdir = java.nio.file.Files.createTempDirectory("plain").toString
+    etl.ZOrder.clusterWrite(orders, "o_custkey", "o_totalprice", zdir, numFiles = 8)
+    orders.repartition(8).write.mode("overwrite").parquet(pdir)
+
+    // per-file normalized bounding-box area, summed: the proxy for how
+    // much a min/max-stats catalog could skip on a 2-dim predicate
+    def areaSum(dir: String): Double = {
+      val span = orders.agg(
+        max("o_custkey").cast("double"), min("o_custkey").cast("double"),
+        max("o_totalprice").cast("double"), min("o_totalprice").cast("double")).head()
+      val (ckSpan, tpSpan) =
+        (span.getDouble(0) - span.getDouble(1), span.getDouble(2) - span.getDouble(3))
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map { f =>
+          val s = spark.read.parquet(f.getAbsolutePath).agg(
+            max("o_custkey").cast("double"), min("o_custkey").cast("double"),
+            max("o_totalprice").cast("double"), min("o_totalprice").cast("double")).head()
+          ((s.getDouble(0) - s.getDouble(1)) / ckSpan) *
+            ((s.getDouble(2) - s.getDouble(3)) / tpSpan)
+        }.sum
+    }
+    val (zArea, pArea) = (areaSum(zdir), areaSum(pdir))
+    // unordered: every file spans ~the whole space (area ≈ 8×1);
+    // z-ordered: each file covers a fraction of both dimensions
+    assert(zArea < 0.5 * pArea, s"z=$zArea plain=$pArea")
+    // clustering must not change content
+    assert(spark.read.parquet(zdir).count() == orders.count())
+    assert(spark.read.parquet(zdir).agg(sum("o_orderkey")).head().getLong(0) ==
+      orders.agg(sum("o_orderkey")).head().getLong(0))
+  }
+
   test("seeded df.sample is reproducible (O4/R4)") {
     val a = docs.sample(0.3, seed = 11).count()
     val b = docs.sample(0.3, seed = 11).count()
