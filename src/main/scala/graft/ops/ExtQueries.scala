@@ -715,6 +715,34 @@ object ExtQueries {
       |    '\s+', ' ', 'g')) AS normalized
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** File-level data skipping over a min/max stats catalog
+    * ([[graft.etl.StatsCatalog]]) on a z-ordered layout
+    * ([[graft.etl.ZOrder.clusterWrite]]): the range predicate prunes
+    * the FILE LIST before the scan is planned — the query throws unless
+    * pruning actually skipped files, so the driver gate verifies the
+    * skipping happened AND the surviving-files scan returns exactly the
+    * full-table answer. */
+  val skippingScanQ: Q = (s, dir) => {
+    val src = orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val zdir = scratchDir("zskip", dir)
+    graft.etl.ZOrder.clusterWrite(src, "o_custkey", "o_totalprice", zdir,
+      numFiles = 8)
+    val table = s.read.parquet(zdir)
+    val stats = graft.etl.StatsCatalog.collect(table, Seq("o_custkey"))
+    val (result, read, total) =
+      graft.etl.StatsCatalog.skippingScan(s, stats, "o_custkey",
+        lo = 100L, hi = 300L)
+    require(read < total,
+      s"skipping scan read $read/$total files — stats pruned nothing")
+    result.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val skippingScanSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 300
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Adjacent token-pair frequencies ([[TextStats.pairCounts]]) — the
     * counting inner loop of BPE vocabulary training, top-40 pairs under
     * a total (n desc, l, r) order so the limit boundary is
@@ -1211,6 +1239,7 @@ object ExtQueries {
     "q_dedup_incremental" -> dedupIncremental,
     "q_text_normalize" -> textNormalize,
     "q_bpe_pairs" -> bpePairs,
+    "q_skipping_scan" -> skippingScanQ,
     "q_profile_stats" -> profileStats,
     "q_fuzzy_match" -> fuzzyMatch,
   )
@@ -1245,6 +1274,7 @@ object ExtQueries {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_bpe_pairs" -> bpePairsSql,
+    "q_skipping_scan" -> skippingScanSql,
     "q_profile_stats" -> profileStatsSql,
     "q_fuzzy_match" -> fuzzyMatchSql,
   )

@@ -209,6 +209,41 @@ class SourcesSpec extends AnyFunSuite {
       orders.agg(sum("o_orderkey")).head().getLong(0))
   }
 
+  test("stats-catalog skipping scan prunes files yet returns the exact filter result") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val zdir = java.nio.file.Files.createTempDirectory("zskip").toString
+    etl.ZOrder.clusterWrite(orders, "o_custkey", "o_totalprice", zdir, numFiles = 8)
+    val table = spark.read.parquet(zdir)
+    val stats = etl.StatsCatalog.collect(table, Seq("o_custkey"))
+    assert(stats.count() == 8) // one catalog row per file
+
+    // narrow range: must skip files AND match the plain filter exactly
+    val (res, read, total) =
+      etl.StatsCatalog.skippingScan(spark, stats, "o_custkey", 100L, 250L)
+    assert(read < total, s"read $read of $total")
+    val expect = orders.where(col("o_custkey").between(100, 250))
+      .collect().map(_.getLong(0)).sorted
+    assert(res.collect().map(_.getLong(0)).sorted.toSeq == expect.toSeq)
+
+    // range pinned EXACTLY to one file's [min, max]: boundary rows kept
+    val b = stats.orderBy("o_custkey_min").head()
+    val (bmin, bmax) = (b.getLong(b.fieldIndex("o_custkey_min")),
+      b.getLong(b.fieldIndex("o_custkey_max")))
+    val (bres, bread, _) =
+      etl.StatsCatalog.skippingScan(spark, stats, "o_custkey", bmin, bmax)
+    assert(bread >= 1)
+    assert(bres.count() ==
+      orders.where(col("o_custkey").between(bmin, bmax)).count())
+
+    // range beyond every file: all files pruned, empty result, schema kept
+    val (zres, zread, ztotal) =
+      etl.StatsCatalog.skippingScan(spark, stats, "o_custkey",
+        Long.MaxValue - 1, Long.MaxValue)
+    assert(zread == 0 && ztotal == 8 && zres.count() == 0)
+    assert(zres.columns.contains("o_orderkey"))
+  }
+
   test("seeded df.sample is reproducible (O4/R4)") {
     val a = docs.sample(0.3, seed = 11).count()
     val b = docs.sample(0.3, seed = 11).count()
