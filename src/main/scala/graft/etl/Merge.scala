@@ -20,15 +20,17 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** Resolve a CDC change stream to its latest change per key by
-    * `seqCol` (commit/sequence ordering): a single two-phase
-    * `max_by(struct(...), seq)` hash aggregate — no window, no sort,
-    * map-side partials shrink the shuffle to ≤ one row per key per
-    * task. */
+    * `seqCol` (commit/sequence ordering — `(key, seq)` must be unique,
+    * the standard CDC LSN contract): winning seq per key via a
+    * fixed-width `max` hash aggregate (a `max_by(struct(...))` would
+    * silently fall back to SortAggregate — a sort of the full change
+    * rows on both sides of its shuffle, because the struct buffer is
+    * var-length), then one equi-join on `(key, seq)` fetches the
+    * winning payload. The payload rows shuffle exactly once, unsorted
+    * pre-aggregation. */
   def latestChanges(changes: DataFrame, key: String, seqCol: String): DataFrame = {
-    val payload = changes.columns.filter(_ != key).toSeq
-    changes.groupBy(col(key))
-      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("_latest"))
-      .select(col(key) +: payload.map(c => col(s"_latest.`$c`").as(c)): _*)
+    val winners = changes.groupBy(col(key)).agg(max(col(seqCol)).as(seqCol))
+    changes.join(winners, Seq(key, seqCol))
   }
 
   /** Apply a CDC change set to a base table. Per key the highest-`seqCol`

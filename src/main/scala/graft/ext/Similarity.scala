@@ -251,6 +251,143 @@ object Similarity {
     ivfTopKWith(queries, corpus, idCol, vecCol, k,
       kmeansCentroids(corpus, idCol, vecCol, nCells, iters), nprobe)
 
+  // ---- PQ: product quantization (compressed codes + ADC scan) ----
+  //
+  // The memory/IO half of the ANN scale story: each corpus vector is
+  // stored as m small integer codes (one per dim/m-dim subspace, each
+  // the id of the nearest sub-centroid) instead of dim floats — 64
+  // floats (256 B) become 4 codes (4 B), a 64× smaller index to scan,
+  // cache, and shuffle. Queries never touch raw corpus vectors:
+  // per-query lookup tables (dot of the query's sub-slice against each
+  // literal sub-centroid, m·ksub doubles) turn scoring into m O(1)
+  // array lookups per candidate — asymmetric distance computation.
+  // Codebooks are m·ksub·dsub doubles, plan literals like the IVF
+  // centroids; composable with IVF (cell-prune, then ADC-score).
+
+  /** L2 nearest-centroid scores, staged one alias per centroid (same
+    * CollapseProject reasoning as [[withSimCols]]): score_i =
+    * dot(v, cᵢ) − |cᵢ|²/2, whose argmax is the argmin of L2 distance
+    * (the classic PQ assignment; cosine would mis-assign unnormalized
+    * sub-vectors). */
+  private def withL2Scores(df: DataFrame, vecCol: String,
+                           cents: Array[Array[Double]]): (DataFrame, Seq[String]) = {
+    val spark = df.sparkSession
+    val scoreCols = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      (nDot(spark, col(vecCol), lit(c)) - lit(c.map(x => x * x).sum / 2))
+        .as(s"__p$i")
+    }
+    (df.select(col("*") +: scoreCols: _*), cents.indices.map(i => s"__p$i"))
+  }
+
+  /** Nearest sub-centroid id (0-based, first max wins ties) of
+    * `vecCol` as `outCol`. */
+  private def withCodeCol(df: DataFrame, vecCol: String,
+                          cents: Array[Array[Double]],
+                          outCol: String): DataFrame = {
+    val (withS, names) = withL2Scores(df, vecCol, cents)
+    val refs = names.map(col)
+    val codeExpr = refs.zipWithIndex.init.foldRight(lit(cents.length - 1): Column) {
+      case ((sc, i), acc) => when(sc === col("__pm"), lit(i)).otherwise(acc)
+    }.cast("int")
+    withS.withColumn("__pm", greatest(refs: _*))
+      .withColumn(outCol, codeExpr)
+      .drop("__pm" +: names: _*)
+  }
+
+  /** Lloyd iterations with L2 assignment from the md5 seed — the PQ
+    * sub-codebook trainer; same distributed shape as
+    * [[kmeansCentroids]] (narrow assign → k·dim partial sums →
+    * O(k·dim) collect). */
+  def kmeansL2(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int = 1): Array[Array[Double]] = {
+    var cents = seedCentroids(corpus, idCol, vecCol, k)
+    val vecs = corpus.select(col(vecCol).as("__v"))
+    for (_ <- 0 until iters) {
+      val stats = withCodeCol(vecs, "__v", cents, "__cell")
+        .select(col("__cell"),
+          posexplode(asDouble(col("__v"))).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(sum("__x").as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Per-subspace PQ codebooks: `books(s)(j)` is sub-centroid `j`
+    * (dsub = dim/m doubles) of subspace `s`. `m` distributed k-means
+    * runs over array slices; requires `m` divides `dim`. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, ksub: Int,
+                  iters: Int = 1): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub >= 2, "ksub must be >= 2")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      kmeansL2(
+        corpus.select(col(idCol),
+          slice(col(vecCol), s * dsub + 1, dsub).as("__sub")),
+        idCol, "__sub", ksub, iters)
+    }
+  }
+
+  /** Encode vectors as PQ codes: adds `code_0..code_{m-1}` (int,
+    * 0-based sub-centroid ids). Narrow per-row projection — at scale
+    * this runs once at ingest and only the codes are stored. */
+  def pqEncode(df: DataFrame, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val dsub = books(0)(0).length
+    books.indices.foldLeft(df) { (acc, s) =>
+      withCodeCol(
+        acc.withColumn(s"__sub$s", slice(col(vecCol), s * dsub + 1, dsub)),
+        s"__sub$s", books(s), s"code_$s")
+        .drop(s"__sub$s")
+    }
+  }
+
+  /** PQ approximate top-k by asymmetric distance: the corpus side is
+    * its CODES only (raw corpus vectors are never read after encode);
+    * each query carries m lookup-table array columns and scores a
+    * candidate with m `element_at`s. Approximate cosine =
+    * Σₛ lut_s[code_s] / (|q| · √Σₛ|c_{s,code_s}|²), rounded like the
+    * exact path; ties broken by neighbor id. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int,
+             books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = corpus.sparkSession
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val cnorm2 = books.map(_.map(c => c.map(x => x * x).sum))
+    val codeCols = (0 until m).map(i => s"code_$i")
+    val encoded = pqEncode(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "cv", books)
+      .withColumn("__cxn", sqrt((0 until m).map(i =>
+        element_at(lit(cnorm2(i)), col(s"code_$i") + 1)).reduce(_ + _)))
+      .select((("neighbor_id" +: codeCols) :+ "__cxn").map(col): _*)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__qn", sqrt(nDot(s, col("qv"), col("qv"))))
+    val withLuts = (0 until m).foldLeft(q0) { (acc, i) =>
+      acc.withColumn(s"__lut$i", array((0 until ksub).map(j =>
+        nDot(s, slice(col("qv"), i * dsub + 1, dsub), lit(books(i)(j)))): _*))
+    }.drop("qv")
+    val adot = (0 until m).map(i =>
+      element_at(col(s"__lut$i"), col(s"code_$i") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    encoded.join(broadcast(withLuts), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", when(col("__qn") * col("__cxn") > 0,
+        round(adot / (col("__qn") * col("__cxn")), 6)).otherwise(0.0))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** [[ivfTopK]] against caller-held centroids — lets a caller build
     * the index once (or persist centroids) and share them across
     * queries and oracle generation. */

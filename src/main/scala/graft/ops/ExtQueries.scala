@@ -491,15 +491,114 @@ object ExtQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** PQ codebooks (m=4 subspaces × ksub=8 sub-centroids over the
+    * 64-dim embeddings, 1 Lloyd iteration), memoized per
+    * (session, dir) for the same reason as [[ivfCents]]: query and
+    * oracle generator must share the exact codebook doubles. */
+  private val pqBooksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqBooksCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+      Similarity.pqCodebooks(embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, m = 4, ksub = 8, iters = 1))
+
+  /** PQ/ADC approximate top-5: corpus scored from its CODES only via
+    * per-query lookup tables (the 64×-compressed ANN scale path).
+    * Oracled via codebook literals (see [[pqBooks]]). */
+  val simPq: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.pqTopK(emb.where(col("vec_id") < 10), emb,
+      "vec_id", "embedding", 5, pqBooks(s, dir))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The PQ query mirrored in SQL against literal codebooks: same
+    * staged L2 scores (dot − |c|²/2 with the SAME Scala-computed
+    * half-norm literals), same first-max-wins code argmax, same
+    * lut[code] ADC sum in subspace order, same rounded cosine and
+    * (cosine DESC, id) top-k. */
+  def simPqSqlFor(books: Array[Array[Array[Double]]]): String = {
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val booksLit = books.map(_.map(_.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n     ", "]")).mkString("[", ",\n    ", "]")
+    // identical Scala folds to the operator's literals
+    val half = books.map(_.map(c => c.map(x => x * x).sum / 2))
+    val cn2 = books.map(_.map(c => c.map(x => x * x).sum))
+    def scoreExpr(s: Int, j: Int): String = {
+      val fold = foldSumSql(
+        s"list_transform(range(1, $dsub+1), t -> cv[${s * dsub}+t] * books[${s + 1}][${j + 1}][t])")
+      s"($fold - ${dlit(half(s)(j))})"
+    }
+    val scores = (0 until m).flatMap(s => (0 until ksub).map(j =>
+      s"  ${scoreExpr(s, j)} AS p_${s}_$j")).mkString(",\n")
+    val bests = (0 until m).map(s =>
+      s"  greatest(${(0 until ksub).map(j => s"p_${s}_$j").mkString(", ")}) AS b_$s")
+      .mkString(",\n")
+    val codes = (0 until m).map { s =>
+      val cases = (0 until ksub - 1)
+        .map(j => s"WHEN p_${s}_$j = b_$s THEN $j").mkString(" ")
+      s"  CAST(CASE $cases ELSE ${ksub - 1} END AS INTEGER) AS code_$s"
+    }.mkString(",\n")
+    val cxn = (0 until m).map(s =>
+      s"(${cn2(s).map(dlit).mkString("[", ", ", "]")})[code_$s + 1]")
+      .mkString(" + ")
+    val luts = (0 until m).map { s =>
+      val entries = (0 until ksub).map { j =>
+        foldSumSql(
+          s"list_transform(range(1, $dsub+1), t -> qv[${s * dsub}+t] * books[${s + 1}][${j + 1}][t])")
+      }.mkString("[", ",\n     ", "]")
+      s"  $entries AS lut_$s"
+    }.mkString(",\n")
+    val adot = (0 until m).map(s => s"lut_$s[code_$s + 1]").mkString(" + ")
+    val qnFold = foldSumSql("list_transform(range(1, len(qv)+1), i -> qv[i] * qv[i])")
+    s"""WITH bk AS (SELECT $booksLit AS books),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |sc AS (SELECT vec_id, cv,
+       |$scores
+       |FROM e, bk),
+       |bm AS (SELECT *,
+       |$bests
+       |FROM sc),
+       |cd AS (SELECT vec_id, cv,
+       |$codes
+       |FROM bm),
+       |enc AS (SELECT vec_id AS neighbor_id,
+       |    code_0, code_1, code_2, code_3, sqrt($cxn) AS cxn
+       |  FROM cd),
+       |q0 AS (SELECT vec_id AS query_id, cv AS qv, sqrt($qnFold) AS qn
+       |  FROM e WHERE vec_id < 10),
+       |ql AS (SELECT query_id, qn,
+       |$luts
+       |FROM q0, bk),
+       |j AS (SELECT query_id, neighbor_id,
+       |    CASE WHEN qn * cxn > 0
+       |         THEN ROUND(($adot) / (qn * cxn), 6) ELSE 0.0 END AS cosine
+       |  FROM enc, ql WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM j) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Oracles only expressible AFTER their query has run in this
     * process (they embed data-derived literals). Verify dumps
-    * oracle_sql.json after executing every query, so the centroid
+    * oracle_sql.json after executing every query, so each literal
     * cache holds exactly one entry by then; any other access pattern
     * falls back to the rows-only check. */
-  def dynamicOracles: Map[String, String] =
-    if (ivfCentsCache.size == 1)
-      Map("q_sim_ivf" -> simIvfSqlFor(ivfCentsCache.values.iterator.next()))
-    else Map.empty
+  def dynamicOracles: Map[String, String] = {
+    val ivf =
+      if (ivfCentsCache.size == 1)
+        Map("q_sim_ivf" -> simIvfSqlFor(ivfCentsCache.values.iterator.next()))
+      else Map.empty[String, String]
+    val pq =
+      if (pqBooksCache.size == 1)
+        Map("q_sim_pq" -> simPqSqlFor(pqBooksCache.values.iterator.next()))
+      else Map.empty[String, String]
+    ivf ++ pq
+  }
 
   /** Embedding near-dup pairs via 16-bit sign-bucket LSH with
     * hamming-1 multiprobe + exact-cosine verify at a production-style
@@ -1220,6 +1319,7 @@ object ExtQueries {
     "q_dedup_embedding" -> dedupEmbedding,
     "q_sim_topk" -> simTopK,
     "q_sim_ivf" -> simIvf,
+    "q_sim_pq" -> simPq,
     "q_text_langid" -> textLangid,
     "q_text_quality" -> textQuality,
     "q_text_tokens" -> textTokens,

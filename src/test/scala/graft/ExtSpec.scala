@@ -143,6 +143,66 @@ class ExtSpec extends AnyFunSuite {
     assert(indexed.select("cell").distinct().count() > 1)
   }
 
+  test("PQ codes are valid and ADC scores match local recomputation") {
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 8, iters = 1)
+    assert(books.length == 4 && books.forall(_.length == 8) &&
+      books.forall(_.forall(_.length == 16)))
+    val encoded = Similarity.pqEncode(
+      emb.select(col("vec_id"), col("embedding")), "embedding", books)
+    val codeCols = (0 until 4).map(i => s"code_$i")
+    // every code is a valid sub-centroid id, and codes discriminate
+    codeCols.foreach { c =>
+      assert(encoded.where(col(c) < 0 || col(c) >= 8).count() == 0, c)
+      assert(encoded.select(c).distinct().count() > 1, c)
+    }
+    // ADC exactness of the plumbing: recompute a query row's expected
+    // approximate cosine locally from the collected codes + codebooks
+    val codes = encoded.select(col("vec_id") +: codeCols.map(col): _*)
+      .collect().map(r => r.getLong(0) -> (0 until 4).map(i => r.getInt(i + 1))).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val out = Similarity.pqTopK(emb.where(col("vec_id") === 0), emb,
+      "vec_id", "embedding", 3, books).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val (qid, nid, got) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val q = vecs(qid)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val adot = (0 until 4).map { s =>
+        val c = books(s)(codes(nid)(s))
+        c.indices.map(t => q(s * 16 + t) * c(t)).sum
+      }.sum
+      val cxn = math.sqrt((0 until 4).map { s =>
+        val c = books(s)(codes(nid)(s)); c.map(x => x * x).sum
+      }.sum)
+      val expect = if (qn * cxn > 0)
+        BigDecimal(adot / (qn * cxn)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(math.abs(got - expect) < 1e-9, s"($qid,$nid): got $got expect $expect")
+    }
+    // compression sanity vs exact truth: the fixture vectors are
+    // near-random, the worst case for a coarse 4×8 quantizer, so
+    // absolute recall is inherently low — assert a clear margin over
+    // the ~1% random-pick baseline (5 of 499), not a high bar
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(queries, emb, "vec_id", "embedding", 5, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.03, s"recall=$recall (random baseline ≈ 0.01)")
+    // the guarantee that matters for dedup-style retrieval: an exact
+    // copy quantizes to the query's own codes → maximal ADC score
+    val planted = emb.where(col("vec_id") === 0)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val found = Similarity.pqTopK(emb.where(col("vec_id") === 0),
+      emb.unionByName(planted), "vec_id", "embedding", 5, books)
+      .collect().map(_.getLong(1)).toSet
+    assert(found.contains(900000L), s"planted copy not in top-5: $found")
+  }
+
   test("connected components merge chains of pairs transitively") {
     import spark.implicits._
     // 1-2-3 chained, 4-5 separate, 6 absent from any pair
