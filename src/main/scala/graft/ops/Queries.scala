@@ -1077,6 +1077,20 @@ object Queries {
       |SELECT doc_id, lang, text FROM latest WHERE op <> 'd'
       |ORDER BY doc_id""".stripMargin
 
+  /** Skew diagnostic ([[Skew.profile]]): top-10 hottest event keys
+    * with their share of the table — the measurement that sizes a
+    * salting decision. share = BIGINT/BIGINT division, IEEE-exact in
+    * both engines; (n desc, key) total order fixes the limit
+    * boundary. */
+  val skewProfile: Q = (s, dir) =>
+    Skew.profile(events(s, dir), "user_id", k = 10)
+
+  val skewProfileSql =
+    """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS total FROM events)
+      |SELECT user_id, n, n / total AS share FROM c, t
+      |ORDER BY n DESC, user_id LIMIT 10""".stripMargin
+
   /** Z-order clustering key ([[graft.etl.ZOrder]]): Morton interleave
     * of two bounded dimensions — the codegen'd bit-arithmetic
     * expression is mirrored term-for-term in the oracle SQL
@@ -1151,6 +1165,7 @@ object Queries {
     "q_publish" -> publishRoundtrip,
     "q_merge_upsert" -> mergeUpsert,
     "q_zorder_key" -> zorderKey,
+    "q_skew_profile" -> skewProfile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1199,5 +1214,6 @@ object Queries {
     "q_publish" -> publishRoundtripSql,
     "q_merge_upsert" -> mergeUpsertSql,
     "q_zorder_key" -> zorderKeySql,
+    "q_skew_profile" -> skewProfileSql,
   )
 }

@@ -59,4 +59,19 @@ object Skew {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("n"))
+
+  /** Key-distribution diagnostic — the measurement that decides
+    * whether a join/agg needs salting at all, and what salt count to
+    * use (hot-key share ÷ average-partition share). Top-k keys by row
+    * count with their share of the table: one two-phase hash count
+    * (map-side partials shrink the shuffle to distinct keys per task),
+    * a broadcast single-row total, top-k as TakeOrderedAndProject —
+    * nothing here is heavier than the aggregation being diagnosed. */
+  def profile(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__total"))))
+      .withColumn("share", col("n") / col("__total"))
+      .drop("__total")
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
 }
