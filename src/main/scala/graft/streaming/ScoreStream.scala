@@ -126,6 +126,33 @@ object ScoreStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC apply: each micro-batch of change rows merges into
+    * the CURRENT published version of `tableDir`
+    * ([[graft.etl.Merge.applyCdc]]) and lands as a NEW version via the
+    * atomic manifest flip ([[graft.etl.Publish.write]]) — the
+    * production incremental-refresh pattern (change stream → keyed
+    * upsert → transactional publish) without ever rewriting more than
+    * one version's worth of data per batch, and with readers always
+    * seeing a complete version. Within a batch, latest-`seq` wins
+    * (Merge's contract); across batches, micro-batch order wins —
+    * which is exactly CDC log order for an in-order source. A batch
+    * REPLAYED after a crash re-merges the same changes onto the then-
+    * current version: upserts and deletes are idempotent re-applied,
+    * so the sink stays exactly-once in effect. */
+  def cdcApplySink(changes: DataFrame, tableDir: String, key: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val base = graft.etl.Publish.read(spark, tableDir)
+        graft.etl.Publish.write(
+          graft.etl.Merge.applyCdc(base, batch, key), tableDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   // ---- transformWithState (the Spark 4 arbitrary-state successor) ----
 
   case class ValueEvent(user_id: Long, value: Double)

@@ -186,6 +186,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.contains("category"))
   }
 
+  test("streaming CDC apply merges batches in order into atomic published versions") {
+    import spark.implicits._
+    val tableDir = java.nio.file.Files.createTempDirectory("cdc_table").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("cdc_src").toString
+    val chk = java.nio.file.Files.createTempDirectory("cdc_chk").toString
+    // publish the base version
+    etl.Publish.write(Seq(
+      (1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text"), tableDir)
+    // two change files = two micro-batches (maxFilesPerTrigger=1),
+    // ordered by modification time: batch A updates 2, batch B
+    // deletes 2 and inserts 9 — final state must reflect B over A
+    val schema = "doc_id BIGINT, seq BIGINT, op STRING, text STRING"
+    // flat single-file drops with unambiguous mtime order (a before b)
+    def drop(name: String, rows: Seq[(Long, Long, String, String)], t: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("cdc_w").toString
+      rows.toDF("doc_id", "seq", "op", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t))
+    }
+    val now = System.currentTimeMillis()
+    drop("a.parquet", Seq((2L, 1L, "u", "two v2")), now - 60000)
+    drop("b.parquet", Seq((2L, 2L, "d", "x"), (9L, 1L, "u", "nine")), now)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = ScoreStream.cdcApplySink(stream, tableDir, "doc_id", chk)
+    q.awaitTermination()
+    val got = etl.Publish.read(spark, tableDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "one"), (3L, "three"), (9L, "nine")), got)
+    // each batch published atomically: base + 2 merge versions retained
+    assert(etl.Publish.versions(tableDir).length == 3)
+    // restart with the same checkpoint: nothing to do, no new version
+    val q2 = ScoreStream.cdcApplySink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*"), tableDir, "doc_id", chk)
+    q2.awaitTermination()
+    assert(etl.Publish.versions(tableDir).length == 3)
+  }
+
   test("foreachBatch sink is idempotent under batch replay") {
     val ev = graft.ops.Tables.events(spark, sfDir).limit(300)
     val src = java.nio.file.Files.createTempDirectory("idem_src").toString
