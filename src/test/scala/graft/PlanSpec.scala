@@ -110,6 +110,51 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("BPE pair counting plans TakeOrdered top-k over a two-phase count") {
+    val plan = planOf(ops.ExtQueries.bpePairs)
+    // per-partition heads + driver merge of k rows — never a global
+    // sort materialization of the full pair-count table
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert("partial_count".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("CDC merge: base anti-joins a broadcast key set; winners agg is hash, not sort") {
+    val plan = planOf(ops.Queries.mergeUpsert)
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftanti"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
+  test("z-order key is a pure codegen'd projection over the scan") {
+    val plan = planOf(ops.Queries.zorderKey)
+    // one scan, no exchange before the final presentation sort
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      "only the final orderBy may exchange\n" + plan)
+    // the zvalue Project sits inside a whole-stage-codegen stage
+    // (toString marks codegen stages with a "*(n)" prefix)
+    assert("""\*\(\d+\) Project \[o_orderkey""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("PQ join streams codes only — raw corpus vectors never reach the join") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val books = graft.ext.Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, ksub = 8, iters = 1)
+      val plan = graft.ext.Similarity.pqTopK(emb.where(col("vec_id") < 3), emb,
+        "vec_id", "embedding", 3, books).queryExecution.executedPlan
+      val joins = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(joins.nonEmpty, plan.toString)
+      joins.foreach { j =>
+        assert(!j.left.output.exists(_.name == "cv"),
+          s"corpus side carries raw vectors into the join:\n$j")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no query in the driver surface touches Python or RDD scans") {
     SparkEntry.queries.foreach { case (name, q) =>
       val plan = try planOf(q) catch {
