@@ -205,4 +205,51 @@ object TextStats {
       .orderBy(col("n").desc, col("l"), col("r"))
       .limit(k)
   }
+
+  /** Joiner glyph for merged BPE symbols — keeps a merged pair a
+    * single whitespace token for the next round's [[pairCounts]]. */
+  val BpeJoiner = "▁"
+
+  /** Full BPE vocabulary training: `merges` rounds of (distributed
+    * pair count → adopt the most frequent pair → merge its adjacent
+    * occurrences corpus-wide). The merge pass is ONE codegen'd
+    * `regexp_replace` over the token stream — greedy left-to-right
+    * non-overlapping, exactly BPE's merge rule — so each round is one
+    * bounded-shuffle count job plus one narrow map; the driver holds
+    * only the O(merges) vocabulary, never corpus data. Returns the
+    * adopted merges in order with their pre-merge frequencies.
+    * Deterministic: ties adopt the lexicographically first pair
+    * (pairCounts' total order). */
+  def bpeTrain(df: DataFrame, textCol: String,
+               merges: Int): Seq[(String, String, Long)] = {
+    def quoteRepl(s: String): String =
+      s.replace("\\", "\\\\").replace("$", "\\$")
+    var cur = df
+      .select(concat_ws(" ", Featurize.tokensCol(col(textCol))).as("__t"))
+      // merge rounds re-scan the corpus; keep the normalized token
+      // stream materialized so round i doesn't re-run rounds 0..i-1
+      .persist()
+    val adopted = Seq.newBuilder[(String, String, Long)]
+    try {
+      for (_ <- 0 until merges) {
+        val top = pairCounts(cur, "__t", 1).collect()
+        if (top.nonEmpty) {
+          val (l, r, n) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          adopted += ((l, r, n))
+          val pat = "(?<=^|\\s)" +
+            java.util.regex.Pattern.quote(l) + " " +
+            java.util.regex.Pattern.quote(r) + "(?=\\s|$)"
+          val next = cur
+            .select(regexp_replace(col("__t"), pat,
+              quoteRepl(l + BpeJoiner + r)).as("__t"))
+            .persist()
+          next.count() // materialize before dropping the parent
+          cur.unpersist(false)
+          cur = next
+        }
+      }
+      adopted.result()
+    } finally cur.unpersist(false)
+  }
 }

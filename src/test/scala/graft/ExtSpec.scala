@@ -203,6 +203,31 @@ class ExtSpec extends AnyFunSuite {
     assert(found.contains(900000L), s"planted copy not in top-5: $found")
   }
 
+  test("BPE training adopts most-frequent pairs in order with greedy merging") {
+    import spark.implicits._
+    val J = TextStats.BpeJoiner
+    val corpus = Seq(
+      "new york city", "new york times", "new york",
+      "san francisco bay", "san francisco").toDF("text")
+    // round 1: (new, york) x3; round 2: (san, francisco) x2;
+    // round 3: all remaining pairs are x1 — the (n desc, l, r) total
+    // order adopts (new▁york, city) first
+    val got = TextStats.bpeTrain(corpus, "text", merges = 3)
+    assert(got == Seq(
+      ("new", "york", 3L),
+      ("san", "francisco", 2L),
+      (s"new${J}york", "city", 1L)), got)
+    // greedy left-to-right non-overlap: "a a a" counts (a,a) twice but
+    // merges only the first occurrence, leaving (a▁a, a) for round 2
+    val runs = Seq("a a a").toDF("text")
+    assert(TextStats.bpeTrain(runs, "text", merges = 2) == Seq(
+      ("a", "a", 2L), (s"a${J}a", "a", 1L)))
+    // regex metacharacters in tokens must be treated literally
+    val meta = Seq("c++ rocks", "c++ rocks").toDF("text")
+    assert(TextStats.bpeTrain(meta, "text", merges = 1) ==
+      Seq(("c++", "rocks", 2L)))
+  }
+
   test("connected components merge chains of pairs transitively") {
     import spark.implicits._
     // 1-2-3 chained, 4-5 separate, 6 absent from any pair
