@@ -1077,6 +1077,37 @@ object Queries {
       |SELECT doc_id, lang, text FROM latest WHERE op <> 'd'
       |ORDER BY doc_id""".stripMargin
 
+  /** Time-RANGE window frame — the window class none of the row-frame
+    * queries cover: a trailing 10-minute moving aggregate per user
+    * over EVENT TIME, where the frame is defined by the order value
+    * (all rows within 599,999 ms), not row positions — so ties in ts
+    * land in the same frame deterministically regardless of their
+    * physical order. Millisecond epoch (BIGINT) on both sides keeps
+    * the frame arithmetic integer-exact; the value sum is
+    * decimal-exact. One exchange on user_id serves the whole frame. */
+  val windowRange: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(-599999L, 0L)
+    events(s, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("sum_10m",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select("event_id", "user_id", "n_10m", "sum_10m")
+      .orderBy("event_id")
+  }
+
+  val windowRangeSql =
+    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_10m,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+      |  RANGE BETWEEN 599999 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Skew diagnostic ([[Skew.profile]]): top-10 hottest event keys
     * with their share of the table — the measurement that sizes a
     * salting decision. share = BIGINT/BIGINT division, IEEE-exact in
@@ -1166,6 +1197,7 @@ object Queries {
     "q_merge_upsert" -> mergeUpsert,
     "q_zorder_key" -> zorderKey,
     "q_skew_profile" -> skewProfile,
+    "q_window_range" -> windowRange,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1215,5 +1247,6 @@ object Queries {
     "q_merge_upsert" -> mergeUpsertSql,
     "q_zorder_key" -> zorderKeySql,
     "q_skew_profile" -> skewProfileSql,
+    "q_window_range" -> windowRangeSql,
   )
 }
