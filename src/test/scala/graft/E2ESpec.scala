@@ -88,4 +88,71 @@ class E2ESpec extends AnyFunSuite {
     val path = tf.writeAllTo("train.txt")
     assert(spark.read.text(path).count() == train.count())
   }
+
+  /** The corpus OPERATIONS story: how a published corpus lives across
+    * refreshes — atomic publish, CDC merge refresh, z-order clustered
+    * layout with stats-catalog skipping, BPE vocabulary from the
+    * current version, PQ retrieval over its embeddings. */
+  test("corpus lifecycle: publish → CDC refresh → clustered layout → skipping scan → vocab + retrieval") {
+    import graft.etl.{Merge, Publish, StatsCatalog, ZOrder}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val n0 = docs.count()
+    val tableDir = java.nio.file.Files.createTempDirectory("corpus_v").toString
+
+    // v1: atomic publish — readers see a complete version or nothing
+    Publish.write(docs, tableDir)
+
+    // CDC refresh: updates (id%7), deletes (id%13), inserts (+1e6 keys)
+    val changes =
+      docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("u").as("op"),
+          col("lang"), concat(col("text"), lit(" v2")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), lit(3L).as("seq"), lit("d").as("op"),
+          col("lang"), col("text")))
+      .unionByName(docs.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("seq"),
+          lit("u").as("op"), col("lang"), col("text")))
+    val v2 = Merge.applyCdc(Publish.read(spark, tableDir), changes, "doc_id")
+    Publish.write(v2, tableDir)
+    val current = Publish.read(spark, tableDir)
+    val nDeleted = docs.where(col("doc_id") % 13 === 0).count()
+    val nInserted = docs.where(col("doc_id") % 29 === 0).count()
+    assert(current.count() == n0 - nDeleted + nInserted)
+    assert(Publish.versions(tableDir).length == 2) // v1 still time-travelable
+
+    // clustered layout + stats catalog: skip on the DENSE dimension.
+    // (doc_id is deliberately pathological here — bimodal with 1e6+
+    // outliers from the inserts — so its min-max buckets collapse and
+    // its boxes stay wide: exactly why you cluster on columns whose
+    // distribution you checked, e.g. with Skew.profile.)
+    val zdir = java.nio.file.Files.createTempDirectory("corpus_z").toString
+    ZOrder.clusterWrite(current.withColumn("len", length(col("text"))),
+      "doc_id", "len", zdir, numFiles = 4)
+    val table = spark.read.parquet(zdir)
+    val stats = StatsCatalog.collect(table, Seq("len"))
+    val hi = table.selectExpr("CAST(percentile(len, 0.1) AS BIGINT)")
+      .head().getLong(0)
+    val (res, read, total) =
+      StatsCatalog.skippingScan(spark, stats, "len", 0L, hi)
+    assert(read < total, s"read $read/$total")
+    assert(res.count() ==
+      current.where(length(col("text")).between(0, hi)).count())
+
+    // tokenizer vocabulary from the live version
+    val vocab = graft.ext.TextStats.bpeTrain(current, "text", merges = 2)
+    assert(vocab.length == 2 && vocab.forall(_._3 >= 1))
+
+    // retrieval over the corpus embeddings: PQ index finds a planted copy
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = graft.ext.Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 8, iters = 1)
+    val planted = emb.where(col("vec_id") === 7)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"), col("label"))
+    val hits = graft.ext.Similarity.pqTopK(emb.where(col("vec_id") === 7),
+      emb.unionByName(planted), "vec_id", "embedding", 5, books)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.contains(800007L), hits.toString)
+  }
 }
