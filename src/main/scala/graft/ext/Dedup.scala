@@ -23,6 +23,30 @@ object Dedup {
   def shingles(text: Column, k: Int = 3): Column =
     Featurize.ngramsCol(Featurize.tokensCol(text), k)
 
+  /** Train/test contamination check — the decontamination primitive a
+    * training pipeline runs before every release: corpus documents
+    * sharing any k-token shingle with the (small) evaluation/probe set
+    * are flagged with their shingle-overlap occurrence count. The
+    * probe side reduces to DISTINCT shingle hashes and broadcasts;
+    * the corpus side is one narrow shingle pass into a broadcast
+    * semi-style inner join — the 100 TB corpus never shuffles, and
+    * only (id, hash) pairs of MATCHING shingles reach the count. The
+    * count is per-occurrence (a probe phrase appearing twice in a doc
+    * counts twice); `array_distinct` the shingles upstream for
+    * set semantics. */
+  def contamination(corpus: DataFrame, probes: DataFrame, textCol: String,
+                    idCol: String, k: Int = 3): DataFrame = {
+    val probeHashes = probes
+      .select(explode(shingles(col(textCol), k)).as("__sh"))
+      .select(md5(col("__sh")).as("__h")).distinct()
+    corpus
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("__sh"))
+      .select(col(idCol), md5(col("__sh")).as("__h"))
+      .join(broadcast(probeHashes), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** MinHash signature as a single array column: string-min over hex
     * segments is a valid order statistic, and one md5 yields four
     * independent 8-hex-char (32-bit) families. Fine for ad-hoc use; the

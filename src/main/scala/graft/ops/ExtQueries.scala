@@ -842,6 +842,25 @@ object ExtQueries {
       |WHERE o_custkey BETWEEN 100 AND 300
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Train/test contamination ([[Dedup.contamination]]): corpus docs
+    * sharing any 3-token shingle with a planted probe set (id%37),
+    * flagged with occurrence counts — the decontamination primitive.
+    * Probe hashes broadcast; the corpus never shuffles. */
+  val contaminationQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    Dedup.contamination(docs, docs.where(col("doc_id") % 37 === 0),
+      "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val contaminationSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM t),
+       |p AS (SELECT DISTINCT md5(sh) AS h FROM s WHERE doc_id % 37 = 0),
+       |c AS (SELECT doc_id, md5(sh) AS h FROM s)
+       |SELECT c.doc_id, COUNT(*) AS n_hits FROM c JOIN p USING (h)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Adjacent token-pair frequencies ([[TextStats.pairCounts]]) — the
     * counting inner loop of BPE vocabulary training, top-40 pairs under
     * a total (n desc, l, r) order so the limit boundary is
@@ -1339,6 +1358,7 @@ object ExtQueries {
     "q_dedup_incremental" -> dedupIncremental,
     "q_text_normalize" -> textNormalize,
     "q_bpe_pairs" -> bpePairs,
+    "q_contamination" -> contaminationQ,
     "q_skipping_scan" -> skippingScanQ,
     "q_profile_stats" -> profileStats,
     "q_fuzzy_match" -> fuzzyMatch,
@@ -1374,6 +1394,7 @@ object ExtQueries {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_bpe_pairs" -> bpePairsSql,
+    "q_contamination" -> contaminationSql,
     "q_skipping_scan" -> skippingScanSql,
     "q_profile_stats" -> profileStatsSql,
     "q_fuzzy_match" -> fuzzyMatchSql,

@@ -203,6 +203,21 @@ class ExtSpec extends AnyFunSuite {
     assert(found.contains(900000L), s"planted copy not in top-5: $found")
   }
 
+  test("contamination flags probe-shingle carriers and nothing else") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"),      // carries probe shingle
+      (2L, "entirely different words appear here now"), // clean
+      (3L, "quick brown fox quick brown fox again"),    // carries it twice
+      (4L, "the quick red fox jumps over dogs")         // 1-token mutation: clean
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "quick brown fox sightings")).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, probes, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only the 3-gram "quick brown fox" is shared; occurrence counts
+    assert(got == Map(1L -> 1L, 3L -> 2L), got.toString)
+  }
+
   test("BPE training adopts most-frequent pairs in order with greedy merging") {
     import spark.implicits._
     val J = TextStats.BpeJoiner
