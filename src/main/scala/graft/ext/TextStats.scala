@@ -220,10 +220,20 @@ object TextStats {
     * adopted merges in order with their pre-merge frequencies.
     * Deterministic: ties adopt the lexicographically first pair
     * (pairCounts' total order). */
+  private def quoteRepl(s: String): String =
+    s.replace("\\", "\\\\").replace("$", "\\$")
+
+  /** The greedy merge of one adopted pair as a column transform —
+    * shared by [[bpeTrain]] (corpus-wide round) and [[bpeApply]]
+    * (tokenization with a trained vocabulary). */
+  private def mergePair(tokenStream: Column, l: String, r: String): Column =
+    regexp_replace(tokenStream,
+      "(?<=^|\\s)" + java.util.regex.Pattern.quote(l) + " " +
+        java.util.regex.Pattern.quote(r) + "(?=\\s|$)",
+      quoteRepl(l + BpeJoiner + r))
+
   def bpeTrain(df: DataFrame, textCol: String,
                merges: Int): Seq[(String, String, Long)] = {
-    def quoteRepl(s: String): String =
-      s.replace("\\", "\\\\").replace("$", "\\$")
     var cur = df
       .select(concat_ws(" ", Featurize.tokensCol(col(textCol))).as("__t"))
       // merge rounds re-scan the corpus; keep the normalized token
@@ -237,12 +247,8 @@ object TextStats {
           val (l, r, n) = (top(0).getString(0), top(0).getString(1),
             top(0).getLong(2))
           adopted += ((l, r, n))
-          val pat = "(?<=^|\\s)" +
-            java.util.regex.Pattern.quote(l) + " " +
-            java.util.regex.Pattern.quote(r) + "(?=\\s|$)"
           val next = cur
-            .select(regexp_replace(col("__t"), pat,
-              quoteRepl(l + BpeJoiner + r)).as("__t"))
+            .select(mergePair(col("__t"), l, r).as("__t"))
             .persist()
           next.count() // materialize before dropping the parent
           cur.unpersist(false)
@@ -251,5 +257,20 @@ object TextStats {
       }
       adopted.result()
     } finally cur.unpersist(false)
+  }
+
+  /** Tokenize with a trained vocabulary: replay the adopted merges in
+    * adoption order (BPE's apply rule) and emit the final symbol
+    * array. One narrow codegen'd regexp chain per document — no
+    * shuffle, no state; the merge list is O(vocab) plan data. */
+  def bpeApply(df: DataFrame, textCol: String,
+               merges: Seq[(String, String)],
+               outCol: String = "bpe_symbols"): DataFrame = {
+    val stream = merges.foldLeft(
+        concat_ws(" ", Featurize.tokensCol(col(textCol)))) {
+      case (acc, (l, r)) => mergePair(acc, l, r)
+    }
+    df.withColumn(outCol,
+      filter(split(stream, " "), t => length(t) > 0))
   }
 }

@@ -241,6 +241,12 @@ class ExtSpec extends AnyFunSuite {
     val meta = Seq("c++ rocks", "c++ rocks").toDF("text")
     assert(TextStats.bpeTrain(meta, "text", merges = 1) ==
       Seq(("c++", "rocks", 2L)))
+    // apply replays the adopted merges in order on unseen text
+    val symbols = TextStats.bpeApply(
+      Seq("new york city limits").toDF("text"), "text",
+      got.map(m => (m._1, m._2)))
+      .select("bpe_symbols").head().getSeq[String](0)
+    assert(symbols == Seq(s"new${J}york${J}city", "limits"), symbols)
   }
 
   test("connected components merge chains of pairs transitively") {
