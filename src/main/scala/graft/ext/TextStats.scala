@@ -273,4 +273,53 @@ object TextStats {
     df.withColumn(outCol,
       filter(split(stream, " "), t => length(t) > 0))
   }
+
+  /** Greedy sequence packing — assemble documents into fixed
+    * token-budget training sequences (the batch-construction step of
+    * an LLM pretraining pipeline) WITHOUT a global order: documents
+    * are salted into `parts` independent packing partitions
+    * (`pmod(id, parts)`) and packed within each partition in id order.
+    * A document belongs to the sequence its running start-offset falls
+    * in (`floor(offset / budget)`) — the streaming-writer discipline
+    * where a document that crosses a budget boundary spills into the
+    * next sequence rather than forcing a lookahead. Scale shape: only
+    * `(id, part, n_tokens)` rides the window shuffle — token counts
+    * are computed in a narrow pass over the scan and document BODIES
+    * NEVER MOVE; each partition's running sum is independent, so
+    * parallelism is `parts`, not 1 (no single-partition global
+    * window). Reference analog: the training-file assembly of
+    * `utils/fasttext_utils.py:44-64`, which packs by per-class
+    * sampling instead of token budget. */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    budget: Int, parts: Int): DataFrame = {
+    require(budget > 0 && parts > 0, s"budget=$budget parts=$parts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+        pmod(col(idCol), lit(parts.toLong)).as("part"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        col("part") * lit(1000000L) + (col("offset") / budget).cast("long"))
+  }
+
+  /** Overlapping token-window chunks (size `chunk`, step `stride`) —
+    * the chunking pass of an embedding/RAG pipeline. One narrow
+    * tokenize per document, chunk starts generated as an in-row
+    * sequence and exploded; the final slice+join is pure codegen. No
+    * shuffle — output order is inherited from the scan, so callers
+    * sort only if they need to. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0, s"chunk=$chunk stride=$stride")
+    df.select(col(idCol), Featurize.tokensCol(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col(idCol), col("__t"),
+        posexplode(sequence(lit(0), size(col("__t")) - 1, lit(stride))))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        array_join(slice(col("__t"), col("col") + 1, lit(chunk)), " ")
+          .as("chunk_text"),
+        least(lit(chunk), size(col("__t")) - col("col")).as("n_tokens"))
+  }
 }

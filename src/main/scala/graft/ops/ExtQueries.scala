@@ -877,6 +877,46 @@ object ExtQueries {
        |SELECT l, r, COUNT(*) AS n FROM p
        |GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 40""".stripMargin
 
+  /** Sequence packing ([[TextStats.packSequences]]): documents →
+    * fixed token-budget training sequences, packed within salted
+    * partitions so no global order (and no single-partition window)
+    * exists anywhere in the plan. Integer-only arithmetic — exact
+    * cross-engine. */
+  val packSequencesQ: Q = (s, dir) =>
+    TextStats.packSequences(documents(s, dir).select("doc_id", "text"),
+        "text", "doc_id", budget = 256, parts = 8)
+      .orderBy("doc_id")
+
+  val packSequencesSql =
+    s"""WITH t AS (SELECT doc_id, doc_id % 8 AS part,
+       |             CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+       |o AS (SELECT doc_id, part, n_tokens,
+       |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY part
+       |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |          AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |      FROM t)
+       |SELECT doc_id, part, n_tokens, "offset",
+       |  part * 1000000 + "offset" // 256 AS seq_id
+       |FROM o ORDER BY doc_id""".stripMargin
+
+  /** Sliding-window chunking ([[TextStats.chunkDocs]]): overlapping
+    * token windows (64 tokens, stride 48) for an embedding/RAG
+    * pipeline. The oracle generates the same starts with range() and
+    * slices the same token list. */
+  val chunkDocsQ: Q = (s, dir) =>
+    TextStats.chunkDocs(documents(s, dir).select("doc_id", "text"),
+        "text", "doc_id", chunk = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkDocsSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM n)
+       |SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_id,
+       |  array_to_string(toks[start+1:start+64], ' ') AS chunk_text,
+       |  CAST(least(64, n - start) AS INTEGER) AS n_tokens
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Exact distributional profile per language: count, mean and sample
     * std of n_chars, all derived from decimal-exact sums so the
     * doubles are bit-identical across engines (the profiling pass a
@@ -1362,6 +1402,8 @@ object ExtQueries {
     "q_skipping_scan" -> skippingScanQ,
     "q_profile_stats" -> profileStats,
     "q_fuzzy_match" -> fuzzyMatch,
+    "q_pack_sequences" -> packSequencesQ,
+    "q_chunk_docs" -> chunkDocsQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1398,5 +1440,7 @@ object ExtQueries {
     "q_skipping_scan" -> skippingScanSql,
     "q_profile_stats" -> profileStatsSql,
     "q_fuzzy_match" -> fuzzyMatchSql,
+    "q_pack_sequences" -> packSequencesSql,
+    "q_chunk_docs" -> chunkDocsSql,
   )
 }
