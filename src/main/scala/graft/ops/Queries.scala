@@ -968,6 +968,40 @@ object Queries {
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** ORC round trip — the second columnar format Spark bundles
+    * (vectorized reader, predicate pushdown, same footer-stats model
+    * as parquet): rows → ORC sink → ORC scan → per-language counts +
+    * the same order-independent content checksum the JSONL round trip
+    * uses, so encode/decode fidelity is value-checked against the
+    * parquet-direct oracle. */
+  val orcRoundtrip: Q = (s, dir) => {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_orc_" + Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()).getAbsolutePath
+    documents(s, dir).select("doc_id", "lang", "text", "n_chars")
+      .write.mode("overwrite").orc(base)
+    s.read.orc(base)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_sum"))
+      .orderBy("lang")
+  }
+
+  val orcRoundtripSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM($hex8) AS BIGINT) AS text_sum
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Temperature-weighted training mix (√count weights, capped):
     * the multilingual upsampling move, deterministic md5-bucket
     * membership, rate arithmetic mirrored op-for-op in the oracle
@@ -1190,6 +1224,7 @@ object Queries {
     "q_window_running" -> windowRunning,
     "q_agg_collect" -> aggCollect,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
+    "q_orc_roundtrip" -> orcRoundtrip,
     "q_global_ids" -> globalIds,
     "q_sample_temperature" -> sampleTemperatureQ,
     "q_window_ntile" -> windowNtile,
@@ -1240,6 +1275,7 @@ object Queries {
     "q_window_running" -> windowRunningSql,
     "q_agg_collect" -> aggCollectSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q_orc_roundtrip" -> orcRoundtripSql,
     "q_global_ids" -> globalIdsSql,
     "q_sample_temperature" -> sampleTemperatureSql,
     "q_window_ntile" -> windowNtileSql,
