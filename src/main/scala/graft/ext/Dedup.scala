@@ -590,4 +590,62 @@ object Dedup {
       .select(col("__pid").as("id_a"), col("id").as("id_b"), col("cosine"))
       .distinct()
   }
+
+  /** Exact span dedup, block-quantized — the distributed analog of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", which removes repeated
+    * ≥50-token spans): each document is cut into NON-overlapping
+    * `blockTokens`-token blocks, and every verbatim re-occurrence of a
+    * block anywhere in the corpus — after its first occurrence in
+    * `(id, pos)` order — is cut out of the rebuilt text. Documents
+    * with nothing left come back with empty text (a downstream
+    * length filter drops them).
+    *
+    * Scale shape: blocks are hashed in a narrow pass over the scan and
+    * only `(md5, id, pos)` tuples ride the winner-agg shuffle — block
+    * BODIES never move. The winner per hash is a fixed-width
+    * `min(id * 100000 + pos)` hash aggregate (no SortAggregate
+    * fallback; requires `pos < 100000` — 100k blocks/doc — and
+    * `id < 2^63 / 100000`, both documented invariants of the packed
+    * key). Losing positions fold to one small `(id, drop_ps)` row per
+    * affected document, which joins back (AQE promotes it to broadcast
+    * at production dup rates) into a second narrow pass that rebuilds
+    * the text by filtering the block array in place — the corpus
+    * itself never shuffles. */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                blockTokens: Int = 50): DataFrame = {
+    require(blockTokens > 0, s"blockTokens=$blockTokens")
+    val toks = graft.ml.Featurize.tokensCol(col(textCol))
+    val nBlocks = ceil(size(col("__t")) / lit(blockTokens.toDouble)).cast("int")
+    def blocksCol = transform(
+      sequence(lit(0), greatest(col("__nb"), lit(1)) - 1),
+      i => array_join(slice(col("__t"), i * blockTokens + 1, lit(blockTokens)), " "))
+    val blocks = df
+      .select(col(idCol), toks.as("__t"))
+      .withColumn("__nb", nBlocks)
+      .where(col("__nb") > 0)
+      .select(col(idCol), posexplode(blocksCol))
+      .select(col(idCol), col("pos"),
+        md5(col("col")).as("__h"),
+        (col(idCol) * 100000L + col("pos")).as("__packed"))
+    val winners = blocks.groupBy(col("__h"))
+      .agg(min(col("__packed")).as("__win"))
+    val drops = blocks.join(winners, Seq("__h"))
+      .where(col("__packed") =!= col("__win"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__drop"))
+    df.select(col(idCol), col(textCol), toks.as("__t"))
+      .withColumn("__nb", nBlocks)
+      .join(drops, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__drop").isNull, col(textCol)).otherwise(
+          array_join(
+            filter(
+              transform(sequence(lit(0), greatest(col("__nb"), lit(1)) - 1),
+                i => when(array_contains(col("__drop"), i), lit(null))
+                  .otherwise(array_join(
+                    slice(col("__t"), i * blockTokens + 1, lit(blockTokens)), " "))),
+              b => b.isNotNull),
+            " ")).as(textCol))
+  }
 }

@@ -877,6 +877,33 @@ object ExtQueries {
        |SELECT l, r, COUNT(*) AS n FROM p
        |GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 40""".stripMargin
 
+  /** Block-quantized exact span dedup ([[Dedup.spanDedup]]): every
+    * verbatim re-occurrence of an 8-token block is cut from the
+    * rebuilt text, first occurrence in (id, pos) order kept. The
+    * oracle mirrors the packed-key winner rule with a window min and
+    * rebuilds with an ordered string_agg. */
+  val dedupSpansQ: Q = (s, dir) =>
+    Dedup.spanDedup(documents(s, dir).select("doc_id", "text"),
+        "text", "doc_id", blockTokens = 8)
+      .orderBy("doc_id")
+
+  val dedupSpansSql =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, text, toks,
+       |        CAST(ceil(len(toks) / 8.0) AS INTEGER) AS nb FROM t),
+       |b AS (SELECT doc_id, toks, unnest(range(0, nb)) AS pos
+       |      FROM n WHERE nb > 0),
+       |h AS (SELECT doc_id, pos,
+       |        array_to_string(toks[pos*8+1:pos*8+8], ' ') AS blk,
+       |        doc_id*100000 + pos AS packed FROM b),
+       |w AS (SELECT doc_id, pos, blk, packed,
+       |        min(packed) OVER (PARTITION BY md5(blk)) AS win FROM h),
+       |r AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS text
+       |      FROM w WHERE packed = win GROUP BY 1)
+       |SELECT n.doc_id,
+       |  COALESCE(r.text, CASE WHEN n.nb = 0 THEN n.text ELSE '' END) AS text
+       |FROM n LEFT JOIN r USING (doc_id) ORDER BY n.doc_id""".stripMargin
+
   /** Sequence packing ([[TextStats.packSequences]]): documents →
     * fixed token-budget training sequences, packed within salted
     * partitions so no global order (and no single-partition window)
@@ -1404,6 +1431,7 @@ object ExtQueries {
     "q_fuzzy_match" -> fuzzyMatch,
     "q_pack_sequences" -> packSequencesQ,
     "q_chunk_docs" -> chunkDocsQ,
+    "q_dedup_spans" -> dedupSpansQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1442,5 +1470,6 @@ object ExtQueries {
     "q_fuzzy_match" -> fuzzyMatchSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_chunk_docs" -> chunkDocsSql,
+    "q_dedup_spans" -> dedupSpansSql,
   )
 }

@@ -552,6 +552,24 @@ class ExtSpec extends AnyFunSuite {
     assert(staged == out, staged.toString)
   }
 
+  test("span dedup cuts repeated blocks, keeps first occurrence, empties full dups") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 u1 u2 u3 u4"),   // first occurrence of block w1..w4
+      (2L, "w1 w2 w3 w4 v1 v2 v3 v4"),   // repeats it -> block cut
+      (3L, "w1 w2 w3 w4 u1 u2 u3 u4"),   // full dup of doc 1 -> emptied
+      (4L, "x1 x2 x3 x4 x5"),            // unique incl. short tail -> untouched
+      (5L, ""))                           // empty -> passes through
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "text", "doc_id", blockTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "w1 w2 w3 w4 u1 u2 u3 u4")
+    assert(out(2L) == "v1 v2 v3 v4")
+    assert(out(3L) == "")
+    assert(out(4L) == "x1 x2 x3 x4 x5")
+    assert(out(5L) == "")
+    assert(out.size == 5)
+  }
+
   test("sequence packing fills each sequence to budget with one spill doc") {
     val packed = TextStats.packSequences(
       docs.select("doc_id", "text"), "text", "doc_id",
