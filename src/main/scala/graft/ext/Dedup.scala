@@ -634,18 +634,24 @@ object Dedup {
       .where(col("__packed") =!= col("__win"))
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("__drop"))
-    df.select(col(idCol), col(textCol), toks.as("__t"))
+    val rebuilt =
+      when(col("__drop").isNull, col(textCol)).otherwise(
+        array_join(
+          filter(
+            transform(sequence(lit(0), greatest(col("__nb"), lit(1)) - 1),
+              i => when(array_contains(col("__drop"), i), lit(null))
+                .otherwise(array_join(
+                  slice(col("__t"), i * blockTokens + 1, lit(blockTokens)), " "))),
+            b => b.isNotNull),
+          " "))
+    // schema-preserving: text rebuilt in place, every other column
+    // passes through untouched
+    df.withColumn("__t", toks)
       .withColumn("__nb", nBlocks)
       .join(drops, Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("__drop").isNull, col(textCol)).otherwise(
-          array_join(
-            filter(
-              transform(sequence(lit(0), greatest(col("__nb"), lit(1)) - 1),
-                i => when(array_contains(col("__drop"), i), lit(null))
-                  .otherwise(array_join(
-                    slice(col("__t"), i * blockTokens + 1, lit(blockTokens)), " "))),
-              b => b.isNotNull),
-            " ")).as(textCol))
+      .select(df.columns.map {
+        case c if c == textCol => rebuilt.as(textCol)
+        case c => col(s"`$c`")
+      }.toSeq: _*)
   }
 }

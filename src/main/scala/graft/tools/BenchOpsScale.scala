@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *    while the counted volume scales;
   *  - pq: codebooks trained ONCE on the 1× embeddings (the fixed-cost
   *    training step), encode applied to the replicated corpus — codes
-  *    linear.
+  *    linear;
+  *  - spans: block-quantized span dedup — suffixing keeps replica
+  *    block spaces disjoint, so dropped blocks (and surviving chars)
+  *    scale exactly linearly with replicas.
   */
 object BenchOpsScale {
 
@@ -88,6 +91,7 @@ object BenchOpsScale {
       graft.ext.Dedup.contamination(w, probes, "text", "doc_id").count()
       graft.ext.TextStats.pairCounts(w, "text", 1).count()
       graft.ext.Similarity.pqEncode(emb.limit(200), "embedding", books).count()
+      graft.ext.Dedup.spanDedup(w, "text", "doc_id", 8).count()
     }
     val runs = scales.map { n =>
       val corpus = materialize(spark, replicas(docs, n), s"docs$n")
@@ -123,10 +127,16 @@ object BenchOpsScale {
           .agg(count(when(col("code_0") + col("code_1") + col("code_2") +
             col("code_3") >= 0, 1))).head().getLong(0)
       }
+      val (ts, ns) = timed {
+        // total surviving chars forces the full rebuild of every doc
+        graft.ext.Dedup.spanDedup(corpus, "text", "doc_id", 8)
+          .agg(sum(length(col("text")))).head().getLong(0)
+      }
       f""""x$n":{"merge":{"sec":$tm%.3f,"rows":$nm},""" +
         f""""contamination":{"sec":$tc%.3f,"hits":$nc},""" +
         f""""bpe_top":{"sec":$tb%.3f,"top_n":$nb},""" +
-        f""""pq_encode":{"sec":$tp%.3f,"codes":$np}}"""
+        f""""pq_encode":{"sec":$tp%.3f,"codes":$np},""" +
+        f""""span_dedup":{"sec":$ts%.3f,"chars":$ns}}"""
     }
     println(s"""{"metric":"ops_family_scaling","sf":"$sfDir",${runs.mkString(",")}}""")
     spark.stop()

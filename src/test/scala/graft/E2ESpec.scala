@@ -56,6 +56,20 @@ class E2ESpec extends AnyFunSuite {
     // those go too; only the planted survivors are asserted exactly
     assert(deduped.count() <= n0 && deduped.count() > n0 - 60, deduped.count().toString)
 
+    // 3b. exact span dedup (the C4/suffix-array move): a verbatim
+    //     8-token block repeated across documents is cut from the
+    //     later doc, the first occurrence kept, schema preserved
+    val blk = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val withSpans = deduped.union(Seq(
+      (800000L, "en", s"$blk alpha beta gamma delta"),
+      (800001L, "en", s"$blk epsilon zeta eta theta"))
+      .toDF("doc_id", "lang", "text").select("doc_id", "lang", "text"))
+    val spanned = Dedup.spanDedup(withSpans, "text", "doc_id", blockTokens = 8)
+      .where(col("doc_id") >= 800000L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(spanned(800000L) == s"$blk alpha beta gamma delta")
+    assert(spanned(800001L) == "epsilon zeta eta theta")
+
     // 4. quality floor (planted signal guarantees >= 4 tokens)
     val filtered = deduped.where(TextStats.tokenCount(col("text")) >= 4)
 
@@ -63,6 +77,20 @@ class E2ESpec extends AnyFunSuite {
     val mixed = graft.etl.Sampling.sampleTemperature(
       filtered, "lang", "doc_id", target = 300)
     assert(mixed.count() > 0 && mixed.count() <= filtered.count())
+
+    // 5b. pack the mix into 64-token training sequences (salted
+    //     partitions, no global order); the last sequence per
+    //     partition starts past every earlier budget boundary
+    val packed = TextStats.packSequences(mixed, "text", "doc_id",
+      budget = 64, parts = 4)
+    assert(packed.count() == mixed.count())
+    packed.groupBy("part")
+      .agg(sum(col("n_tokens")).as("total"),
+        max(col("seq_id") % 1000000L).as("lastSeq"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("total") > r.getAs[Long]("lastSeq") * 64L,
+          r.toString)
+      }
 
     // 6. clean/label/split with the reference pipeline
     val cfg = graft.etl.Etl.Config(labelCol = "lang", textCol = "text",

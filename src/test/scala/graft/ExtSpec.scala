@@ -560,7 +560,11 @@ class ExtSpec extends AnyFunSuite {
       (4L, "x1 x2 x3 x4 x5"),            // unique incl. short tail -> untouched
       (5L, ""))                           // empty -> passes through
       .toDF("doc_id", "text")
-    val out = Dedup.spanDedup(df, "text", "doc_id", blockTokens = 4)
+    val deduped = Dedup.spanDedup(
+      df.withColumn("lang", lit("en")), "text", "doc_id", blockTokens = 4)
+    // schema-preserving: extra columns pass through, text rebuilt in place
+    assert(deduped.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val out = deduped
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "w1 w2 w3 w4 u1 u2 u3 u4")
     assert(out(2L) == "v1 v2 v3 v4")
