@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *    training step), encode applied to the replicated corpus — codes
   *    linear;
   *  - spans: block-quantized span dedup — suffixing keeps replica
-  *    block spaces disjoint, so dropped blocks (and surviving chars)
-  *    scale exactly linearly with replicas.
+  *    block spaces disjoint, so dropped blocks (and surviving TOKEN
+  *    counts — chars would not be: the suffix is 2 chars for
+  *    replicas 0-9 and 3 from 10 on) scale exactly linearly.
   */
 object BenchOpsScale {
 
@@ -128,15 +129,17 @@ object BenchOpsScale {
             col("code_3") >= 0, 1))).head().getLong(0)
       }
       val (ts, ns) = timed {
-        // total surviving chars forces the full rebuild of every doc
+        // total surviving tokens forces the full rebuild of every doc
+        // (and is replica-suffix-length-invariant, unlike chars)
         graft.ext.Dedup.spanDedup(corpus, "text", "doc_id", 8)
-          .agg(sum(length(col("text")))).head().getLong(0)
+          .agg(sum(size(graft.ml.Featurize.tokensCol(col("text")))
+            .cast("long"))).head().getLong(0)
       }
       f""""x$n":{"merge":{"sec":$tm%.3f,"rows":$nm},""" +
         f""""contamination":{"sec":$tc%.3f,"hits":$nc},""" +
         f""""bpe_top":{"sec":$tb%.3f,"top_n":$nb},""" +
         f""""pq_encode":{"sec":$tp%.3f,"codes":$np},""" +
-        f""""span_dedup":{"sec":$ts%.3f,"chars":$ns}}"""
+        f""""span_dedup":{"sec":$ts%.3f,"tokens":$ns}}"""
     }
     println(s"""{"metric":"ops_family_scaling","sf":"$sfDir",${runs.mkString(",")}}""")
     spark.stop()
