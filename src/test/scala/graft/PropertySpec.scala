@@ -222,4 +222,46 @@ class PropertySpec extends AnyFunSuite {
       assert(emailRe.findFirstIn(r.getString(0)).isEmpty, r.getString(0))
     }
   }
+
+  test("packSequences: offsets dense per partition, seq assignment is floor(offset/budget)") {
+    import spark.implicits._
+    val docs = sample(Gen.listOfN(400,
+      Gen.chooseNum(0, 40).map(n => List.fill(n)("tk").mkString(" "))), 11L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for ((budget, parts) <- Seq((16, 3), (64, 1), (7, 8))) {
+      val rows = TextStats.packSequences(docs.toDF("doc_id", "text"),
+        "text", "doc_id", budget, parts).collect()
+      assert(rows.length == docs.size, s"budget=$budget parts=$parts")
+      rows.groupBy(_.getAs[Long]("part")).foreach { case (part, rs) =>
+        var run = 0L
+        rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          assert(r.getAs[Long]("offset") == run, s"budget=$budget $r")
+          assert(r.getAs[Long]("seq_id") == part * 1000000L + run / budget,
+            s"budget=$budget $r")
+          run += r.getAs[Long]("n_tokens")
+        }
+      }
+    }
+  }
+
+  test("chunkDocs: chunks reconstruct the token stream exactly at stride == chunk") {
+    import spark.implicits._
+    val docs = sample(Gen.listOfN(200,
+      Gen.chooseNum(0, 50).map(n => (1 to n).map(i => s"w$i").mkString(" "))), 13L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    // non-overlapping chunks concatenated in chunk order == original tokens
+    val rebuilt = TextStats.chunkDocs(df, "text", "doc_id", chunk = 9, stride = 9)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct(col("chunk_id"), col("chunk_text"))))
+        .getField("chunk_text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      if (toks.nonEmpty)
+        assert(rebuilt(id) == toks, s"doc $id")
+      else assert(!rebuilt.contains(id))
+    }
+  }
 }
