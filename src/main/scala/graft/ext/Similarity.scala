@@ -388,6 +388,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVFPQ — the production ANN composition (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search"): IVF centroids prune
+    * the candidate set to the `nprobe` cells nearest each query, and
+    * PQ codes score what's left by asymmetric distance. The index the
+    * scan reads is `(cell, m codes, code-norm)` per vector — raw
+    * corpus vectors are consumed once at encode time and never
+    * shuffle; the join is an equi-join on `cell` against the
+    * broadcast (queries × nprobe) probe side carrying per-query
+    * lookup tables; per-candidate work is m `element_at`s. Both
+    * prunings compound: cells cut candidates ~nCells/nprobe-fold,
+    * codes cut bytes-per-candidate ~(4·dim/m)-fold. Same
+    * tie-breaking and rounding as [[pqTopK]], so with
+    * `nprobe = nCells` the result is exactly [[pqTopK]]'s. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, cents: Array[Array[Double]],
+                nprobe: Int, books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = corpus.sparkSession
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val cnorm2 = books.map(_.map(c => c.map(x => x * x).sum))
+    val codeCols = (0 until m).map(i => s"code_$i")
+    val indexed = pqEncode(
+        assignCells(corpus, vecCol, cents)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            col("cell")),
+        "cv", books)
+      .withColumn("__cxn", sqrt((0 until m).map(i =>
+        element_at(lit(cnorm2(i)), col(s"code_$i") + 1)).reduce(_ + _)))
+      .select((Seq("neighbor_id", "cell") ++ codeCols :+ "__cxn").map(col): _*)
+    val probed = withProbeCells(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "qv", cents, nprobe)
+      .withColumn("__qn", sqrt(nDot(s, col("qv"), col("qv"))))
+    val withLuts = (0 until m).foldLeft(probed) { (acc, i) =>
+      acc.withColumn(s"__lut$i", array((0 until ksub).map(j =>
+        nDot(s, slice(col("qv"), i * dsub + 1, dsub), lit(books(i)(j)))): _*))
+    }.drop("qv")
+    val adot = (0 until m).map(i =>
+      element_at(col(s"__lut$i"), col(s"code_$i") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    indexed.join(broadcast(withLuts), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", when(col("__qn") * col("__cxn") > 0,
+        round(adot / (col("__qn") * col("__cxn")), 6)).otherwise(0.0))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** [[ivfTopK]] against caller-held centroids — lets a caller build
     * the index once (or persist centroids) and share them across
     * queries and oracle generation. */

@@ -583,6 +583,118 @@ object ExtQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVFPQ approximate top-5 ([[Similarity.ivfPqTopK]]): IVF cells
+    * prune candidates, PQ codes score them — both literal sets ride
+    * the plan; the corpus index the join reads is (cell, 4 codes).
+    * Oracled by composing the two literal generators. */
+  val simIvfPq: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.ivfPqTopK(emb.where(col("vec_id") < 10), emb,
+      "vec_id", "embedding", 5, ivfCents(s, dir), nprobe = 4,
+      books = pqBooks(s, dir))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The IVFPQ query mirrored in SQL: the IVF oracle's cell
+    * assignment + probe ranking CTEs composed with the PQ oracle's
+    * code/lut CTEs, joined on cell instead of the PQ cross join. */
+  def simIvfPqSqlFor(cents: Array[Array[Double]],
+                     books: Array[Array[Array[Double]]]): String = {
+    val kc = cents.length
+    val centsLit = cents.map(_.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def simExpr(i: Int): String =
+      if (cnorms(i) == 0) "CAST(0.0 AS DOUBLE)"
+      else {
+        val fold = foldSumSql(
+          s"list_transform(range(1, len(cv)+1), j -> cv[j] * cents[${i + 1}][j])")
+        s"(CASE WHEN vn > 0 THEN $fold / (vn * ${dlit(cnorms(i))}) ELSE 0.0 END)"
+      }
+    val sims = (0 until kc).map(i => s"  ${simExpr(i)} AS s_$i").mkString(",\n")
+    val best = s"greatest(${(0 until kc).map("s_" + _).mkString(", ")})"
+    val cellCase = (0 until kc - 1).map(i => s"WHEN s_$i = best THEN $i")
+      .mkString("\n    ") + s"\n    ELSE ${kc - 1}"
+    val probeStructs = (0 until kc).map(i => s"{'s': s_$i, 'cell': $i}")
+      .mkString("[", ", ", "]")
+    val vnFold = foldSumSql("list_transform(range(1, len(cv)+1), j -> cv[j] * cv[j])")
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val booksLit = books.map(_.map(_.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n     ", "]")).mkString("[", ",\n    ", "]")
+    val half = books.map(_.map(c => c.map(x => x * x).sum / 2))
+    val cn2 = books.map(_.map(c => c.map(x => x * x).sum))
+    def scoreExpr(s: Int, j: Int): String = {
+      val fold = foldSumSql(
+        s"list_transform(range(1, $dsub+1), t -> cv[${s * dsub}+t] * books[${s + 1}][${j + 1}][t])")
+      s"($fold - ${dlit(half(s)(j))})"
+    }
+    val scores = (0 until m).flatMap(s => (0 until ksub).map(j =>
+      s"  ${scoreExpr(s, j)} AS p_${s}_$j")).mkString(",\n")
+    val bests = (0 until m).map(s =>
+      s"  greatest(${(0 until ksub).map(j => s"p_${s}_$j").mkString(", ")}) AS b_$s")
+      .mkString(",\n")
+    val codes = (0 until m).map { s =>
+      val cases = (0 until ksub - 1)
+        .map(j => s"WHEN p_${s}_$j = b_$s THEN $j").mkString(" ")
+      s"  CAST(CASE $cases ELSE ${ksub - 1} END AS INTEGER) AS code_$s"
+    }.mkString(",\n")
+    val cxn = (0 until m).map(s =>
+      s"(${cn2(s).map(dlit).mkString("[", ", ", "]")})[code_$s + 1]")
+      .mkString(" + ")
+    val luts = (0 until m).map { s =>
+      val entries = (0 until ksub).map { j =>
+        foldSumSql(
+          s"list_transform(range(1, $dsub+1), t -> qv[${s * dsub}+t] * books[${s + 1}][${j + 1}][t])")
+      }.mkString("[", ",\n     ", "]")
+      s"  $entries AS lut_$s"
+    }.mkString(",\n")
+    val adot = (0 until m).map(s => s"lut_$s[code_$s + 1]").mkString(" + ")
+    val codeList = (0 until m).map(s => s"code_$s").mkString(", ")
+    s"""WITH ct AS (SELECT $centsLit AS cents),
+       |bk AS (SELECT $booksLit AS books),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |n AS (SELECT vec_id, cv, sqrt($vnFold) AS vn FROM e),
+       |s AS (SELECT vec_id, cv, vn,
+       |$sims
+       |FROM n, ct),
+       |mm AS (SELECT *, $best AS best FROM s),
+       |a AS (SELECT vec_id, cv, vn,
+       |  CAST(CASE $cellCase END AS INTEGER) AS cell FROM mm),
+       |sc AS (SELECT vec_id, cv,
+       |$scores
+       |FROM e, bk),
+       |bm AS (SELECT *,
+       |$bests
+       |FROM sc),
+       |cd AS (SELECT vec_id, cv,
+       |$codes
+       |FROM bm),
+       |enc AS (SELECT cd.vec_id AS neighbor_id, a.cell,
+       |    $codeList, sqrt($cxn) AS cxn
+       |  FROM cd JOIN a ON cd.vec_id = a.vec_id),
+       |p0 AS (SELECT vec_id AS query_id, cv AS qv, vn AS qn,
+       |    unnest($probeStructs) AS pc
+       |  FROM mm WHERE vec_id < 10),
+       |pr AS (SELECT query_id, qv, qn, pc.cell AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY pc.s DESC, pc.cell) AS prk
+       |  FROM p0),
+       |ql AS (SELECT query_id, qn, cell,
+       |$luts
+       |FROM pr, bk WHERE prk <= 4),
+       |j AS (SELECT query_id, neighbor_id,
+       |    CASE WHEN qn * cxn > 0
+       |         THEN ROUND(($adot) / (qn * cxn), 6) ELSE 0.0 END AS cosine
+       |  FROM ql JOIN enc ON ql.cell = enc.cell
+       |  WHERE ql.query_id <> enc.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM j) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Oracles only expressible AFTER their query has run in this
     * process (they embed data-derived literals). Verify dumps
     * oracle_sql.json after executing every query, so each literal
@@ -597,7 +709,13 @@ object ExtQueries {
       if (pqBooksCache.size == 1)
         Map("q_sim_pq" -> simPqSqlFor(pqBooksCache.values.iterator.next()))
       else Map.empty[String, String]
-    ivf ++ pq
+    val ivfpq =
+      if (ivfCentsCache.size == 1 && pqBooksCache.size == 1)
+        Map("q_sim_ivfpq" -> simIvfPqSqlFor(
+          ivfCentsCache.values.iterator.next(),
+          pqBooksCache.values.iterator.next()))
+      else Map.empty[String, String]
+    ivf ++ pq ++ ivfpq
   }
 
   /** Embedding near-dup pairs via 16-bit sign-bucket LSH with
@@ -1432,6 +1550,7 @@ object ExtQueries {
     "q_pack_sequences" -> packSequencesQ,
     "q_chunk_docs" -> chunkDocsQ,
     "q_dedup_spans" -> dedupSpansQ,
+    "q_sim_ivfpq" -> simIvfPq,
   )
 
   val oracles: Map[String, String] = Map(

@@ -203,6 +203,37 @@ class ExtSpec extends AnyFunSuite {
     assert(found.contains(900000L), s"planted copy not in top-5: $found")
   }
 
+  test("IVFPQ equals PQ when probing all cells; pruning only narrows candidates") {
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 8, iters = 1)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      8, iters = 1)
+    val queries = emb.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // nprobe = nCells: the cell equi-join covers the whole corpus, so
+    // scoring/tie-breaking must reproduce pqTopK exactly
+    val full = rows(Similarity.ivfPqTopK(queries, emb, "vec_id",
+      "embedding", 5, cents, nprobe = 8, books = books))
+    val pq = rows(Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+      5, books))
+    assert(full == pq, s"diff: ${(full diff pq) ++ (pq diff full)}")
+    // nprobe < nCells: every survivor's (query, neighbor, cosine)
+    // must exist in the unpruned result set (pruning can only drop)
+    val pruned = Similarity.ivfPqTopK(queries, emb, "vec_id",
+      "embedding", 5, cents, nprobe = 2, books = books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fullScores = full.map { case (q, n, c, _) => (q, n, c) }
+    // rebuild the unpruned candidate scores without the top-k cut for
+    // the containment check: k = corpus size keeps every candidate
+    val allScores = rows(Similarity.ivfPqTopK(queries, emb, "vec_id",
+      "embedding", Int.MaxValue, cents, nprobe = 8, books = books))
+      .map { case (q, n, c, _) => (q, n, c) }
+    assert(pruned.subsetOf(allScores), s"pruned produced novel scores")
+    assert(pruned.nonEmpty && fullScores.nonEmpty)
+  }
+
   test("contamination flags probe-shingle carriers and nothing else") {
     import spark.implicits._
     val corpus = Seq(
