@@ -225,6 +225,44 @@ object Queries {
     """SELECT o_orderpriority, COUNT(*) AS n FROM orders
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Parquet aggregate pushdown: ungrouped COUNT/MIN/MAX answered
+    * from footer statistics — at 100 TB this is a METADATA-ONLY
+    * query, no row group ever decoded. Needs the DSv2 parquet path +
+    * `parquet.aggregatePushdown`, both scoped to this computation and
+    * restored (leaving session state flipped behind a query's back is
+    * how drifts start) — which forces eager evaluation here, since a
+    * lazily returned frame would be re-planned by the sink AFTER the
+    * restore. The query THROWS unless the plan actually pushed the
+    * aggregation (the `q_skipping_scan` driver-gate pattern), then
+    * returns the one materialized row. */
+  val aggPushdown: Q = (s, dir) => {
+    val keys = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_extendedprice")).as("max_price"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate did not push to the parquet scan:\n$plan")
+      val r = df.head()
+      s.createDataFrame(
+        java.util.List.of(r),
+        df.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val aggPushdownSql =
+    """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_key,
+      |  MAX(l_extendedprice) AS max_price FROM lineitem""".stripMargin
+
   /** A2+A3: sums + ratio-of-aggregates in a single pass — the
     * per-merchant accuracy shape (02_merchcat_ml.py:522-530) without
     * the reference's two-agg-plus-join detour. */
@@ -1225,6 +1263,7 @@ object Queries {
     "q_agg_collect" -> aggCollect,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
+    "q_agg_pushdown" -> aggPushdown,
     "q_global_ids" -> globalIds,
     "q_sample_temperature" -> sampleTemperatureQ,
     "q_window_ntile" -> windowNtile,
@@ -1276,6 +1315,7 @@ object Queries {
     "q_agg_collect" -> aggCollectSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_agg_pushdown" -> aggPushdownSql,
     "q_global_ids" -> globalIdsSql,
     "q_sample_temperature" -> sampleTemperatureSql,
     "q_window_ntile" -> windowNtileSql,
