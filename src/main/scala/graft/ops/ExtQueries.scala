@@ -960,6 +960,40 @@ object ExtQueries {
       |WHERE o_custkey BETWEEN 100 AND 300
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Dynamic partition pruning: the fact side is a hive-partitioned
+    * layout (one directory per priority), the dim side a selective
+    * filter over the key — Catalyst injects the dim's key set into
+    * the fact scan's PartitionFilters at RUNTIME, so non-matching
+    * partitions are never even listed, the move that turns a
+    * 100 TB-wide join into a scan of the two matching partitions.
+    * The query THROWS unless the plan carries a dynamicpruning
+    * expression (driver-gated plan property, `q_skipping_scan`
+    * pattern); money summed exactly via decimal. */
+  val joinDppQ: Q = (s, dir) => {
+    val pdir = scratchDir("dpp", dir)
+    orders(s, dir).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(pdir)
+    val fact = s.read.parquet(pdir)
+    val dim = orders(s, dir).select("o_orderpriority").distinct()
+      .where(col("o_orderpriority") < "3")
+    val joined = fact.join(dim, Seq("o_orderpriority"))
+    val plan = joined.queryExecution.executedPlan.toString
+    require(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$plan")
+    joined.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val joinDppSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS total
+      |FROM orders WHERE o_orderpriority < '3'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Train/test contamination ([[Dedup.contamination]]): corpus docs
     * sharing any 3-token shingle with a planted probe set (id%37),
     * flagged with occurrence counts — the decontamination primitive.
@@ -1551,6 +1585,7 @@ object ExtQueries {
     "q_chunk_docs" -> chunkDocsQ,
     "q_dedup_spans" -> dedupSpansQ,
     "q_sim_ivfpq" -> simIvfPq,
+    "q_join_dpp" -> joinDppQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1590,5 +1625,6 @@ object ExtQueries {
     "q_pack_sequences" -> packSequencesSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_dedup_spans" -> dedupSpansSql,
+    "q_join_dpp" -> joinDppSql,
   )
 }
