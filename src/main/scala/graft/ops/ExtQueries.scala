@@ -994,6 +994,49 @@ object ExtQueries {
       |FROM orders WHERE o_orderpriority < '3'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AQE runtime bloom-filter join — DPP's cousin for UNPARTITIONED
+    * layouts: Catalyst builds a bloom filter from the selectively
+    * filtered dim side at runtime (`bloom_filter_agg`) and injects a
+    * `might_contain` predicate into the fact scan, so most fact rows
+    * die at the scan instead of riding the join shuffle. Thresholds
+    * are scoped down (and broadcast disabled) only because the
+    * fixture is tiny — at 100 TB the defaults trigger on their own —
+    * and restored after eager evaluation (the q_agg_pushdown
+    * pattern); the query THROWS unless the plan carries the injected
+    * filter. Complements the MANUAL bloom join (`q_join_bloom`, our
+    * own native expression) with the optimizer-injected variant. */
+  val joinRuntimeFilterQ: Q = (s, dir) => {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 400000)
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("might_contain"),
+        s"no runtime bloom filter injected into the fact scan:\n$plan")
+      s.createDataFrame(joined.collectAsList(), joined.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val joinRuntimeFilterSql =
+    """SELECT l_returnflag, COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 400000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Train/test contamination ([[Dedup.contamination]]): corpus docs
     * sharing any 3-token shingle with a planted probe set (id%37),
     * flagged with occurrence counts — the decontamination primitive.
@@ -1586,6 +1629,7 @@ object ExtQueries {
     "q_dedup_spans" -> dedupSpansQ,
     "q_sim_ivfpq" -> simIvfPq,
     "q_join_dpp" -> joinDppQ,
+    "q_join_runtime_filter" -> joinRuntimeFilterQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1626,5 +1670,6 @@ object ExtQueries {
     "q_chunk_docs" -> chunkDocsSql,
     "q_dedup_spans" -> dedupSpansSql,
     "q_join_dpp" -> joinDppSql,
+    "q_join_runtime_filter" -> joinRuntimeFilterSql,
   )
 }
