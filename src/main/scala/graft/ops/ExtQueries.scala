@@ -994,6 +994,67 @@ object ExtQueries {
       |FROM orders WHERE o_orderpriority < '3'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bucketed co-located join — the storage-level answer to repeated
+    * large⋈large joins at 100 TB: bucket both sides on the join key
+    * once at write time and every subsequent join is SHUFFLE-FREE
+    * (bucket n joins bucket n in place). Both sides land as bucketed
+    * managed tables, and the query THROWS if any Exchange appears in
+    * the join's plan (broadcast + AQE scoped off so the assert is
+    * about bucketing, not a broadcast bailout; restored after the
+    * eager evaluation the table DROP in `finally` forces anyway). */
+  val joinBucketedQ: Q = (s, dir) => {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    def clearLocation(table: String): Unit = {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val d = java.nio.file.Paths.get(wh, table)
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val (liT, ordT) = ("graft_li_bucketed", "graft_ord_bucketed")
+    try {
+      Seq(liT, ordT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t"); clearLocation(t)
+      }
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable(liT)
+      s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable(ordT)
+      val joined = s.table(liT).join(s.table(ordT),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      val out = joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double"), 2).as("qty"))
+        .orderBy("o_orderpriority")
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally {
+      Seq(liT, ordT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
+  val joinBucketedSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AQE runtime bloom-filter join — DPP's cousin for UNPARTITIONED
     * layouts: Catalyst builds a bloom filter from the selectively
     * filtered dim side at runtime (`bloom_filter_agg`) and injects a
@@ -1630,6 +1691,7 @@ object ExtQueries {
     "q_sim_ivfpq" -> simIvfPq,
     "q_join_dpp" -> joinDppQ,
     "q_join_runtime_filter" -> joinRuntimeFilterQ,
+    "q_join_bucketed" -> joinBucketedQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1671,5 +1733,6 @@ object ExtQueries {
     "q_dedup_spans" -> dedupSpansSql,
     "q_join_dpp" -> joinDppSql,
     "q_join_runtime_filter" -> joinRuntimeFilterSql,
+    "q_join_bucketed" -> joinBucketedSql,
   )
 }
