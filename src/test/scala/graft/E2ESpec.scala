@@ -182,5 +182,16 @@ class E2ESpec extends AnyFunSuite {
       emb.unionByName(planted), "vec_id", "embedding", 5, books)
       .collect().map(_.getLong(1)).toSet
     assert(hits.contains(800007L), hits.toString)
+
+    // the served-index form: IVF cells prune, ADC scores — an exact
+    // copy lands in the query's own cell with the query's own codes,
+    // so it survives both prunings
+    val cents = graft.ext.Similarity.kmeansCentroids(emb, "vec_id",
+      "embedding", 8, iters = 1)
+    val ivfpqHits = graft.ext.Similarity.ivfPqTopK(
+      emb.where(col("vec_id") === 7), emb.unionByName(planted),
+      "vec_id", "embedding", 5, cents, nprobe = 2, books = books)
+      .collect().map(_.getLong(1)).toSet
+    assert(ivfpqHits.contains(800007L), ivfpqHits.toString)
   }
 }
