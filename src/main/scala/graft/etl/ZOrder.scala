@@ -63,9 +63,17 @@ object ZOrder {
     val stats = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    require(!stats.isNullAt(0) && !stats.isNullAt(2),
+      s"clusterWrite: no min/max bounds to scale by — input is empty or a " +
+        s"cluster column ($colA / $colB) is entirely null")
+    // Rows with a null dimension value cluster explicitly at that
+    // dimension's low corner (scaled 0) rather than leaking a null
+    // through the bit math into one arbitrary range partition.
     val z = interleave(
-      scaleToBits(col(colA), stats.getDouble(0), stats.getDouble(1), bits),
-      scaleToBits(col(colB), stats.getDouble(2), stats.getDouble(3), bits),
+      scaleToBits(coalesce(col(colA).cast("double"), lit(stats.getDouble(0))),
+        stats.getDouble(0), stats.getDouble(1), bits),
+      scaleToBits(coalesce(col(colB).cast("double"), lit(stats.getDouble(2))),
+        stats.getDouble(2), stats.getDouble(3), bits),
       bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

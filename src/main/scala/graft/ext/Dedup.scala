@@ -604,17 +604,51 @@ object Dedup {
     * Scale shape: blocks are hashed in a narrow pass over the scan and
     * only `(md5, id, pos)` tuples ride the winner-agg shuffle — block
     * BODIES never move. The winner per hash is a fixed-width
-    * `min(id * 100000 + pos)` hash aggregate (no SortAggregate
-    * fallback; requires `pos < 100000` — 100k blocks/doc — and
-    * `id < 2^63 / 100000`, both documented invariants of the packed
-    * key). Losing positions fold to one small `(id, drop_ps)` row per
-    * affected document, which joins back (AQE promotes it to broadcast
-    * at production dup rates) into a second narrow pass that rebuilds
-    * the text by filtering the block array in place — the corpus
-    * itself never shuffles. */
+    * `min(id * maxBlocksPerDoc + pos)` hash aggregate (no
+    * SortAggregate fallback). The packed key's invariants are ENFORCED,
+    * not assumed: the id column must be an integral type (a string id
+    * would cast to null and silently collapse all winners), and the
+    * packing raises a loud runtime error — never a silently wrong
+    * winner order — if any document has `pos >= maxBlocksPerDoc`
+    * (at the default 2^20 that is a >1M-block document; raise
+    * `maxBlocksPerDoc` or `blockTokens` for such corpora) or any id
+    * falls outside `[0, Long.MaxValue / maxBlocksPerDoc)`. Losing
+    * positions fold to one small `(id, drop_ps)` row per affected
+    * document, which joins back (AQE promotes it to broadcast at
+    * production dup rates) into a second narrow pass that rebuilds the
+    * text by filtering the block array in place — the corpus itself
+    * never shuffles.
+    *
+    * Output contract: every non-empty document's text is rebuilt from
+    * its surviving blocks as a single-space-joined token stream (the
+    * same normalization whether or not any block was dropped — uniform
+    * across rows and identical to the DuckDB oracle's `string_agg`
+    * rebuild); empty/whitespace-only documents pass through unchanged. */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
-                blockTokens: Int = 50): DataFrame = {
+                blockTokens: Int = 50,
+                maxBlocksPerDoc: Long = 1L << 20): DataFrame = {
     require(blockTokens > 0, s"blockTokens=$blockTokens")
+    require(maxBlocksPerDoc > 0, s"maxBlocksPerDoc=$maxBlocksPerDoc")
+    val idLimit = Long.MaxValue / maxBlocksPerDoc
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"spanDedup: id column '$idCol' must be an integral type for the packed " +
+          s"winner key (got $other — a non-numeric id would cast to null and " +
+          "silently collapse all winners)")
+    }
+    // Loud-failure packing: a wrong winner order is silent corruption,
+    // so out-of-range ids/positions must throw, never proceed.
+    def packedKey(id: Column, pos: Column): Column =
+      when(id < 0 || id >= idLimit, raise_error(concat(
+          lit(s"spanDedup: id must be in [0, $idLimit) for the packed winner key, got "),
+          id.cast("string"))))
+        .when(pos >= maxBlocksPerDoc, raise_error(concat(
+          lit("spanDedup: document "), id.cast("string"), lit(" has block pos "),
+          pos.cast("string"),
+          lit(s" >= maxBlocksPerDoc=$maxBlocksPerDoc — raise maxBlocksPerDoc or blockTokens"))))
+        .otherwise(id.cast("long") * maxBlocksPerDoc + pos)
     val toks = graft.ml.Featurize.tokensCol(col(textCol))
     val nBlocks = ceil(size(col("__t")) / lit(blockTokens.toDouble)).cast("int")
     def blocksCol = transform(
@@ -627,15 +661,20 @@ object Dedup {
       .select(col(idCol), posexplode(blocksCol))
       .select(col(idCol), col("pos"),
         md5(col("col")).as("__h"),
-        (col(idCol) * 100000L + col("pos")).as("__packed"))
+        packedKey(col(idCol), col("pos")).as("__packed"))
     val winners = blocks.groupBy(col("__h"))
       .agg(min(col("__packed")).as("__win"))
     val drops = blocks.join(winners, Seq("__h"))
       .where(col("__packed") =!= col("__win"))
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("__drop"))
+    // Uniform rebuild: EVERY non-empty document comes back as the
+    // single-space join of its surviving blocks (a doc with no drops
+    // has a null __drop → array_contains yields null → block kept), so
+    // normalization is consistent across rows instead of depending on
+    // whether a given document happened to lose a block.
     val rebuilt =
-      when(col("__drop").isNull, col(textCol)).otherwise(
+      when(col("__nb") <= 0, col(textCol)).otherwise(
         array_join(
           filter(
             transform(sequence(lit(0), greatest(col("__nb"), lit(1)) - 1),

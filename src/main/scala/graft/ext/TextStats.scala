@@ -287,21 +287,38 @@ object TextStats {
     * are computed in a narrow pass over the scan and document BODIES
     * NEVER MOVE; each partition's running sum is independent, so
     * parallelism is `parts`, not 1 (no single-partition global
-    * window). Reference analog: the training-file assembly of
+    * window).
+    *
+    * `seq_id` packs `(part, sequence-index)` into one long as
+    * `part * maxSeqsPerPart + idx`. The packing is ENFORCED, not
+    * assumed: `parts * maxSeqsPerPart` must fit in a long (checked up
+    * front), and any partition whose sequence index reaches
+    * `maxSeqsPerPart` raises a loud runtime error instead of silently
+    * colliding into the next partition's id space (at the default 2^40
+    * that is >10^12 sequences — >2.8e14 tokens at budget 256 — in ONE
+    * salt partition; resize `parts` long before then). Reference
+    * analog: the training-file assembly of
     * `utils/fasttext_utils.py:44-64`, which packs by per-class
     * sampling instead of token budget. */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-                    budget: Int, parts: Int): DataFrame = {
+                    budget: Int, parts: Int,
+                    maxSeqsPerPart: Long = 1L << 40): DataFrame = {
     require(budget > 0 && parts > 0, s"budget=$budget parts=$parts")
+    require(maxSeqsPerPart > 0 && parts <= Long.MaxValue / maxSeqsPerPart,
+      s"parts=$parts * maxSeqsPerPart=$maxSeqsPerPart overflows the packed seq_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("part")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val seqIdx = (col("offset") / budget).cast("long")
     df.select(col(idCol),
         pmod(col(idCol), lit(parts.toLong)).as("part"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_id",
-        col("part") * lit(1000000L) + (col("offset") / budget).cast("long"))
+        when(seqIdx >= maxSeqsPerPart, raise_error(concat(
+            lit("packSequences: partition "), col("part").cast("string"),
+            lit(s" exceeded maxSeqsPerPart=$maxSeqsPerPart sequences — raise parts or maxSeqsPerPart"))))
+          .otherwise(col("part") * lit(maxSeqsPerPart) + seqIdx))
   }
 
   /** Overlapping token-window chunks (size `chunk`, step `stride`) —

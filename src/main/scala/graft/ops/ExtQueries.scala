@@ -1151,7 +1151,7 @@ object ExtQueries {
        |      FROM n WHERE nb > 0),
        |h AS (SELECT doc_id, pos,
        |        array_to_string(toks[pos*8+1:pos*8+8], ' ') AS blk,
-       |        doc_id*100000 + pos AS packed FROM b),
+       |        doc_id*1048576 + pos AS packed FROM b),
        |w AS (SELECT doc_id, pos, blk, packed,
        |        min(packed) OVER (PARTITION BY md5(blk)) AS win FROM h),
        |r AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS text
@@ -1179,7 +1179,7 @@ object ExtQueries {
        |          AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
        |      FROM t)
        |SELECT doc_id, part, n_tokens, "offset",
-       |  part * 1000000 + "offset" // 256 AS seq_id
+       |  part * 1099511627776 + "offset" // 256 AS seq_id
        |FROM o ORDER BY doc_id""".stripMargin
 
   /** Sliding-window chunking ([[TextStats.chunkDocs]]): overlapping

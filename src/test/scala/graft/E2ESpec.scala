@@ -86,7 +86,7 @@ class E2ESpec extends AnyFunSuite {
     assert(packed.count() == mixed.count())
     packed.groupBy("part")
       .agg(sum(col("n_tokens")).as("total"),
-        max(col("seq_id") % 1000000L).as("lastSeq"))
+        max(col("seq_id") % (1L << 40)).as("lastSeq"))
       .collect().foreach { r =>
         assert(r.getAs[Long]("total") > r.getAs[Long]("lastSeq") * 64L,
           r.toString)

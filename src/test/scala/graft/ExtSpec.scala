@@ -605,6 +605,76 @@ class ExtSpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  // flatten a task-failure cause chain into one searchable string
+  private def allMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("span dedup packed key: loud failure at the block-count boundary, never silent corruption") {
+    // 5 blocks of 2 tokens; winner rule must hold right up to the cap
+    val atCap = Seq(
+      (0L, "a1 a2 b1 b2 c1 c2 d1 d2 s1 s2"),  // shared block s1 s2 at pos 4
+      (1L, "s1 s2 z1 z2"))                    // same block at pos 0 -> cut
+      .toDF("doc_id", "text")
+    val ok = Dedup.spanDedup(atCap, "text", "doc_id",
+        blockTokens = 2, maxBlocksPerDoc = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 0's pos 4 (= cap - 1) wins over doc 1's pos 0: 0*5+4 < 1*5+0
+    assert(ok(0L) == "a1 a2 b1 b2 c1 c2 d1 d2 s1 s2")
+    assert(ok(1L) == "z1 z2")
+    // one block past the cap -> raise_error, not a wrong winner
+    val past = intercept[Throwable] {
+      Dedup.spanDedup(atCap, "text", "doc_id",
+        blockTokens = 2, maxBlocksPerDoc = 4).collect()
+    }
+    assert(allMessages(past).contains("maxBlocksPerDoc"), allMessages(past))
+    // negative id -> raise_error (would reverse the packed order)
+    val neg = intercept[Throwable] {
+      Dedup.spanDedup(Seq((-1L, "a b c")).toDF("doc_id", "text"),
+        "text", "doc_id", blockTokens = 2).collect()
+    }
+    assert(allMessages(neg).contains("packed winner key"), allMessages(neg))
+    // non-integral id column -> rejected up front (a string id would
+    // cast to null and collapse all winners)
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.spanDedup(Seq(("x", "a b c")).toDF("doc_id", "text"),
+        "text", "doc_id", blockTokens = 2)
+    }
+    assert(bad.getMessage.contains("integral"), bad.getMessage)
+  }
+
+  test("span dedup normalizes whitespace uniformly across touched and untouched rows") {
+    val df = Seq(
+      (1L, "  w1  w2\tw3 w4  u1 u2 u3 u4 "),  // messy, no dropped blocks
+      (2L, "w1 w2 w3 w4 v1 v2 v3 v4"))        // repeats block w1..w4 -> cut
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "text", "doc_id", blockTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the untouched doc is rebuilt from tokens too — one consistent
+    // single-space contract (and the one the DuckDB oracle computes)
+    assert(out(1L) == "w1 w2 w3 w4 u1 u2 u3 u4", out.toString)
+    assert(out(2L) == "v1 v2 v3 v4", out.toString)
+  }
+
+  test("sequence packing: loud failure when a partition exceeds maxSeqsPerPart") {
+    val docs3 = Seq((0L, "t"), (1L, "t"), (2L, "t")).toDF("doc_id", "text")
+    // 3 one-token docs, budget 1, one partition: seq indices 0, 1, 2
+    val ok = TextStats.packSequences(docs3.where(col("doc_id") < 2),
+        "text", "doc_id", budget = 1, parts = 1, maxSeqsPerPart = 2)
+      .collect().map(_.getAs[Long]("seq_id")).sorted
+    assert(ok.toSeq == Seq(0L, 1L), ok.mkString(","))
+    val past = intercept[Throwable] {
+      TextStats.packSequences(docs3, "text", "doc_id",
+        budget = 1, parts = 1, maxSeqsPerPart = 2).collect()
+    }
+    assert(allMessages(past).contains("maxSeqsPerPart"), allMessages(past))
+    // parts * maxSeqsPerPart must fit in a long — rejected up front
+    intercept[IllegalArgumentException] {
+      TextStats.packSequences(docs3, "text", "doc_id",
+        budget = 1, parts = 1 << 24, maxSeqsPerPart = 1L << 40)
+    }
+  }
+
   test("sequence packing fills each sequence to budget with one spill doc") {
     val packed = TextStats.packSequences(
       docs.select("doc_id", "text"), "text", "doc_id",
@@ -617,7 +687,7 @@ class ExtSpec extends AnyFunSuite {
     packed.foreach { r =>
       val off = r.getAs[Long]("offset"); val seq = r.getAs[Long]("seq_id")
       val part = r.getAs[Long]("part")
-      assert(seq == part * 1000000L + off / 200, r.toString)
+      assert(seq == part * (1L << 40) + off / 200, r.toString)
     }
     // offsets are dense per partition: sum of earlier docs' tokens
     val byPart = packed.groupBy(_.getAs[Long]("part"))

@@ -236,7 +236,7 @@ class PropertySpec extends AnyFunSuite {
         var run = 0L
         rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
           assert(r.getAs[Long]("offset") == run, s"budget=$budget $r")
-          assert(r.getAs[Long]("seq_id") == part * 1000000L + run / budget,
+          assert(r.getAs[Long]("seq_id") == part * (1L << 40) + run / budget,
             s"budget=$budget $r")
           run += r.getAs[Long]("n_tokens")
         }

@@ -209,6 +209,33 @@ class SourcesSpec extends AnyFunSuite {
       orders.agg(sum("o_orderkey")).head().getLong(0))
   }
 
+  test("z-order clusterWrite: clear failure on unboundable input, nulls cluster at the low corner") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zguard").toString
+    // empty input: no min/max bounds to scale by -> clear require, not an NPE
+    val empty = intercept[IllegalArgumentException] {
+      etl.ZOrder.clusterWrite(Seq.empty[(Long, Long)].toDF("a", "b"),
+        "a", "b", s"$dir/empty", numFiles = 2)
+    }
+    assert(empty.getMessage.contains("min/max bounds"), empty.getMessage)
+    // all-null cluster column: same clear failure
+    val allNull = intercept[IllegalArgumentException] {
+      etl.ZOrder.clusterWrite(
+        Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+          .withColumn("a", lit(null).cast("long")),
+        "a", "b", s"$dir/null", numFiles = 2)
+    }
+    assert(allNull.getMessage.contains("min/max bounds"), allNull.getMessage)
+    // scattered nulls: placed at the dimension's low corner, all rows kept
+    val mixed = Seq[(java.lang.Long, Long)]((null, 5L), (0L, 0L), (100L, 100L))
+      .toDF("a", "b")
+    etl.ZOrder.clusterWrite(mixed, "a", "b", s"$dir/mixed", numFiles = 1)
+    val back = spark.read.parquet(s"$dir/mixed")
+    assert(back.count() == 3)
+    // the null-a row sorts with the low-a rows (z interleave of scaled 0)
+    assert(back.where(col("a").isNull).count() == 1)
+  }
+
   test("stats-catalog skipping scan prunes files yet returns the exact filter result") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
