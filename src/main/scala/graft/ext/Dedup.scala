@@ -33,13 +33,24 @@ object Dedup {
     * only (id, hash) pairs of MATCHING shingles reach the count. The
     * count is per-occurrence (a probe phrase appearing twice in a doc
     * counts twice); `array_distinct` the shingles upstream for
-    * set semantics. */
+    * set semantics.
+    *
+    * `excludeSelf` drops corpus documents whose id appears in the
+    * probe set before counting (a broadcast anti-join on the small
+    * side) — when probes ⊆ corpus, every probe doc trivially flags
+    * itself, and the useful answer is "what ELSE is contaminated". */
   def contamination(corpus: DataFrame, probes: DataFrame, textCol: String,
-                    idCol: String, k: Int = 3): DataFrame = {
+                    idCol: String, k: Int = 3,
+                    excludeSelf: Boolean = false): DataFrame = {
+    val base =
+      if (excludeSelf)
+        corpus.join(broadcast(probes.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+      else corpus
     val probeHashes = probes
       .select(explode(shingles(col(textCol), k)).as("__sh"))
       .select(md5(col("__sh")).as("__h")).distinct()
-    corpus
+    base
       .select(col(idCol), explode(shingles(col(textCol), k)).as("__sh"))
       .select(col(idCol), md5(col("__sh")).as("__h"))
       .join(broadcast(probeHashes), Seq("__h"))

@@ -232,9 +232,24 @@ object TextStats {
         java.util.regex.Pattern.quote(r) + "(?=\\s|$)",
       quoteRepl(l + BpeJoiner + r))
 
-  def bpeTrain(df: DataFrame, textCol: String,
-               merges: Int): Seq[(String, String, Long)] = {
-    var cur = df
+  /** `sampleFraction` < 1 trains the vocabulary on a deterministic
+    * content-hash sample (md5-bucket membership, the
+    * [[graft.etl.Sampling.membershipBucket]] idiom) — the standard
+    * production shape where each of the `merges` full-corpus rescans
+    * would otherwise dominate: the vocabulary trains on a sample,
+    * [[bpeApply]] still runs on everything. Pair frequencies are
+    * corpus-level statistics, so a uniform sample preserves the
+    * adoption order of all but the rarest ties. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int,
+               sampleFraction: Double = 1.0): Seq[(String, String, Long)] = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction=$sampleFraction must be in (0, 1]")
+    val modulus = 1 << 20
+    val base =
+      if (sampleFraction >= 1.0) df
+      else df.where(graft.etl.Sampling.membershipBucket(col(textCol), modulus)
+        < lit(sampleFraction * modulus))
+    var cur = base
       .select(concat_ws(" ", Featurize.tokensCol(col(textCol))).as("__t"))
       // merge rounds re-scan the corpus; keep the normalized token
       // stream materialized so round i doesn't re-run rounds 0..i-1

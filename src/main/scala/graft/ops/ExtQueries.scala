@@ -715,7 +715,12 @@ object ExtQueries {
           ivfCentsCache.values.iterator.next(),
           pqBooksCache.values.iterator.next()))
       else Map.empty[String, String]
-    ivf ++ pq ++ ivfpq
+    val bpe =
+      if (bpeMergesCache.size == 1)
+        Map("q_bpe_apply" -> bpeApplySqlFor(
+          bpeMergesCache.values.iterator.next()))
+      else Map.empty[String, String]
+    ivf ++ pq ++ ivfpq ++ bpe
   }
 
   /** Embedding near-dup pairs via 16-bit sign-bucket LSH with
@@ -1117,6 +1122,26 @@ object ExtQueries {
        |SELECT c.doc_id, COUNT(*) AS n_hits FROM c JOIN p USING (h)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Contamination restricted to NON-probe documents
+    * ([[Dedup.contamination]] with `excludeSelf`): when the probe set
+    * is a subset of the corpus — the usual eval-set-vs-corpus shape —
+    * every probe doc trivially flags itself; the broadcast anti-join
+    * answers "what ELSE shares an eval shingle". */
+  val contaminationOtherQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    Dedup.contamination(docs, docs.where(col("doc_id") % 37 === 0),
+      "text", "doc_id", excludeSelf = true)
+      .orderBy("doc_id")
+  }
+
+  val contaminationOtherSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM t),
+       |p AS (SELECT DISTINCT md5(sh) AS h FROM s WHERE doc_id % 37 = 0),
+       |c AS (SELECT doc_id, md5(sh) AS h FROM s WHERE doc_id % 37 <> 0)
+       |SELECT c.doc_id, COUNT(*) AS n_hits FROM c JOIN p USING (h)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Adjacent token-pair frequencies ([[TextStats.pairCounts]]) — the
     * counting inner loop of BPE vocabulary training, top-40 pairs under
     * a total (n desc, l, r) order so the limit boundary is
@@ -1132,6 +1157,56 @@ object ExtQueries {
        |      FROM t WHERE len(toks) > 1)
        |SELECT l, r, COUNT(*) AS n FROM p
        |GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 40""".stripMargin
+
+  /** BPE merge list for [[bpeApplyQ]]: trained once per (session, dir)
+    * on the deterministic doc_id % 10 subset (the [[TextStats.bpeTrain]]
+    * sample-then-apply-everywhere shape) and memoized so the query and
+    * [[dynamicOracles]] share the exact adopted pairs. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+      TextStats.bpeTrain(
+          documents(s, dir).where(col("doc_id") % 10 === 0).select("text"),
+          "text", merges = 6)
+        .map(m => (m._1, m._2)))
+
+  /** Tokenize the whole corpus with a trained BPE vocabulary
+    * ([[TextStats.bpeApply]]) — one narrow codegen'd regexp chain per
+    * document, no shuffle. Oracled dynamically with the adopted merges
+    * as literals (see [[bpeApplySqlFor]]). */
+  val bpeApplyQ: Q = (s, dir) =>
+    TextStats.bpeApply(documents(s, dir).select("doc_id", "text"),
+        "text", bpeMergesFor(s, dir))
+      .select(col("doc_id"), col("bpe_symbols"),
+        size(col("bpe_symbols")).as("n_symbols"))
+      .orderBy("doc_id")
+
+  /** The BPE merge replay in DuckDB. RE2 has no lookbehind, so the
+    * Spark side's `(?<=^|\s)l r(?=\s|$)` pass is mirrored instead as a
+    * LITERAL replace over a space-doubled token stream: doubling every
+    * separator gives each match site private delimiters on both sides,
+    * so plain left-to-right non-overlapping `replace(' l  r ', …)` is
+    * exactly the greedy merge (adjacent occurrences like "a b a b"
+    * can't steal each other's boundary space), and collapsing the
+    * doubles afterwards restores the single-space stream for the next
+    * merge in the chain. */
+  def bpeApplySqlFor(merges: Seq[(String, String)]): String = {
+    def q(str: String) = str.replace("'", "''")
+    val chain = merges.foldLeft(s"array_to_string($toksSql, ' ')") {
+      case (acc, (l, r)) =>
+        val from = "' " + q(l) + "  " + q(r) + " '"
+        val to = "' " + q(l) + TextStats.BpeJoiner + q(r) + " '"
+        s"trim(replace(replace(' ' || replace($acc, ' ', '  ') || ' ', $from, $to), '  ', ' '))"
+    }
+    s"""WITH a AS (SELECT doc_id,
+       |    list_filter(string_split($chain, ' '), t -> len(t) > 0) AS bpe_symbols
+       |  FROM documents)
+       |SELECT doc_id, bpe_symbols,
+       |  CAST(len(bpe_symbols) AS INTEGER) AS n_symbols
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
 
   /** Block-quantized exact span dedup ([[Dedup.spanDedup]]): every
     * verbatim re-occurrence of an 8-token block is cut from the
@@ -1681,7 +1756,9 @@ object ExtQueries {
     "q_dedup_incremental" -> dedupIncremental,
     "q_text_normalize" -> textNormalize,
     "q_bpe_pairs" -> bpePairs,
+    "q_bpe_apply" -> bpeApplyQ,
     "q_contamination" -> contaminationQ,
+    "q_contamination_other" -> contaminationOtherQ,
     "q_skipping_scan" -> skippingScanQ,
     "q_profile_stats" -> profileStats,
     "q_fuzzy_match" -> fuzzyMatch,
@@ -1725,6 +1802,7 @@ object ExtQueries {
     "q_text_normalize" -> textNormalizeSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_contamination" -> contaminationSql,
+    "q_contamination_other" -> contaminationOtherSql,
     "q_skipping_scan" -> skippingScanSql,
     "q_profile_stats" -> profileStatsSql,
     "q_fuzzy_match" -> fuzzyMatchSql,

@@ -280,6 +280,44 @@ class ExtSpec extends AnyFunSuite {
     assert(symbols == Seq(s"new${J}york${J}city", "limits"), symbols)
   }
 
+  test("BPE vocabulary trained on a deterministic sample matches the full-corpus vocabulary") {
+    import spark.implicits._
+    // heavy-tailed pair distribution with DISTINCT texts (the sample
+    // is a content-hash membership test, so duplicate texts would all
+    // land in one bucket together)
+    val corpus = ((1 to 80).map(i => s"new york city t$i") ++
+      (1 to 40).map(i => s"san francisco bay u$i") ++
+      (1 to 10).map(i => s"n$i f$i")).toDF("text")
+    val full = TextStats.bpeTrain(corpus, "text", merges = 3)
+      .map(m => (m._1, m._2))
+    val sampled = TextStats.bpeTrain(corpus, "text", merges = 3,
+        sampleFraction = 0.5)
+      .map(m => (m._1, m._2))
+    // a uniform half keeps the Zipf head intact: same adopted pairs
+    assert(sampled.toSet.intersect(full.toSet).size >= 2,
+      s"full=$full sampled=$sampled")
+    intercept[IllegalArgumentException] {
+      TextStats.bpeTrain(corpus, "text", merges = 1, sampleFraction = 0.0)
+    }
+  }
+
+  test("contamination excludeSelf reports only non-probe documents") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // probe
+      (2L, "a quick brown fox appears"),   // shares shingle with probe
+      (3L, "nothing in common here at all"))
+      .toDF("doc_id", "text")
+    val probes = corpus.where(col("doc_id") === 1L)
+    val withSelf = Dedup.contamination(corpus, probes, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withSelf.contains(1L) && withSelf.contains(2L), withSelf.toString)
+    val without = Dedup.contamination(corpus, probes, "text", "doc_id",
+        excludeSelf = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(without == Map(2L -> withSelf(2L)), without.toString)
+  }
+
   test("connected components merge chains of pairs transitively") {
     import spark.implicits._
     // 1-2-3 chained, 4-5 separate, 6 absent from any pair
