@@ -232,6 +232,26 @@ class ExtSpec extends AnyFunSuite {
       .map { case (q, n, c, _) => (q, n, c) }
     assert(pruned.subsetOf(allScores), s"pruned produced novel scores")
     assert(pruned.nonEmpty && fullScores.nonEmpty)
+    // recall floor vs exact brute-force truth: at full probing IVFPQ
+    // carries PQ's own recall (a clear margin over the ~1% random
+    // baseline on the adversarially random fixture)
+    val brute = Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqPairs = full.map { case (q, n, _, _) => (q, n) }
+    val recall = (brute intersect ivfpqPairs).size.toDouble / brute.size
+    assert(recall >= 0.03, s"recall=$recall (random baseline ≈ 0.01)")
+    // the dedup-retrieval guarantee survives the HARSHEST pruning: an
+    // exact copy lands in the query's own cell with the query's own
+    // codes (max ADC score), so nprobe = 1 still surfaces it
+    val planted = emb.where(col("vec_id") === 0)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val foundPlanted = Similarity.ivfPqTopK(emb.where(col("vec_id") === 0),
+      emb.unionByName(planted), "vec_id", "embedding", 5, cents,
+      nprobe = 1, books = books)
+      .collect().map(_.getLong(1)).toSet
+    assert(foundPlanted.contains(900000L),
+      s"planted copy not in IVFPQ top-5: $foundPlanted")
   }
 
   test("contamination flags probe-shingle carriers and nothing else") {
