@@ -704,4 +704,46 @@ object Dedup {
         case c => col(s"`$c`")
       }.toSeq: _*)
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup over an
+    * EMBEDDING column — k-means-cluster the vectors, then drop every
+    * document whose cosine to an earlier (lower-id) member of the SAME
+    * cluster reaches `threshold`. Complements [[embeddingNearDups]]
+    * (sign-bucket LSH pairs): this is the keep/drop decision over a
+    * partition of the whole corpus, the form used to prune pre-training
+    * sets at scale.
+    *
+    * Scale shape: centroids are plan literals (O(k·dim) driver data),
+    * so cluster assignment is a NARROW projection; the corpus
+    * exchanges once on `cell` for the within-cluster candidate join —
+    * pairwise work is Σ|cell|², bounded by sizing `nCells ∝ N/target`
+    * exactly as the paper operates (cluster count grows with the
+    * corpus, cluster size stays constant). The drop-set is
+    * `(id)`-only and semi-joins back against the assignment — vectors
+    * ride the cell exchange once and never again.
+    *
+    * Cosines are rounded to 6 dp before the threshold compare, so
+    * keep/drop is FP-noise-proof and engine-portable. Output:
+    * `(id, cell)` of the KEPT documents. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Double]],
+                    threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold=$threshold")
+    val spark = df.sparkSession
+    val assigned = Similarity.assignCells(
+        df.select(col(idCol), col(vecCol)), vecCol, cents)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("cell"))
+      .withColumn("__n", sqrt(Similarity.nDot(spark, col("__v"), col("__v"))))
+    val right = assigned.select(col("__id").as("__rid"),
+      col("__v").as("__rv"), col("cell"), col("__n").as("__rn"))
+    val dropIds = assigned.join(right, Seq("cell"))
+      .where(col("__id") < col("__rid"))
+      .where(Similarity.cosineFromNorms(
+        Similarity.nDot(spark, col("__v"), col("__rv")),
+        col("__n"), col("__rn")) >= threshold)
+      .select(col("__rid").as("__id"))
+      .distinct()
+    assigned.join(dropIds, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("cell"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ml.Featurize
+
+/** Sparse full-text retrieval over a document corpus — the BM25
+  * inverted-index scorer every training-data pipeline ends up needing
+  * (contamination probes, targeted data selection, eval-set retrieval,
+  * hard-negative mining).
+  *
+  * Shape at 100 TB: the corpus side is a POSTINGS build — one tokenize
+  * pass, one explode, one map-side-combinable `(doc, term)` count —
+  * exactly the layout a stored inverted index would persist
+  * (term-bucketed parquet); the query side is tiny and BROADCAST
+  * end-to-end, so the corpus never reshuffles to answer a query batch.
+  * Global collection statistics (N, average doc length) reduce to one
+  * row; per-term document frequencies are semi-joined down to the
+  * query vocabulary BEFORE broadcasting, so the plan never carries the
+  * full vocabulary anywhere. Scoring is a narrow projection over the
+  * postings scan; the only wide step is the final
+  * `(query, doc) -> sum` partial-aggregated hash agg plus the
+  * per-query top-k window over candidate rows (bounded by postings of
+  * query terms, not the corpus).
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: for each query document, the `k` highest-scoring
+    * corpus documents under
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))` summed
+    * over the query's DISTINCT terms, with the Lucene idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` (always positive). Scores are
+    * rounded to 6 dp BEFORE ranking and ties break on `doc_id`, so the
+    * ranking is FP-noise-proof and cross-engine deterministic. Queries
+    * that are themselves corpus members match themselves (callers
+    * filter `query_id = doc_id` if self-hits are unwanted).
+    *
+    * Output: `(query_id, doc_id, score, rank)`. */
+  def bm25TopK(queries: DataFrame, corpus: DataFrame,
+               idCol: String, textCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k=$k")
+    val docToks = corpus.select(col(idCol).as("__did"),
+      Featurize.tokensCol(col(textCol)).as("__t"))
+    // postings: one row per (doc, term) with the term frequency — the
+    // inverted-index payload; map-side partials shrink the shuffle to
+    // distinct (doc, term) pairs per task
+    val postings = docToks
+      .select(col("__did"), size(col("__t")).cast("long").as("__len"),
+        explode(col("__t")).as("__term"))
+      .groupBy("__did", "__len", "__term")
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    // collection stats: one row (exact integer sums — avgdl is the
+    // same double in every engine)
+    val stats = docToks
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(size(col("__t")).cast("long")).as("__sumlen"))
+    // distinct query terms; tiny, broadcast everywhere below
+    val qTerms = queries
+      .select(col(idCol).as("query_id"),
+        explode(Featurize.tokensCol(col(textCol))).as("__term"))
+      .distinct()
+    // document frequency ONLY for the query vocabulary: semi-join the
+    // per-term counts down before they go near a broadcast
+    val dfreq = postings
+      .join(broadcast(qTerms.select("__term").distinct()), Seq("__term"),
+        "left_semi")
+      .groupBy("__term")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val avgdl = col("__sumlen").cast("double") / col("__n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val tfNorm = col("__tf") * (k1 + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__len") / avgdl))
+    val contrib = postings
+      .join(broadcast(qTerms), Seq("__term"))
+      .join(broadcast(dfreq), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("__did").as("doc_id"),
+        (idf * tfNorm).as("__c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("__c")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+}

@@ -121,6 +121,64 @@ object TextStats {
   def qualityScore(text: Column): Column =
     qualityScoreFrom(tokenCount(text), punctRatio(text), stopwordRatio(text))
 
+  /** The Gopher rule-filter stopword list (Rae et al.,
+    * arXiv:2112.11446 §A1.1: "contains at least 2 of the following
+    * English words: the, be, to, of, and, that, have, with"). Distinct
+    * from [[langMarkers]], which serves language ID. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rule flags (Rae et al.,
+    * arXiv:2112.11446 §A1.1) — the standard pre-training hygiene
+    * filter, emitted as per-rule booleans plus the conjunction so a
+    * pipeline can either hard-filter (`where($"pass_gopher")`) or
+    * audit per-rule rejection rates. Rules, with the paper's bounds:
+    * word count in [minWords, maxWords]; mean word length in [3, 10];
+    * symbol-to-word ratio ('#' and '...') <= 0.1; >= 80% of words
+    * contain an alphabetic character; >= 2 stopword hits.
+    *
+    * Scale shape: ONE tokenize pass staged under an attribute, every
+    * rule a narrow codegen'd projection over it — no shuffle, no UDF;
+    * at 100 TB this rides the scan like the rest of the TextStats
+    * family. Ratios are rounded to 6 dp so downstream hash compares
+    * are FP-noise-proof. */
+  def withGopherFlags(df: DataFrame, textCol: String,
+                      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = col("__gtoks")
+    val nWords = col("n_words")
+    val hashCount = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val ellipsisCount =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    // one tokenize pass; the stopword rule lowers per TOKEN instead of
+    // re-tokenizing a lowered copy of the text
+    val stopHits = markerHits(transform(toks, t => lower(t)), gopherStopwords)
+    df.withColumn("__gtoks", Featurize.tokensCol(col(textCol)))
+      .withColumn("n_words", size(col("__gtoks")))
+      .withColumn("mean_word_len",
+        round(meanTokenLengthOfTokens(col("__gtoks")), 6))
+      .withColumn("symbol_ratio",
+        when(nWords > 0, round((hashCount + ellipsisCount).cast("double") /
+          nWords.cast("double"), 6)).otherwise(0.0))
+      .withColumn("alpha_word_ratio",
+        when(nWords > 0, round(alphaWords.cast("double") /
+          nWords.cast("double"), 6)).otherwise(0.0))
+      .withColumn("n_stopwords", stopHits)
+      .withColumn("rule_words",
+        nWords >= minWords && nWords <= maxWords)
+      .withColumn("rule_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("rule_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("rule_alpha", col("alpha_word_ratio") >= 0.8)
+      .withColumn("rule_stopwords", col("n_stopwords") >= 2)
+      .withColumn("pass_gopher",
+        col("rule_words") && col("rule_word_len") && col("rule_symbols") &&
+          col("rule_alpha") && col("rule_stopwords"))
+      .drop("__gtoks")
+  }
+
   /** Fraction of repeated (non-distinct) n-grams in a pre-computed
     * gram array — the Gopher-style repetition quality signal. Callers
     * should pass an ATTRIBUTE (stage the gram expression under its own

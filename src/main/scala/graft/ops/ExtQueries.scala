@@ -703,7 +703,9 @@ object ExtQueries {
   def dynamicOracles: Map[String, String] = {
     val ivf =
       if (ivfCentsCache.size == 1)
-        Map("q_sim_ivf" -> simIvfSqlFor(ivfCentsCache.values.iterator.next()))
+        Map("q_sim_ivf" -> simIvfSqlFor(ivfCentsCache.values.iterator.next()),
+          "q_dedup_semantic" -> dedupSemanticSqlFor(
+            ivfCentsCache.values.iterator.next()))
       else Map.empty[String, String]
     val pq =
       if (pqBooksCache.size == 1)
@@ -1722,6 +1724,177 @@ object ExtQueries {
       |FROM events e JOIN dim d USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- retrieval / selection / quality (round 8) ----
+
+  /** BM25 top-10 retrieval: documents doc_id < 5 as query set against
+    * the whole corpus (inverted-index postings + broadcast query
+    * vocabulary — the corpus never reshuffles). Self-hits stay in (a
+    * query is its own best match — the retrieval sanity invariant). */
+  val bm25TopKQ: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    graft.ext.Retrieval.bm25TopK(docs.where(col("doc_id") < 5), docs,
+        "doc_id", "text", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25TopKSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d AS (SELECT doc_id AS did, toks, len(toks) AS dlen FROM t),
+       |p AS (SELECT did, dlen, unnest(toks) AS term FROM d),
+       |post AS (SELECT did, dlen, term, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
+       |stats AS (SELECT COUNT(*) AS n, SUM(dlen) AS sumlen FROM d),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+       |q AS (SELECT DISTINCT did AS query_id, term FROM p WHERE did < 5),
+       |co AS (SELECT query_id, post.did AS doc_id,
+       |    ln(1E0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5E0)
+       |      / (CAST(df AS DOUBLE) + 0.5E0)) *
+       |    ((CAST(tf AS DOUBLE) * (1.2E0 + 1.0E0)) /
+       |     (CAST(tf AS DOUBLE) + 1.2E0 * (1.0E0 - 0.75E0 +
+       |       (0.75E0 * CAST(dlen AS DOUBLE)) /
+       |       (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))) AS c
+       |  FROM q JOIN post USING (term) JOIN dfreq USING (term), stats),
+       |scored AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score
+       |  FROM co GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank FROM scored) r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Gopher rule-filter flags over every document: per-rule booleans +
+    * the conjunction, one narrow tokenize pass (audit form — a
+    * pipeline hard-filters with `where(pass_gopher)`). */
+  val qualityGopher: Q = (s, dir) =>
+    TextStats.withGopherFlags(documents(s, dir), "text")
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_ratio", "n_stopwords", "rule_words", "rule_word_len",
+        "rule_symbols", "rule_alpha", "rule_stopwords", "pass_gopher")
+      .orderBy("doc_id")
+
+  val qualityGopherSql = {
+    val stopList = TextStats.gopherStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |c AS (SELECT doc_id,
+       |  len(toks) AS n_words,
+       |  ROUND(CASE WHEN len(toks) > 0 THEN
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, tk -> CAST(len(tk) AS BIGINT))),
+       |      (acc, v) -> acc + v) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS mean_word_len,
+       |  CASE WHEN len(toks) > 0 THEN ROUND(
+       |    CAST(len(text) - len(replace(text, '#', '')) +
+       |      (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS symbol_ratio,
+       |  CASE WHEN len(toks) > 0 THEN ROUND(
+       |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))
+       |      AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+       |    ELSE 0.0 END AS alpha_word_ratio,
+       |  len(list_filter(toks, tk -> list_contains($stopList, lower(tk))))
+       |    AS n_stopwords
+       |FROM t)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       |  alpha_word_ratio, n_stopwords,
+       |  n_words >= 50 AND n_words <= 100000 AS rule_words,
+       |  mean_word_len >= 3.0E0 AND mean_word_len <= 10.0E0 AS rule_word_len,
+       |  symbol_ratio <= 0.1E0 AS rule_symbols,
+       |  alpha_word_ratio >= 0.8E0 AS rule_alpha,
+       |  n_stopwords >= 2 AS rule_stopwords,
+       |  n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0E0 AND mean_word_len <= 10.0E0
+       |    AND symbol_ratio <= 0.1E0 AND alpha_word_ratio >= 0.8E0
+       |    AND n_stopwords >= 2 AS pass_gopher
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** DSIR importance weights against the English slice as the target
+    * distribution: hashed-unigram (md5-prefix, 256 buckets) bucket
+    * models from one bounded agg, per-document log-likelihood-ratio
+    * weights from a broadcast model join. */
+  val dsirWeightsQ: Q = (s, dir) =>
+    graft.ext.Selection.dsirWeights(documents(s, dir), "text", "doc_id",
+        isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+
+  val dsirWeightsSql =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest(toks) AS tk FROM t),
+       |tb AS (SELECT doc_id, tgt, substr(md5(tk), 1, 2) AS b FROM tok),
+       |model AS (SELECT b, COUNT(*) AS n_raw,
+       |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+       |  FROM tb GROUP BY 1),
+       |tot AS (SELECT SUM(n_raw) AS tot_raw, SUM(n_tgt) AS tot_tgt FROM model),
+       |lr AS (SELECT b,
+       |    ln((CAST(n_tgt AS DOUBLE) + 1.0E0) /
+       |       (CAST(tot_tgt AS DOUBLE) + 256.0E0)) -
+       |    ln((CAST(n_raw AS DOUBLE) + 1.0E0) /
+       |       (CAST(tot_raw AS DOUBLE) + 256.0E0)) AS lr
+       |  FROM model, tot)
+       |SELECT doc_id, COUNT(*) AS n_tokens, ROUND(SUM(lr), 6) AS weight
+       |FROM tb JOIN lr USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** SemDeDup over the embedding corpus + planted exact copies
+    * (vec_id+900000 of vec_id < 10): cluster on the SHARED memoized
+    * IVF centroids (so q_sim_ivf and this query cost one k-means
+    * between them), drop any member whose cosine to a lower-id member
+    * of its own cluster reaches 0.99 — exactly the 10 planted copies
+    * on this fixture. Oracled via centroid literals. */
+  val dedupSemanticQ: Q = (s, dir) => {
+    val emb = embeddings(s, dir).select("vec_id", "embedding")
+    val planted = emb.union(emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 900000).as("vec_id"), col("embedding")))
+    Dedup.semanticDedup(planted, "vec_id", "embedding",
+        ivfCents(s, dir), threshold = 0.99)
+      .orderBy("vec_id")
+  }
+
+  /** The SemDeDup query mirrored in SQL against literal centroids:
+    * same staged sims and first-max-wins cell argmax as
+    * [[simIvfSqlFor]], same planted copies, same rounded within-cell
+    * cosine >= 0.99 drop rule, same anti-join keep set. */
+  def dedupSemanticSqlFor(cents: Array[Array[Double]]): String = {
+    val k = cents.length
+    val centsLit = cents.map(_.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def simExpr(i: Int): String =
+      if (cnorms(i) == 0) "CAST(0.0 AS DOUBLE)"
+      else {
+        val fold = foldSumSql(
+          s"list_transform(range(1, len(cv)+1), j -> cv[j] * cents[${i + 1}][j])")
+        s"(CASE WHEN vn > 0 THEN $fold / (vn * ${dlit(cnorms(i))}) ELSE 0.0 END)"
+      }
+    val sims = (0 until k).map(i => s"  ${simExpr(i)} AS s_$i").mkString(",\n")
+    val best = s"greatest(${(0 until k).map("s_" + _).mkString(", ")})"
+    val cellCase = (0 until k - 1).map(i => s"WHEN s_$i = best THEN $i")
+      .mkString("\n    ") + s"\n    ELSE ${k - 1}"
+    val pairFold = foldSumSql(
+      "list_transform(range(1, len(xv)+1), j -> xv[j] * yv[j])")
+    s"""WITH ct AS (SELECT $centsLit AS cents),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 900000, CAST(embedding AS DOUBLE[]) FROM embeddings
+       |  WHERE vec_id < 10),
+       |n AS (SELECT vec_id, cv,
+       |  sqrt(${foldSumSql("list_transform(range(1, len(cv)+1), j -> cv[j] * cv[j])")}) AS vn
+       |  FROM e),
+       |s AS (SELECT vec_id, cv, vn,
+       |$sims
+       |FROM n, ct),
+       |m AS (SELECT *, $best AS best FROM s),
+       |a AS (SELECT vec_id, cv, vn,
+       |  CAST(CASE $cellCase END AS INTEGER) AS cell FROM m),
+       |drops AS (SELECT DISTINCT y.vec_id AS vec_id
+       |  FROM (SELECT vec_id, cv AS xv, vn AS xn, cell FROM a) x
+       |  JOIN (SELECT vec_id, cv AS yv, vn AS yn, cell FROM a) y
+       |    USING (cell)
+       |  WHERE x.vec_id < y.vec_id
+       |    AND (CASE WHEN x.xn * y.yn > 0
+       |         THEN ROUND($pairFold / (x.xn * y.yn), 6) ELSE 0.0 END) >= 0.99E0)
+       |SELECT a.vec_id, a.cell FROM a
+       |LEFT JOIN drops d ON a.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL ORDER BY a.vec_id""".stripMargin
+  }
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -1769,6 +1942,10 @@ object ExtQueries {
     "q_join_dpp" -> joinDppQ,
     "q_join_runtime_filter" -> joinRuntimeFilterQ,
     "q_join_bucketed" -> joinBucketedQ,
+    "q_bm25_topk" -> bm25TopKQ,
+    "q_quality_gopher" -> qualityGopher,
+    "q_dsir_weights" -> dsirWeightsQ,
+    "q_dedup_semantic" -> dedupSemanticQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1812,5 +1989,8 @@ object ExtQueries {
     "q_join_dpp" -> joinDppSql,
     "q_join_runtime_filter" -> joinRuntimeFilterSql,
     "q_join_bucketed" -> joinBucketedSql,
+    "q_bm25_topk" -> bm25TopKSql,
+    "q_quality_gopher" -> qualityGopherSql,
+    "q_dsir_weights" -> dsirWeightsSql,
   )
 }

@@ -784,4 +784,96 @@ class ExtSpec extends AnyFunSuite {
     assert(out.select("doc_id").distinct().count() ==
       toks.count(_._2.nonEmpty))
   }
+
+  test("BM25 ranks self/copy first and matches a local recomputation") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple banana cherry"), // exact copy of the query
+      (2L, "apple banana zebra zebra"),
+      (3L, "zebra yak walrus xylophone"), // no query term
+      (4L, "apple walnut walnut walnut")).toDF("doc_id", "text")
+    val res = Retrieval.bm25TopK(corpus.where(col("doc_id") === 0), corpus,
+      "doc_id", "text", k = 5).orderBy("rank").collect()
+    // the query text itself (and its exact copy) take ranks 1-2 with
+    // equal scores; the id breaks the tie
+    assert(res(0).getLong(1) == 0L && res(1).getLong(1) == 1L, res.mkString)
+    assert(res(0).getDouble(2) == res(1).getDouble(2))
+    // a doc sharing no query term is not a candidate at all
+    assert(!res.map(_.getLong(1)).contains(3L))
+    // two shared terms outrank one
+    val rankOf = res.map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(rankOf(2L) < rankOf(4L), rankOf.toString)
+    // local recomputation of (query 0, doc 4): shared term "apple",
+    // N=5, avgdl=18/5, df(apple)=4, tf=1, len=4
+    val idf = math.log(1.0 + (5.0 - 4.0 + 0.5) / (4.0 + 0.5))
+    val tfn = 1.0 * (1.2 + 1.0) /
+      (1.0 + 1.2 * (1.0 - 0.75 + (0.75 * 4.0) / (18.0 / 5.0)))
+    val expected = BigDecimal(idf * tfn)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(res.find(_.getLong(1) == 4L).get.getDouble(2) - expected)
+      < 1e-9, s"score=${rankOf(4L)} expected=$expected")
+  }
+
+  test("gopher rule flags fire on the documented boundaries") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(_ => "the").mkString(" ")
+    val rows = Seq(
+      (1L, fifty), // exactly 50 words of mean length 3: passes all
+      (2L, "short doc"), // fails words + stopwords
+      (3L, fifty + " ####################"), // 20 '#' → symbol ratio fails
+      (4L, (1 to 50).map(_ => "1234").mkString(" "))) // no alpha, no stopwords
+      .toDF("doc_id", "text")
+    val f = TextStats.withGopherFlags(rows, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[Boolean]("pass_gopher"))
+    assert(f(1L).getAs[Double]("mean_word_len") == 3.0) // inclusive bound
+    assert(!f(2L).getAs[Boolean]("rule_words"))
+    assert(!f(2L).getAs[Boolean]("pass_gopher"))
+    assert(!f(3L).getAs[Boolean]("rule_symbols"))
+    assert(f(3L).getAs[Boolean]("rule_alpha")) // 50/51 ≥ 0.8
+    assert(!f(4L).getAs[Boolean]("rule_alpha"))
+    assert(!f(4L).getAs[Boolean]("rule_stopwords"))
+    assert(f(4L).getAs[Boolean]("rule_words")) // 50 words is in range
+  }
+
+  test("DSIR weights rank target-like raw documents above background") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "alpha beta gamma", true),
+      (1L, "alpha beta gamma", true),
+      (2L, "delta epsilon zeta", false),
+      (3L, "alpha beta gamma", false), // target-like text in the raw slice
+      (4L, "delta epsilon zeta", false))
+      .toDF("doc_id", "text", "tgt")
+    val w = Selection.dsirWeights(rows, "text", "doc_id", col("tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = w.map(r => r._1 -> r._3).toMap
+    assert(byId(3L) > byId(4L), byId.toString)
+    assert(byId(0L) == byId(3L)) // same text → same weight
+    assert(w.forall(_._2 == 3L)) // n_tokens rides through
+    // hand-check doc 3: three buckets, each lr = ln(3/262) − ln(4/271)
+    val lr = math.log(3.0 / 262.0) - math.log(4.0 / 271.0)
+    val expected = BigDecimal(3 * lr)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(byId(3L) - expected) < 1e-9,
+      s"weight=${byId(3L)} expected=$expected")
+  }
+
+  test("semantic dedup drops planted exact copies and keeps the rest") {
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.union(base.where(col("vec_id") < 5)
+      .select((col("vec_id") + 7000).as("vec_id"), col("embedding")))
+    val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding",
+      8, iters = 1)
+    val kept = Dedup.semanticDedup(planted, "vec_id", "embedding",
+      cents, threshold = 0.99)
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    assert(ids.size == base.count(), s"${ids.size}")
+    assert((0 until 5).forall(i => ids.contains(i.toLong)))
+    assert((0 until 5).forall(i => !ids.contains(i + 7000L)))
+    // every kept row carries a valid cell id
+    val cells = kept.collect().map(_.getInt(1)).toSet
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
 }
