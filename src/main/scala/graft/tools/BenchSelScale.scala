@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling sidecar for the round-8 selection/retrieval
+  * family — BM25 retrieval and SemDeDup — same bijective replica
+  * construction as [[BenchOpsScale]] (token suffix per replica:
+  * cross-replica term overlap exactly zero; embedding replicas are
+  * identical vectors under shifted ids):
+  *  - bm25: the probe set is FIXED (replica 0's id%101) and its terms
+  *    exist only in replica 0, so the candidate set and the output
+  *    (|probes|·k rows) stay CONSTANT while the postings build scans
+  *    a linearly growing corpus — the measurement isolates the
+  *    index-build term, which is the 100 TB cost;
+  *  - semdedup: every replica duplicates the 1× vectors exactly, so
+  *    at threshold 0.99 the kept set is the 1× corpus (CONSTANT —
+  *    lowest id per duplicate group) while drops grow linearly.
+  *    `nCells` scales with the corpus (16·scale) — the paper's
+  *    operating point (cluster size constant, cluster count grows),
+  *    and the reason Σ|cell|² pairwise work stays bounded. Centroid
+  *    training is the per-scale index-build step and sits outside the
+  *    timed section, like PQ codebooks in the ops sidecar. The
+  *    plan-literal centroid design targets cluster counts up to the
+  *    low hundreds (beyond that a broadcast centroid-table join
+  *    replaces literals — noted boundary, not hit here).
+  */
+object BenchSelScale {
+
+  private def replicas(docs: DataFrame, n: Int): DataFrame =
+    (0 until n).map { k =>
+      docs.select((col("doc_id") + k * 10000000L).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1w$k").as("text"))
+    }.reduce(_ union _)
+
+  private def embReplicas(emb: DataFrame, n: Int): DataFrame =
+    (0 until n).map { k =>
+      emb.select((col("vec_id") + k * 10000000L).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ union _)
+
+  private def timed[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  private def materialize(spark: SparkSession, df: DataFrame,
+                          tag: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_selscale_${tag}_${ProcessHandle.current().pid()}").getAbsolutePath
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scales = (if (args.nonEmpty) args(0) else "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // fixed probe set from replica 0 — constant broadcast side
+    val probes = materialize(spark,
+      replicas(docs, 1).where(col("doc_id") % 101 === 0), "probes")
+    // warmup: JIT + codegen of both exec paths
+    locally {
+      val w = replicas(docs.limit(200), 1)
+      graft.ext.Retrieval.bm25TopK(probes.limit(5), w, "doc_id", "text", 3)
+        .count()
+      val wc = graft.ext.Similarity.kmeansCentroids(
+        emb.limit(500), "vec_id", "embedding", 4, iters = 1)
+      graft.ext.Dedup.semanticDedup(emb.limit(500), "vec_id", "embedding",
+        wc, 0.99).count()
+    }
+    val runs = scales.map { n =>
+      val corpus = materialize(spark, replicas(docs, n), s"docs$n")
+      val embN = materialize(spark, embReplicas(emb, n), s"emb$n")
+      val (tb, nb) = timed {
+        graft.ext.Retrieval.bm25TopK(probes, corpus, "doc_id", "text", 10)
+          .count()
+      }
+      // per-scale index build (outside the timed dedup): cluster count
+      // grows with the corpus, cluster size stays constant. Measured
+      // only while 16·n stays inside the plan-literal design's target
+      // range (low hundreds of cells — beyond that production swaps
+      // literals for a broadcast centroid-table join).
+      val sem = if (16 * n <= 160) {
+        val cents = graft.ext.Similarity.kmeansCentroids(
+          embN, "vec_id", "embedding", 16 * n, iters = 1)
+        val (ts, ns) = timed {
+          graft.ext.Dedup.semanticDedup(embN, "vec_id", "embedding",
+            cents, 0.99).count()
+        }
+        f""","semdedup":{"sec":$ts%.3f,"kept":$ns,"cells":${16 * n}}"""
+      } else ""
+      f""""x$n":{"bm25":{"sec":$tb%.3f,"rows":$nb}$sem}"""
+    }
+    println(s"""{"metric":"sel_family_scaling","sf":"$sfDir",${runs.mkString(",")}}""")
+    spark.stop()
+  }
+}

@@ -73,6 +73,27 @@ class E2ESpec extends AnyFunSuite {
     // 4. quality floor (planted signal guarantees >= 4 tokens)
     val filtered = deduped.where(TextStats.tokenCount(col("text")) >= 4)
 
+    // 4b. Gopher rule audit: every row gets its per-rule booleans and
+    //     the conjunction is exactly the AND of its components (audit
+    //     form — a production run would hard-filter on pass_gopher)
+    val flagged = TextStats.withGopherFlags(filtered, "text")
+    assert(flagged.count() == filtered.count())
+    assert(flagged.where(col("pass_gopher") =!=
+      (col("rule_words") && col("rule_word_len") && col("rule_symbols") &&
+        col("rule_alpha") && col("rule_stopwords"))).count() == 0)
+
+    // 4c. DSIR selection: with the English slice as target, the
+    //     planted lang-marker tokens (xsigen vs xsigfr/...) make
+    //     English documents measurably more target-like
+    val dsir = graft.ext.Selection.dsirWeights(filtered, "text", "doc_id",
+        isTarget = col("lang") === "en")
+      .join(filtered.select("doc_id", "lang"), Seq("doc_id"))
+    val Array(enAvg, otherAvg) = dsir
+      .groupBy((col("lang") === "en").as("isEn"))
+      .agg(avg(col("weight")).as("w"))
+      .orderBy(col("isEn").desc).collect().map(_.getDouble(1))
+    assert(enAvg > otherAvg, s"en=$enAvg other=$otherAvg")
+
     // 5. temperature-weighted sample toward a 300-doc training mix
     val mixed = graft.etl.Sampling.sampleTemperature(
       filtered, "lang", "doc_id", target = 300)
@@ -123,6 +144,7 @@ class E2ESpec extends AnyFunSuite {
     * current version, PQ retrieval over its embeddings. */
   test("corpus lifecycle: publish → CDC refresh → clustered layout → skipping scan → vocab + retrieval") {
     import graft.etl.{Merge, Publish, StatsCatalog, ZOrder}
+    import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "lang", "text")
     val n0 = docs.count()
@@ -193,5 +215,27 @@ class E2ESpec extends AnyFunSuite {
       "vec_id", "embedding", 5, cents, nprobe = 2, books = books)
       .collect().map(_.getLong(1)).toSet
     assert(ivfpqHits.contains(800007L), ivfpqHits.toString)
+
+    // SemDeDup before serving: the planted copy lands in its
+    // original's cluster and is dropped; the corpus itself survives
+    val kept = graft.ext.Dedup.semanticDedup(emb.unionByName(planted),
+      "vec_id", "embedding", cents, threshold = 0.99)
+    assert(kept.count() == emb.count())
+    assert(kept.where(col("vec_id") === 800007L).count() == 0)
+
+    // sparse retrieval over the live text version: a document with
+    // DISTINCTIVE terms (max idf) must come back as its own top hit.
+    // (The fixture's word-soup docs share one tiny vocabulary, so
+    // among THEM rank 1 is legitimately decided by tf/length — BM25's
+    // discriminative power lives in rare terms, which is what a real
+    // contamination/retrieval probe carries.)
+    val needle = Seq((5000001L, "en", "zanzibar quokka vermilion obelisk"))
+      .toDF("doc_id", "lang", "text")
+    val served = current.select("doc_id", "lang", "text").unionByName(needle)
+    val top1 = graft.ext.Retrieval.bm25TopK(needle, served,
+        "doc_id", "text", k = 3)
+      .where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == Map(5000001L -> 5000001L), top1.toString)
   }
 }
