@@ -87,4 +87,34 @@ object Retrieval {
       .where(col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
   }
+
+  /** Reciprocal-rank fusion of two ranked candidate lists (the
+    * standard hybrid-search combiner, Cormack et al.):
+    * `rrf = Σ 1/(c + rank)` over the lists an item appears in.
+    * Inputs are `(query_id, doc_id, rank)`-shaped top-k outputs
+    * (e.g. [[bm25TopK]] and `Similarity.bruteTopK`/`ivfPqTopK`
+    * renamed), so BOTH sides are already bounded by |queries|·k —
+    * the fusion is a full-outer join on `(query_id, doc_id)` plus a
+    * per-query top-k window over at most 2k candidates per query:
+    * broadcast-scale work no matter how big the corpus behind the
+    * lists was. Scores round to 6 dp before ranking; ties break on
+    * doc_id. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int,
+              c: Int = 60): DataFrame = {
+    require(k > 0 && c >= 0, s"k=$k c=$c")
+    def side(df: DataFrame, out: String): DataFrame =
+      df.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(c).cast("double") + col("rank").cast("double")))
+          .as(out))
+    val fused = side(sparse, "__s")
+      .join(side(dense, "__d"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(coalesce(col("__s"), lit(0.0)) + coalesce(col("__d"), lit(0.0)),
+          6).as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "rrf", "rank")
+  }
 }

@@ -1832,6 +1832,74 @@ object ExtQueries {
        |SELECT doc_id, COUNT(*) AS n_tokens, ROUND(SUM(lr), 6) AS weight
        |FROM tb JOIN lr USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Hybrid retrieval: BM25 sparse ranking and brute-force dense
+    * cosine ranking over the items carrying BOTH text and an
+    * embedding (doc_id = vec_id), fused by reciprocal rank
+    * (`1/(60+rank)` summed across lists). Both inputs are bounded
+    * top-10 lists, so the fusion is broadcast-scale regardless of
+    * corpus size. */
+  val retrievalHybridQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val emb = embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val items = docs.join(emb, Seq("doc_id"))
+    val queries = items.where(col("doc_id") < 5)
+    val sparse = graft.ext.Retrieval.bm25TopK(
+      queries.select("doc_id", "text"), items.select("doc_id", "text"),
+      "doc_id", "text", 10)
+    val dense = Similarity.bruteTopK(
+        queries.select(col("doc_id").as("vec_id"), col("embedding")),
+        items.select(col("doc_id").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.ext.Retrieval.rrfFuse(
+        sparse.select("query_id", "doc_id", "rank"), dense, 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val retrievalHybridSql =
+    s"""WITH items AS (SELECT d.doc_id, d.text,
+       |    CAST(e.embedding AS DOUBLE[]) AS v
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM items),
+       |dd AS (SELECT doc_id AS did, toks, len(toks) AS dlen FROM t),
+       |p AS (SELECT did, dlen, unnest(toks) AS term FROM dd),
+       |post AS (SELECT did, dlen, term, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
+       |stats AS (SELECT COUNT(*) AS n, SUM(dlen) AS sumlen FROM dd),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+       |q AS (SELECT DISTINCT did AS query_id, term FROM p WHERE did < 5),
+       |co AS (SELECT query_id, post.did AS doc_id,
+       |    ln(1E0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5E0)
+       |      / (CAST(df AS DOUBLE) + 0.5E0)) *
+       |    ((CAST(tf AS DOUBLE) * (1.2E0 + 1.0E0)) /
+       |     (CAST(tf AS DOUBLE) + 1.2E0 * (1.0E0 - 0.75E0 +
+       |       (0.75E0 * CAST(dlen AS DOUBLE)) /
+       |       (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))) AS c
+       |  FROM q JOIN post USING (term) JOIN dfreq USING (term), stats),
+       |bscored AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score
+       |  FROM co GROUP BY 1, 2),
+       |sparse AS (SELECT query_id, doc_id, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank FROM bscored) r
+       |  WHERE rank <= 10),
+       |qe AS (SELECT doc_id AS query_id, v AS qv FROM items WHERE doc_id < 5),
+       |cscored AS (SELECT query_id, items.doc_id AS doc_id, v AS cv, qv
+       |  FROM items, qe WHERE items.doc_id <> query_id),
+       |sims AS (SELECT query_id, doc_id, $cosineSql AS cosine FROM cscored),
+       |dense AS (SELECT query_id, doc_id, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, doc_id) AS rank FROM sims) r
+       |  WHERE rank <= 10),
+       |fused AS (SELECT query_id, doc_id,
+       |    ROUND(COALESCE(1.0E0 / (60.0E0 + CAST(s.rank AS DOUBLE)), 0.0E0) +
+       |          COALESCE(1.0E0 / (60.0E0 + CAST(dn.rank AS DOUBLE)), 0.0E0), 6)
+       |      AS rrf
+       |  FROM sparse s FULL JOIN dense dn USING (query_id, doc_id))
+       |SELECT query_id, doc_id, rrf, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rank FROM fused) f
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** SemDeDup over the embedding corpus + planted exact copies
     * (vec_id+900000 of vec_id < 10): cluster on the SHARED memoized
     * IVF centroids (so q_sim_ivf and this query cost one k-means
@@ -1946,6 +2014,7 @@ object ExtQueries {
     "q_quality_gopher" -> qualityGopher,
     "q_dsir_weights" -> dsirWeightsQ,
     "q_dedup_semantic" -> dedupSemanticQ,
+    "q_retrieval_hybrid" -> retrievalHybridQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1992,5 +2061,6 @@ object ExtQueries {
     "q_bm25_topk" -> bm25TopKSql,
     "q_quality_gopher" -> qualityGopherSql,
     "q_dsir_weights" -> dsirWeightsSql,
+    "q_retrieval_hybrid" -> retrievalHybridSql,
   )
 }

@@ -860,6 +860,37 @@ class ExtSpec extends AnyFunSuite {
       s"weight=${byId(3L)} expected=$expected")
   }
 
+  test("RRF fusion puts the both-lists item first; single-list items fold in") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "apple banana cherry", Array(1f, 0f, 0f)),
+      (10L, "apple banana cherry", Array(1f, 0f, 0f)), // copy of 0: tops both lists
+      (2L, "apple banana plum", Array(0f, 1f, 0f)),
+      (3L, "quince yak walrus", Array(0.9f, 0.1f, 0f)) // dense-only candidate
+    ).toDF("doc_id", "text", "embedding")
+    val q = corpus.where(col("doc_id") === 0)
+    val sparse = Retrieval.bm25TopK(q.select("doc_id", "text"),
+      corpus.select("doc_id", "text"), "doc_id", "text", 3)
+    val dense = Similarity.bruteTopK(
+        q.select(col("doc_id").as("vec_id"), col("embedding")),
+        corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", 3)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    // dense k=2 keeps the orthogonal doc 2 out of the dense list:
+    // dense = {10 -> 1, 3 -> 2}; sparse = {0 -> 1, 10 -> 2, 2 -> 3}
+    val fused = Retrieval.rrfFuse(sparse.select("query_id", "doc_id", "rank"),
+      dense.where(col("rank") <= 2), 4).orderBy("rank").collect()
+    // 10 carries sparse rank 2 (id tiebreak behind the self-hit) AND
+    // dense rank 1 -> 1/62 + 1/61 beats the self-hit's sparse-only 1/61
+    assert(fused(0).getLong(1) == 10L, fused.mkString(";"))
+    assert(fused(1).getLong(1) == 0L, fused.mkString(";"))
+    // dense-only doc 3 folds in with exactly its dense contribution
+    val d3 = fused.find(_.getLong(1) == 3L).get
+    val expect3 = BigDecimal(1.0 / 62.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d3.getDouble(2) == expect3, s"$d3 vs $expect3")
+  }
+
   test("semantic dedup drops planted exact copies and keeps the rest") {
     val base = emb.select("vec_id", "embedding")
     val planted = base.union(base.where(col("vec_id") < 5)
