@@ -26,6 +26,36 @@ import graft.ml.Featurize
   */
 object Retrieval {
 
+  /** The stored inverted index: `postings` is one row per
+    * `(__did, __len, __term, __tf)` — at scale this is written once,
+    * term-bucketed, and every query batch reads it instead of the
+    * corpus; `docLens` is one `(__did, __len)` row per document
+    * (INCLUDING zero-token documents, which carry no postings but
+    * still count toward N and avgdl). Both sides of the one tokenize
+    * pass a build performs. */
+  final case class Bm25Index(postings: DataFrame, docLens: DataFrame)
+
+  /** Build the BM25 index from a corpus: one tokenize pass feeds both
+    * the postings explode+count (map-side partials shrink the shuffle
+    * to distinct `(doc, term)` pairs per task) and the per-doc length
+    * table. Callers at scale persist both frames (e.g.
+    * `partitionBy(bucket of __term)` for postings) and serve every
+    * query batch from the materialized index — the corpus is never
+    * touched again. */
+  def buildBm25Index(corpus: DataFrame, idCol: String,
+                     textCol: String): Bm25Index = {
+    val docToks = corpus.select(col(idCol).as("__did"),
+      Featurize.tokensCol(col(textCol)).as("__t"))
+    val postings = docToks
+      .select(col("__did"), size(col("__t")).cast("long").as("__len"),
+        explode(col("__t")).as("__term"))
+      .groupBy("__did", "__len", "__term")
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val docLens = docToks
+      .select(col("__did"), size(col("__t")).cast("long").as("__len"))
+    Bm25Index(postings, docLens)
+  }
+
   /** Okapi BM25 top-k: for each query document, the `k` highest-scoring
     * corpus documents under
     * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))` summed
@@ -36,26 +66,32 @@ object Retrieval {
     * that are themselves corpus members match themselves (callers
     * filter `query_id = doc_id` if self-hits are unwanted).
     *
-    * Output: `(query_id, doc_id, score, rank)`. */
+    * Ad-hoc convenience form — builds the index inline (the plan
+    * re-derives the tokenize per index use; fine for one-shot runs).
+    * Repeated query batches should [[buildBm25Index]] once, persist,
+    * and call [[bm25TopKWith]]. Output:
+    * `(query_id, doc_id, score, rank)`. */
   def bm25TopK(queries: DataFrame, corpus: DataFrame,
                idCol: String, textCol: String, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKWith(buildBm25Index(corpus, idCol, textCol), queries,
+      idCol, textCol, k, k1, b)
+
+  /** [[bm25TopK]] against a pre-built (typically materialized)
+    * [[Bm25Index]]: query-time work never tokenizes the corpus — the
+    * collection stats reduce from the `(doc, len)` table, document
+    * frequencies from the postings (semi-joined down to the query
+    * vocabulary BEFORE aggregating), and scoring is a narrow
+    * projection over the postings scan. */
+  def bm25TopKWith(index: Bm25Index, queries: DataFrame,
+                   idCol: String, textCol: String, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k=$k")
-    val docToks = corpus.select(col(idCol).as("__did"),
-      Featurize.tokensCol(col(textCol)).as("__t"))
-    // postings: one row per (doc, term) with the term frequency — the
-    // inverted-index payload; map-side partials shrink the shuffle to
-    // distinct (doc, term) pairs per task
-    val postings = docToks
-      .select(col("__did"), size(col("__t")).cast("long").as("__len"),
-        explode(col("__t")).as("__term"))
-      .groupBy("__did", "__len", "__term")
-      .agg(count(lit(1)).cast("double").as("__tf"))
     // collection stats: one row (exact integer sums — avgdl is the
     // same double in every engine)
-    val stats = docToks
+    val stats = index.docLens
       .agg(count(lit(1)).cast("long").as("__n"),
-        sum(size(col("__t")).cast("long")).as("__sumlen"))
+        sum(col("__len")).as("__sumlen"))
     // distinct query terms; tiny, broadcast everywhere below
     val qTerms = queries
       .select(col(idCol).as("query_id"),
@@ -63,7 +99,7 @@ object Retrieval {
       .distinct()
     // document frequency ONLY for the query vocabulary: semi-join the
     // per-term counts down before they go near a broadcast
-    val dfreq = postings
+    val dfreq = index.postings
       .join(broadcast(qTerms.select("__term").distinct()), Seq("__term"),
         "left_semi")
       .groupBy("__term")
@@ -73,7 +109,7 @@ object Retrieval {
       (col("__n").cast("double") - col("__df") + 0.5) / (col("__df") + 0.5))
     val tfNorm = col("__tf") * (k1 + 1.0) /
       (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__len") / avgdl))
-    val contrib = postings
+    val contrib = index.postings
       .join(broadcast(qTerms), Seq("__term"))
       .join(broadcast(dfreq), Seq("__term"))
       .crossJoin(broadcast(stats))

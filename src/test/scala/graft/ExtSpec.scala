@@ -860,6 +860,42 @@ class ExtSpec extends AnyFunSuite {
       s"weight=${byId(3L)} expected=$expected")
   }
 
+  test("BM25 against a materialized index equals the ad-hoc form") {
+    val corpus = docs.select("doc_id", "text")
+    val queries = corpus.where(col("doc_id") < 3)
+    val adhoc = Retrieval.bm25TopK(queries, corpus, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    // write the index like a production build would, read it back,
+    // and serve the same query batch from parquet only
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    val built = Retrieval.buildBm25Index(corpus, "doc_id", "text")
+    built.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    built.docLens.write.mode("overwrite").parquet(s"$dir/doclens")
+    val stored = Retrieval.Bm25Index(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclens"))
+    // query batch as a local relation (the realistic serving shape:
+    // queries arrive from outside, not from the corpus files)
+    import spark.implicits._
+    val localQueries = queries.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("doc_id", "text")
+    val indexed = Retrieval.bm25TopKWith(stored, localQueries,
+        "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(indexed == adhoc,
+      s"diff: ${(indexed diff adhoc) ++ (adhoc diff indexed)}")
+    // the served plan never touches the corpus: every file scan reads
+    // the index parquet, not the documents fixture
+    val plan = Retrieval.bm25TopKWith(stored, localQueries,
+        "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), plan.take(400))
+    assert(plan.contains("postings"), plan.take(400))
+  }
+
   test("RRF fusion puts the both-lists item first; single-list items fold in") {
     import spark.implicits._
     val corpus = Seq(
