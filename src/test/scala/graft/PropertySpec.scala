@@ -264,4 +264,49 @@ class PropertySpec extends AnyFunSuite {
       else assert(!rebuilt.contains(id))
     }
   }
+
+  test("rrfFuse: ranks contiguous, scores are exact contribution sums, dominance holds") {
+    import spark.implicits._
+    // random rank lists over 3 queries x up to 12 docs
+    val pairGen = Gen.listOf(for {
+      q <- Gen.choose(0L, 2L); d <- Gen.choose(0L, 11L)
+    } yield (q, d)).map(_.distinct)
+    (1 to 5).foreach { seed =>
+      def ranked(pairs: Seq[(Long, Long)]) = pairs.groupBy(_._1).toSeq
+        .flatMap { case (q, ds) =>
+          ds.map(_._2).distinct.sorted.zipWithIndex
+            .map { case (d, i) => (q, d, i + 1) }
+        }
+      val sparse = ranked(sample(pairGen, seed.toLong))
+      val dense = ranked(sample(pairGen, seed + 100L))
+      val fused = graft.ext.Retrieval.rrfFuse(
+        sparse.toDF("query_id", "doc_id", "rank"),
+        dense.toDF("query_id", "doc_id", "rank"), k = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3)))
+      val sMap = sparse.map(t => (t._1, t._2) -> t._3).toMap
+      val dMap = dense.map(t => (t._1, t._2) -> t._3).toMap
+      fused.groupBy(_._1).foreach { case (q, rows) =>
+        // ranks are exactly 1..n per query
+        assert(rows.map(_._4).sorted.toSeq == (1 to rows.length),
+          s"seed $seed q $q")
+        rows.foreach { case (_, d, rrf, _) =>
+          val expect = BigDecimal(
+            sMap.get((q, d)).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+              dMap.get((q, d)).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(rrf == expect, s"seed $seed ($q,$d): $rrf != $expect")
+        }
+        // dominance: strictly better in both lists never ranks worse
+        for ((_, a, _, ra) <- rows; (_, b, _, rb) <- rows
+             if sMap.contains((q, a)) && dMap.contains((q, a)) &&
+               sMap.contains((q, b)) && dMap.contains((q, b)) &&
+               sMap((q, a)) < sMap((q, b)) && dMap((q, a)) < dMap((q, b)))
+          assert(ra < rb, s"seed $seed: $a dominates $b but ranks worse")
+      }
+      // every input pair appears exactly once
+      val keys = fused.map(t => (t._1, t._2)).toSet
+      assert(keys == (sMap.keySet ++ dMap.keySet), s"seed $seed")
+    }
+  }
 }
