@@ -746,4 +746,46 @@ object Dedup {
     assigned.join(dropIds, Seq("__id"), "left_anti")
       .select(col("__id").as(idCol), col("cell"))
   }
+
+  /** [[semanticDedup]] past the plan-literal centroid boundary: the
+    * partition comes from the deterministic sign-bucket LSH
+    * ([[Similarity.signBucket]]'s md5-derived ±1 planes) instead of
+    * k-means cells, so "cluster count ∝ corpus size" costs NOTHING at
+    * assignment time — `nBits` planes give 2^nBits buckets from an
+    * O(nBits·dim) narrow projection per row, no O(k)-per-row literal
+    * scan and no k-branch argmax in the plan. The drop rule is
+    * identical: a document whose cosine to an earlier (lower-id)
+    * member of the SAME bucket reaches `threshold` is dropped. Exact
+    * duplicates always share a bucket (identical projections), so the
+    * dedup guarantee — every exact-copy group collapses to its lowest
+    * id — holds at ANY scale; near-duplicates split across a plane
+    * with probability falling as cosine → 1 (the standard LSH
+    * recall trade, same as [[embeddingNearDups]] without multiprobe).
+    *
+    * Scale shape: one narrow bucket+norm projection, one exchange on
+    * `bucket` (2^nBits of them — size nBits to the corpus so Σ|bucket|²
+    * stays bounded), an `(id)`-only drop set, and the keep anti-join.
+    * Output: `(id, bucket)` of the KEPT documents. */
+  def semanticDedupLsh(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nBits: Int = 16,
+                       dim: Int = 64): DataFrame = {
+    require(threshold > 0, s"threshold=$threshold")
+    require(nBits >= 1 && nBits <= 62, s"nBits=$nBits")
+    val spark = df.sparkSession
+    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        Similarity.signBucketNative(spark, col(vecCol), nBits, dim)
+          .as("bucket"))
+      .withColumn("__n", sqrt(Similarity.nDot(spark, col("__v"), col("__v"))))
+    val right = assigned.select(col("__id").as("__rid"),
+      col("__v").as("__rv"), col("bucket"), col("__n").as("__rn"))
+    val dropIds = assigned.join(right, Seq("bucket"))
+      .where(col("__id") < col("__rid"))
+      .where(Similarity.cosineFromNorms(
+        Similarity.nDot(spark, col("__v"), col("__rv")),
+        col("__n"), col("__rn")) >= threshold)
+      .select(col("__rid").as("__id"))
+      .distinct()
+    assigned.join(dropIds, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("bucket"))
+  }
 }

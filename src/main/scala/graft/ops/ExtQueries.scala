@@ -1963,6 +1963,54 @@ object ExtQueries {
        |WHERE d.vec_id IS NULL ORDER BY a.vec_id""".stripMargin
   }
 
+  /** SemDeDup past the centroid boundary: the LSH-bucket variant on
+    * the same planted-copies fixture — sign buckets from the
+    * deterministic md5 planes partition the corpus, the within-bucket
+    * drop rule is identical. Static plane-literal oracle (no dynamic
+    * cache: the planes depend on nothing data-derived). */
+  val dedupSemanticLshQ: Q = (s, dir) => {
+    val emb = embeddings(s, dir).select("vec_id", "embedding")
+    val planted = emb.union(emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 900000).as("vec_id"), col("embedding")))
+    Dedup.semanticDedupLsh(planted, "vec_id", "embedding",
+        threshold = 0.99, nBits = 16, dim = 64)
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticLshSql = {
+    val nBits = 16
+    val planes = (0 until nBits).map { p =>
+      Similarity.planeSigns(p, 64)
+        .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    }.mkString("[", ",\n    ", "]")
+    val bucketTerms = (0 until nBits).map { p =>
+      val fold = foldSumSql(
+        s"list_transform(range(1, len(cv)+1), i -> cv[i] * planes[${p + 1}][i])")
+      s"(CASE WHEN $fold >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" +\n    ")
+    val pairFold = foldSumSql(
+      "list_transform(range(1, len(xv)+1), j -> xv[j] * yv[j])")
+    s"""WITH pl AS (SELECT $planes AS planes),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 900000, CAST(embedding AS DOUBLE[]) FROM embeddings
+       |  WHERE vec_id < 10),
+       |b AS (SELECT vec_id, cv,
+       |  $bucketTerms AS bucket,
+       |  sqrt(${foldSumSql("list_transform(range(1, len(cv)+1), j -> cv[j] * cv[j])")}) AS vn
+       |  FROM e, pl),
+       |drops AS (SELECT DISTINCT y.vec_id AS vec_id
+       |  FROM (SELECT vec_id, cv AS xv, vn AS xn, bucket FROM b) x
+       |  JOIN (SELECT vec_id, cv AS yv, vn AS yn, bucket FROM b) y
+       |    USING (bucket)
+       |  WHERE x.vec_id < y.vec_id
+       |    AND (CASE WHEN x.xn * y.yn > 0
+       |         THEN ROUND($pairFold / (x.xn * y.yn), 6) ELSE 0.0 END) >= 0.99E0)
+       |SELECT b.vec_id, b.bucket FROM b
+       |LEFT JOIN drops d ON b.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL ORDER BY b.vec_id""".stripMargin
+  }
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -2014,6 +2062,7 @@ object ExtQueries {
     "q_quality_gopher" -> qualityGopher,
     "q_dsir_weights" -> dsirWeightsQ,
     "q_dedup_semantic" -> dedupSemanticQ,
+    "q_dedup_semantic_lsh" -> dedupSemanticLshQ,
     "q_retrieval_hybrid" -> retrievalHybridQ,
   )
 
@@ -2061,6 +2110,7 @@ object ExtQueries {
     "q_bm25_topk" -> bm25TopKSql,
     "q_quality_gopher" -> qualityGopherSql,
     "q_dsir_weights" -> dsirWeightsSql,
+    "q_dedup_semantic_lsh" -> dedupSemanticLshSql,
     "q_retrieval_hybrid" -> retrievalHybridSql,
   )
 }

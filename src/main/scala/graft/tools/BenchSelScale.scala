@@ -105,7 +105,20 @@ object BenchSelScale {
         }
         f""","semdedup":{"sec":$ts%.3f,"kept":$ns,"cells":${16 * n}}"""
       } else ""
-      f""""x$n":{"bm25":{"sec":$tb%.3f,"rows":$nb}$sem}"""
+      // the LSH variant has no per-row O(cells) term, so it runs at
+      // every scale the identical-replica pairwise allows (each of the
+      // 2000 distinct vectors carries n copies in ONE bucket → the
+      // within-bucket join is ~2000·n² pairs; n=100 ≈ 20M, fine;
+      // n=1000 ≈ 2G — a property of this duplicate-saturated fixture,
+      // not of the operator)
+      val lsh = if (n <= 100) {
+        val (tl, nl) = timed {
+          graft.ext.Dedup.semanticDedupLsh(embN, "vec_id", "embedding",
+            0.99, nBits = 16).count()
+        }
+        f""","semdedup_lsh":{"sec":$tl%.3f,"kept":$nl,"nBits":16}"""
+      } else ""
+      f""""x$n":{"bm25":{"sec":$tb%.3f,"rows":$nb}$sem$lsh}"""
     }
     println(s"""{"metric":"sel_family_scaling","sf":"$sfDir",${runs.mkString(",")}}""")
     spark.stop()

@@ -943,4 +943,20 @@ class ExtSpec extends AnyFunSuite {
     val cells = kept.collect().map(_.getInt(1)).toSet
     assert(cells.forall(c => c >= 0 && c < 8))
   }
+
+  test("LSH semantic dedup drops exact copies at any bucket width") {
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.union(base.where(col("vec_id") < 5)
+      .select((col("vec_id") + 7000).as("vec_id"), col("embedding")))
+    // exact copies share a bucket for EVERY nBits (identical
+    // projections), so the collapse guarantee is width-independent
+    Seq(4, 16).foreach { bits =>
+      val kept = Dedup.semanticDedupLsh(planted, "vec_id", "embedding",
+        threshold = 0.99, nBits = bits)
+      val ids = kept.collect().map(_.getLong(0)).toSet
+      assert(ids.size == base.count(), s"nBits=$bits ${ids.size}")
+      assert((0 until 5).forall(i =>
+        ids.contains(i.toLong) && !ids.contains(i + 7000L)), s"nBits=$bits")
+    }
+  }
 }
