@@ -79,4 +79,99 @@ object Selection {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("__lr")), 6).as("weight"))
   }
+
+  /** CCNet-style language-model quality scoring (Wenzek et al.,
+    * arXiv:1911.00359): train a small LM on a TARGET corpus (CCNet
+    * uses a Wikipedia KenLM), score every document by per-token bits
+    * (log-perplexity), and bucket the corpus into head / middle /
+    * tail thirds by score. This is the hashed-n-gram analog of that
+    * recipe — the same move [[dsirWeights]] makes on unigrams, lifted
+    * to a bigram model with add-alpha smoothing:
+    *
+    *   P(w2 | w1) = (n(b1,b2) + alpha) / (n_ctx(b1) + alpha·B)
+    *
+    * over `B = 16^hexChars` md5-prefix buckets per position, trained
+    * on the `isTarget` slice only. An unseen context backs off to the
+    * uniform 1/B. `bits_per_token = -Σ log2 P / n_bigrams` — LOW bits
+    * = target-like (head), HIGH = out-of-distribution (tail).
+    *
+    * Shape at 100 TB: the model is ONE bounded hash agg over the
+    * target slice (≤ 16^(2·hexChars) pair rows — 65,536 at the
+    * default — the same driver-data class as k-means centroids),
+    * collected once, re-broadcast as two literal frames (pair counts
+    * + context counts). Scoring is a narrow in-row bigram projection,
+    * two broadcast joins, and a per-document hash agg — bodies never
+    * shuffle, nothing wide scales with corpus size except the
+    * per-document agg itself. The head/middle/tail thresholds here
+    * use exact `percentile` (oracle-exact at test scale); the
+    * production swap is `approx_percentile` over a sample — the
+    * thresholds are two doubles either way, applied as literals in a
+    * narrow pass.
+    *
+    * Output: `(idCol, n_bigrams, bits_per_token, ppl_bucket)` —
+    * `bits_per_token` 6-dp-rounded, null for documents with < 2
+    * tokens (whose `ppl_bucket` is likewise null). */
+  def lmDocBits(df: DataFrame, textCol: String, idCol: String,
+                isTarget: Column, hexChars: Int = 2,
+                alpha: Double = 1.0): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 2,
+      s"hexChars=$hexChars (pair space is 16^(2*hexChars); 2 keeps it 65,536)")
+    require(alpha > 0, s"alpha=$alpha")
+    val nBuckets = math.pow(16.0, hexChars)
+    val spark = df.sparkSession
+    // bigram bucket pairs IN-ROW: zip the token array with its own
+    // tail (zip_with evaluates each array child once per row — see
+    // Featurize.ngramsCol for why transform(sequence...) is the trap
+    // here), pad-null tail pair filtered out
+    val toks = Featurize.tokensCol(col(textCol))
+    val pairs = filter(
+      zip_with(
+        transform(toks, t => tokenBucket(t, hexChars)),
+        slice(transform(toks, t => tokenBucket(t, hexChars)), lit(2),
+          greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("b1"), b.as("b2"))),
+      p => p.getField("b2").isNotNull)
+    val exploded = df.select(col(idCol), isTarget.as("__tgt"),
+        explode_outer(pairs).as("__p"))
+      .select(col(idCol), col("__tgt"),
+        col("__p.b1").as("__b1"), col("__p.b2").as("__b2"))
+    // model: ONE bounded agg over the target slice's bigrams
+    val model = exploded.where(col("__tgt") && col("__b1").isNotNull)
+      .groupBy("__b1", "__b2").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ctx = model.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pairDf = spark.createDataFrame(
+      model.toSeq.map { case (b1, b2, n) => (b1, b2, n) })
+      .toDF("__b1", "__b2", "__np")
+    val ctxDf = spark.createDataFrame(
+      ctx.toSeq.map { case (b1, n) => (b1, n) })
+      .toDF("__b1", "__nc")
+    val ln2 = math.log(2.0)
+    val logp = log(
+      (coalesce(col("__np"), lit(0L)).cast("double") + alpha) /
+      (coalesce(col("__nc"), lit(0L)).cast("double") + alpha * nBuckets))
+    val scored = exploded
+      .join(broadcast(pairDf), Seq("__b1", "__b2"), "left")
+      .join(broadcast(ctxDf), Seq("__b1"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__b1")).as("n_bigrams"),
+        sum(when(col("__b1").isNotNull, -logp / ln2)).as("__bits"))
+      .select(col(idCol), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("__bits") / col("n_bigrams"), 6)).as("bits_per_token"))
+    // head/middle/tail thirds over the scored distribution: two
+    // threshold doubles from one exact-percentile agg (nulls ignored),
+    // applied as a 1-row broadcast — the CCNet bucketing step
+    val th = scored.agg(
+      percentile(col("bits_per_token"), array(lit(1.0 / 3), lit(2.0 / 3)))
+        .as("__th"))
+      .select(round(element_at(col("__th"), 1), 4).as("__t1"),
+        round(element_at(col("__th"), 2), 4).as("__t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col(idCol), col("n_bigrams"), col("bits_per_token"),
+        when(col("bits_per_token").isNull, lit(null).cast("string"))
+          .when(col("bits_per_token") <= col("__t1"), "head")
+          .when(col("bits_per_token") <= col("__t2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
 }

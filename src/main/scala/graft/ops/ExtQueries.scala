@@ -1832,6 +1832,45 @@ object ExtQueries {
        |SELECT doc_id, COUNT(*) AS n_tokens, ROUND(SUM(lr), 6) AS weight
        |FROM tb JOIN lr USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style LM quality scoring ([[graft.ext.Selection.lmDocBits]]):
+    * hashed-bigram model trained on the English slice, every document
+    * scored by bits-per-token, corpus bucketed head/middle/tail by
+    * exact score terciles. */
+  val lmPerplexityQ: Q = (s, dir) =>
+    graft.ext.Selection.lmDocBits(documents(s, dir), "text", "doc_id",
+        isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+
+  val lmPerplexitySql =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    list_transform($toksSql, tk -> substr(md5(tk), 1, 2)) AS bk
+       |  FROM documents),
+       |bg AS (SELECT doc_id, lang = 'en' AS tgt,
+       |    unnest(list_transform(range(1, greatest(len(bk) - 1, 0) + 1),
+       |      i -> struct_pack(b1 := bk[i], b2 := bk[i + 1]))) AS p
+       |  FROM t),
+       |b AS (SELECT doc_id, tgt, p.b1 AS b1, p.b2 AS b2 FROM bg),
+       |model AS (SELECT b1, b2, COUNT(*) AS np FROM b WHERE tgt GROUP BY 1, 2),
+       |ctx AS (SELECT b1, SUM(np) AS nc FROM model GROUP BY 1),
+       |sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       |    ROUND(SUM(-ln((CAST(COALESCE(m.np, 0) AS DOUBLE) + 1.0E0) /
+       |                  (CAST(COALESCE(c.nc, 0) AS DOUBLE) + 256.0E0))
+       |              / ln(2.0E0)) / COUNT(*), 6) AS bits
+       |  FROM b LEFT JOIN model m ON b.b1 = m.b1 AND b.b2 = m.b2
+       |         LEFT JOIN ctx c ON b.b1 = c.b1
+       |  GROUP BY 1),
+       |alls AS (SELECT t.doc_id,
+       |    CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, sc.bits
+       |  FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id),
+       |th AS (SELECT ROUND(quantile_cont(bits, 1.0E0 / 3), 4) AS t1,
+       |    ROUND(quantile_cont(bits, 2.0E0 / 3), 4) AS t2 FROM alls)
+       |SELECT doc_id, n_bigrams, bits AS bits_per_token,
+       |  CASE WHEN bits IS NULL THEN NULL
+       |       WHEN bits <= t1 THEN 'head'
+       |       WHEN bits <= t2 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM alls, th ORDER BY doc_id""".stripMargin
+
   /** Hybrid retrieval: BM25 sparse ranking and brute-force dense
     * cosine ranking over the items carrying BOTH text and an
     * embedding (doc_id = vec_id), fused by reciprocal rank
@@ -2064,6 +2103,7 @@ object ExtQueries {
     "q_dedup_semantic" -> dedupSemanticQ,
     "q_dedup_semantic_lsh" -> dedupSemanticLshQ,
     "q_retrieval_hybrid" -> retrievalHybridQ,
+    "q_lm_perplexity" -> lmPerplexityQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2112,5 +2152,6 @@ object ExtQueries {
     "q_dsir_weights" -> dsirWeightsSql,
     "q_dedup_semantic_lsh" -> dedupSemanticLshSql,
     "q_retrieval_hybrid" -> retrievalHybridSql,
+    "q_lm_perplexity" -> lmPerplexitySql,
   )
 }

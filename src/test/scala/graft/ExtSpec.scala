@@ -944,6 +944,37 @@ class ExtSpec extends AnyFunSuite {
     assert(cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("LM doc bits: target-like text scores lower, backoff is exactly uniform") {
+    // target corpus: every bigram is (a,b) or (b,a); "a b a b" is
+    // in-distribution, "zz qq xx" has no seen contexts at all
+    val rows = Seq(
+      (0L, "a b a b a b", "en"), (1L, "b a b a b a", "en"),
+      (2L, "a b a b", "en"), (3L, "zz qq xx yy", "de"),
+      (4L, "solo", "de"), (5L, "", "de"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val out = Selection.lmDocBits(df, "text", "doc_id",
+        isTarget = col("lang") === "en", hexChars = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getString(3))).toMap
+    // in-distribution docs beat the unseen-context doc
+    assert(out(0L)._2.get < out(3L)._2.get)
+    assert(out(2L)._2.get < out(3L)._2.get)
+    // doc 3's contexts (zz/qq/xx) hash to buckets 25/09/93 — none
+    // collide with the seen contexts (a→0c, b→92) — so every bigram
+    // backs off to exactly (0+1)/(0+256): bits = log2(256) = 8
+    assert(out(3L)._2.get == 8.0, s"backoff bits = ${out(3L)._2}")
+    assert(out(3L)._1 == 3)
+    // <2 tokens: zero bigrams, null score, null bucket
+    assert(out(4L)._1 == 0 && out(4L)._2.isEmpty && out(4L)._3 == null)
+    assert(out(5L)._1 == 0 && out(5L)._2.isEmpty)
+    // bucketing covers the scored docs: lowest scorer is head,
+    // highest is tail
+    val scored = out.toSeq.filter(_._2._2.isDefined)
+      .sortBy(_._2._2.get)
+    assert(scored.head._2._3 == "head" && scored.last._2._3 == "tail")
+  }
+
   test("LSH semantic dedup drops exact copies at any bucket width") {
     val base = emb.select("vec_id", "embedding")
     val planted = base.union(base.where(col("vec_id") < 5)
