@@ -115,6 +115,60 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Per-domain keep rates for a TOKEN-budget training mixture (the
+    * Pile/DoReMi-style recipe: the mixture is specified as target
+    * token SHARES per domain, the corpus offers what it offers, and
+    * each domain is downsampled to its allocation — or taken whole
+    * when it can't fill it). `weights` must sum to 1 (caller fixes
+    * the mixture; no hidden normalization) and domains absent from it
+    * get rate 0 — they are excluded, not silently proportional.
+    *
+    * `rate_d = min(1, budget·w_d / tokens_d)`, with `tokens_d` from
+    * one bounded per-domain agg of `tokenCount` (any per-row token
+    * counter — `size(tokensCol(text))`, a stored n_tokens column…).
+    * Sampling documents by rate hits the domain's token allocation in
+    * expectation; the arithmetic is one multiply + one divide per
+    * DOMAIN (IEEE-exact cross-engine), applied through the usual
+    * broadcast-rates + md5-membership filter, so the whole mixture is
+    * a narrow filter over the corpus — no shuffle of bodies at any
+    * scale. Output of [[mixtureRates]]: one row per weighted domain
+    * `(domain, n_docs, n_tokens, keep_rate)`. */
+  def mixtureRates(df: DataFrame, domainCol: String, tokenCount: Column,
+                   weights: Map[String, Double],
+                   budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(w => w >= 0 && w.isFinite),
+      s"weights must be finite and >= 0: $weights")
+    require(math.abs(weights.values.sum - 1.0) < 1e-9,
+      s"weights must sum to 1 (got ${weights.values.sum}) — fix the mixture " +
+        "explicitly rather than relying on hidden normalization")
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(weights.toSeq.sortBy(_._1).toDF(domainCol, "__w"))
+    df.select(col(domainCol), tokenCount.cast("long").as("__tok"))
+      .groupBy(domainCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+      .join(wDf, Seq(domainCol))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        least(lit(1.0),
+          lit(budgetTokens.toDouble) * col("__w") / col("n_tokens").cast("double"))
+          .as("keep_rate"))
+  }
+
+  /** Apply [[mixtureRates]] as the deterministic membership filter:
+    * the sampled corpus for the specified token mixture. Domains
+    * without a weight drop out (inner rates join). */
+  def mixtureSample(df: DataFrame, domainCol: String, keyCol: String,
+                    tokenCount: Column, weights: Map[String, Double],
+                    budgetTokens: Long, modulus: Int = 1 << 20): DataFrame = {
+    val rates = mixtureRates(df, domainCol, tokenCount, weights, budgetTokens)
+      .select(col(domainCol), col("keep_rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(membershipBucket(col(keyCol), modulus) < col("keep_rate") * modulus)
+      .drop("keep_rate")
+  }
+
   /** Deterministic variant of the floored/overshoot training-file
     * sampler (`utils/fasttext_utils.py:44-56`). */
   def sampleForTrainingFile(df: DataFrame, labelCol: String, keyCol: String,

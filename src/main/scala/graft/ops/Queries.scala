@@ -1070,6 +1070,66 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Token-budget domain mixture ([[graft.etl.Sampling.mixtureRates]]):
+    * the Pile/DoReMi-style recipe — target token shares per domain
+    * against a global budget, each domain downsampled to its
+    * allocation or taken whole. Rates query shows the bounded
+    * allocation table; sample query applies it as the deterministic
+    * membership filter. */
+  private val mixtureWeights =
+    Map("src0" -> 0.6, "src1" -> 0.25, "src2" -> 0.15)
+  private val mixtureBudget = 3000L
+
+  val mixtureRatesQ: Q = (s, dir) =>
+    graft.etl.Sampling.mixtureRates(
+        documents(s, dir).select("source", "text"), "source",
+        size(graft.ml.Featurize.tokensCol(col("text"))),
+        mixtureWeights, mixtureBudget)
+      .orderBy("source")
+
+  private val mixtureWSql =
+    """(VALUES ('src0', 0.6E0), ('src1', 0.25E0), ('src2', 0.15E0))
+      |    AS w(source, w)""".stripMargin
+
+  val mixtureRatesSql =
+    s"""WITH tk AS (SELECT source,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      t -> len(t) > 0)) AS tok
+       |  FROM documents),
+       |agg AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(tok) AS BIGINT) AS n_tokens FROM tk GROUP BY 1)
+       |SELECT source, n_docs, n_tokens,
+       |  least(1.0E0, 3000.0E0 * w / CAST(n_tokens AS DOUBLE)) AS keep_rate
+       |FROM agg JOIN $mixtureWSql USING (source)
+       |ORDER BY source""".stripMargin
+
+  val mixtureSampleQ: Q = (s, dir) =>
+    graft.etl.Sampling.mixtureSample(
+        documents(s, dir).select("source", "doc_id", "text"), "source",
+        "doc_id", size(graft.ml.Featurize.tokensCol(col("text"))),
+        mixtureWeights, mixtureBudget)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  val mixtureSampleSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""WITH tk AS (SELECT source, doc_id,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      t -> len(t) > 0)) AS tok
+       |  FROM documents),
+       |agg AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS n_tokens
+       |  FROM tk GROUP BY 1),
+       |r AS (SELECT source,
+       |    least(1.0E0, 3000.0E0 * w / CAST(n_tokens AS DOUBLE)) AS rate
+       |  FROM agg JOIN $mixtureWSql USING (source))
+       |SELECT doc_id, source FROM documents JOIN r USING (source)
+       |WHERE ($hex8) % 1048576 < rate * 1048576
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** ntile decile assignment per group — the bucketing window
     * (QuantileDiscretizer-style feature prep) with a tie-free
     * deterministic ordering. */
@@ -1266,6 +1326,8 @@ object Queries {
     "q_agg_pushdown" -> aggPushdown,
     "q_global_ids" -> globalIds,
     "q_sample_temperature" -> sampleTemperatureQ,
+    "q_mixture_rates" -> mixtureRatesQ,
+    "q_mixture_sample" -> mixtureSampleQ,
     "q_window_ntile" -> windowNtile,
     "q_publish" -> publishRoundtrip,
     "q_merge_upsert" -> mergeUpsert,
@@ -1318,6 +1380,8 @@ object Queries {
     "q_agg_pushdown" -> aggPushdownSql,
     "q_global_ids" -> globalIdsSql,
     "q_sample_temperature" -> sampleTemperatureSql,
+    "q_mixture_rates" -> mixtureRatesSql,
+    "q_mixture_sample" -> mixtureSampleSql,
     "q_window_ntile" -> windowNtileSql,
     "q_publish" -> publishRoundtripSql,
     "q_merge_upsert" -> mergeUpsertSql,

@@ -105,6 +105,31 @@ class EtlSpec extends AnyFunSuite {
     assert(perClass.keySet == totals.filter(_._2 >= 30).keySet)
   }
 
+  test("token-budget mixture: rates match the allocation arithmetic, unweighted domains drop") {
+    import org.apache.spark.sql.functions._
+    val d = docs.select(col("source"), col("doc_id"), col("text"))
+    val tokens = size(graft.ml.Featurize.tokensCol(col("text")))
+    val w = Map("src0" -> 0.5, "src1" -> 0.5)
+    val rates = Sampling.mixtureRates(d, "source", tokens, w, budgetTokens = 200)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(rates.keySet == Set("src0", "src1"))
+    rates.foreach { case (s, (nTok, rate)) =>
+      val expect = math.min(1.0, 200.0 * 0.5 / nTok)
+      assert(rate == expect, s"$s: $rate vs $expect")
+    }
+    // a budget larger than the corpus takes every weighted domain whole
+    val full = Sampling.mixtureRates(d, "source", tokens, w, budgetTokens = 100000000L)
+      .collect().map(_.getDouble(3))
+    assert(full.forall(_ == 1.0))
+    val sampled = Sampling.mixtureSample(d, "source", "doc_id", tokens, w, 100000000L)
+    assert(sampled.count() == d.where(col("source").isin("src0", "src1")).count())
+    // weights that don't sum to 1 are rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureRates(d, "source", tokens, Map("src0" -> 0.5), 200)
+    }
+  }
+
   test("seeded sampleBy variant is reproducible for a fixed seed") {
     val labeled = Etl.cleanAndLabel(docs, cfg)
     val a = Sampling.sampleData(labeled, "lang", 60, 30, seed = 7).count()
