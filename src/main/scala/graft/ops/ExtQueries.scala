@@ -1832,6 +1832,42 @@ object ExtQueries {
        |SELECT doc_id, COUNT(*) AS n_tokens, ROUND(SUM(lr), 6) AS weight
        |FROM tb JOIN lr USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Point-in-interval range join ([[RangeJoin.pointInInterval]]):
+    * every event inside the half-hour window opened by each purchase
+    * event. The bucketized prestage turns the range predicate into an
+    * equi-join — the query THROWS if the plan degenerates into the
+    * nested-loop/cartesian shape a bare BETWEEN join produces.
+    * Integer micros end to end (no FP in the join domain). */
+  val joinRangeQ: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val points = ev.select(col("event_id"), unix_micros(col("ts")).as("pt"))
+    val intervals = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("interval_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + 1800L * 1000000L).as("hi"))
+    val joined = RangeJoin.pointInInterval(points, "pt",
+        intervals, "lo", "hi", bucketWidth = 3600L * 1000000L)
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("pt")).as("first_pt"), max(col("pt")).as("last_pt"))
+      .orderBy("interval_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested-loop shape:\n$plan")
+    joined
+  }
+
+  val joinRangeSql =
+    """WITH p AS (SELECT event_id, epoch_us(ts) AS pt FROM events),
+      |i AS (SELECT event_id AS interval_id, epoch_us(ts) AS lo,
+      |    epoch_us(ts) + 1800000000 AS hi
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT interval_id, COUNT(*) AS n_events,
+      |  MIN(pt) AS first_pt, MAX(pt) AS last_pt
+      |FROM i JOIN p ON p.pt >= i.lo AND p.pt <= i.hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** CCNet-style LM quality scoring ([[graft.ext.Selection.lmDocBits]]):
     * hashed-bigram model trained on the English slice, every document
     * scored by bits-per-token, corpus bucketed head/middle/tail by
@@ -2104,6 +2140,7 @@ object ExtQueries {
     "q_dedup_semantic_lsh" -> dedupSemanticLshQ,
     "q_retrieval_hybrid" -> retrievalHybridQ,
     "q_lm_perplexity" -> lmPerplexityQ,
+    "q_join_range" -> joinRangeQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2153,5 +2190,6 @@ object ExtQueries {
     "q_dedup_semantic_lsh" -> dedupSemanticLshSql,
     "q_retrieval_hybrid" -> retrievalHybridSql,
     "q_lm_perplexity" -> lmPerplexitySql,
+    "q_join_range" -> joinRangeSql,
   )
 }
