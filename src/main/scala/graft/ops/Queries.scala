@@ -1070,6 +1070,28 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic training-export shuffle ([[graft.etl.Sharding]]):
+    * md5-bucket shard + md5-ordered position within each shard — the
+    * reproducible global shuffle a sharded training export needs,
+    * with one exchange (on shard) and per-shard sorts instead of a
+    * global single-partition window. */
+  val shardShuffleQ: Q = (s, dir) =>
+    graft.etl.Sharding.shuffleShards(
+        documents(s, dir).select("doc_id"), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+
+  val shardShuffleSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""SELECT doc_id, CAST(($hex8) % 8 AS INTEGER) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY ($hex8) % 8
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pos
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Token-budget domain mixture ([[graft.etl.Sampling.mixtureRates]]):
     * the Pile/DoReMi-style recipe — target token shares per domain
     * against a global budget, each domain downsampled to its
@@ -1328,6 +1350,7 @@ object Queries {
     "q_sample_temperature" -> sampleTemperatureQ,
     "q_mixture_rates" -> mixtureRatesQ,
     "q_mixture_sample" -> mixtureSampleQ,
+    "q_shard_shuffle" -> shardShuffleQ,
     "q_window_ntile" -> windowNtile,
     "q_publish" -> publishRoundtrip,
     "q_merge_upsert" -> mergeUpsert,
@@ -1382,6 +1405,7 @@ object Queries {
     "q_sample_temperature" -> sampleTemperatureSql,
     "q_mixture_rates" -> mixtureRatesSql,
     "q_mixture_sample" -> mixtureSampleSql,
+    "q_shard_shuffle" -> shardShuffleSql,
     "q_window_ntile" -> windowNtileSql,
     "q_publish" -> publishRoundtripSql,
     "q_merge_upsert" -> mergeUpsertSql,

@@ -130,6 +130,29 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("shard shuffle: dense 1..n positions per shard, reproducible, order is key-derived") {
+    import org.apache.spark.sql.functions._
+    val d = docs.select("doc_id")
+    val a = Sharding.shuffleShards(d, "doc_id", nShards = 4)
+    assert(a.count() == d.count())
+    // every shard's positions are exactly 1..|shard|
+    a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
+      .collect().foreach { r =>
+        assert(r.getInt(0) >= 0 && r.getInt(0) < 4)
+        assert(r.getInt(2) == 1 && r.getInt(3).toLong == r.getLong(1), r.toString)
+      }
+    // byte-identical on re-run (pure function of the key set)
+    val b = Sharding.shuffleShards(d, "doc_id", nShards = 4)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // the shuffled order is not the key order: some shard has an
+    // inversion between doc_id order and pos order
+    val inverted = a.as("x").join(a.as("y"),
+      col("x.shard") === col("y.shard") &&
+        col("x.doc_id") < col("y.doc_id") && col("x.pos") > col("y.pos"))
+    assert(inverted.count() > 0)
+  }
+
   test("seeded sampleBy variant is reproducible for a fixed seed") {
     val labeled = Etl.cleanAndLabel(docs, cfg)
     val a = Sampling.sampleData(labeled, "lang", 60, 30, seed = 7).count()
