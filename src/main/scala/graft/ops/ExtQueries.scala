@@ -1868,6 +1868,43 @@ object ExtQueries {
       |FROM i JOIN p ON p.pt >= i.lo AND p.pt <= i.hi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Interval-overlap join ([[RangeJoin.intervalOverlap]]): signup
+    * half-hour windows against purchase half-hour windows, exact-once
+    * pairs via the overlap-start bucket rule (no distinct pass), same
+    * nested-loop plan gate as [[joinRangeQ]]. */
+  val joinIntervalOverlapQ: Q = (s, dir) => {
+    val ev = events(s, dir)
+    def win(tpe: String, idName: String, loName: String, hiName: String) =
+      ev.where(col("event_type") === tpe)
+        .select(col("event_id").as(idName),
+          unix_micros(col("ts")).as(loName),
+          (unix_micros(col("ts")) + 1800L * 1000000L).as(hiName))
+    val joined = RangeJoin.intervalOverlap(
+        win("signup", "lid", "lo1", "hi1"),
+        "lo1", "hi1",
+        win("purchase", "rid", "lo2", "hi2"),
+        "lo2", "hi2", bucketWidth = 3600L * 1000000L)
+      .groupBy("lid")
+      .agg(count(lit(1)).as("n_overlaps"), min(col("rid")).as("first_rid"))
+      .orderBy("lid")
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join degenerated to a nested-loop shape:\n$plan")
+    joined
+  }
+
+  val joinIntervalOverlapSql =
+    """WITH l AS (SELECT event_id AS lid, epoch_us(ts) AS lo1,
+      |    epoch_us(ts) + 1800000000 AS hi1
+      |  FROM events WHERE event_type = 'signup'),
+      |r AS (SELECT event_id AS rid, epoch_us(ts) AS lo2,
+      |    epoch_us(ts) + 1800000000 AS hi2
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT lid, COUNT(*) AS n_overlaps, MIN(rid) AS first_rid
+      |FROM l JOIN r ON lo1 <= hi2 AND lo2 <= hi1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** CCNet-style LM quality scoring ([[graft.ext.Selection.lmDocBits]]):
     * hashed-bigram model trained on the English slice, every document
     * scored by bits-per-token, corpus bucketed head/middle/tail by
@@ -1906,6 +1943,98 @@ object ExtQueries {
        |       WHEN bits <= t2 THEN 'middle'
        |       ELSE 'tail' END AS ppl_bucket
        |FROM alls, th ORDER BY doc_id""".stripMargin
+
+  /** The curation PIPELINE as one oracled query — the composition the
+    * E2E specs walk through, but value-exact against DuckDB: Gopher
+    * quality gate → exact dedup (earliest id per text) → hashed-bigram
+    * LM scoring over the survivors (model + terciles refit on the
+    * filtered corpus, tail dropped) → deterministic shard/position
+    * assignment for export. Every stage is the already-oracled
+    * operator; this query proves their COMPOSITION end to end. */
+  val curationPipelineQ: Q = (s, dir) => {
+    val base = documents(s, dir).select("doc_id", "text", "lang")
+    val quality = TextStats.withGopherFlags(base, "text")
+      .where(col("pass_gopher"))
+      .select("doc_id", "text", "lang")
+    val deduped = Dedup.exactDedup(quality, "text", "doc_id")
+    val scored = graft.ext.Selection.lmDocBits(deduped, "text", "doc_id",
+        isTarget = col("lang") === "en")
+      .where(col("ppl_bucket").isin("head", "middle"))
+    graft.etl.Sharding.shuffleShards(
+        scored.select("doc_id", "bits_per_token", "ppl_bucket"),
+        "doc_id", nShards = 4)
+      .orderBy("doc_id")
+  }
+
+  val curationPipelineSql = {
+    val stopList = TextStats.gopherStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""WITH tq AS (SELECT doc_id, text, lang, $toksSql AS toks FROM documents),
+       |c AS (SELECT doc_id, text, lang,
+       |  len(toks) AS n_words,
+       |  ROUND(CASE WHEN len(toks) > 0 THEN
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, tk -> CAST(len(tk) AS BIGINT))),
+       |      (acc, v) -> acc + v) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS mean_word_len,
+       |  CASE WHEN len(toks) > 0 THEN ROUND(
+       |    CAST(len(text) - len(replace(text, '#', '')) +
+       |      (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS symbol_ratio,
+       |  CASE WHEN len(toks) > 0 THEN ROUND(
+       |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))
+       |      AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+       |    ELSE 0.0 END AS alpha_word_ratio,
+       |  len(list_filter(toks, tk -> list_contains($stopList, lower(tk))))
+       |    AS n_stopwords
+       |FROM tq),
+       |q AS (SELECT doc_id, text, lang FROM c
+       |  WHERE n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0E0 AND mean_word_len <= 10.0E0
+       |    AND symbol_ratio <= 0.1E0 AND alpha_word_ratio >= 0.8E0
+       |    AND n_stopwords >= 2),
+       |dd AS (SELECT doc_id, text, lang FROM (
+       |    SELECT doc_id, text, lang,
+       |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM q) WHERE rn = 1),
+       |t AS (SELECT doc_id, lang,
+       |    list_transform($toksSql, tk -> substr(md5(tk), 1, 2)) AS bk
+       |  FROM dd),
+       |bgx AS (SELECT doc_id, lang = 'en' AS tgt,
+       |    unnest(list_transform(range(1, greatest(len(bk) - 1, 0) + 1),
+       |      i -> struct_pack(b1 := bk[i], b2 := bk[i + 1]))) AS p
+       |  FROM t),
+       |b AS (SELECT doc_id, tgt, p.b1 AS b1, p.b2 AS b2 FROM bgx),
+       |model AS (SELECT b1, b2, COUNT(*) AS np FROM b WHERE tgt GROUP BY 1, 2),
+       |ctx AS (SELECT b1, SUM(np) AS nc FROM model GROUP BY 1),
+       |sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       |    ROUND(SUM(-ln((CAST(COALESCE(m.np, 0) AS DOUBLE) + 1.0E0) /
+       |                  (CAST(COALESCE(c2.nc, 0) AS DOUBLE) + 256.0E0))
+       |              / ln(2.0E0)) / COUNT(*), 6) AS bits
+       |  FROM b LEFT JOIN model m ON b.b1 = m.b1 AND b.b2 = m.b2
+       |         LEFT JOIN ctx c2 ON b.b1 = c2.b1
+       |  GROUP BY 1),
+       |alls AS (SELECT t.doc_id, sc.bits
+       |  FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id),
+       |th AS (SELECT ROUND(quantile_cont(bits, 1.0E0 / 3), 4) AS t1,
+       |    ROUND(quantile_cont(bits, 2.0E0 / 3), 4) AS t2 FROM alls),
+       |f AS (SELECT doc_id, bits AS bits_per_token,
+       |    CASE WHEN bits IS NULL THEN NULL
+       |         WHEN bits <= t1 THEN 'head'
+       |         WHEN bits <= t2 THEN 'middle'
+       |         ELSE 'tail' END AS ppl_bucket
+       |  FROM alls, th)
+       |SELECT doc_id, bits_per_token, ppl_bucket,
+       |  CAST(($hex8) % 4 AS INTEGER) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY ($hex8) % 4
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pos
+       |FROM f WHERE ppl_bucket IN ('head', 'middle')
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Hybrid retrieval: BM25 sparse ranking and brute-force dense
     * cosine ranking over the items carrying BOTH text and an
@@ -2141,6 +2270,8 @@ object ExtQueries {
     "q_retrieval_hybrid" -> retrievalHybridQ,
     "q_lm_perplexity" -> lmPerplexityQ,
     "q_join_range" -> joinRangeQ,
+    "q_join_interval_overlap" -> joinIntervalOverlapQ,
+    "q_curation_pipeline" -> curationPipelineQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2191,5 +2322,7 @@ object ExtQueries {
     "q_retrieval_hybrid" -> retrievalHybridSql,
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_join_range" -> joinRangeSql,
+    "q_join_interval_overlap" -> joinIntervalOverlapSql,
+    "q_curation_pipeline" -> curationPipelineSql,
   )
 }

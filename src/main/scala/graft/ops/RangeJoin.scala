@@ -72,4 +72,44 @@ object RangeJoin {
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bkt")
   }
+
+  /** Interval-overlap join: every pair of a left and right interval
+    * with `lo1 <= hi2 && lo2 <= hi1` (closed bounds). Same bucketized
+    * prestage — both sides explode over their covered buckets and
+    * equi-join on bucket — but an overlapping pair can now share MANY
+    * buckets, so the join keeps a pair only in the bucket where the
+    * overlap STARTS (`floor(max(lo1, lo2) / width)`): exact-once
+    * semantics by construction, no distinct pass over the matches. */
+  def intervalOverlap(left: DataFrame, lo1: String, hi1: String,
+                      right: DataFrame, lo2: String, hi2: String,
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left and right must not share column names: $shared")
+    def burst(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val lob = floorDiv(col(lo).cast("long"), bucketWidth)
+      val hib = floorDiv(col(hi).cast("long"), bucketWidth)
+      val span = hib - lob + 1
+      val buckets =
+        when(col(hi) < col(lo), raise_error(concat(
+            lit("intervalOverlap: interval with hi < lo: ["),
+            col(lo).cast("string"), lit(", "), col(hi).cast("string"),
+            lit("]"))))
+          .when(span > maxBucketsPerInterval, raise_error(concat(
+            lit("intervalOverlap: interval ["), col(lo).cast("string"),
+            lit(", "), col(hi).cast("string"), lit("] spans "),
+            span.cast("string"),
+            lit(s" > maxBucketsPerInterval=$maxBucketsPerInterval buckets — " +
+              s"raise bucketWidth=$bucketWidth"))))
+          .otherwise(sequence(lob, hib))
+      df.withColumn("__bkt", explode(buckets))
+    }
+    burst(left, lo1, hi1).join(burst(right, lo2, hi2), Seq("__bkt"))
+      .where(col(lo1) <= col(hi2) && col(lo2) <= col(hi1) &&
+        col("__bkt") === floorDiv(greatest(col(lo1), col(lo2)).cast("long"),
+          bucketWidth))
+      .drop("__bkt")
+  }
 }

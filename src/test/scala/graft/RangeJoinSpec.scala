@@ -49,6 +49,30 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(edges.contains((ptIdx(14L), 103L)))
   }
 
+  test("interval overlap equals the brute-force theta join, pairs exact-once") {
+    val left = Seq(
+      (1L, -15L, -2L), (2L, 0L, 45L), (3L, 8L, 8L), (4L, 100L, 120L)
+    ).toDF("lid", "lo1", "hi1")
+    val right = Seq(
+      (10L, -30L, -10L), // overlaps 1 only
+      (11L, -3L, 9L),    // overlaps 1, 2, 3 (touches 1 at -3..-2, 3 at 8)
+      (12L, 44L, 80L),   // touches 2 at its last point
+      (13L, 200L, 210L)  // overlaps nothing
+    ).toDF("rid", "lo2", "hi2")
+    val got = RangeJoin.intervalOverlap(left, "lo1", "hi1",
+        right, "lo2", "hi2", bucketWidth = 10L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = left.crossJoin(right)
+      .where(col("lo1") <= col("hi2") && col("lo2") <= col("hi1"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == brute.sorted.toSeq)
+    // a long overlap shares many buckets but the pair appears once
+    assert(got.length == got.toSet.size)
+    assert(got.toSet.contains((2L, 12L)) && got.toSet.contains((1L, 11L)))
+  }
+
   test("mis-sized bucket width raises loudly instead of exploding the build side") {
     val points = Seq((1L, 5L)).toDF("pid", "pt")
     val intervals = Seq((1L, 0L, 1000000L)).toDF("iid", "lo", "hi")

@@ -53,9 +53,14 @@ def replica(tbl: pa.Table, table: str, k: int) -> pa.Table:
         col = tbl.column(name).combine_chunks()
         if name in KEYS.get(table, []):
             col = pc.add(col, pa.scalar(k * SHIFT, type=col.type))
-        if table == "documents" and name == "text":
+        if table == "documents" and name == "text" and k > 0:
             # suffix every token: replicas are distinct documents with
-            # the fixture's exact within-replica structure
+            # the fixture's exact within-replica structure. Replica 0
+            # stays the IDENTITY (as its key shift already is) so the
+            # scaled pass contains the true fixture verbatim — token-
+            # sensitive operators (stopword rules, language ID) keep a
+            # non-degenerate slice instead of seeing only suffixed
+            # pseudo-words.
             col = pc.replace_substring_regex(col, r"(\S+)", rf"\1w{k}")
         cols.append(col)
     return pa.table(dict(zip(tbl.column_names, cols)))
