@@ -463,4 +463,56 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Matryoshka funnel retrieval (Kusupati et al., arXiv:2205.13147):
+    * embeddings trained with matryoshka losses pack most of their
+    * signal into the leading components, so serving can SHORTLIST with
+    * only the first `dims` components and RE-RANK the shortlist at
+    * full width — the published two-stage funnel.
+    *
+    * Scale shape: stage 1 is the corpus-sized scan, and it touches
+    * only the `dims`-prefix (store the prefix as its own column and
+    * parquet column pruning makes the byte saving real — dims/dim of
+    * the vector bytes, e.g. 16/64 = 4×); the full vectors are fetched
+    * by id in stage 2 for |queries|·`shortlist` rows only — a
+    * broadcast-able fraction, never a second corpus scan of vector
+    * arithmetic. Both stages rank with 6-dp-rounded cosine and id
+    * tie-breaks, so results are deterministic and oracle-exact.
+    * `shortlist >= corpus` degenerates to exact [[bruteTopK]]. */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int, dims: Int,
+                     shortlist: Int): DataFrame = {
+    require(dims > 0, s"dims=$dims")
+    require(k > 0 && shortlist >= k, s"k=$k shortlist=$shortlist")
+    val s = corpus.sparkSession
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        slice(col(vecCol), 1, dims).as("qt"))
+      .withColumn("__qtn", sqrt(nDot(s, col("qt"), col("qt"))))
+    // stage 1: truncated-prefix scan — the only corpus-sized pass
+    val ct = corpus.select(col(idCol).as("neighbor_id"),
+        slice(col(vecCol), 1, dims).as("ct"))
+      .withColumn("__ctn", sqrt(nDot(s, col("ct"), col("ct"))))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("tcos").desc, col("neighbor_id"))
+    val shortl = ct.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("tcos", cosineFromNorms(
+        nDot(s, col("qt"), col("ct")), col("__qtn"), col("__ctn")))
+      .withColumn("__r1", row_number().over(w1))
+      .where(col("__r1") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("qv"))
+    // stage 2: full-width re-rank of the shortlist only (vectors
+    // fetched by id — bounded rows, not a corpus scan)
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortl.join(full, Seq("neighbor_id"))
+      .withColumn("__qn", sqrt(nDot(s, col("qv"), col("qv"))))
+      .withColumn("__cn", sqrt(nDot(s, col("cv"), col("cv"))))
+      .withColumn("cosine", cosineFromNorms(
+        nDot(s, col("qv"), col("cv")), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -404,6 +404,42 @@ object ExtQueries {
        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sims) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Matryoshka funnel retrieval ([[Similarity.matryoshkaTopK]]):
+    * 16-dim prefix shortlist (top-20), full 64-dim re-rank to top-5.
+    * Static oracle — both stages mirrored with DuckDB list slices. */
+  val simMatryoshkaQ: Q = (s, dir) => {
+    val emb = embeddings(s, dir).select("vec_id", "embedding")
+    Similarity.matryoshkaTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, dims = 16, shortlist = 20)
+      .orderBy("query_id", "rank")
+  }
+
+  val simMatryoshkaSql = {
+    def cos(a: String, b: String) =
+      s"""ROUND(${foldSumSql(s"list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])")} /
+         |  (sqrt(${foldSumSql(s"list_transform(range(1, len($a)+1), i -> $a[i] * $a[i])")}) *
+         |   sqrt(${foldSumSql(s"list_transform(range(1, len($b)+1), i -> $b[i] * $b[i])")})), 6)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, v[1:16] AS qt FROM e
+       |  WHERE vec_id < 10),
+       |s1 AS (SELECT query_id, e.vec_id AS neighbor_id, qv,
+       |    ${cos("qt", "ct")} AS tcos
+       |  FROM (SELECT vec_id, v[1:16] AS ct FROM e) e
+       |    CROSS JOIN q
+       |  WHERE e.vec_id <> query_id),
+       |sl AS (SELECT query_id, neighbor_id, qv FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY tcos DESC, neighbor_id) AS r1 FROM s1) t
+       |  WHERE r1 <= 20),
+       |s2 AS (SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cosine
+       |  FROM sl JOIN (SELECT vec_id AS neighbor_id, v AS cv FROM e) c
+       |    USING (neighbor_id))
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s2) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF centroids (16 cells, 1 Lloyd iteration, md5-seeded),
     * memoized per (session, dir). The query and its oracle generator
     * must see the SAME centroid doubles — the Lloyd update's
@@ -2272,6 +2308,7 @@ object ExtQueries {
     "q_join_range" -> joinRangeQ,
     "q_join_interval_overlap" -> joinIntervalOverlapQ,
     "q_curation_pipeline" -> curationPipelineQ,
+    "q_sim_matryoshka" -> simMatryoshkaQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2324,5 +2361,6 @@ object ExtQueries {
     "q_join_range" -> joinRangeSql,
     "q_join_interval_overlap" -> joinIntervalOverlapSql,
     "q_curation_pipeline" -> curationPipelineSql,
+    "q_sim_matryoshka" -> simMatryoshkaSql,
   )
 }

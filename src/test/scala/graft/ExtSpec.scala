@@ -944,6 +944,34 @@ class ExtSpec extends AnyFunSuite {
     assert(cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("matryoshka funnel: exact when shortlist covers corpus, planted copy at rank 1") {
+    val e = emb.select("vec_id", "embedding")
+    val queries = e.where(col("vec_id") < 5)
+    val n = e.count().toInt
+    // shortlist >= corpus degenerates to exact brute-force
+    val exact = Similarity.bruteTopK(queries, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val full = Similarity.matryoshkaTopK(queries, e, "vec_id", "embedding",
+        k = 5, dims = 16, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(full == exact)
+    // a planted exact copy shares the prefix too: it must survive any
+    // shortlist and land at rank 1
+    val planted = e.union(queries.select((col("vec_id") + 5000).as("vec_id"),
+      col("embedding")))
+    val top = Similarity.matryoshkaTopK(queries, planted, "vec_id",
+        "embedding", k = 1, dims = 8, shortlist = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(q => assert(top(q) == q + 5000, s"q=$q got ${top(q)}"))
+    // funnel recall at dims=16/shortlist=20 stays high on the fixture
+    val funnel = Similarity.matryoshkaTopK(queries, e, "vec_id", "embedding",
+        k = 5, dims = 16, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = exact.map { case ((q, _), nb) => (q, nb) }.toSet
+    val recall = (funnel intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"funnel recall $recall")
+  }
+
   test("LM doc bits: target-like text scores lower, backoff is exactly uniform") {
     // target corpus: every bigram is (a,b) or (b,a); "a b a b" is
     // in-distribution, "zz qq xx" has no seen contexts at all
