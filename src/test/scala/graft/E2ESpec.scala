@@ -94,6 +94,28 @@ class E2ESpec extends AnyFunSuite {
       .orderBy(col("isEn").desc).collect().map(_.getDouble(1))
     assert(enAvg > otherAvg, s"en=$enAvg other=$otherAvg")
 
+    // 4d. CCNet-style LM scoring: the bigram model trained on the
+    //     English slice makes English docs (sharing the planted
+    //     xsigen bigrams) cheaper to encode than the rest
+    val lm = graft.ext.Selection.lmDocBits(filtered, "text", "doc_id",
+        isTarget = col("lang") === "en")
+      .join(filtered.select("doc_id", "lang"), Seq("doc_id"))
+    val Array(enBits, otherBits) = lm.where(col("bits_per_token").isNotNull)
+      .groupBy((col("lang") === "en").as("isEn"))
+      .agg(avg(col("bits_per_token")).as("b"))
+      .orderBy(col("isEn").desc).collect().map(_.getDouble(1))
+    assert(enBits < otherBits, s"en=$enBits other=$otherBits")
+
+    // 4e. token-budget mixture: cap the corpus to a 2k-token budget
+    //     split across three sources (source joined back from the raw
+    //     table — the planted copies are deduped away by this point);
+    //     only weighted sources survive
+    val mixture = graft.etl.Sampling.mixtureSample(
+      filtered.join(raw.select("doc_id", "source"), Seq("doc_id")),
+      "source", "doc_id", TextStats.tokenCount(col("text")),
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budgetTokens = 2000L)
+    assert(mixture.select("source").distinct().count() <= 3)
+
     // 5. temperature-weighted sample toward a 300-doc training mix
     val mixed = graft.etl.Sampling.sampleTemperature(
       filtered, "lang", "doc_id", target = 300)
@@ -129,7 +151,11 @@ class E2ESpec extends AnyFunSuite {
       math.max(scored.count(), 1L)
     assert(acc >= 0.9, f"end-to-end accuracy $acc%.3f < 0.9")
 
-    // 8. export the training file and read it back intact
+    // 8. deterministic shard/shuffle assignment, then export the
+    //    training file and read it back intact
+    val sharded = graft.etl.Sharding.shuffleShards(train, "doc_id", nShards = 4)
+    assert(sharded.count() == train.count())
+    assert(sharded.select("shard").distinct().count() <= 4)
     val out = java.nio.file.Files.createTempDirectory("e2e_tf").toString
     train.select(col("lang"), col("fasttext").as("line"))
       .write.mode("overwrite").parquet(s"$out/data.parquet")
