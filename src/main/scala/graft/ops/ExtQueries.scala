@@ -1980,6 +1980,50 @@ object ExtQueries {
        |       ELSE 'tail' END AS ppl_bucket
        |FROM alls, th ORDER BY doc_id""".stripMargin
 
+  /** Corpus datasheet (the "datasheets for datasets" audit surface):
+    * one row of corpus-level statistics — volume, language mix,
+    * duplication rate, length profile — from ONE aggregation pass.
+    * The two exact count-distincts (lang, text hash) plan as an
+    * Expand; at 100 TB the documented swap is
+    * `approx_count_distinct`, identical query shape. */
+  val corpusDatasheetQ: Q = (s, dir) => {
+    val t = documents(s, dir).select(col("lang"),
+      size(Featurize.tokensCol(col("text"))).cast("long").as("__tok"),
+      md5(col("text")).as("__h"))
+    val nDocs = count(lit(1))
+    t.agg(
+      nDocs.as("n_docs"),
+      sum(col("__tok")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      round(sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double")
+        / nDocs.cast("double"), 6).as("en_share"),
+      round(lit(1.0) - countDistinct(col("__h")).cast("double")
+        / nDocs.cast("double"), 6).as("dup_rate"),
+      round(sum(when(col("__tok") >= 50, 1L).otherwise(0L)).cast("double")
+        / nDocs.cast("double"), 6).as("long_doc_share"),
+      round(sum(col("__tok")).cast("double") / nDocs.cast("double"), 6)
+        .as("mean_tokens"),
+      round(percentile(col("__tok"), lit(0.5)), 6).as("p50_tokens"))
+  }
+
+  val corpusDatasheetSql =
+    s"""WITH t AS (SELECT lang,
+       |    CAST(len($toksSql) AS BIGINT) AS tok, md5(text) AS h
+       |  FROM documents)
+       |SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS en_share,
+       |  ROUND(1.0E0 - CAST(COUNT(DISTINCT h) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+       |  ROUND(CAST(SUM(CASE WHEN tok >= 50 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS long_doc_share,
+       |  ROUND(CAST(SUM(tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS mean_tokens,
+       |  ROUND(quantile_cont(tok, 0.5E0), 6) AS p50_tokens
+       |FROM t""".stripMargin
+
   /** The curation PIPELINE as one oracled query — the composition the
     * E2E specs walk through, but value-exact against DuckDB: Gopher
     * quality gate → exact dedup (earliest id per text) → hashed-bigram
@@ -2309,6 +2353,7 @@ object ExtQueries {
     "q_join_interval_overlap" -> joinIntervalOverlapQ,
     "q_curation_pipeline" -> curationPipelineQ,
     "q_sim_matryoshka" -> simMatryoshkaQ,
+    "q_corpus_datasheet" -> corpusDatasheetQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2362,5 +2407,6 @@ object ExtQueries {
     "q_join_interval_overlap" -> joinIntervalOverlapSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_sim_matryoshka" -> simMatryoshkaSql,
+    "q_corpus_datasheet" -> corpusDatasheetSql,
   )
 }

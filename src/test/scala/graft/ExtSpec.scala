@@ -944,6 +944,30 @@ class ExtSpec extends AnyFunSuite {
     assert(cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("corpus datasheet: planted duplicates move dup_rate by exactly their share") {
+    import graft.ops.ExtQueries
+    val dir = "/root/testdata/sf0.001"
+    val base = ExtQueries.all("q_corpus_datasheet")(spark, dir).head()
+    assert(base.getLong(0) > 0 && base.getLong(1) > 0)
+    val baseDup = base.getDouble(4)
+    // duplicate-free fixture slice: dup_rate 0 means distinct hashes
+    // equal docs; planting k copies of one text must raise it to
+    // exactly k/(n+k) (computed on the same rounded contract)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    val planted = docs.union(docs.limit(3)
+      .withColumn("doc_id", col("doc_id") + 100000))
+    val t = planted.select(
+      size(graft.ml.Featurize.tokensCol(col("text"))).cast("long").as("tok"),
+      md5(col("text")).as("h"))
+    val got = t.agg(
+      round(lit(1.0) - countDistinct(col("h")).cast("double")
+        / count(lit(1)).cast("double"), 6)).head().getDouble(0)
+    val expect = BigDecimal(1.0 - n.toDouble / (n + 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got - expect) < 2e-6, s"$got vs $expect (base $baseDup)")
+  }
+
   test("matryoshka funnel: exact when shortlist covers corpus, planted copy at rank 1") {
     val e = emb.select("vec_id", "embedding")
     val queries = e.where(col("vec_id") < 5)
