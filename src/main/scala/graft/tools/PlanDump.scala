@@ -40,6 +40,34 @@ object PlanDump {
         graft.ext.Dedup.nearDupIncremental(
           docs.where(org.apache.spark.sql.functions.col("doc_id") < 10),
           docs, "text", "doc_id", materialize = false)
+      },
+      "lmDocBits (no orderBy)" -> {
+        import org.apache.spark.sql.functions._
+        graft.ext.Selection.lmDocBits(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text", "lang"),
+          "text", "doc_id", isTarget = col("lang") === "en")
+      },
+      "q_mixture_sample" -> graft.ops.Queries.mixtureSampleQ(spark, dir),
+      "q_join_range" -> graft.ops.ExtQueries.joinRangeQ(spark, dir),
+      "q_join_interval_overlap" ->
+        graft.ops.ExtQueries.joinIntervalOverlapQ(spark, dir),
+      "shuffleShards (no orderBy)" -> graft.etl.Sharding.shuffleShards(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+        "doc_id", 8),
+      "semanticDedupLsh (no orderBy)" -> {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        graft.ext.Dedup.semanticDedupLsh(emb, "vec_id", "embedding",
+          0.99, nBits = 8)
+      },
+      "matryoshkaTopK (no orderBy)" -> {
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        graft.ext.Similarity.matryoshkaTopK(
+          emb.where(col("vec_id") < 5), emb, "vec_id", "embedding",
+          k = 5, dims = 16, shortlist = 20)
       })
     val sb = new StringBuilder
     targets.foreach { case (name, df) =>
