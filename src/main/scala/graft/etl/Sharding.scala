@@ -35,4 +35,25 @@ object Sharding {
         Window.partitionBy(col("shard"))
           .orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
   }
+
+  /** Materialize the shuffled shards as the training-export layout:
+    * one parquet directory per shard (`shard=K/`), each holding ONE
+    * file whose row order IS the shard's shuffled order (a trainer
+    * streams shards sequentially and relies on on-disk order; parquet
+    * preserves write order within a file). The shard exchange feeds
+    * `partitionBy` directly — `repartition(shard)` places each shard
+    * wholly in one task (hash collisions may co-locate two shards in
+    * a task; the in-task `(shard, pos)` sort keeps every shard file
+    * pos-ascending regardless), so each `shard=K/` dir gets exactly
+    * one file and nothing is re-shuffled for the write. Returns the
+    * assigned frame re-read from disk (self-check friendly). */
+  def writeSharded(df: DataFrame, keyCol: String, nShards: Int,
+                   outDir: String): DataFrame = {
+    val spark = df.sparkSession
+    shuffleShards(df, keyCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
 }

@@ -153,6 +153,26 @@ class EtlSpec extends AnyFunSuite {
     assert(inverted.count() > 0)
   }
 
+  test("sharded export: one file per shard dir, rows in shuffled pos order") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("shard_export").toString
+    val back = Sharding.writeSharded(docs.select("doc_id"), "doc_id", 4, out)
+    assert(back.count() == docs.count())
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until 4).foreach { k =>
+      val dir = new org.apache.hadoop.fs.Path(s"$out/shard=$k")
+      val parts = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("part"))
+      assert(parts.length == 1, s"shard $k: ${parts.toSeq}")
+      // on-disk row order IS the shuffled order: pos strictly ascends
+      val pos = spark.read.parquet(s"$out/shard=$k").select("pos")
+        .collect().map(_.getInt(0))
+      assert(pos.sameElements(pos.sorted), s"shard $k not pos-ordered")
+      assert(pos.head == 1 && pos.last == pos.length)
+    }
+  }
+
   test("seeded sampleBy variant is reproducible for a fixed seed") {
     val labeled = Etl.cleanAndLabel(docs, cfg)
     val a = Sampling.sampleData(labeled, "lang", 60, 30, seed = 7).count()
