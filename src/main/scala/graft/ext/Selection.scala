@@ -114,43 +114,77 @@ object Selection {
   def lmDocBits(df: DataFrame, textCol: String, idCol: String,
                 isTarget: Column, hexChars: Int = 2,
                 alpha: Double = 1.0): DataFrame = {
+    val model = lmTrain(df, textCol, isTarget, hexChars, alpha)
+    val scored = lmScore(df, textCol, idCol, model)
+    lmBucket(scored, lmThresholds(scored))
+  }
+
+  /** Frozen hashed-bigram LM: the bounded pair counts plus smoothing
+    * parameters — driver-held (≤ 16^(2·hexChars) entries, the k-means-
+    * centroid data class), serializable, reusable across batches. The
+    * production pattern is train-once-apply-everywhere: fit on a
+    * sample or the curated base, then score every incoming batch with
+    * the SAME frozen model (and frozen tercile thresholds) so
+    * incremental curation equals batch curation by construction. */
+  final case class LmModel(hexChars: Int, alpha: Double,
+                           pairCounts: Seq[(String, String, Long)]) {
     require(hexChars >= 1 && hexChars <= 2,
       s"hexChars=$hexChars (pair space is 16^(2*hexChars); 2 keeps it 65,536)")
     require(alpha > 0, s"alpha=$alpha")
-    val nBuckets = math.pow(16.0, hexChars)
-    val spark = df.sparkSession
-    // bigram bucket pairs IN-ROW: zip the token array with its own
-    // tail (zip_with evaluates each array child once per row — see
-    // Featurize.ngramsCol for why transform(sequence...) is the trap
-    // here), pad-null tail pair filtered out
+    private[Selection] lazy val ctxCounts: Map[String, Long] =
+      pairCounts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+  }
+
+  /** Bigram bucket pairs of every row, IN-ROW: zip the token array
+    * with its own tail (zip_with evaluates each array child once per
+    * row — see Featurize.ngramsCol for why transform(sequence...) is
+    * the trap here); the pad-null tail pair is filtered out. */
+  private def bigramPairs(textCol: String, hexChars: Int): Column = {
     val toks = Featurize.tokensCol(col(textCol))
-    val pairs = filter(
+    filter(
       zip_with(
         transform(toks, t => tokenBucket(t, hexChars)),
         slice(transform(toks, t => tokenBucket(t, hexChars)), lit(2),
           greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("b1"), b.as("b2"))),
       p => p.getField("b2").isNotNull)
-    val exploded = df.select(col(idCol), isTarget.as("__tgt"),
-        explode_outer(pairs).as("__p"))
-      .select(col(idCol), col("__tgt"),
-        col("__p.b1").as("__b1"), col("__p.b2").as("__b2"))
-    // model: ONE bounded agg over the target slice's bigrams
-    val model = exploded.where(col("__tgt") && col("__b1").isNotNull)
-      .groupBy("__b1", "__b2").agg(count(lit(1)).as("__n"))
+  }
+
+  /** Fit the bigram model: ONE bounded hash agg over the `isTarget`
+    * slice's bigrams, collected to the driver. */
+  def lmTrain(df: DataFrame, textCol: String, isTarget: Column,
+              hexChars: Int = 2, alpha: Double = 1.0): LmModel = {
+    require(hexChars >= 1 && hexChars <= 2, s"hexChars=$hexChars")
+    val counts = df.where(isTarget)
+      .select(explode(bigramPairs(textCol, hexChars)).as("__p"))
+      .groupBy(col("__p.b1").as("__b1"), col("__p.b2").as("__b2"))
+      .agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val ctx = model.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    val pairDf = spark.createDataFrame(
-      model.toSeq.map { case (b1, b2, n) => (b1, b2, n) })
+    LmModel(hexChars, alpha, counts.toSeq)
+  }
+
+  /** Score every document against a FROZEN model: a narrow in-row
+    * bigram projection, two broadcast joins (pair counts, context
+    * counts), one per-document hash agg. Output:
+    * `(idCol, n_bigrams, bits_per_token)` — 6-dp-rounded, null for
+    * documents with < 2 tokens. Purely per-document given the model:
+    * scoring a union equals the union of scorings. */
+  def lmScore(df: DataFrame, textCol: String, idCol: String,
+              model: LmModel): DataFrame = {
+    val spark = df.sparkSession
+    val nBuckets = math.pow(16.0, model.hexChars)
+    val exploded = df.select(col(idCol),
+        explode_outer(bigramPairs(textCol, model.hexChars)).as("__p"))
+      .select(col(idCol), col("__p.b1").as("__b1"), col("__p.b2").as("__b2"))
+    val pairDf = spark.createDataFrame(model.pairCounts)
       .toDF("__b1", "__b2", "__np")
-    val ctxDf = spark.createDataFrame(
-      ctx.toSeq.map { case (b1, n) => (b1, n) })
+    val ctxDf = spark.createDataFrame(model.ctxCounts.toSeq)
       .toDF("__b1", "__nc")
     val ln2 = math.log(2.0)
     val logp = log(
-      (coalesce(col("__np"), lit(0L)).cast("double") + alpha) /
-      (coalesce(col("__nc"), lit(0L)).cast("double") + alpha * nBuckets))
-    val scored = exploded
+      (coalesce(col("__np"), lit(0L)).cast("double") + model.alpha) /
+      (coalesce(col("__nc"), lit(0L)).cast("double") + model.alpha * nBuckets))
+    exploded
       .join(broadcast(pairDf), Seq("__b1", "__b2"), "left")
       .join(broadcast(ctxDf), Seq("__b1"), "left")
       .groupBy(col(idCol))
@@ -159,19 +193,34 @@ object Selection {
       .select(col(idCol), col("n_bigrams"),
         when(col("n_bigrams") > 0,
           round(col("__bits") / col("n_bigrams"), 6)).as("bits_per_token"))
-    // head/middle/tail thirds over the scored distribution: two
-    // threshold doubles from one exact-percentile agg (nulls ignored),
-    // applied as a 1-row broadcast — the CCNet bucketing step
-    val th = scored.agg(
+  }
+
+  /** Tercile thresholds of a scored corpus: two 4-dp-rounded doubles
+    * from one exact-percentile agg (nulls ignored; None on an
+    * all-null corpus). Exact `percentile` is right at oracle scale;
+    * `approx_percentile` (or a sample) is the documented 100 TB swap
+    * — either way the result is two literal doubles. */
+  def lmThresholds(scored: DataFrame): Option[(Double, Double)] = {
+    val r = scored.agg(
       percentile(col("bits_per_token"), array(lit(1.0 / 3), lit(2.0 / 3)))
         .as("__th"))
-      .select(round(element_at(col("__th"), 1), 4).as("__t1"),
-        round(element_at(col("__th"), 2), 4).as("__t2"))
-    scored.crossJoin(broadcast(th))
-      .select(col(idCol), col("n_bigrams"), col("bits_per_token"),
+      .select(round(element_at(col("__th"), 1), 4),
+        round(element_at(col("__th"), 2), 4)).head()
+    if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
+  }
+
+  /** Apply frozen tercile thresholds as literals in a narrow pass:
+    * head (≤ t1) / middle (≤ t2) / tail; null score → null bucket. */
+  def lmBucket(scored: DataFrame,
+               thresholds: Option[(Double, Double)]): DataFrame = {
+    val bucket = thresholds match {
+      case Some((t1, t2)) =>
         when(col("bits_per_token").isNull, lit(null).cast("string"))
-          .when(col("bits_per_token") <= col("__t1"), "head")
-          .when(col("bits_per_token") <= col("__t2"), "middle")
-          .otherwise("tail").as("ppl_bucket"))
+          .when(col("bits_per_token") <= t1, "head")
+          .when(col("bits_per_token") <= t2, "middle")
+          .otherwise("tail")
+      case None => lit(null).cast("string")
+    }
+    scored.withColumn("ppl_bucket", bucket)
   }
 }

@@ -1027,6 +1027,32 @@ class ExtSpec extends AnyFunSuite {
     assert(scored.head._2._3 == "head" && scored.last._2._3 == "tail")
   }
 
+  test("frozen LM model: incremental scoring equals batch scoring, refit equals composition") {
+    val base = docs.select("doc_id", "text", "lang").where(col("doc_id") < 400)
+    val delta = docs.select("doc_id", "text", "lang").where(col("doc_id") >= 400)
+    // freeze model + thresholds on the BASE corpus (the production
+    // pattern: fit once, apply to every incoming batch)
+    val model = Selection.lmTrain(base, "text", col("lang") === "en")
+    val baseScored = Selection.lmScore(base, "text", "doc_id", model)
+    val th = Selection.lmThresholds(baseScored)
+    assert(th.isDefined)
+    // incremental: base and delta scored separately, unioned
+    val inc = Selection.lmBucket(baseScored, th)
+      .union(Selection.lmBucket(
+        Selection.lmScore(delta, "text", "doc_id", model), th))
+    // batch: the merged corpus scored in one pass with the SAME model
+    val batch = Selection.lmBucket(
+      Selection.lmScore(base.union(delta), "text", "doc_id", model), th)
+    assert(inc.exceptAll(batch).isEmpty && batch.exceptAll(inc).isEmpty)
+    // the refit convenience is exactly the composition of the parts
+    val refit = Selection.lmDocBits(docs, "text", "doc_id",
+      isTarget = col("lang") === "en")
+    val m2 = Selection.lmTrain(docs, "text", col("lang") === "en")
+    val s2 = Selection.lmScore(docs, "text", "doc_id", m2)
+    val composed = Selection.lmBucket(s2, Selection.lmThresholds(s2))
+    assert(refit.exceptAll(composed).isEmpty && composed.exceptAll(refit).isEmpty)
+  }
+
   test("LSH semantic dedup drops exact copies at any bucket width") {
     val base = emb.select("vec_id", "embedding")
     val planted = base.union(base.where(col("vec_id") < 5)
