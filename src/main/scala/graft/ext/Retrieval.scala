@@ -153,4 +153,33 @@ object Retrieval {
       .where(col("rank") <= k)
       .select("query_id", "doc_id", "rrf", "rank")
   }
+
+  /** Hard-negative mining for contrastive retrieval training (the
+    * BM25-negatives recipe of DPR, Karpukhin et al.,
+    * arXiv:2004.04906): retrieve `depth` candidates per query, remove
+    * the KNOWN positives, keep the `nNeg` highest-ranked
+    * non-positives — documents the ranker finds plausible but that
+    * are not relevant, exactly the training signal a bi-encoder
+    * needs.
+    *
+    * Scale shape: the corpus-sized work is [[bm25TopK]]'s (audited
+    * there); everything after operates on |queries|·depth rows — the
+    * positives anti-join (positives are |queries|·few, broadcast) and
+    * a per-query re-rank window. Output:
+    * `(query_id, doc_id, score, neg_rank)`. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    positives: DataFrame, idCol: String, textCol: String,
+                    nNeg: Int, depth: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(nNeg > 0 && depth >= nNeg, s"nNeg=$nNeg depth=$depth")
+    val retrieved = bm25TopK(queries, corpus, idCol, textCol, depth, k1, b)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank"))
+    retrieved
+      .join(broadcast(positives.select("query_id", "doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= nNeg)
+      .select("query_id", "doc_id", "score", "neg_rank")
+  }
 }

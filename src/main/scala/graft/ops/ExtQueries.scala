@@ -1796,6 +1796,94 @@ object ExtQueries {
        |    ORDER BY score DESC, doc_id) AS rank FROM scored) r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative mining ([[graft.ext.Retrieval.hardNegatives]], the
+    * DPR BM25-negatives recipe): top-20 retrieval per query, the two
+    * known positives per query (self + successor) anti-joined away,
+    * top-5 surviving candidates re-ranked. */
+  val retrievalNegativesQ: Q = (s, dir) => {
+    val docs0 = documents(s, dir).select("doc_id", "text")
+    val queries = docs0.where(col("doc_id") < 5)
+    val pos = queries.select(col("doc_id").as("query_id"),
+        col("doc_id").as("doc_id"))
+      .union(queries.select(col("doc_id").as("query_id"),
+        (col("doc_id") + 1).as("doc_id")))
+    graft.ext.Retrieval.hardNegatives(queries, docs0, pos,
+        "doc_id", "text", nNeg = 5, depth = 20)
+      .orderBy("query_id", "neg_rank")
+  }
+
+  val retrievalNegativesSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d AS (SELECT doc_id AS did, toks, len(toks) AS dlen FROM t),
+       |p AS (SELECT did, dlen, unnest(toks) AS term FROM d),
+       |post AS (SELECT did, dlen, term, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
+       |stats AS (SELECT COUNT(*) AS n, SUM(dlen) AS sumlen FROM d),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+       |q AS (SELECT DISTINCT did AS query_id, term FROM p WHERE did < 5),
+       |co AS (SELECT query_id, post.did AS doc_id,
+       |    ln(1E0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5E0)
+       |      / (CAST(df AS DOUBLE) + 0.5E0)) *
+       |    ((CAST(tf AS DOUBLE) * (1.2E0 + 1.0E0)) /
+       |     (CAST(tf AS DOUBLE) + 1.2E0 * (1.0E0 - 0.75E0 +
+       |       (0.75E0 * CAST(dlen AS DOUBLE)) /
+       |       (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))) AS c
+       |  FROM q JOIN post USING (term) JOIN dfreq USING (term), stats),
+       |scored AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score
+       |  FROM co GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored),
+       |pos AS (SELECT query_id, query_id AS doc_id
+       |    FROM (SELECT DISTINCT query_id FROM q) x
+       |  UNION ALL
+       |  SELECT query_id, query_id + 1
+       |    FROM (SELECT DISTINCT query_id FROM q) y)
+       |SELECT query_id, doc_id, score, CAST(neg_rank AS INTEGER) AS neg_rank
+       |FROM (
+       |  SELECT r.query_id, r.doc_id, r.score,
+       |    ROW_NUMBER() OVER (PARTITION BY r.query_id ORDER BY r.rank)
+       |      AS neg_rank
+       |  FROM ranked r LEFT JOIN pos
+       |    ON r.query_id = pos.query_id AND r.doc_id = pos.doc_id
+       |  WHERE r.rank <= 20 AND pos.query_id IS NULL) z
+       |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin
+
+  /** Corpus n-gram diversity (the distinct-n measure of Li et al.,
+    * arXiv:1510.03055 — the standard repetitiveness/diversity audit
+    * for generated or scraped corpora): distinct vs total n-grams for
+    * n = 1, 2, 3 in one exploded union + grouped agg. */
+  val diversityNgramsQ: Q = (s, dir) => {
+    val t = documents(s, dir)
+      .select(Featurize.tokensCol(col("text")).as("__t"))
+    val grams = (1 to 3).map { n =>
+      val g = if (n == 1) col("__t") else Featurize.ngramsCol(col("__t"), n)
+      t.select(lit(n).as("n"), explode(g).as("gram"))
+    }.reduce(_ union _)
+    grams.groupBy("n")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("gram")).as("n_distinct"),
+        round(countDistinct(col("gram")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("distinct_ratio"))
+      .orderBy("n")
+  }
+
+  val diversityNgramsSql =
+    s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+       |g AS (
+       |  SELECT 1 AS n, unnest(toks) AS gram FROM t
+       |  UNION ALL
+       |  SELECT 2, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |    i -> concat_ws(' ', toks[i], toks[i + 1]))) FROM t
+       |  UNION ALL
+       |  SELECT 3, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) FROM t)
+       |SELECT n, COUNT(*) AS n_total,
+       |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       |  ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Gopher rule-filter flags over every document: per-rule booleans +
     * the conjunction, one narrow tokenize pass (audit form — a
     * pipeline hard-filters with `where(pass_gopher)`). */
@@ -2354,6 +2442,8 @@ object ExtQueries {
     "q_curation_pipeline" -> curationPipelineQ,
     "q_sim_matryoshka" -> simMatryoshkaQ,
     "q_corpus_datasheet" -> corpusDatasheetQ,
+    "q_retrieval_negatives" -> retrievalNegativesQ,
+    "q_diversity_ngrams" -> diversityNgramsQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2408,5 +2498,7 @@ object ExtQueries {
     "q_curation_pipeline" -> curationPipelineSql,
     "q_sim_matryoshka" -> simMatryoshkaSql,
     "q_corpus_datasheet" -> corpusDatasheetSql,
+    "q_retrieval_negatives" -> retrievalNegativesSql,
+    "q_diversity_ngrams" -> diversityNgramsSql,
   )
 }

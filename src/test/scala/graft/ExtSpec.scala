@@ -944,6 +944,27 @@ class ExtSpec extends AnyFunSuite {
     assert(cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("hard negatives exclude positives and preserve retrieval order") {
+    val d = docs.select("doc_id", "text")
+    val queries = d.where(col("doc_id") < 3)
+    val pos = queries.select(col("doc_id").as("query_id"),
+      col("doc_id").as("doc_id"))
+    val negs = Retrieval.hardNegatives(queries, d, pos, "doc_id", "text",
+      nNeg = 3, depth = 10).collect()
+    // the positive (the query itself — BM25 rank 1) never leaks
+    assert(negs.forall(r => r.getLong(0) != r.getLong(1)))
+    // per query: exactly the retrieval order with positives skipped
+    val full = Retrieval.bm25TopK(queries, d, "doc_id", "text", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1)
+    negs.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val expect = full(q).sortBy(_._3).map(_._2).filter(_ != q).take(3).toSeq
+      val got = rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(got == expect, s"q=$q: $got vs $expect")
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+    }
+  }
+
   test("corpus datasheet: planted duplicates move dup_rate by exactly their share") {
     import graft.ops.ExtQueries
     val dir = "/root/testdata/sf0.001"
