@@ -464,6 +464,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF as a STORAGE layout: the corpus written `partitionBy(cell)`,
+    * so serving skips non-probed cells at the SCAN — partition
+    * pruning, not a post-scan filter. This is the on-disk shape of a
+    * production vector index: at 100 TB the win is not arithmetic but
+    * IO — a `nprobe/nCells` fraction of the index FILES is read at
+    * all. Rewrite cost is one cell exchange, paid once per index
+    * build. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Double]], outDir: String): Unit =
+    assignCells(corpus, vecCol, cents)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+
+  /** The distinct probe-cell union of a query set — bounded at
+    * `nCells` ints (driver-data class of the centroids). Public so
+    * callers can gate on HOW MUCH of a [[writeIvfIndex]] layout a
+    * query batch will actually read. */
+  def probeCellSet(queries: DataFrame, vecCol: String,
+                   cents: Array[Array[Double]], nprobe: Int): Array[Int] =
+    withProbeCells(queries.select(col(vecCol).as("__pv")), "__pv",
+      cents, nprobe)
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+
+  /** Serve top-k from a [[writeIvfIndex]] layout: probe cells are
+    * collected once (bounded — at most `nCells` ints, the same driver
+    * class as the centroids) and pushed into the scan as a partition
+    * `IN` filter; everything after is [[ivfTopKWith]]'s scoring join.
+    * Results are identical to [[ivfTopKWith]] with the same centroids
+    * and `nprobe` — the layout changes WHERE the bytes come from, not
+    * the answer. */
+  def ivfPartitionedTopK(indexDir: String, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         cents: Array[Array[Double]],
+                         nprobe: Int): DataFrame = {
+    val s = queries.sparkSession
+    val probed = withProbeCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", cents, nprobe)
+      .withColumn("__qn", sqrt(nDot(s, col("qv"), col("qv"))))
+    val cellSet = probed.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val indexed = s.read.parquet(indexDir)
+      .where(col("cell").isin(cellSet.map(_.asInstanceOf[Any]): _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+      .withColumn("__cn", sqrt(nDot(s, col("cv"), col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    indexed.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineFromNorms(
+        nDot(s, col("qv"), col("cv")), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Matryoshka funnel retrieval (Kusupati et al., arXiv:2205.13147):
     * embeddings trained with matryoshka losses pack most of their
     * signal into the leading components, so serving can SHORTLIST with

@@ -467,6 +467,35 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF as a partition-pruned STORAGE layout
+    * ([[Similarity.writeIvfIndex]]/[[Similarity.ivfPartitionedTopK]]):
+    * the index written `partitionBy(cell)`, probes pushed into the
+    * scan as a partition IN filter. THROWS unless the serving scan
+    * touched strictly fewer index files than exist — the pruning must
+    * be real, not planned-and-ignored. Same memoized centroids as
+    * [[simIvf]]; nprobe = 2 so the probed cell union stays a proper
+    * subset. Oracle: the centroid-literal SQL at nprobe = 2. */
+  val simIvfPartitionedQ: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    val cents = ivfCents(s, dir)
+    val idir = scratchDir("ivfidx", dir)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, idir)
+    val total = s.read.parquet(idir)
+      .select(input_file_name()).distinct().count()
+    val cells = Similarity.probeCellSet(
+      emb.where(col("vec_id") < 10), "embedding", cents, nprobe = 2)
+    val touched = s.read.parquet(idir)
+      .where(col("cell").isin(cells.map(_.asInstanceOf[Any]): _*))
+      .select(input_file_name()).distinct().count()
+    require(touched < total,
+      s"IVF partition pruning read $touched/$total index files — " +
+        s"probed cells ${cells.mkString(",")} pruned nothing")
+    Similarity.ivfPartitionedTopK(idir,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", 5, cents,
+        nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** DuckDB double literal: an exponent suffix forces DOUBLE typing
     * (a plain decimal literal parses as DECIMAL, whose re-conversion
     * to double is not guaranteed bit-exact); Double.toString is
@@ -480,7 +509,7 @@ object ExtQueries {
     * staged norms, same per-centroid cosine (literal centroid norms),
     * same first-max-wins cell argmax, same (sim DESC, cell) probe
     * ranking, same rounded verify cosine and (cosine DESC, id) top-k. */
-  def simIvfSqlFor(cents: Array[Array[Double]]): String = {
+  def simIvfSqlFor(cents: Array[Array[Double]], nprobe: Int = 4): String = {
     val k = cents.length
     val centsLit = cents.map(_.map(dlit).mkString("[", ", ", "]"))
       .mkString("[", ",\n    ", "]")
@@ -520,7 +549,7 @@ object ExtQueries {
        |    CASE WHEN qn * vn > 0
        |         THEN ROUND($pairFold / (qn * vn), 6) ELSE 0.0 END AS cosine
        |  FROM pr JOIN a ON pr.cell = a.cell
-       |  WHERE pr.prk <= 4 AND pr.query_id <> a.vec_id)
+       |  WHERE pr.prk <= $nprobe AND pr.query_id <> a.vec_id)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM j) t
@@ -740,6 +769,8 @@ object ExtQueries {
     val ivf =
       if (ivfCentsCache.size == 1)
         Map("q_sim_ivf" -> simIvfSqlFor(ivfCentsCache.values.iterator.next()),
+          "q_sim_ivf_partitioned" -> simIvfSqlFor(
+            ivfCentsCache.values.iterator.next(), nprobe = 2),
           "q_dedup_semantic" -> dedupSemanticSqlFor(
             ivfCentsCache.values.iterator.next()))
       else Map.empty[String, String]
@@ -2397,6 +2428,7 @@ object ExtQueries {
     "q_dedup_embedding" -> dedupEmbedding,
     "q_sim_topk" -> simTopK,
     "q_sim_ivf" -> simIvf,
+    "q_sim_ivf_partitioned" -> simIvfPartitionedQ,
     "q_sim_pq" -> simPq,
     "q_text_langid" -> textLangid,
     "q_text_quality" -> textQuality,

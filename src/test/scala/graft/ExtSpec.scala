@@ -989,6 +989,24 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 2e-6, s"$got vs $expect (base $baseDup)")
   }
 
+  test("partitioned IVF layout serves the same answers as the in-memory probe path") {
+    val e = emb.select("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 8, iters = 1)
+    val idir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, idir)
+    val queries = e.where(col("vec_id") < 5)
+    val fromDisk = Similarity.ivfPartitionedTopK(idir, queries,
+        "vec_id", "embedding", 5, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val inMem = Similarity.ivfTopKWith(queries, e,
+        "vec_id", "embedding", 5, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(fromDisk == inMem)
+    // the probe union is a proper subset of the cells on this fixture
+    val cells = Similarity.probeCellSet(queries, "embedding", cents, nprobe = 2)
+    assert(cells.length < 8 && cells.nonEmpty, cells.mkString(","))
+  }
+
   test("matryoshka funnel: exact when shortlist covers corpus, planted copy at rank 1") {
     val e = emb.select("vec_id", "embedding")
     val queries = e.where(col("vec_id") < 5)
