@@ -139,7 +139,7 @@ object Selection {
     * with its own tail (zip_with evaluates each array child once per
     * row — see Featurize.ngramsCol for why transform(sequence...) is
     * the trap here); the pad-null tail pair is filtered out. */
-  private def bigramPairs(textCol: String, hexChars: Int): Column = {
+  private[graft] def bigramPairs(textCol: String, hexChars: Int): Column = {
     val toks = Featurize.tokensCol(col(textCol))
     filter(
       zip_with(
@@ -169,27 +169,38 @@ object Selection {
     * `(idCol, n_bigrams, bits_per_token)` — 6-dp-rounded, null for
     * documents with < 2 tokens. Purely per-document given the model:
     * scoring a union equals the union of scorings. */
-  def lmScore(df: DataFrame, textCol: String, idCol: String,
-              model: LmModel): DataFrame = {
-    val spark = df.sparkSession
+  /** The frozen model as its two broadcastable count frames
+    * (`(__b1, __b2, __np)` pair counts, `(__b1, __nc)` context
+    * counts). */
+  private[graft] def modelFrames(
+      spark: org.apache.spark.sql.SparkSession,
+      model: LmModel): (DataFrame, DataFrame) =
+    (spark.createDataFrame(model.pairCounts).toDF("__b1", "__b2", "__np"),
+      spark.createDataFrame(model.ctxCounts.toSeq).toDF("__b1", "__nc"))
+
+  /** Per-bigram `-log2 P(b2|b1)` after the model joins (expects
+    * `__np`/`__nc` columns, null for unseen). */
+  private[graft] def bitsCol(model: LmModel): Column = {
     val nBuckets = math.pow(16.0, model.hexChars)
-    val exploded = df.select(col(idCol),
-        explode_outer(bigramPairs(textCol, model.hexChars)).as("__p"))
-      .select(col(idCol), col("__p.b1").as("__b1"), col("__p.b2").as("__b2"))
-    val pairDf = spark.createDataFrame(model.pairCounts)
-      .toDF("__b1", "__b2", "__np")
-    val ctxDf = spark.createDataFrame(model.ctxCounts.toSeq)
-      .toDF("__b1", "__nc")
-    val ln2 = math.log(2.0)
     val logp = log(
       (coalesce(col("__np"), lit(0L)).cast("double") + model.alpha) /
       (coalesce(col("__nc"), lit(0L)).cast("double") + model.alpha * nBuckets))
+    -logp / math.log(2.0)
+  }
+
+  def lmScore(df: DataFrame, textCol: String, idCol: String,
+              model: LmModel): DataFrame = {
+    val spark = df.sparkSession
+    val exploded = df.select(col(idCol),
+        explode_outer(bigramPairs(textCol, model.hexChars)).as("__p"))
+      .select(col(idCol), col("__p.b1").as("__b1"), col("__p.b2").as("__b2"))
+    val (pairDf, ctxDf) = modelFrames(spark, model)
     exploded
       .join(broadcast(pairDf), Seq("__b1", "__b2"), "left")
       .join(broadcast(ctxDf), Seq("__b1"), "left")
       .groupBy(col(idCol))
       .agg(count(col("__b1")).as("n_bigrams"),
-        sum(when(col("__b1").isNotNull, -logp / ln2)).as("__bits"))
+        sum(when(col("__b1").isNotNull, bitsCol(model))).as("__bits"))
       .select(col(idCol), col("n_bigrams"),
         when(col("n_bigrams") > 0,
           round(col("__bits") / col("n_bigrams"), 6)).as("bits_per_token"))

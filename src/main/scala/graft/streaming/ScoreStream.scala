@@ -34,6 +34,45 @@ object ScoreStream {
                        schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Streaming corpus-quality monitor: every arriving document is
+    * scored against a FROZEN bigram LM
+    * ([[graft.ext.Selection.lmTrain]]) and the monitor emits
+    * per-(window, source) aggregate quality — bigram volume and
+    * corpus-level bits per token. Drift detection for an ingest
+    * pipeline: a source whose bits climb is drifting away from the
+    * target distribution; one that collapses toward zero is
+    * boilerplate/duplication.
+    *
+    * Streaming-safe by construction: the bigram explode and the two
+    * model joins are STATELESS (model frames broadcast, re-planned
+    * per micro-batch), and the only state is the watermarked
+    * (window, source) aggregate — bounded and evicted, never keyed by
+    * document. Works identically on batch frames (how the spec pins
+    * values). */
+  def lmQualityMonitor(docs: DataFrame, model: graft.ext.Selection.LmModel,
+                       tsCol: String, srcCol: String, textCol: String,
+                       windowLen: String = "1 minute",
+                       watermark: String = "5 minutes"): DataFrame = {
+    val wm = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+             else docs
+    val exploded = wm.select(col(tsCol), col(srcCol),
+        explode(graft.ext.Selection.bigramPairs(textCol, model.hexChars))
+          .as("__p"))
+      .select(col(tsCol), col(srcCol),
+        col("__p.b1").as("__b1"), col("__p.b2").as("__b2"))
+    val (pairDf, ctxDf) =
+      graft.ext.Selection.modelFrames(docs.sparkSession, model)
+    exploded
+      .join(broadcast(pairDf), Seq("__b1", "__b2"), "left")
+      .join(broadcast(ctxDf), Seq("__b1"), "left")
+      .groupBy(window(col(tsCol), windowLen), col(srcCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(graft.ext.Selection.bitsCol(model))
+          / count(lit(1)), 6).as("bits_per_token"))
+      .select(col("window.start").as("window_start"), col(srcCol),
+        col("n_bigrams"), col("bits_per_token"))
+  }
+
   /** Score a (possibly streaming) frame with a trained model and count
     * predictions per window — "enriched with brand information in real
     * time". Model scoring is a pure transform, so it runs unchanged on

@@ -186,6 +186,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.contains("category"))
   }
 
+  test("streaming LM quality monitor: windowed bits match batch, drift source scores higher") {
+    import spark.implicits._
+    // frozen model trained on an in-distribution batch corpus
+    val target = Seq.tabulate(20)(i => (i.toLong, "a b a b a b a b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val model = graft.ext.Selection.lmTrain(target, "text",
+      col("lang") === "en")
+    // arriving stream: one in-distribution source, one drifted source,
+    // all inside a single 1-minute window
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    val rows = Seq(
+      (t0, "good", "a b a b a"),
+      (t0, "good", "b a b a"),
+      (t0, "drift", "zz qq xx yy"))
+    val dir = java.nio.file.Files.createTempDirectory("lmmon_src").toString
+    rows.toDF("ts", "source", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val monitored = ScoreStream.lmQualityMonitor(stream, model,
+      "ts", "source", "text")
+    // complete mode: a watermarked window only FINALIZES (append-emits)
+    // once a later watermark passes it; a monitor dashboard reads the
+    // running aggregate instead
+    val q = monitored.writeStream.outputMode("complete")
+      .format("memory").queryName("lmmon_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("lmmon_out").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // same values as the batch path over the same frame
+    val batch = ScoreStream.lmQualityMonitor(
+        spark.read.parquet(dir), model, "ts", "source", "text")
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == batch, s"stream=$out batch=$batch")
+    // volumes: 7 bigrams from "good" (4 + 3), 3 from "drift"
+    assert(out("good")._1 == 7 && out("drift")._1 == 3)
+    // the drifted source backs off to uniform (8 bits exactly, no
+    // bucket collisions — see ExtSpec's LM backoff test); the
+    // in-distribution source scores strictly lower
+    assert(out("drift")._2 == 8.0, out.toString)
+    assert(out("good")._2 < out("drift")._2)
+  }
+
   test("streaming CDC apply merges batches in order into atomic published versions") {
     import spark.implicits._
     val tableDir = java.nio.file.Files.createTempDirectory("cdc_table").toString
