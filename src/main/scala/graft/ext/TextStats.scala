@@ -190,6 +190,95 @@ object TextStats {
         size(grams).cast("double"), 6))
       .otherwise(0.0)
 
+  /** Gopher repetition-removal rule flags (Rae et al., arXiv:2112.11446
+    * §A1.2) — the second half of the Gopher filter, complementing
+    * [[withGopherFlags]]'s §A1.1 hygiene rules: documents dominated by
+    * repeated lines or by one endlessly repeated phrase are dropped
+    * before pre-training. Signals, with the paper's thresholds:
+    *
+    *  - duplicate-line fraction (non-first occurrences of a line over
+    *    all lines) <= 0.30;
+    *  - duplicate-line CHARACTER fraction (characters sitting in those
+    *    repeated occurrences over all line characters) <= 0.20;
+    *  - top-n-gram character fraction for n = 2, 3, 4 (characters
+    *    covered by the single most frequent n-gram, `count * len(gram)
+    *    / len(text)`) <= 0.20 / 0.18 / 0.16. The most frequent gram is
+    *    tie-broken lexicographically so the flags are deterministic.
+    *
+    * Scale shape: the line signals are IN-ROW array arithmetic over a
+    * staged `split(text, '\n')` — narrow, codegen'd, no shuffle. The
+    * top-gram signals explode `(id, n, gram)` rows into a two-phase
+    * hash count (map-side partials shrink the shuffle to distinct
+    * grams per task) and take the per-`(id, n)` head through a
+    * `row_number` window that plans as WindowGroupLimit — per-document
+    * work rides the same id-hash partitioning end to end, then one
+    * bounded conditional-agg pivot folds n = 2/3/4 back to a row per
+    * document. Nothing in the plan is quadratic in document length.
+    * Ratios are rounded to 6 dp for FP-noise-proof hash compares. */
+  def withRepetitionFlags(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
+    val lines = col("__lines")
+    val lineChars =
+      aggregate(transform(lines, l => length(l).cast("long")),
+        lit(0L), (a, v) => a + v)
+    val distinctLineChars =
+      aggregate(transform(array_distinct(lines), l => length(l).cast("long")),
+        lit(0L), (a, v) => a + v)
+    val staged = df
+      .withColumn("__lines",
+        filter(split(col(textCol), "\n"), l => length(l) > 0))
+      .withColumn("__toks", Featurize.tokensCol(col(textCol)))
+      .withColumn("n_lines", size(lines))
+      .withColumn("__line_chars", lineChars)
+      .withColumn("dup_line_frac",
+        when(col("n_lines") > 0,
+          round((col("n_lines") - size(array_distinct(lines))).cast("double") /
+            col("n_lines").cast("double"), 6)).otherwise(0.0))
+      .withColumn("dup_line_char_frac",
+        when(col("__line_chars") > 0,
+          round((col("__line_chars") - distinctLineChars).cast("double") /
+            col("__line_chars").cast("double"), 6)).otherwise(0.0))
+      .withColumn("__n_chars", length(col(textCol)))
+    // top-n-gram char fraction, n = 2/3/4: explode → two-phase count →
+    // per-(id, n) head → bounded pivot back to one row per document
+    val gramRows = Seq(2, 3, 4).map { n =>
+      staged.select(col(idCol), lit(n).as("__n"),
+        explode(Featurize.ngramsCol(col("__toks"), n)).as("__gram"))
+    }.reduce(_ unionAll _)
+    val counted = gramRows.groupBy(col(idCol), col("__n"), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("__n"))
+      .orderBy(col("__cnt").desc, col("__gram").asc)
+    val tops = counted
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .withColumn("__top_chars", col("__cnt") * length(col("__gram")))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__n") === 2, col("__top_chars"))).as("__top2"),
+        max(when(col("__n") === 3, col("__top_chars"))).as("__top3"),
+        max(when(col("__n") === 4, col("__top_chars"))).as("__top4"))
+    def fracOf(tc: Column): Column =
+      when(col("__n_chars") > 0 && tc.isNotNull,
+        round(tc.cast("double") / col("__n_chars").cast("double"), 6))
+        .otherwise(0.0)
+    staged.join(tops, Seq(idCol), "left")
+      .withColumn("top_2gram_char_frac", fracOf(col("__top2")))
+      .withColumn("top_3gram_char_frac", fracOf(col("__top3")))
+      .withColumn("top_4gram_char_frac", fracOf(col("__top4")))
+      .withColumn("rule_dup_lines", col("dup_line_frac") <= 0.30)
+      .withColumn("rule_dup_line_chars", col("dup_line_char_frac") <= 0.20)
+      .withColumn("rule_top2", col("top_2gram_char_frac") <= 0.20)
+      .withColumn("rule_top3", col("top_3gram_char_frac") <= 0.18)
+      .withColumn("rule_top4", col("top_4gram_char_frac") <= 0.16)
+      .withColumn("pass_repetition",
+        col("rule_dup_lines") && col("rule_dup_line_chars") &&
+          col("rule_top2") && col("rule_top3") && col("rule_top4"))
+      .drop("__lines", "__toks", "__line_chars", "__n_chars",
+        "__top2", "__top3", "__top4")
+  }
+
   /** PII scrub patterns, applied in order (email before PAN before
     * phone, so a card number is masked before the greedy phone class
     * can absorb its digits). Patterns stay in the Java∩RE2 regex

@@ -1961,6 +1961,95 @@ object ExtQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher repetition rules (§A1.2) over the corpus plus planted
+    * pathological documents: five docs duplicated line-wise
+    * (text + '\n' + text → dup-line fraction 0.5) and one phrase-spam
+    * doc ('spam ham ' × 30 → top-2-gram char fraction ≈ 0.88) — the
+    * planted rows must FAIL their rules while the organic corpus
+    * passes, so the thresholds are exercised in both directions. */
+  val qualityRepetitionQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val dupLines = docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit("\n"), col("text")).as("text"))
+    val spam = s.range(1).select(lit(300000L).as("doc_id"),
+      concat(repeat(lit("spam ham "), 30), lit("end")).as("text"))
+    TextStats.withRepetitionFlags(
+        docs.unionAll(dupLines).unionAll(spam), "text", "doc_id")
+      .select("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+        "rule_dup_lines", "rule_dup_line_chars", "rule_top2", "rule_top3",
+        "rule_top4", "pass_repetition")
+      .orderBy("doc_id")
+  }
+
+  val qualityRepetitionSql = {
+    def gramSql(n: Int) = {
+      val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
+      s"""list_transform(range(1, greatest(len(toks) - ${n - 1}, 0) + 1),
+         |    i -> concat_ws(' ', $parts))""".stripMargin
+    }
+    def foldLenSql(lst: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform($lst, l -> CAST(len(l) AS BIGINT))), (a, v) -> a + v)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text || chr(10) || text
+       |  FROM documents WHERE doc_id < 5
+       |  UNION ALL
+       |  SELECT 300000, repeat('spam ham ', 30) || 'end'),
+       |t AS (SELECT doc_id, text, $toksSql AS toks,
+       |  list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+       |  FROM base),
+       |ls AS (SELECT doc_id,
+       |  len(lines) AS n_lines,
+       |  len(list_distinct(lines)) AS n_dlines,
+       |  ${foldLenSql("lines")} AS line_chars,
+       |  ${foldLenSql("list_distinct(lines)")} AS dline_chars,
+       |  len(text) AS n_chars
+       |  FROM t),
+       |g AS (
+       |  SELECT doc_id, 2 AS n, unnest(${gramSql(2)}) AS gram FROM t
+       |  UNION ALL SELECT doc_id, 3, unnest(${gramSql(3)}) FROM t
+       |  UNION ALL SELECT doc_id, 4, unnest(${gramSql(4)}) FROM t),
+       |c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+       |tp AS (SELECT doc_id, n, gram, cnt,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id, n
+       |    ORDER BY cnt DESC, gram) AS rn FROM c),
+       |tv AS (SELECT doc_id,
+       |  MAX(CASE WHEN n = 2 THEN cnt * len(gram) END) AS top2,
+       |  MAX(CASE WHEN n = 3 THEN cnt * len(gram) END) AS top3,
+       |  MAX(CASE WHEN n = 4 THEN cnt * len(gram) END) AS top4
+       |  FROM tp WHERE rn = 1 GROUP BY 1),
+       |f AS (SELECT ls.doc_id, n_lines,
+       |  CASE WHEN n_lines > 0 THEN ROUND(CAST(n_lines - n_dlines AS DOUBLE)
+       |    / CAST(n_lines AS DOUBLE), 6) ELSE 0.0 END AS dup_line_frac,
+       |  CASE WHEN line_chars > 0 THEN ROUND(CAST(line_chars - dline_chars AS DOUBLE)
+       |    / CAST(line_chars AS DOUBLE), 6) ELSE 0.0 END AS dup_line_char_frac,
+       |  CASE WHEN n_chars > 0 AND top2 IS NOT NULL THEN
+       |    ROUND(CAST(top2 AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       |    ELSE 0.0 END AS top_2gram_char_frac,
+       |  CASE WHEN n_chars > 0 AND top3 IS NOT NULL THEN
+       |    ROUND(CAST(top3 AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       |    ELSE 0.0 END AS top_3gram_char_frac,
+       |  CASE WHEN n_chars > 0 AND top4 IS NOT NULL THEN
+       |    ROUND(CAST(top4 AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       |    ELSE 0.0 END AS top_4gram_char_frac
+       |  FROM ls LEFT JOIN tv ON ls.doc_id = tv.doc_id)
+       |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       |  top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+       |  dup_line_frac <= 0.3E0 AS rule_dup_lines,
+       |  dup_line_char_frac <= 0.2E0 AS rule_dup_line_chars,
+       |  top_2gram_char_frac <= 0.2E0 AS rule_top2,
+       |  top_3gram_char_frac <= 0.18E0 AS rule_top3,
+       |  top_4gram_char_frac <= 0.16E0 AS rule_top4,
+       |  dup_line_frac <= 0.3E0 AND dup_line_char_frac <= 0.2E0
+       |    AND top_2gram_char_frac <= 0.2E0 AND top_3gram_char_frac <= 0.18E0
+       |    AND top_4gram_char_frac <= 0.16E0 AS pass_repetition
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** DSIR importance weights against the English slice as the target
     * distribution: hashed-unigram (md5-prefix, 256 buckets) bucket
     * models from one bounded agg, per-document log-likelihood-ratio
@@ -2464,6 +2553,7 @@ object ExtQueries {
     "q_join_bucketed" -> joinBucketedQ,
     "q_bm25_topk" -> bm25TopKQ,
     "q_quality_gopher" -> qualityGopher,
+    "q_quality_repetition" -> qualityRepetitionQ,
     "q_dsir_weights" -> dsirWeightsQ,
     "q_dedup_semantic" -> dedupSemanticQ,
     "q_dedup_semantic_lsh" -> dedupSemanticLshQ,
@@ -2521,6 +2611,7 @@ object ExtQueries {
     "q_join_bucketed" -> joinBucketedSql,
     "q_bm25_topk" -> bm25TopKSql,
     "q_quality_gopher" -> qualityGopherSql,
+    "q_quality_repetition" -> qualityRepetitionSql,
     "q_dsir_weights" -> dsirWeightsSql,
     "q_dedup_semantic_lsh" -> dedupSemanticLshSql,
     "q_retrieval_hybrid" -> retrievalHybridSql,

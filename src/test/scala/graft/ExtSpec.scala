@@ -837,6 +837,38 @@ class ExtSpec extends AnyFunSuite {
     assert(f(4L).getAs[Boolean]("rule_words")) // 50 words is in range
   }
 
+  test("repetition flags: dup lines, dup-line chars and top-gram coverage computed exactly") {
+    import spark.implicits._
+    val varied = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      // 4 lines, 2 distinct ("aa bb" ×3 + "cc dd ee"): dup_line_frac = 2/4,
+      // dup chars = 2·5 / (3·5 + 8) = 10/23
+      (1L, "aa bb\naa bb\naa bb\ncc dd ee"),
+      // one line, no repeated grams
+      (2L, varied),
+      // "spam ham" 2-gram dominates: top2 = 10·8 / len(text)
+      (3L, (1 to 10).map(_ => "spam ham").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f = TextStats.withRepetitionFlags(rows, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[Int]("n_lines") == 4)
+    assert(f(1L).getAs[Double]("dup_line_frac") == 0.5)
+    assert(math.abs(f(1L).getAs[Double]("dup_line_char_frac") - 10.0 / 23.0) < 1e-6)
+    assert(!f(1L).getAs[Boolean]("rule_dup_lines"))
+    assert(!f(1L).getAs[Boolean]("pass_repetition"))
+    assert(f(2L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(f(2L).getAs[Boolean]("pass_repetition"))
+    // doc 3: text len = 10·8 + 9 = 89; top 2-gram is "ham spam"(9) or
+    // "spam ham"(10) → count 10, len 8 → 80/89
+    val top2 = f(3L).getAs[Double]("top_2gram_char_frac")
+    assert(math.abs(top2 - 80.0 / 89.0) < 1e-6)
+    assert(!f(3L).getAs[Boolean]("rule_top2"))
+    assert(!f(3L).getAs[Boolean]("pass_repetition"))
+    // ties broken lexicographically: doc 3's top 3-gram among equal-count
+    // candidates is the lexicographically smallest
+    assert(f(3L).getAs[Double]("top_3gram_char_frac") > 0.0)
+  }
+
   test("DSIR weights rank target-like raw documents above background") {
     import spark.implicits._
     val rows = Seq(
