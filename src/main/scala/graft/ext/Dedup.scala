@@ -705,6 +705,91 @@ object Dedup {
       }.toSeq: _*)
   }
 
+  /** Line-level corpus dedup — the CCNet/RefinedWeb boilerplate pass
+    * (Wenzek et al., arXiv:1911.00359 §3.1; Penedo et al.,
+    * arXiv:2306.01116): navigation menus, cookie banners and footers
+    * repeat VERBATIM at line granularity across millions of pages, so
+    * the line (not the document or the token span) is the natural
+    * dedup unit for web corpora. Two modes:
+    *
+    *  - `keepFirst = true` (default): every re-occurrence of a line
+    *    after its first appearance in `(id, pos)` order is cut — the
+    *    line-granular analog of [[spanDedup]];
+    *  - `keepFirst = false`: every occurrence of any line appearing
+    *    more than `maxOccurrences` times in the corpus is cut
+    *    everywhere — the pure boilerplate strip (nobody keeps the
+    *    cookie banner).
+    *
+    * Scale shape, identical to [[spanDedup]]: lines are hashed in a
+    * narrow pass and only `(md5, id, pos)` rides the winner-agg
+    * shuffle — line BODIES never move; the winner/frequency per hash
+    * is one fixed-width hash aggregate (`min(packed)` + `count`);
+    * losing positions fold to one small `(id, drop_ps)` row per
+    * affected document (AQE promotes the join to broadcast at real
+    * boilerplate rates) and a second narrow pass rebuilds the text by
+    * filtering the line array in place. The packed winner key inherits
+    * spanDedup's ENFORCED invariants: integral id in
+    * `[0, Long.MaxValue / maxLinesPerDoc)`, `raise_error` on
+    * `pos >= maxLinesPerDoc` — loud, never silently wrong.
+    *
+    * Output contract: every document with at least one non-empty line
+    * comes back as the `'\n'`-join of its surviving non-empty lines
+    * (empty lines are dropped uniformly, dedup or not — same
+    * normalization across all rows); documents with no non-empty
+    * lines pass through unchanged. Schema-preserving. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                keepFirst: Boolean = true, maxOccurrences: Long = 1,
+                maxLinesPerDoc: Long = 1L << 20): DataFrame = {
+    require(maxLinesPerDoc > 0, s"maxLinesPerDoc=$maxLinesPerDoc")
+    require(maxOccurrences >= 1, s"maxOccurrences=$maxOccurrences")
+    val idLimit = Long.MaxValue / maxLinesPerDoc
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"lineDedup: id column '$idCol' must be an integral type for the packed " +
+          s"winner key (got $other)")
+    }
+    def packedKey(id: Column, pos: Column): Column =
+      when(id < 0 || id >= idLimit, raise_error(concat(
+          lit(s"lineDedup: id must be in [0, $idLimit) for the packed winner key, got "),
+          id.cast("string"))))
+        .when(pos >= maxLinesPerDoc, raise_error(concat(
+          lit("lineDedup: document "), id.cast("string"), lit(" has line pos "),
+          pos.cast("string"),
+          lit(s" >= maxLinesPerDoc=$maxLinesPerDoc — raise maxLinesPerDoc"))))
+        .otherwise(id.cast("long") * maxLinesPerDoc + pos)
+    def linesCol(text: Column): Column =
+      filter(split(text, "\n"), l => length(l) > 0)
+    val lines = df
+      .select(col(idCol), linesCol(col(textCol)).as("__ls"))
+      .where(size(col("__ls")) > 0)
+      .select(col(idCol), posexplode(col("__ls")))
+      .select(col(idCol), col("pos"), md5(col("col")).as("__h"),
+        packedKey(col(idCol), col("pos")).as("__packed"))
+    val winners = lines.groupBy(col("__h"))
+      .agg(min(col("__packed")).as("__win"), count(lit(1)).as("__cnt"))
+    val losing =
+      if (keepFirst) lines.join(winners, Seq("__h"))
+        .where(col("__packed") =!= col("__win"))
+      else lines.join(winners, Seq("__h"))
+        .where(col("__cnt") > maxOccurrences)
+    val drops = losing.groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__drop"))
+    val rebuilt =
+      when(size(col("__ls")) === 0, col(textCol)).otherwise(
+        array_join(
+          filter(col("__ls"),
+            (l, i) => not(coalesce(array_contains(col("__drop"), i), lit(false)))),
+          "\n"))
+    df.withColumn("__ls", linesCol(col(textCol)))
+      .join(drops, Seq(idCol), "left")
+      .select(df.columns.map {
+        case c if c == textCol => rebuilt.as(textCol)
+        case c => col(s"`$c`")
+      }.toSeq: _*)
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup over an
     * EMBEDDING column — k-means-cluster the vectors, then drop every
     * document whose cosine to an earlier (lower-id) member of the SAME

@@ -1304,6 +1304,44 @@ object ExtQueries {
        |  COALESCE(r.text, CASE WHEN n.nb = 0 THEN n.text ELSE '' END) AS text
        |FROM n LEFT JOIN r USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
+  /** Line-level corpus dedup ([[Dedup.lineDedup]], keep-first mode)
+    * over the corpus plus ten planted pages that append a shared
+    * boilerplate footer line: the footer must survive ONLY in the
+    * lowest-id planted page, each planted page's body line must lose
+    * to its organic original, and organic one-line documents dedup
+    * exactly like `q_dedup_exact`'s text-level winners. */
+  val dedupLinesQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val boiler = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        concat(col("text"),
+          lit("\nsubscribe to our newsletter today")).as("text"))
+    Dedup.lineDedup(docs.unionAll(boiler), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dedupLinesSql =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 400000, text || chr(10) || 'subscribe to our newsletter today'
+      |  FROM documents WHERE doc_id < 10),
+      |t AS (SELECT doc_id, text,
+      |  list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+      |  FROM base),
+      |n AS (SELECT doc_id, text, lines, len(lines) AS nl FROM t),
+      |h AS (SELECT doc_id, unnest(range(0, nl)) AS pos, lines
+      |      FROM n WHERE nl > 0),
+      |p AS (SELECT doc_id, pos, lines[pos + 1] AS line,
+      |        doc_id * 1048576 + pos AS packed FROM h),
+      |w AS (SELECT doc_id, pos, line, packed,
+      |        min(packed) OVER (PARTITION BY md5(line)) AS win FROM p),
+      |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      |      FROM w WHERE packed = win GROUP BY 1)
+      |SELECT n.doc_id,
+      |  COALESCE(r.text, CASE WHEN n.nl = 0 THEN n.text ELSE '' END) AS text
+      |FROM n LEFT JOIN r USING (doc_id) ORDER BY n.doc_id""".stripMargin
+
   /** Sequence packing ([[TextStats.packSequences]]): documents →
     * fixed token-budget training sequences, packed within salted
     * partitions so no global order (and no single-partition window)
@@ -2547,6 +2585,7 @@ object ExtQueries {
     "q_pack_sequences" -> packSequencesQ,
     "q_chunk_docs" -> chunkDocsQ,
     "q_dedup_spans" -> dedupSpansQ,
+    "q_dedup_lines" -> dedupLinesQ,
     "q_sim_ivfpq" -> simIvfPq,
     "q_join_dpp" -> joinDppQ,
     "q_join_runtime_filter" -> joinRuntimeFilterQ,
@@ -2606,6 +2645,7 @@ object ExtQueries {
     "q_pack_sequences" -> packSequencesSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_dedup_spans" -> dedupSpansSql,
+    "q_dedup_lines" -> dedupLinesSql,
     "q_join_dpp" -> joinDppSql,
     "q_join_runtime_filter" -> joinRuntimeFilterSql,
     "q_join_bucketed" -> joinBucketedSql,

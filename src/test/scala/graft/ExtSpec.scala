@@ -701,6 +701,47 @@ class ExtSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("integral"), bad.getMessage)
   }
 
+  test("line dedup: keep-first cuts later occurrences, boilerplate mode cuts all") {
+    val df = Seq(
+      (1L, "unique article body\nsubscribe now\nmore body"),
+      (2L, "another page\nsubscribe now"),     // footer repeats -> cut here
+      (3L, "subscribe now\nthird page"),       // and here (pos order: doc 1 first)
+      (4L, "blank\n\n\nlines survive"),        // empty lines dropped uniformly
+      (5L, ""))                                // no non-empty lines -> unchanged
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val first = Dedup.lineDedup(df, "text", "doc_id")
+    assert(first.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val f = first.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f(1L) == "unique article body\nsubscribe now\nmore body")
+    assert(f(2L) == "another page")
+    assert(f(3L) == "third page")
+    assert(f(4L) == "blank\nlines survive")
+    assert(f(5L) == "")
+    // boilerplate mode: the shared footer vanishes EVERYWHERE
+    val strip = Dedup.lineDedup(df, "text", "doc_id", keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strip(1L) == "unique article body\nmore body")
+    assert(strip(2L) == "another page")
+    assert(strip(3L) == "third page")
+    // maxOccurrences = 2 tolerates a twice-repeated line
+    val twice = Seq((1L, "a\nshared"), (2L, "b\nshared"), (3L, "c\nshared"))
+      .toDF("doc_id", "text")
+    val tol = Dedup.lineDedup(twice, "text", "doc_id",
+        keepFirst = false, maxOccurrences = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tol == Map(1L -> "a\nshared", 2L -> "b\nshared", 3L -> "c\nshared"))
+    // packed-key guards inherited from the spanDedup idiom: loud, never silent
+    val past = intercept[Throwable] {
+      Dedup.lineDedup(Seq((0L, "l1\nl2\nl3")).toDF("doc_id", "text"),
+        "text", "doc_id", maxLinesPerDoc = 2).collect()
+    }
+    assert(allMessages(past).contains("maxLinesPerDoc"), allMessages(past))
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.lineDedup(Seq(("x", "a")).toDF("doc_id", "text"), "text", "doc_id")
+    }
+    assert(bad.getMessage.contains("integral"), bad.getMessage)
+  }
+
   test("span dedup normalizes whitespace uniformly across touched and untouched rows") {
     val df = Seq(
       (1L, "  w1  w2\tw3 w4  u1 u2 u3 u4 "),  // messy, no dropped blocks
