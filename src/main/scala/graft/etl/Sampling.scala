@@ -169,6 +169,23 @@ object Sampling {
       .drop("keep_rate")
   }
 
+  /** Deterministic weighted Bernoulli selection: keep each row with
+    * probability `clamp01(weight · scale)` decided by the md5
+    * membership bucket of its unique key — the application shape of
+    * per-document importance/quality weights (DSIR resampling, quality
+    * -proportional thinning). Against `rand()`-based Bernoulli this is
+    * reproducible across runs AND incremental: re-running over an
+    * extended corpus keeps exactly the same rows for unchanged keys,
+    * so yesterday's selection is a strict subset of today's. A pure
+    * narrow filter — no shuffle, no driver state, rides the scan at
+    * any corpus size. The effective probability is rounded to 6 dp
+    * before the bucket compare so the keep boundary is FP-portable
+    * across engines. */
+  def weightedSample(df: DataFrame, weight: Column, keyCol: String,
+                     scale: Double = 1.0, modulus: Int = 1 << 20): DataFrame =
+    df.where(membershipBucket(col(keyCol), modulus) <
+      least(greatest(round(weight * scale, 6), lit(0.0)), lit(1.0)) * modulus)
+
   /** Deterministic variant of the floored/overshoot training-file
     * sampler (`utils/fasttext_utils.py:44-56`). */
   def sampleForTrainingFile(df: DataFrame, labelCol: String, keyCol: String,

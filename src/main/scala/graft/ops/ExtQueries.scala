@@ -872,6 +872,54 @@ object ExtQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality-weighted deterministic selection
+    * ([[graft.etl.Sampling.weightedSample]]): each document is kept
+    * with probability equal to its quality score, decided by the md5
+    * membership bucket of `doc_id` — per-document importance weights
+    * applied as a reproducible narrow filter (the DSIR-resampling
+    * shape) instead of a `rand()` Bernoulli draw. */
+  val selectWeightedQ: Q = (s, dir) => {
+    val scored = documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        Featurize.tokensCol(lower(col("text"))).as("__lt"))
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("__nt"),
+        TextStats.punctRatio(col("text")).as("__pr"),
+        TextStats.stopwordRatioOfTokens(col("__lt")).as("__sr"))
+      .select(col("doc_id"),
+        TextStats.qualityScoreFrom(col("__nt"), col("__pr"), col("__sr"))
+          .as("quality"))
+    graft.etl.Sampling.weightedSample(scored, col("quality"), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val selectWeightedSql = {
+    val stoplist = TextStats.langMarkers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks, $toksLowerSql AS ltoks
+       |  FROM documents),
+       |c AS (SELECT doc_id, len(toks) AS n_tokens,
+       |  CASE WHEN len(text) > 0 THEN
+       |    CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(len(text) AS DOUBLE) ELSE 0.0 END AS pr,
+       |  CASE WHEN len(ltoks) > 0 THEN
+       |    CAST(len(list_filter(ltoks, tk -> list_contains($stoplist, tk))) AS DOUBLE)
+       |      / CAST(len(ltoks) AS DOUBLE) ELSE 0.0 END AS sr
+       |FROM t),
+       |q AS (SELECT doc_id,
+       |  ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+       |        (1.0 - least(pr * 5.0, 1.0)) * 0.4 +
+       |        least(sr * 5.0, 1.0) * 0.2, 6) AS quality
+       |FROM c)
+       |SELECT doc_id, quality FROM q
+       |WHERE ($hex8) % 1048576 <
+       |  least(greatest(ROUND(quality * 1.0, 6), 0.0), 1.0) * 1048576
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Staged projection: tokenizer/regex components evaluate ONCE each,
     * later columns reference them by attribute (a one-projection form
     * would re-tokenize per output column — the HOF-CSE trap). */
@@ -2593,6 +2641,7 @@ object ExtQueries {
     "q_bm25_topk" -> bm25TopKQ,
     "q_quality_gopher" -> qualityGopher,
     "q_quality_repetition" -> qualityRepetitionQ,
+    "q_select_weighted" -> selectWeightedQ,
     "q_dsir_weights" -> dsirWeightsQ,
     "q_dedup_semantic" -> dedupSemanticQ,
     "q_dedup_semantic_lsh" -> dedupSemanticLshQ,
@@ -2652,6 +2701,7 @@ object ExtQueries {
     "q_bm25_topk" -> bm25TopKSql,
     "q_quality_gopher" -> qualityGopherSql,
     "q_quality_repetition" -> qualityRepetitionSql,
+    "q_select_weighted" -> selectWeightedSql,
     "q_dsir_weights" -> dsirWeightsSql,
     "q_dedup_semantic_lsh" -> dedupSemanticLshSql,
     "q_retrieval_hybrid" -> retrievalHybridSql,

@@ -130,6 +130,36 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted selection: clamped probabilities, incremental subset stability") {
+    import org.apache.spark.sql.functions._
+    val d = docs.select(col("doc_id"), (col("doc_id") % 10).cast("double")
+      .divide(10.0).as("w"))
+    // weight 0 keeps nothing; weight >= 1 (or any over-scale) keeps all
+    assert(Sampling.weightedSample(d, lit(0.0), "doc_id").count() == 0)
+    assert(Sampling.weightedSample(d, lit(1.0), "doc_id").count() == d.count())
+    assert(Sampling.weightedSample(d, lit(7.5), "doc_id").count() == d.count())
+    // keep rate tracks the weight: each decile keeps ~w of its rows
+    val kept = Sampling.weightedSample(d, col("w"), "doc_id")
+      .groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val per = d.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(0.0))
+    per.filter(_._1 >= 0.5).foreach { case (w, n) =>
+      val k = kept.getOrElse(w, 0L).toDouble
+      assert(math.abs(k - w * n) <= 4 * math.sqrt(n) + 5, s"w=$w kept=$k of $n")
+    }
+    // determinism + incrementality: selection over a 2x corpus agrees
+    // exactly with the original selection on the original keys
+    val ids1 = Sampling.weightedSample(d, col("w"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val extended = d.unionAll(d.select((col("doc_id") + 500000).as("doc_id"),
+      col("w")))
+    val ids2 = Sampling.weightedSample(extended, col("w"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2.filter(_ < 500000) == ids1)
+  }
+
   test("shard shuffle: dense 1..n positions per shard, reproducible, order is key-derived") {
     import org.apache.spark.sql.functions._
     val d = docs.select("doc_id")
