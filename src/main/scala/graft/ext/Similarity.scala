@@ -388,6 +388,95 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Per-dimension scalar-quantization bounds (FAISS `SQ8` analog):
+    * ONE bounded aggregation — posexplode → groupBy(dim index) →
+    * (min, max) — produces `dim` rows, collected to the driver and
+    * re-entering the plan as literals. Unlike k-means centroids these
+    * bounds are EXACT and fold-order deterministic (min/max, not
+    * floating sums), so an oracle can recompute the identical values
+    * in SQL — no memoization needed. Returns `(mins, steps)` with
+    * `step = (max - min) / 255`, or 0 for a constant dimension (its
+    * codes are all 0 and dequantization returns `min` exactly). */
+  def sqBounds(corpus: DataFrame, vecCol: String,
+               dim: Int): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("__pos", "__x")))
+      .groupBy("__pos")
+      .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+      .collect()
+    require(rows.length == dim,
+      s"sqBounds: saw ${rows.length} dimensions, expected $dim")
+    val mins = new Array[Double](dim)
+    val steps = new Array[Double](dim)
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      val mn = r.getDouble(1); val mx = r.getDouble(2)
+      mins(p) = mn
+      steps(p) = if (mx > mn) (mx - mn) / 255.0 else 0.0
+    }
+    (mins, steps)
+  }
+
+  /** Encode vectors as int8 scalar-quantized codes (`sq_code`:
+    * array of ints in [0, 255]) — 4× smaller than float32 storage,
+    * dequantizable per-dimension as `min + code·step`. Narrow per-row
+    * projection; at scale this runs once at ingest and only the codes
+    * (plus the staged dequantized norm, if scoring) are stored. */
+  def sqEncode(df: DataFrame, vecCol: String,
+               mins: Array[Double], steps: Array[Double]): DataFrame = {
+    val code =
+      zip_with(
+        zip_with(asDouble(col(vecCol)), lit(mins), (x, mn) => x - mn),
+        lit(steps),
+        (d, st) => when(st > 0,
+          least(greatest(round(d / st, 0), lit(0.0)), lit(255.0)).cast("int"))
+          .otherwise(lit(0)))
+    df.withColumn("sq_code", code)
+  }
+
+  /** Scalar-quantized approximate top-k: the corpus side is its int8
+    * CODES plus one staged dequantized norm — raw vectors are never
+    * read after encode. The asymmetric trick keeps per-pair work to a
+    * single dot product: with dequantized candidate
+    * `c'_i = min_i + code_i·step_i`,
+    * `q·c' = Σ q_i·min_i + Σ (q_i·step_i)·code_i`, and both the first
+    * term (`__qm`) and the scaled query (`__qs`) are computed ONCE per
+    * query before the broadcast join — so scoring a candidate is one
+    * codegen'd dot of `__qs` against the code array. Same rounding
+    * (6 dp) and `(cosine DESC, id)` tie-break as every other ANN
+    * path. */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int,
+             mins: Array[Double], steps: Array[Double]): DataFrame = {
+    val s = corpus.sparkSession
+    val dequant =
+      zip_with(
+        zip_with(col("sq_code"), lit(steps), (c, st) => c * st),
+        lit(mins), (x, mn) => x + mn)
+    val encoded = sqEncode(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "cv", mins, steps)
+      .withColumn("__dq", dequant)
+      .withColumn("__cxn", sqrt(nDot(s, col("__dq"), col("__dq"))))
+      .select(col("neighbor_id"),
+        transform(col("sq_code"), _.cast("double")).as("__cd"), col("__cxn"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("__qn", sqrt(nDot(s, col("qv"), col("qv"))))
+      .withColumn("__qm", nDot(s, col("qv"), lit(mins)))
+      .withColumn("__qs", zip_with(col("qv"), lit(steps), (x, st) => x * st))
+      .drop("qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        when(col("__qn") * col("__cxn") > 0,
+          round((col("__qm") + nDot(s, col("__qs"), col("__cd"))) /
+            (col("__qn") * col("__cxn")), 6)).otherwise(0.0))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** IVFPQ — the production ANN composition (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search"): IVF centroids prune
     * the candidate set to the `nprobe` cells nearest each query, and

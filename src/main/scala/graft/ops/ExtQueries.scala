@@ -496,6 +496,57 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Int8 scalar-quantized ANN ([[Similarity.sqBounds]]/[[Similarity.sqTopK]],
+    * the FAISS SQ8 shape): per-dimension (min, max) from one bounded
+    * agg → 1-byte-per-dim codes (4× smaller index than float32) →
+    * asymmetric scoring where each candidate costs ONE dot product of
+    * the pre-scaled query against the code array. The bounds are
+    * exact min/max (fold-order deterministic), so the oracle
+    * recomputes them in SQL — a fully STATIC oracle, unlike the
+    * k-means-seeded PQ/IVF family. */
+  val simSq8: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    val (mins, steps) = Similarity.sqBounds(emb, "embedding", 64)
+    Similarity.sqTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", 5, mins, steps)
+      .orderBy("query_id", "rank")
+  }
+
+  val simSq8Sql = {
+    val qnFold = foldSumSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")
+    val qmFold = foldSumSql("list_transform(range(1, 65), i -> qv[i] * mins[i])")
+    val dqSq = "(code[i] * steps[i] + mins[i]) * (code[i] * steps[i] + mins[i])"
+    val cnFold = foldSumSql(s"list_transform(range(1, 65), i -> $dqSq)")
+    val adotFold = foldSumSql(
+      "list_transform(range(1, 65), i -> (qv[i] * steps[i]) * code[i])")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |d AS (SELECT i, MIN(cv[i]) AS mn, MAX(cv[i]) AS mx
+       |      FROM e, range(1, 65) t(i) GROUP BY i),
+       |b AS (SELECT list(mn ORDER BY i) AS mins,
+       |             list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+       |                  ELSE 0.0 END ORDER BY i) AS steps
+       |      FROM d),
+       |enc AS (SELECT vec_id,
+       |    list_transform(range(1, 65), i -> CASE WHEN steps[i] > 0
+       |      THEN CAST(least(greatest(round((cv[i] - mins[i]) / steps[i]), 0.0),
+       |                      255.0) AS INTEGER)
+       |      ELSE 0 END) AS code
+       |  FROM e, b),
+       |cn AS (SELECT vec_id, code, sqrt($cnFold) AS cxn FROM enc, b),
+       |q AS (SELECT vec_id AS query_id, cv AS qv,
+       |    sqrt($qnFold) AS qn, $qmFold AS qm
+       |  FROM e, b WHERE vec_id < 10),
+       |j AS (SELECT query_id, cn.vec_id AS neighbor_id,
+       |    CASE WHEN qn * cxn > 0
+       |         THEN ROUND((qm + $adotFold) / (qn * cxn), 6)
+       |         ELSE 0.0 END AS cosine
+       |  FROM q, cn, b WHERE query_id <> cn.vec_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM j) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB double literal: an exponent suffix forces DOUBLE typing
     * (a plain decimal literal parses as DECIMAL, whose re-conversion
     * to double is not guaranteed bit-exact); Double.toString is
@@ -2605,6 +2656,7 @@ object ExtQueries {
     "q_sim_ivf" -> simIvf,
     "q_sim_ivf_partitioned" -> simIvfPartitionedQ,
     "q_sim_pq" -> simPq,
+    "q_sim_sq8" -> simSq8,
     "q_text_langid" -> textLangid,
     "q_text_quality" -> textQuality,
     "q_text_tokens" -> textTokens,
@@ -2667,6 +2719,7 @@ object ExtQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_sim_topk" -> simTopKSql,
+    "q_sim_sq8" -> simSq8Sql,
     "q_text_langid" -> textLangidSql,
     "q_text_quality" -> textQualitySql,
     "q_text_tokens" -> textTokensSql,

@@ -203,6 +203,45 @@ class ExtSpec extends AnyFunSuite {
     assert(found.contains(900000L), s"planted copy not in top-5: $found")
   }
 
+  test("SQ8 codes are valid, near-exact on planted copies, fine on constant dims") {
+    import spark.implicits._
+    val (mins, steps) = Similarity.sqBounds(emb, "embedding", 64)
+    assert(mins.length == 64 && steps.length == 64)
+    assert(steps.forall(_ >= 0.0))
+    val codes = Similarity.sqEncode(emb, "embedding", mins, steps)
+      .select(explode(col("sq_code"))).collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    // a planted exact copy must come back at rank 1: quantization noise
+    // is identical for identical vectors, so its cosine is the max
+    val planted = emb.union(emb.where(col("vec_id") === 3)
+      .select((col("vec_id") + 70000).as("vec_id"), col("embedding"),
+        col("label")))
+    val (m2, s2) = Similarity.sqBounds(planted, "embedding", 64)
+    val got = Similarity.sqTopK(planted.where(col("vec_id") === 3),
+        planted, "vec_id", "embedding", 1, m2, s2).collect()
+    assert(got.head.getAs[Long]("neighbor_id") == 70003L, got.mkString)
+    assert(got.head.getAs[Double]("cosine") > 0.999)
+    // SQ top-1 tracks brute-force top-1 closely (8-bit noise floor)
+    val q = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(q, emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sq = Similarity.sqTopK(q, emb, "vec_id", "embedding", 1, mins, steps)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    sq.foreach { case (qid, c) =>
+      assert(math.abs(c - brute(qid)) < 0.05, s"query $qid: sq=$c brute=${brute(qid)}")
+    }
+    // constant dimension -> step 0, code 0, dequant returns min exactly
+    val const = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(2.0f, 5.0f)),
+      (3L, Array(3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val (cm, cs) = Similarity.sqBounds(const, "embedding", 2)
+    assert(cs(1) == 0.0 && cm(1) == 5.0)
+    val cCodes = Similarity.sqEncode(const, "embedding", cm, cs)
+      .select(col("sq_code")(1)).collect().map(_.getInt(0))
+    assert(cCodes.forall(_ == 0))
+    assert(Similarity.sqTopK(const.where(col("vec_id") === 1), const,
+      "vec_id", "embedding", 2, cm, cs).count() == 2)
+  }
+
   test("IVFPQ equals PQ when probing all cells; pruning only narrows candidates") {
     val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
       dim = 64, m = 4, ksub = 8, iters = 1)
