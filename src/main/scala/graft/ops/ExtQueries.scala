@@ -1271,6 +1271,78 @@ object ExtQueries {
       |WHERE o_totalprice > 400000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AQE skew-join gate: a quarter of the fact table is remapped onto
+    * ONE hot key (the canonical production skew shape — a null-ish
+    * default, a celebrity entity) and the query THROWS unless AQE
+    * actually split the oversized partition at runtime (the executed
+    * SMJ must carry `skew=true`). This is the runtime half of the skew
+    * story — [[graft.ops.Skew.saltedJoin]] (`q_join_salted`) is the
+    * explicit-rewrite half; at 100 TB both matter: AQE repairs what
+    * statistics discover, salting prevents what you already know.
+    *
+    * Three structural constraints this gate had to learn the hard way
+    * (each reproduces at any scale, so they're documented here as
+    * operational knowledge, not fixture trivia):
+    *  - skew splits are unions of MAP-output ranges, so the skewed
+    *    side needs >= 2 map tasks — the single-row-group fixture file
+    *    yields one mapper, hence the explicit `repartition(16)`
+    *    (production scans have thousands of mappers and skip this);
+    *  - `OptimizeSkewedJoin` only matches a join whose children are
+    *    bare shuffle stages — the dimension side is built agg-free
+    *    (filter + one synthetic hot row) instead of a groupBy;
+    *  - a downstream operator that REUSES the join's hash partitioning
+    *    (e.g. a count-distinct whose merge agg clusters on the join
+    *    key) makes the split fail `ValidateRequirements` and silently
+    *    revert — the aggregate here keeps only count/sum, which
+    *    require no distribution. */
+  val joinSkewAqeQ: Q = (s, dir) => {
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      def hot(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(c % 4 === 0, lit(0L)).otherwise(c)
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(16)
+        .select(hot(col("l_orderkey")).as("key"), col("l_returnflag"),
+          col("l_quantity"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey").as("key"))
+        .unionAll(s.range(1).select(lit(0L).as("key")))
+      val joined = l.join(o, Seq("key"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+      val rows = joined.collectAsList()
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("skew=true"),
+        s"AQE did not split the skewed join partition (no skew=true in the " +
+          s"executed plan):\n$plan")
+      s.createDataFrame(rows, joined.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val joinSkewAqeSql =
+    """WITH l AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+      |    ELSE l_orderkey END AS key, l_returnflag, l_quantity FROM lineitem),
+      |o AS (SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 4 <> 0
+      |      UNION ALL SELECT 0)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM l JOIN o USING (key)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Train/test contamination ([[Dedup.contamination]]): corpus docs
     * sharing any 3-token shingle with a planted probe set (id%37),
     * flagged with occurrence counts — the decontamination primitive.
@@ -2689,6 +2761,7 @@ object ExtQueries {
     "q_sim_ivfpq" -> simIvfPq,
     "q_join_dpp" -> joinDppQ,
     "q_join_runtime_filter" -> joinRuntimeFilterQ,
+    "q_join_skew_aqe" -> joinSkewAqeQ,
     "q_join_bucketed" -> joinBucketedQ,
     "q_bm25_topk" -> bm25TopKQ,
     "q_quality_gopher" -> qualityGopher,
@@ -2750,6 +2823,7 @@ object ExtQueries {
     "q_dedup_lines" -> dedupLinesSql,
     "q_join_dpp" -> joinDppSql,
     "q_join_runtime_filter" -> joinRuntimeFilterSql,
+    "q_join_skew_aqe" -> joinSkewAqeSql,
     "q_join_bucketed" -> joinBucketedSql,
     "q_bm25_topk" -> bm25TopKSql,
     "q_quality_gopher" -> qualityGopherSql,
