@@ -169,6 +169,21 @@ object Sampling {
       .drop("keep_rate")
   }
 
+  /** Deterministic exact-N uniform sample: the N rows whose keys hash
+    * smallest (md5 order, key tie-break — a total order, so the carve
+    * is unique). This is the fixed-SIZE contract (eval sets,
+    * annotation batches, "give me exactly 10k docs") that rate-based
+    * sampling cannot promise. Plans as TakeOrderedAndProject:
+    * per-partition heads merged on the driver, never a global sort
+    * materialization — driver memory is O(N), corpus never shuffles.
+    * Note the contract difference vs [[weightedSample]]: the hash
+    * ORDER is stable under corpus growth, but new rows can displace
+    * boundary rows — an exact-N carve is inherently non-incremental. */
+  def sampleExactN(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n=$n")
+    df.orderBy(md5(col(keyCol).cast("string")), col(keyCol)).limit(n)
+  }
+
   /** Deterministic weighted Bernoulli selection: keep each row with
     * probability `clamp01(weight · scale)` decided by the md5
     * membership bucket of its unique key — the application shape of

@@ -279,6 +279,36 @@ object TextStats {
         "__top2", "__top3", "__top4")
   }
 
+  /** Vocabulary-coverage audit: what fraction of corpus token
+    * occurrences does a top-`vocabSize` word vocabulary cover, per
+    * group (usually language)? The coverage curve drives tokenizer
+    * and vocab-size decisions — a language whose coverage lags at a
+    * given vocab size is under-served by a shared vocabulary (its
+    * fertility explodes), which is exactly what this audit surfaces
+    * before training does.
+    *
+    * Scale shape: one explode feeds BOTH sides — a two-phase hash
+    * count whose top-k lands as TakeOrderedAndProject (bounded at
+    * `vocabSize` rows, total-ordered by `(count DESC, token)` so the
+    * cut is deterministic), re-entering as a BROADCAST membership
+    * join; per-group totals are one more hash agg. The corpus shuffles
+    * token partials, never text. */
+  def vocabCoverage(df: DataFrame, textCol: String, groupCol: String,
+                    vocabSize: Int): DataFrame = {
+    val tok = df.select(col(groupCol),
+      explode(Featurize.tokensCol(col(textCol))).as("__tok"))
+    val vocab = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__tok").asc)
+      .limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0))).cast("long").as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   /** PII scrub patterns, applied in order (email before PAN before
     * phone, so a card number is masked before the greedy phone class
     * can absorb its digits). Patterns stay in the Java∩RE2 regex

@@ -1398,6 +1398,27 @@ object ExtQueries {
        |SELECT l, r, COUNT(*) AS n FROM p
        |GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 40""".stripMargin
 
+  /** Vocabulary-coverage audit ([[TextStats.vocabCoverage]]): coverage
+    * of a top-200 word vocabulary per language — the fertility/OOV
+    * audit that sizes a shared tokenizer vocabulary. Top-k cut is
+    * total-ordered, so the vocab (and the coverage) is deterministic
+    * in both engines. */
+  val vocabCoverageQ: Q = (s, dir) =>
+    TextStats.vocabCoverage(documents(s, dir), "text", "lang", 200)
+      .orderBy("lang")
+
+  val vocabCoverageSql =
+    s"""WITH t AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+       |v AS (SELECT token FROM (
+       |  SELECT token, COUNT(*) AS n FROM t GROUP BY 1
+       |  ORDER BY n DESC, token LIMIT 200)),
+       |j AS (SELECT lang, CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS c
+       |  FROM t LEFT JOIN v USING (token))
+       |SELECT lang, COUNT(*) AS n_tokens,
+       |  CAST(SUM(c) AS BIGINT) AS n_covered,
+       |  ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** BPE merge list for [[bpeApplyQ]]: trained once per (session, dir)
     * on the deterministic doc_id % 10 subset (the [[TextStats.bpeTrain]]
     * sample-then-apply-everywhere shape) and memoized so the query and
@@ -2749,6 +2770,7 @@ object ExtQueries {
     "q_text_normalize" -> textNormalize,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_apply" -> bpeApplyQ,
+    "q_vocab_coverage" -> vocabCoverageQ,
     "q_contamination" -> contaminationQ,
     "q_contamination_other" -> contaminationOtherQ,
     "q_skipping_scan" -> skippingScanQ,
@@ -2812,6 +2834,7 @@ object ExtQueries {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_bpe_pairs" -> bpePairsSql,
+    "q_vocab_coverage" -> vocabCoverageSql,
     "q_contamination" -> contaminationSql,
     "q_contamination_other" -> contaminationOtherSql,
     "q_skipping_scan" -> skippingScanSql,

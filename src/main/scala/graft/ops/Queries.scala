@@ -557,6 +557,22 @@ object Queries {
       |  FROM documents) t
       |WHERE rank <= 40 ORDER BY doc_id""".stripMargin
 
+  /** Deterministic exact-N global carve
+    * ([[graft.etl.Sampling.sampleExactN]]): the 100 documents whose
+    * ids hash smallest — the fixed-size eval-set/annotation-batch
+    * contract, planned as TakeOrderedAndProject (per-partition heads,
+    * driver O(N), no global sort). */
+  val sampleExactNQ: Q = (s, dir) =>
+    graft.etl.Sampling.sampleExactN(
+        documents(s, dir).select("doc_id", "lang"), "doc_id", 100)
+      .orderBy("doc_id")
+
+  val sampleExactNSql =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang FROM documents
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100) t
+      |ORDER BY doc_id""".stripMargin
+
   /** Cross join (capability surface): region × nation grid. */
   val joinCross: Q = (s, dir) =>
     region(s, dir).crossJoin(nation(s, dir))
@@ -1327,6 +1343,7 @@ object Queries {
     "q_sample_rates" -> sampleRates,
     "q_split_train" -> splitTrain,
     "q_sample_fixed_n" -> sampleFixedN,
+    "q_sample_exact_n" -> sampleExactNQ,
     "q_ml_score" -> mlScore,
     "q_ml_eval_summary" -> mlEvalSummary,
     "q_ml_planted_accuracy" -> mlPlantedAccuracy,
@@ -1387,6 +1404,7 @@ object Queries {
     "q_sample_rates" -> sampleRatesSql,
     "q_split_train" -> splitTrainSql,
     "q_sample_fixed_n" -> sampleFixedNSql,
+    "q_sample_exact_n" -> sampleExactNSql,
     "q_training_file" -> trainingFileRoundtripSql,
     "q_featurize_counts" -> featurizeCountsSql,
     "q_join_cross" -> joinCrossSql,

@@ -160,6 +160,22 @@ class EtlSpec extends AnyFunSuite {
     assert(ids2.filter(_ < 500000) == ids1)
   }
 
+  test("exact-N sample: exactly N distinct rows, reproducible, hash-ordered carve") {
+    import org.apache.spark.sql.functions._
+    val d = docs.select("doc_id", "lang")
+    val a = Sampling.sampleExactN(d, "doc_id", 37)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(a.length == 37 && a.toSet.size == 37)
+    val b = Sampling.sampleExactN(d, "doc_id", 37)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(a.toSet == b.toSet) // reproducible
+    // growing N only extends the carve (prefix property of a total order)
+    val big = Sampling.sampleExactN(d, "doc_id", 60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.toSet.subsetOf(big))
+    intercept[IllegalArgumentException] { Sampling.sampleExactN(d, "doc_id", 0) }
+  }
+
   test("shard shuffle: dense 1..n positions per shard, reproducible, order is key-derived") {
     import org.apache.spark.sql.functions._
     val d = docs.select("doc_id")

@@ -949,6 +949,26 @@ class ExtSpec extends AnyFunSuite {
     assert(f(3L).getAs[Double]("top_3gram_char_frac") > 0.0)
   }
 
+  test("vocab coverage: top-k cut is deterministic and fractions are exact") {
+    import spark.implicits._
+    val d = Seq(
+      ("en", "aa aa aa bb bb cc"),   // aa:3 bb:2 cc:1
+      ("fr", "aa bb dd dd"))         // corpus: aa:4 bb:3 dd:2 cc:1
+      .toDF("lang", "text")
+    // vocab size 2 -> {aa, bb}
+    val cov = TextStats.vocabCoverage(d, "text", "lang", 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(cov("en") == ((6L, 5L, math.rint(5.0 / 6.0 * 1e6) / 1e6)))
+    assert(cov("fr") == ((4L, 2L, 0.5)))
+    // ties at the cut resolve lexicographically: cc vs dd at same count
+    val one = TextStats.vocabCoverage(d, "text", "lang", 3).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // vocab {aa, bb, dd} (dd:2 beats cc:1)
+    assert(one("fr") == 4L)
+    assert(one("en") == 5L)
+  }
+
   test("DSIR weights rank target-like raw documents above background") {
     import spark.implicits._
     val rows = Seq(
