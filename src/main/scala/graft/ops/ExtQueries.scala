@@ -1302,6 +1302,11 @@ object ExtQueries {
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      // pin the reduce-side width: at 4 shuffle partitions (spec
+      // sessions) the 25% hot key is barely 2× the median partition
+      // and the factor test sits exactly on its boundary; at 32 the
+      // skew ratio is ~11× at any fixture size
+      "spark.sql.shuffle.partitions" -> "32",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
