@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   *    footer line, so keep-first drops exactly (docs−1) footer copies
   *    per replica — dropped lines and surviving-line totals linear;
   *  - repetition audit: five planted line-duplicated docs per replica
-  *    fail their rules on top of the fixture's own organic failures —
-  *    the per-replica failing-doc count is a fixture constant
-  *    (756 at sf0.1), so the total is exactly linear;
+  *    fail their rules on top of the fixture's own organic failures.
+  *    The per-replica failing count is constant per SUFFIX LENGTH,
+  *    not globally: the audit's top-gram thresholds are CHAR ratios,
+  *    and the 3-char suffixes of replicas 10+ ("w10" vs "w0") nudge
+  *    ~5 borderline fixture docs per replica across a threshold
+  *    (measured: 756/replica for suffix "w0".."w9", 761/replica from
+  *    "w10" — x100 total 76050 = 10·756 + 90·761, exactly);
   *  - weighted selection: kept count is md5-distributed (exact only in
   *    expectation — ids differ per replica), so the pinned invariant
   *    is the scan size; the kept/total ratio should hold to ~3 dp;
