@@ -44,6 +44,28 @@ object Merge {
     * the rare change set too large to broadcast — Spark then plans a
     * shuffled anti join on the key.
     */
+  /** Snapshot diff: classify every key across two corpus versions as
+    * `added` / `removed` / `changed` / `same` by content hash — the
+    * audit between published versions (what did this refresh actually
+    * touch?) and the input to an incremental re-processing decision
+    * (only `added`+`changed` need re-scoring/re-embedding).
+    *
+    * Scale shape: content hashes are computed in a narrow pass BEFORE
+    * the join, so the full-outer join carries only `(id, md5)` per
+    * side — document bodies never shuffle. One exchange per side, the
+    * minimum any keyed diff needs. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+                 textCol: String): DataFrame = {
+    val o = oldDf.select(col(key).as("__k"), md5(col(textCol)).as("__ho"))
+    val n = newDf.select(col(key).as("__k"), md5(col(textCol)).as("__hn"))
+    o.join(n, Seq("__k"), "full_outer")
+      .select(col("__k").as(key),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") === col("__hn"), "same")
+          .otherwise("changed").as("status"))
+  }
+
   def applyCdc(base: DataFrame, changes: DataFrame, key: String,
                seqCol: String = "seq", opCol: String = "op",
                broadcastChanges: Boolean = true): DataFrame = {

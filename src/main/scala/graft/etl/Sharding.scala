@@ -36,6 +36,43 @@ object Sharding {
           .orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
   }
 
+  /** Curriculum sharding: shard = contiguous SCORE range (shard 0 =
+    * easiest fraction, shard n−1 = hardest), position = `(score, key)`
+    * order within the shard — the ordered-export counterpart of
+    * [[shuffleShards]] for curriculum-learning schedules (train easy →
+    * hard by streaming shards in order).
+    *
+    * A naive global `orderBy` would funnel the corpus through a range
+    * exchange dominated by one sort; instead the shard boundaries come
+    * from ONE bounded exact-`percentile` agg (4-dp-rounded, the
+    * [[graft.ext.Selection.lmThresholds]] idiom — `approx_percentile`
+    * is the documented 100 TB swap, same two-literal shape), applied
+    * as literals in a NARROW pass; the only wide op is the per-shard
+    * position window. Scores must be pre-rounded (all library scorers
+    * emit 6 dp) so the boundary compare is engine-portable. Ties at a
+    * boundary go to the LOWER shard (`score > b` strictly). */
+  def curriculumShards(df: DataFrame, scoreCol: String, keyCol: String,
+                       nShards: Int): DataFrame = {
+    require(nShards >= 2, s"nShards=$nShards")
+    import org.apache.spark.sql.expressions.Window
+    val probs = (1 until nShards).map(_.toDouble / nShards)
+    val r = df
+      .agg(percentile(col(scoreCol), array(probs.map(lit): _*)).as("__b"))
+      .select((1 until nShards).map(i =>
+        round(element_at(col("__b"), i), 4).as(s"b$i")): _*)
+      .head()
+    require(!r.isNullAt(0),
+      "curriculumShards: empty input or all-null scores — no boundaries")
+    val bounds = (0 until nShards - 1).map(r.getDouble)
+    val shard = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(scoreCol) > b, 1).otherwise(0)
+    }
+    df.withColumn("shard", shard.cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col(scoreCol), col(keyCol))))
+  }
+
   /** Materialize the shuffled shards as the training-export layout:
     * one parquet directory per shard (`shard=K/`), each holding ONE
     * file whose row order IS the shard's shuffled order (a trainer

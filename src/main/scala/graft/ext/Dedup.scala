@@ -705,6 +705,33 @@ object Dedup {
       }.toSeq: _*)
   }
 
+  /** Canonical-representative selection: given a `(group, id, weight)`
+    * assignment (exact-dup hash groups, minhash connected components,
+    * SemDeDup cells — any dedup clustering this module produces), keep
+    * the HIGHEST-weight member per group, smallest id on ties — "keep
+    * the best copy", the production refinement over keep-first dedup
+    * (the first crawl of a page is often the worst one: truncated,
+    * un-rendered, paywalled).
+    *
+    * Weights must be pre-rounded by the caller (every scorer in this
+    * library emits 6-dp-rounded values) — the winner is selected by
+    * VALUE equality against the group max, so an unrounded FP weight
+    * would make the pick engine-dependent. Scale shape: two fixed-width
+    * hash aggs (`max(weight)`, then `min(id)` among max-weight members)
+    * plus one join that carries only `(group, weight)` — no window, no
+    * sort, bodies never move. Returns `(group, id)` winners; anti/semi
+    * -join it back against the corpus to apply. */
+  def canonicalPick(groups: DataFrame, idCol: String, groupCol: String,
+                    weightCol: String): DataFrame = {
+    val best = groups.groupBy(col(groupCol))
+      .agg(max(col(weightCol)).as("__wmax"))
+    groups.join(best, Seq(groupCol))
+      .where(col(weightCol) === col("__wmax"))
+      .groupBy(col(groupCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(groupCol), col(idCol))
+  }
+
   /** Line-level corpus dedup — the CCNet/RefinedWeb boilerplate pass
     * (Wenzek et al., arXiv:1911.00359 §3.1; Penedo et al.,
     * arXiv:2306.01116): navigation menus, cookie banners and footers

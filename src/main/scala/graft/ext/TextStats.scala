@@ -279,6 +279,43 @@ object TextStats {
         "__top2", "__top3", "__top4")
   }
 
+  /** Length-bucketed batch assembly — the PADDED-batch counterpart of
+    * [[packSequences]] (which serves the packed/concatenated training
+    * regime): documents are grouped into fixed-size batches of
+    * SIMILAR length, so per-batch padding (`batchSize · max_len −
+    * Σ len`) stays small — the standard dynamic-batching move for
+    * sequence models that attend per-document.
+    *
+    * Scale shape: token counts are a narrow projection; the only wide
+    * op is ONE shuffle on the length bucket (bounded cardinality:
+    * `max_len / bucketWidth` buckets), inside which a `(n_tokens, id)`
+    * -ordered `row_number` assigns deterministic batch slots. Only
+    * `(id, n_tokens)` rides the shuffle — text never moves. The packed
+    * `batch_id = bucket · maxBatchesPerBucket + idx` inherits the
+    * enforced-invariant idiom: overflow raises, never aliases. */
+  def batchByLength(df: DataFrame, textCol: String, idCol: String,
+                    bucketWidth: Int, batchSize: Int,
+                    maxBatchesPerBucket: Long = 1L << 40): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth")
+    require(batchSize > 0, s"batchSize=$batchSize")
+    require(maxBatchesPerBucket > 0, s"maxBatchesPerBucket=$maxBatchesPerBucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("n_tokens"), col(idCol))
+    val idx = ((row_number().over(w) - 1) / batchSize).cast("long")
+    df.select(col(idCol),
+        size(Featurize.tokensCol(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bucket", floor(col("n_tokens") / bucketWidth))
+      .withColumn("__idx", idx)
+      .withColumn("batch_id",
+        when(col("__idx") >= maxBatchesPerBucket, raise_error(concat(
+          lit(s"batchByLength: bucket "), col("bucket").cast("string"),
+          lit(s" exceeds maxBatchesPerBucket=$maxBatchesPerBucket — raise it " +
+            "or enlarge batchSize"))))
+          .otherwise(col("bucket") * maxBatchesPerBucket + col("__idx")))
+      .drop("__idx")
+  }
+
   /** Vocabulary-coverage audit: what fraction of corpus token
     * occurrences does a top-`vocabSize` word vocabulary cover, per
     * group (usually language)? The coverage curve drives tokenizer

@@ -49,6 +49,65 @@ object ExtQueries {
       |  FROM documents) t
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Canonical-representative dedup ([[Dedup.canonicalPick]]): groups
+    * are first-10-token prefix fingerprints (a crude near-dup
+    * clustering) over the corpus plus planted suffix-mutated variants
+    * of every 17th doc; the keeper per group is the HIGHEST-quality
+    * member, smallest id on ties — "keep the best copy", vs
+    * `q_dedup_exact`'s keep-first. Weights are the 6-dp-rounded
+    * quality score, so the value-equality winner pick is
+    * engine-portable. */
+  val dedupCanonicalQ: Q = (s, dir) => {
+    val base = documents(s, dir).select("doc_id", "text")
+    val planted = base.where(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text"))
+    val scored = base.unionAll(planted)
+      .select(col("doc_id"), col("text"),
+        Featurize.tokensCol(col("text")).as("__t"),
+        Featurize.tokensCol(lower(col("text"))).as("__lt"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("__t"), 1, 10), " ")).as("grp"),
+        size(col("__t")).as("__nt"),
+        TextStats.punctRatio(col("text")).as("__pr"),
+        TextStats.stopwordRatioOfTokens(col("__lt")).as("__sr"))
+      .select(col("doc_id"), col("grp"),
+        TextStats.qualityScoreFrom(col("__nt"), col("__pr"), col("__sr"))
+          .as("quality"))
+    Dedup.canonicalPick(scored, "doc_id", "grp", "quality")
+      .orderBy("doc_id")
+  }
+
+  val dedupCanonicalSql = {
+    val stoplist = TextStats.langMarkers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zzz zzz zzz'
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |t AS (SELECT doc_id, text, $toksSql AS toks, $toksLowerSql AS ltoks
+       |  FROM base),
+       |c AS (SELECT doc_id,
+       |  md5(array_to_string(toks[1:10], ' ')) AS grp,
+       |  len(toks) AS n_tokens,
+       |  CASE WHEN len(text) > 0 THEN
+       |    CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(len(text) AS DOUBLE) ELSE 0.0 END AS pr,
+       |  CASE WHEN len(ltoks) > 0 THEN
+       |    CAST(len(list_filter(ltoks, tk -> list_contains($stoplist, tk))) AS DOUBLE)
+       |      / CAST(len(ltoks) AS DOUBLE) ELSE 0.0 END AS sr
+       |FROM t),
+       |q AS (SELECT doc_id, grp,
+       |  ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+       |        (1.0 - least(pr * 5.0, 1.0)) * 0.4 +
+       |        least(sr * 5.0, 1.0) * 0.2, 6) AS quality
+       |FROM c),
+       |b AS (SELECT grp, MAX(quality) AS wmax FROM q GROUP BY 1)
+       |SELECT grp, MIN(doc_id) AS doc_id
+       |FROM q JOIN b USING (grp) WHERE quality = wmax
+       |GROUP BY 1 ORDER BY 2""".stripMargin
+  }
+
   /** MinHash signatures (4 hash families over 3-shingles), scalable
     * explode+partial-agg form. */
   val dedupMinhashSig: Q = (s, dir) =>
@@ -1561,6 +1620,35 @@ object ExtQueries {
        |  part * 1099511627776 + "offset" // 256 AS seq_id
        |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Length-bucketed batch assembly ([[TextStats.batchByLength]]):
+    * per-batch padding audit (n_docs, max/sum tokens, padding) for the
+    * padded-batch training regime — the counterpart of
+    * `q_pack_sequences`' concatenation regime. Integer-only
+    * arithmetic, exact cross-engine. */
+  val batchByLengthQ: Q = (s, dir) =>
+    TextStats.batchByLength(documents(s, dir).select("doc_id", "text"),
+        "text", "doc_id", bucketWidth = 32, batchSize = 16)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padding",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .orderBy("batch_id")
+
+  val batchByLengthSql =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+       |b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+       |  (ROW_NUMBER() OVER (PARTITION BY n_tokens // 32
+       |     ORDER BY n_tokens, doc_id) - 1) // 16 AS idx FROM t)
+       |SELECT bucket * ${1L << 40} + idx AS batch_id,
+       |  COUNT(*) AS n_docs,
+       |  MAX(n_tokens) AS max_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Sliding-window chunking ([[TextStats.chunkDocs]]): overlapping
     * token windows (64 tokens, stride 48) for an embedding/RAG
     * pipeline. The oracle generates the same starts with range() and
@@ -2785,6 +2873,8 @@ object ExtQueries {
     "q_chunk_docs" -> chunkDocsQ,
     "q_dedup_spans" -> dedupSpansQ,
     "q_dedup_lines" -> dedupLinesQ,
+    "q_dedup_canonical" -> dedupCanonicalQ,
+    "q_batch_by_length" -> batchByLengthQ,
     "q_sim_ivfpq" -> simIvfPq,
     "q_join_dpp" -> joinDppQ,
     "q_join_runtime_filter" -> joinRuntimeFilterQ,
@@ -2849,6 +2939,8 @@ object ExtQueries {
     "q_chunk_docs" -> chunkDocsSql,
     "q_dedup_spans" -> dedupSpansSql,
     "q_dedup_lines" -> dedupLinesSql,
+    "q_dedup_canonical" -> dedupCanonicalSql,
+    "q_batch_by_length" -> batchByLengthSql,
     "q_join_dpp" -> joinDppSql,
     "q_join_runtime_filter" -> joinRuntimeFilterSql,
     "q_join_skew_aqe" -> joinSkewAqeSql,

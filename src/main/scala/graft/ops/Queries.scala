@@ -1247,6 +1247,69 @@ object Queries {
       |SELECT doc_id, lang, text FROM latest WHERE op <> 'd'
       |ORDER BY doc_id""".stripMargin
 
+  /** Snapshot diff ([[graft.etl.Merge.corpusDiff]]): classify every
+    * key across two corpus versions (same mutation fixture as
+    * `q_merge_upsert`: update %7, delete %13, insert %29) as
+    * added/removed/changed/same by content hash — the versioning audit
+    * and the input to incremental re-processing. */
+  val corpusDiffQ: Q = (s, dir) => {
+    val base = documents(s, dir).select("doc_id", "text")
+    val next = base.where(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.etl.Merge.corpusDiff(base, next, "doc_id", "text")
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  val corpusDiffSql =
+    """WITH next AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0),
+      |o AS (SELECT doc_id, md5(text) AS ho FROM documents),
+      |n AS (SELECT doc_id, md5(text) AS hn FROM next),
+      |d AS (SELECT
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN ho = hn THEN 'same' ELSE 'changed' END AS status
+      |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+      |SELECT status, COUNT(*) AS n FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Curriculum sharding ([[graft.etl.Sharding.curriculumShards]]):
+    * shard = contiguous difficulty quartile (boundaries from one
+    * bounded exact-percentile agg applied as literals — no global
+    * sort), pos = (difficulty, id) order within the shard. Difficulty
+    * here is document length — integer-valued, so the boundary
+    * compares are exact in both engines. */
+  val shardCurriculumQ: Q = (s, dir) =>
+    graft.etl.Sharding.curriculumShards(
+        documents(s, dir).select(col("doc_id"),
+          col("n_chars").cast("double").as("difficulty")),
+        "difficulty", "doc_id", nShards = 4)
+      .orderBy("doc_id")
+
+  val shardCurriculumSql =
+    """WITH t AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS difficulty
+      |  FROM documents),
+      |b AS (SELECT ROUND(quantile_cont(difficulty, 0.25E0), 4) AS b1,
+      |             ROUND(quantile_cont(difficulty, 0.5E0), 4) AS b2,
+      |             ROUND(quantile_cont(difficulty, 0.75E0), 4) AS b3 FROM t),
+      |s AS (SELECT doc_id, difficulty,
+      |  CAST((CASE WHEN difficulty > b1 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN difficulty > b2 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN difficulty > b3 THEN 1 ELSE 0 END) AS INTEGER) AS shard
+      |  FROM t, b)
+      |SELECT doc_id, difficulty, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+      |    ORDER BY difficulty, doc_id) AS INTEGER) AS pos
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Time-RANGE window frame — the window class none of the row-frame
     * queries cover: a trailing 10-minute moving aggregate per user
     * over EVENT TIME, where the frame is defined by the order value
@@ -1371,6 +1434,8 @@ object Queries {
     "q_window_ntile" -> windowNtile,
     "q_publish" -> publishRoundtrip,
     "q_merge_upsert" -> mergeUpsert,
+    "q_corpus_diff" -> corpusDiffQ,
+    "q_shard_curriculum" -> shardCurriculumQ,
     "q_zorder_key" -> zorderKey,
     "q_skew_profile" -> skewProfile,
     "q_window_range" -> windowRange,
@@ -1427,6 +1492,8 @@ object Queries {
     "q_window_ntile" -> windowNtileSql,
     "q_publish" -> publishRoundtripSql,
     "q_merge_upsert" -> mergeUpsertSql,
+    "q_corpus_diff" -> corpusDiffSql,
+    "q_shard_curriculum" -> shardCurriculumSql,
     "q_zorder_key" -> zorderKeySql,
     "q_skew_profile" -> skewProfileSql,
     "q_window_range" -> windowRangeSql,

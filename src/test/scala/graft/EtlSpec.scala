@@ -160,6 +160,41 @@ class EtlSpec extends AnyFunSuite {
     assert(ids2.filter(_ < 500000) == ids1)
   }
 
+  test("corpus diff classifies added/removed/changed/same by content hash") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val old = Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma").toDF("doc_id", "text")
+    val nxt = Seq(1L -> "alpha", 2L -> "beta v2", 4L -> "delta").toDF("doc_id", "text")
+    val d = graft.etl.Merge.corpusDiff(old, nxt, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "same", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("curriculum shards: contiguous score ranges, balanced quartiles, loud on empty") {
+    import org.apache.spark.sql.functions._
+    val d = docs.select(col("doc_id"), col("n_chars").cast("double").as("s"))
+    val sharded = graft.etl.Sharding.curriculumShards(d, "s", "doc_id", 4)
+    val rows = sharded.collect().map(r => (r.getDouble(1), r.getInt(2)))
+    assert(rows.map(_._2).toSet == Set(0, 1, 2, 3))
+    // contiguous ranges: every score in shard k is <= every score in shard k+1
+    val maxPer = rows.groupBy(_._2).view.mapValues(_.map(_._1).max).toMap
+    val minPer = rows.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    (0 to 2).foreach(k => assert(maxPer(k) <= minPer(k + 1),
+      s"shard $k max ${maxPer(k)} > shard ${k + 1} min ${minPer(k + 1)}"))
+    // roughly balanced: each quartile within 2x of N/4
+    val n = rows.length
+    rows.groupBy(_._2).foreach { case (k, g) =>
+      assert(g.size > n / 8 && g.size < n / 2, s"shard $k size ${g.size} of $n")
+    }
+    // positions dense 1..size per shard
+    val pos = sharded.groupBy("shard").agg(count(lit(1)).as("n"),
+      max(col("pos")).as("mx"), min(col("pos")).as("mn")).collect()
+    pos.foreach(r => assert(r.getLong(1) == r.getInt(2).toLong && r.getInt(3) == 1))
+    intercept[IllegalArgumentException] {
+      graft.etl.Sharding.curriculumShards(d.where(lit(false)), "s", "doc_id", 4)
+    }
+  }
+
   test("exact-N sample: exactly N distinct rows, reproducible, hash-ordered carve") {
     import org.apache.spark.sql.functions._
     val d = docs.select("doc_id", "lang")

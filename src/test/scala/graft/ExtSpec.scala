@@ -29,6 +29,40 @@ class ExtSpec extends AnyFunSuite {
     assert(deduped.where(col("doc_id") >= 10000).count() == 0)
   }
 
+  test("canonical pick keeps the highest-weight member, smallest id on ties") {
+    import spark.implicits._
+    val g = Seq(
+      ("g1", 1L, 0.5), ("g1", 2L, 0.9), ("g1", 3L, 0.9), // tie at 0.9 -> id 2
+      ("g2", 7L, 0.1),                                   // singleton
+      ("g3", 9L, 0.3), ("g3", 4L, 0.2))                  // 9 wins on weight
+      .toDF("grp", "id", "w")
+    val got = Dedup.canonicalPick(g, "id", "grp", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("g1" -> 2L, "g2" -> 7L, "g3" -> 9L))
+  }
+
+  test("length-bucketed batches: similar lengths share batches, padding is exact, overflow is loud") {
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(_ => "t").mkString(" ")
+    val d = Seq(1L -> doc(3), 2L -> doc(4), 3L -> doc(5),   // bucket 0 (w=8)
+      4L -> doc(9), 5L -> doc(10))                          // bucket 1
+      .toDF("doc_id", "text")
+    val b = TextStats.batchByLength(d, "text", "doc_id",
+        bucketWidth = 8, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // bucket 0, (n_tokens, id) order: 3,4 -> batch idx 0; 5 -> idx 1
+    val m = 1L << 40
+    assert(b(1L) == ((0L, 0L)) && b(2L) == ((0L, 0L)))
+    assert(b(3L) == ((0L, 1L)))
+    assert(b(4L) == ((1L, m)) && b(5L) == ((1L, m)))
+    // overflow raises rather than aliasing into the next bucket
+    val boom = intercept[Throwable] {
+      TextStats.batchByLength(d, "text", "doc_id",
+        bucketWidth = 8, batchSize = 1, maxBatchesPerBucket = 2).collect()
+    }
+    assert(allMessages(boom).contains("maxBatchesPerBucket"), allMessages(boom))
+  }
+
   test("minhash LSH surfaces a planted near-duplicate pair") {
     // plant: doc 9001 = doc 0's text with one token changed
     val base = docs.where(col("doc_id") === 0).select("text").head().getString(0)
