@@ -26,8 +26,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    out_dir, sf_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -77,6 +83,27 @@ def main():
     for name, v in sorted(results.items()):
         print(("PASS " if v.startswith("OK") else "FAIL ") + f"{name}: {v}")
     print(f"== {npass}/{len(results)} pass ==")
+    if json_out:
+        # driver-format sidecar: per-query rows/schema/hash verdicts
+        structured = {}
+        for name, v in sorted(results.items()):
+            rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+                   "spark_rows": None, "oracle_rows": None, "err": None}
+            if v.startswith("OK"):
+                n = int(v.split("rows=")[1])
+                rec.update(rows_match=True, schema_match=True, hash_match=True,
+                           spark_rows=n, oracle_rows=n)
+            elif v.startswith("VALUES"):
+                rec.update(rows_match=True, schema_match=True, hash_match=False)
+            elif v.startswith("ROWS"):
+                rec.update(rows_match=False)
+            elif v.startswith("SCHEMA"):
+                rec.update(schema_match=False)
+            else:
+                rec["err"] = v
+            structured[name] = rec
+        with open(json_out, "w") as f:
+            json.dump(structured, f, indent=1, sort_keys=True)
     sys.exit(0 if npass == len(results) else 1)
 
 
