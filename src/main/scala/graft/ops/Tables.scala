@@ -25,14 +25,23 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark refuses to map to TimestampType. Read nanos as long and
-    * truncate to microseconds — exactly what DuckDB does natively, so
-    * oracle parity holds. */
+  /** Events access tolerant of the fixture's timestamp physical type.
+    * Older fixture drops stored `ts` as parquet TIMESTAMP(NANOS) (Spark
+    * refuses to map it to TimestampType → read nanos as long, truncate
+    * to micros); current drops store TIMESTAMP(MICROS) without UTC
+    * adjustment (Spark reads TIMESTAMP_NTZ). Both normalize to a plain
+    * `TimestampType` micros column — with the session pinned to UTC the
+    * NTZ→LTZ cast is value-identity, so DuckDB oracle parity holds in
+    * either case. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
