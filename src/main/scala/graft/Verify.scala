@@ -19,6 +19,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture-drift canary: name any schema drift FIRST, loudly, so a
+    // regenerated fixture never again makes queries silently vanish
+    // from the correctness file. Warn-and-continue — a compatible
+    // drift (normalizeTs variants) must not zero the round.
+    graft.ops.FixtureCheck.problems(spark, sfDir) match {
+      case Nil => ()
+      case ps =>
+        System.err.println("[verify] ======== FIXTURE DRIFT ========")
+        ps.foreach(p => System.err.println(s"[verify] DRIFT: $p"))
+        System.err.println("[verify] ===============================")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

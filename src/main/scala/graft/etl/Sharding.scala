@@ -52,14 +52,24 @@ object Sharding {
     * emit 6 dp) so the boundary compare is engine-portable. Ties at a
     * boundary go to the LOWER shard (`score > b` strictly). */
   def curriculumShards(df: DataFrame, scoreCol: String, keyCol: String,
-                       nShards: Int): DataFrame = {
+                       nShards: Int, approxAccuracy: Int = 0): DataFrame = {
     require(nShards >= 2, s"nShards=$nShards")
     import org.apache.spark.sql.expressions.Window
     val probs = (1 until nShards).map(_.toDouble / nShards)
+    // approxAccuracy > 0 takes the 100 TB path: approx_percentile's
+    // mergeable GK sketch (error ≤ 1/accuracy of rank) instead of the
+    // exact all-values percentile buffer. Same two-literal shape
+    // downstream — the swap changes ONLY how the boundary doubles are
+    // computed, never the assignment pass.
+    val bAgg =
+      if (approxAccuracy > 0)
+        approx_percentile(col(scoreCol), array(probs.map(lit): _*),
+          lit(approxAccuracy))
+      else percentile(col(scoreCol), array(probs.map(lit): _*))
     val r = df
-      .agg(percentile(col(scoreCol), array(probs.map(lit): _*)).as("__b"))
+      .agg(bAgg.as("__b"))
       .select((1 until nShards).map(i =>
-        round(element_at(col("__b"), i), 4).as(s"b$i")): _*)
+        round(element_at(col("__b"), i).cast("double"), 4).as(s"b$i")): _*)
       .head()
     require(!r.isNullAt(0),
       "curriculumShards: empty input or all-null scores — no boundaries")

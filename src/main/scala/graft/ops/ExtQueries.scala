@@ -1504,7 +1504,12 @@ object ExtQueries {
   val bpeApplyQ: Q = (s, dir) =>
     TextStats.bpeApply(documents(s, dir).select("doc_id", "text"),
         "text", bpeMergesFor(s, dir))
-      .select(col("doc_id"), col("bpe_symbols"),
+      // driver-facing convention: no raw array columns (the driver's
+      // pandas comparator cannot sort/hash ndarrays) — project the
+      // symbol stream through array_join; the library API
+      // (TextStats.bpeApply) still returns the typed array.
+      .select(col("doc_id"),
+        array_join(col("bpe_symbols"), " ").as("bpe_text"),
         size(col("bpe_symbols")).as("n_symbols"))
       .orderBy("doc_id")
 
@@ -1528,7 +1533,7 @@ object ExtQueries {
     s"""WITH a AS (SELECT doc_id,
        |    list_filter(string_split($chain, ' '), t -> len(t) > 0) AS bpe_symbols
        |  FROM documents)
-       |SELECT doc_id, bpe_symbols,
+       |SELECT doc_id, array_to_string(bpe_symbols, ' ') AS bpe_text,
        |  CAST(len(bpe_symbols) AS INTEGER) AS n_symbols
        |FROM a ORDER BY doc_id""".stripMargin
   }
@@ -1896,8 +1901,8 @@ object ExtQueries {
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(src, "events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = s.readStream.schema(raw.schema).parquet(src)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.normalizeTs(
+        s.readStream.schema(raw.schema).parquet(src))
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[graft.streaming.ScoreStream.Event]
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -2036,8 +2041,8 @@ object ExtQueries {
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(src, "events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    def side(t: String) = s.readStream.schema(raw.schema).parquet(src)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def side(t: String) = Tables.normalizeTs(
+        s.readStream.schema(raw.schema).parquet(src))
       .where(col("event_type") === t)
     val joined = graft.streaming.ScoreStream.clickPurchaseAttributionOuter(
       side("click"), side("purchase"))
@@ -2237,6 +2242,58 @@ object ExtQueries {
        |  ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The documented 100 TB percentile swap, EXERCISED: curriculum
+    * shard boundaries from `approx_percentile` (mergeable GK sketch —
+    * rank error ≤ n/accuracy, merges across partitions without ever
+    * buffering all values) instead of exact `percentile`, compared
+    * assignment-by-assignment against the exact path INSIDE the query:
+    * it throws unless ≥ 98% of documents land in the same shard under
+    * both boundary computations (measured at fixture scale: the
+    * saturated sketch returns true order statistics, see PLANS.md).
+    * Output is the approx path's per-shard profile (count + score
+    * range), hash-oracled in DuckDB with `quantile_disc` boundaries —
+    * the discrete order-statistic rank semantics a saturated GK sketch
+    * produces (exact `percentile` interpolates BETWEEN elements; the
+    * sketch always answers WITH an element). */
+  val shardsApproxQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select(col("doc_id"),
+      col("n_chars").cast("double").as("difficulty"))
+    val exact = graft.etl.Sharding.curriculumShards(
+        docs, "difficulty", "doc_id", nShards = 4)
+      .select(col("doc_id"), col("shard").as("shard_e"))
+    val approx = graft.etl.Sharding.curriculumShards(
+        docs, "difficulty", "doc_id", nShards = 4, approxAccuracy = 10000)
+      .select(col("doc_id"), col("difficulty"), col("shard"))
+    // the gate: ONE bounded row to the driver; a diverging approx
+    // path kills the query loudly instead of shipping drifted shards
+    val agree = approx.join(exact, "doc_id")
+      .agg(avg(when(col("shard") === col("shard_e"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    if (agree < 0.98) throw new IllegalStateException(
+      f"approx-percentile shard assignments diverge from exact: " +
+        f"agreement=$agree%.4f < 0.98")
+    approx.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("difficulty")).as("lo"),
+        max(col("difficulty")).as("hi"))
+      .orderBy("shard")
+  }
+
+  val shardsApproxSql =
+    """WITH t AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS difficulty
+      |  FROM documents),
+      |b AS (SELECT ROUND(quantile_disc(difficulty, 0.25E0), 4) AS b1,
+      |             ROUND(quantile_disc(difficulty, 0.5E0), 4) AS b2,
+      |             ROUND(quantile_disc(difficulty, 0.75E0), 4) AS b3 FROM t),
+      |s AS (SELECT doc_id, difficulty,
+      |  CAST((CASE WHEN difficulty > b1 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN difficulty > b2 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN difficulty > b3 THEN 1 ELSE 0 END) AS INTEGER) AS shard
+      |  FROM t, b)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  MIN(difficulty) AS lo, MAX(difficulty) AS hi
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Gopher rule-filter flags over every document: per-rule booleans +
     * the conjunction, one narrow tokenize pass (audit form — a
@@ -2896,6 +2953,7 @@ object ExtQueries {
     "q_corpus_datasheet" -> corpusDatasheetQ,
     "q_retrieval_negatives" -> retrievalNegativesQ,
     "q_diversity_ngrams" -> diversityNgramsQ,
+    "q_shards_approx" -> shardsApproxQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2960,5 +3018,6 @@ object ExtQueries {
     "q_corpus_datasheet" -> corpusDatasheetSql,
     "q_retrieval_negatives" -> retrievalNegativesSql,
     "q_diversity_ngrams" -> diversityNgramsSql,
+    "q_shards_approx" -> shardsApproxSql,
   )
 }

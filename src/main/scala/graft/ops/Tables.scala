@@ -34,15 +34,45 @@ object Tables {
     * NTZ→LTZ cast is value-identity, so DuckDB oracle parity holds in
     * either case. */
   def events(s: SparkSession, dir: String): DataFrame = {
+    val prev = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampType => df
-      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
-    }
+    // Leave the legacy conf set ONLY when this fixture actually stores
+    // nanos (the executors need it at scan time); otherwise restore the
+    // prior value so an unrelated later read of a nanos file in the same
+    // session doesn't silently come back as LongType.
+    if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", p)
+        case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    normalizeTs(df)
   }
+
+  /** Normalize the events `ts` column to a plain `TimestampType`
+    * regardless of the fixture's physical parquet type. Works on batch
+    * AND streaming frames (schema-dispatch + `withColumn` only) — every
+    * events read, `readStream` included, must go through this so a
+    * fixture-drop type change breaks zero queries. Known variants:
+    *   - TIMESTAMP(NANOS) read as LongType under
+    *     `spark.sql.legacy.parquet.nanosAsLong` → truncate to micros;
+    *   - TIMESTAMP(MICROS) with UTC adjustment → TimestampType, as-is;
+    *   - TIMESTAMP(MICROS) without UTC adjustment → TIMESTAMP_NTZ; with
+    *     the session pinned to UTC the NTZ→LTZ cast is value-identity.
+    * Anything else is fixture drift and fails LOUDLY (a silent
+    * best-effort cast would turn unparseable values into nulls and break
+    * DuckDB oracle parity invisibly). */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast("timestamp"))
+      case other => throw new IllegalStateException(
+        s"fixture drift: events.$colName has unexpected type $other " +
+          "(expected long-nanos / timestamp / timestamp_ntz) — extend Tables.normalizeTs")
+    }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 

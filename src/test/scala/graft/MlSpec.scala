@@ -51,6 +51,40 @@ class MlSpec extends AnyFunSuite {
       "q_50_acc", "q_75_acc", "q_95_acc"))
   }
 
+  /** The ML floor guard (q_ml_eval_summary is the bench's most
+    * expensive query every round): featurize→fit→score must ship only
+    * BOUNDED data to the driver — gradient aggregates O(features ×
+    * classes), indexer labels, the 1-row summary — never anything
+    * row-scale. Detector: sum per-task result bytes via a listener at two
+    * corpus sizes 16× apart; bounded driver traffic stays ~flat, a
+    * row-scale collect would grow ~16×. */
+  test("train→score driver-result bytes stay flat as the corpus scales 16x") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    def measure(n: Int): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) { acc.addAndGet(t.taskMetrics.resultSize); () }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val d = synth(n)
+        val m = Trainer.train(d, "merchant", "narrative",
+          Trainer.Params(epoch = 3, wordNgrams = 1, numFeatures = 1 << 13))
+        val scored = m.predict(d, "narrative", "pr_merchant")
+        Evaluator.summary(scored, "merchant", "pr_merchant").collect()
+        Thread.sleep(2000) // listener bus drains asynchronously
+        acc.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val small = measure(500)
+    val big = measure(8000)
+    assert(small > 0, "listener captured nothing — detector broken")
+    assert(big < small * 4,
+      s"driver-result bytes grew ${big.toDouble / small}x over a 16x corpus " +
+        s"($small -> $big) — something in featurize/fit/score collects row-scale data")
+  }
+
   test("save/load round trip predicts identically; registry resolves production") {
     val tmp = java.nio.file.Files.createTempDirectory("ml").toString
     val model = Trainer.train(trainDf, "merchant", "narrative",

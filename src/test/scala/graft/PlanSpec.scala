@@ -178,10 +178,29 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no query in the driver surface touches Python or RDD scans") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     SparkEntry.queries.foreach { case (name, q) =>
-      val plan = try planOf(q) catch {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (df, plan) = try {
+        val d = q(spark, dir)
+        (d, d.queryExecution.executedPlan.toString)
+      } catch {
         case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}")
-      }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      // Driver-comparability: the driver's pandas comparator cannot
+      // sort/hash array/map/struct cells (caught live: q_bpe_apply went
+      // `err` in r08 on a raw array<string> column). Oracled outputs
+      // must be scalar columns — serialize collections via
+      // array_join/concat_ws/to_json before returning.
+      if (SparkEntry.oracleSql.contains(name))
+        df.schema.fields.foreach { f =>
+          assert(!f.dataType.isInstanceOf[ArrayType]
+              && !f.dataType.isInstanceOf[MapType]
+              && !f.dataType.isInstanceOf[StructType],
+            s"$name outputs non-scalar column `${f.name}`: ${f.dataType.sql} " +
+              "— the driver comparator cannot hash it; serialize to a scalar")
+        }
       assert(!plan.contains("BatchEvalPython") && !plan.contains("PythonUDF"),
         s"$name contains a Python node")
       // Checkpoint-by-design queries are exempt from the RDD-scan
