@@ -179,6 +179,56 @@ object TextStats {
       .drop("__gtoks")
   }
 
+  /** C4 cleaning rules (Raffel et al., arXiv:1910.10683 §2.2) — the
+    * third canonical web-filter family alongside the Gopher hygiene and
+    * repetition rules: line-level retention plus page-level disposal,
+    * applied when assembling a pre-training corpus from crawled pages.
+    *
+    * Line rule (a line SURVIVES iff all three hold):
+    *  - ends in a terminal punctuation mark (`.`, `!`, `?`, or a
+    *    closing quote) after trimming;
+    *  - contains at least `minLineWords` (paper: 5) whitespace words;
+    *  - does not mention "javascript" (case-insensitive) — the
+    *    boilerplate cookie/JS-warning heuristic.
+    * Page rules (the page FAILS if any hold, evaluated on the raw
+    * text except the sentence floor, which sees surviving lines only):
+    *  - fewer than `minSentences` (paper: 3) sentences survive —
+    *    sentences counted as terminal-punctuation marks;
+    *  - the phrase "lorem ipsum" appears (placeholder text);
+    *  - a curly brace appears (code, not prose).
+    * (The paper's dirty-word-list rule needs its external list and is
+    * the caller's `markerHits` filter; not hardcoded here.)
+    *
+    * Scale shape: pure narrow codegen — one `split` on newlines, one
+    * higher-order `filter` with in-row regex/word tests, `array_join`
+    * rebuild, `regexp_count` sentence tally. No shuffle, no explode;
+    * per-document cost linear in text length. Output: audit columns
+    * (`n_lines`, `n_kept`, `n_sentences`, `has_lorem`, `has_brace`,
+    * `pass_c4`) plus `text_c4` (the surviving lines re-joined) — a
+    * pipeline hard-filters with `where(pass_c4)` and keeps `text_c4`. */
+  def withC4Flags(df: DataFrame, textCol: String,
+                  minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val keptLines = filter(split(col(textCol), "\n"), l =>
+      trim(l).rlike("[.!?\"']$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val staged = df
+      .withColumn("__c4lines", split(col(textCol), "\n"))
+      .withColumn("__c4kept", keptLines)
+      .withColumn("text_c4", array_join(col("__c4kept"), "\n"))
+    staged
+      .withColumn("n_lines", size(col("__c4lines")))
+      .withColumn("n_kept", size(col("__c4kept")))
+      .withColumn("n_sentences", regexp_count(col("text_c4"), lit("[.!?]")))
+      .withColumn("has_lorem",
+        lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("pass_c4",
+        !col("has_lorem") && !col("has_brace") &&
+          col("n_sentences") >= minSentences && col("n_kept") >= 1)
+      .drop("__c4lines", "__c4kept")
+  }
+
   /** Fraction of repeated (non-distinct) n-grams in a pre-computed
     * gram array — the Gopher-style repetition quality signal. Callers
     * should pass an ATTRIBUTE (stage the gram expression under its own
@@ -455,9 +505,11 @@ object TextStats {
     * corpus-level statistics, so a uniform sample preserves the
     * adoption order of all but the rarest ties. */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int,
-               sampleFraction: Double = 1.0): Seq[(String, String, Long)] = {
+               sampleFraction: Double = 1.0,
+               checkpointEvery: Int = 16): Seq[(String, String, Long)] = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction=$sampleFraction must be in (0, 1]")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     val modulus = 1 << 20
     val base =
       if (sampleFraction >= 1.0) df
@@ -469,6 +521,7 @@ object TextStats {
       // stream materialized so round i doesn't re-run rounds 0..i-1
       .persist()
     val adopted = Seq.newBuilder[(String, String, Long)]
+    var sinceCut = 0
     try {
       for (_ <- 0 until merges) {
         val top = pairCounts(cur, "__t", 1).collect()
@@ -476,10 +529,25 @@ object TextStats {
           val (l, r, n) = (top(0).getString(0), top(0).getString(1),
             top(0).getLong(2))
           adopted += ((l, r, n))
-          val next = cur
-            .select(mergePair(col("__t"), l, r).as("__t"))
-            .persist()
-          next.count() // materialize before dropping the parent
+          val merged = cur.select(mergePair(col("__t"), l, r).as("__t"))
+          // At vocabulary scale (hundreds-plus rounds) the per-round
+          // cached plans CHAIN: round i's InMemoryRelation references
+          // round i-1's, and (de)serializing a task against that graph
+          // overflows the stack near ~128 rounds. localCheckpoint
+          // every `checkpointEvery` rounds truncates both the lineage
+          // and the object graph — same discipline as
+          // Dedup.connectedComponents' per-round cut; the checkpointed
+          // frame is the SMALL normalized token stream, never raw docs.
+          sinceCut += 1
+          val next =
+            if (sinceCut >= checkpointEvery) {
+              sinceCut = 0
+              merged.localCheckpoint(true) // eager; truncates lineage
+            } else {
+              val p = merged.persist()
+              p.count() // materialize before dropping the parent
+              p
+            }
           cur.unpersist(false)
           cur = next
         }
@@ -501,6 +569,60 @@ object TextStats {
     }
     df.withColumn(outCol,
       filter(split(stream, " "), t => length(t) > 0))
+  }
+
+  /** One left-to-right greedy non-overlapping merge pass — the exact
+    * Scala equivalent of [[mergePair]]'s
+    * `(?<=^|\s)l r(?=\s|$)` regexp semantics over the token stream. */
+  private def mergeOnce(toks: Array[String], l: String,
+                        r: String): Array[String] = {
+    if (toks.length < 2) return toks
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+        out += (l + BpeJoiner + r); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** [[bpeApply]] for REALISTIC vocabulary sizes (hundreds to tens of
+    * thousands of merges). The regexp-chain form folds one
+    * `regexp_replace` per merge into a single expression — fine at
+    * oracle scale, but at vocab scale that is a `merges`-deep
+    * expression tree (stack-overflow territory past ~1k) and
+    * `merges` FULL REGEX PASSES over every document. This variant
+    * replays the same merge list, in the same order, with the same
+    * greedy left-to-right non-overlap rule, as a per-partition
+    * imperative loop over the token array with the merge list
+    * broadcast once — no expression-tree depth, no regex engine, no
+    * shuffle; per-document cost O(merges × tokens) with array scans.
+    * `mapPartitions` is justified here (the (d) case): Catalyst
+    * cannot express an arbitrarily long ordered replay without
+    * materializing it as plan depth. Output is bit-identical to
+    * [[bpeApply]] (spec-enforced equivalence). */
+  def bpeApplyLarge(df: DataFrame, textCol: String,
+                    merges: Seq[(String, String)],
+                    outCol: String = "bpe_symbols"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val outSchema = df.schema.add(outCol, ArrayType(StringType, false))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val bc = df.sparkSession.sparkContext.broadcast(merges.toArray)
+    df.mapPartitions { rows =>
+      val ms = bc.value
+      rows.map { row =>
+        val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
+        var toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        var i = 0
+        while (i < ms.length) {
+          toks = mergeOnce(toks, ms(i)._1, ms(i)._2)
+          i += 1
+        }
+        Row.fromSeq(row.toSeq :+ toks.toSeq)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Greedy sequence packing — assemble documents into fixed

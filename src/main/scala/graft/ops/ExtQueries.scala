@@ -2243,6 +2243,98 @@ object ExtQueries {
        |    / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** C4 cleaning rules ([[TextStats.withC4Flags]], Raffel et al.
+    * §2.2) over the corpus plus planted multi-line pages exercising
+    * every rule direction: doc_id<10 get a well-formed page (three
+    * ≥5-word terminal-punctuation lines + a too-short line + a
+    * javascript line — passes with exactly the three good lines
+    * kept); doc_id<5 get a lorem-ipsum page, a curly-brace page, and
+    * a two-sentence page (each fails its specific page rule). The
+    * organic fixture text has no terminal punctuation, so every
+    * organic page fails the sentence floor with `text_c4 = ''` — the
+    * planted pages carry the positive cases. */
+  val qualityC4Q: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val l1 = concat(lit("alpha beta gamma delta epsilon "),
+      col("doc_id").cast("string"), lit("."))
+    val good3 = concat(l1,
+      lit("\nzeta eta theta iota kappa lambda!"),
+      lit("\nmu nu xi omicron pi rho sigma?"))
+    val planted =
+      docs.where(col("doc_id") < 10).select(
+          (col("doc_id") + 600000).as("doc_id"),
+          concat(good3, lit("\ntoo short."),
+            lit("\nthis line mentions javascript so it gets dropped here."))
+            .as("text"))
+        .unionAll(docs.where(col("doc_id") < 5).select(
+          (col("doc_id") + 610000).as("doc_id"),
+          concat(good3,
+            lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+            .as("text")))
+        .unionAll(docs.where(col("doc_id") < 5).select(
+          (col("doc_id") + 620000).as("doc_id"),
+          concat(good3, lit("\nfunction foo() { return bar; }")).as("text")))
+        .unionAll(docs.where(col("doc_id") < 5).select(
+          (col("doc_id") + 630000).as("doc_id"),
+          concat(l1, lit("\nzeta eta theta iota kappa lambda!")).as("text")))
+    TextStats.withC4Flags(docs.unionAll(planted), "text")
+      .select("doc_id", "n_lines", "n_kept", "n_sentences",
+        "has_lorem", "has_brace", "pass_c4", "text_c4")
+      .orderBy("doc_id")
+  }
+
+  val qualityC4Sql =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 600000,
+      |    'alpha beta gamma delta epsilon ' || doc_id || '.' || chr(10) ||
+      |    'zeta eta theta iota kappa lambda!' || chr(10) ||
+      |    'mu nu xi omicron pi rho sigma?' || chr(10) ||
+      |    'too short.' || chr(10) ||
+      |    'this line mentions javascript so it gets dropped here.'
+      |  FROM documents WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT doc_id + 610000,
+      |    'alpha beta gamma delta epsilon ' || doc_id || '.' || chr(10) ||
+      |    'zeta eta theta iota kappa lambda!' || chr(10) ||
+      |    'mu nu xi omicron pi rho sigma?' || chr(10) ||
+      |    'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+      |  FROM documents WHERE doc_id < 5
+      |  UNION ALL
+      |  SELECT doc_id + 620000,
+      |    'alpha beta gamma delta epsilon ' || doc_id || '.' || chr(10) ||
+      |    'zeta eta theta iota kappa lambda!' || chr(10) ||
+      |    'mu nu xi omicron pi rho sigma?' || chr(10) ||
+      |    'function foo() { return bar; }'
+      |  FROM documents WHERE doc_id < 5
+      |  UNION ALL
+      |  SELECT doc_id + 630000,
+      |    'alpha beta gamma delta epsilon ' || doc_id || '.' || chr(10) ||
+      |    'zeta eta theta iota kappa lambda!'
+      |  FROM documents WHERE doc_id < 5),
+      |t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+      |  list_filter(string_split(text, chr(10)), l ->
+      |    regexp_matches(trim(l), '[.!?"'']$')
+      |    AND len(list_filter(string_split_regex(trim(l), '\s+'),
+      |          w -> len(w) > 0)) >= 5
+      |    AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM base),
+      |a AS (SELECT doc_id, text, lines, kept,
+      |  COALESCE(array_to_string(kept, chr(10)), '') AS text_c4 FROM t)
+      |SELECT doc_id,
+      |  CAST(len(lines) AS INTEGER) AS n_lines,
+      |  CAST(len(kept) AS INTEGER) AS n_kept,
+      |  CAST(len(regexp_extract_all(text_c4, '[.!?]')) AS INTEGER)
+      |    AS n_sentences,
+      |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |  contains(text, '{') AS has_brace,
+      |  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+      |   AND len(regexp_extract_all(text_c4, '[.!?]')) >= 3
+      |   AND len(kept) >= 1) AS pass_c4,
+      |  text_c4
+      |FROM a ORDER BY doc_id""".stripMargin
+
   /** The documented 100 TB percentile swap, EXERCISED: curriculum
     * shard boundaries from `approx_percentile` (mergeable GK sketch —
     * rank error ≤ n/accuracy, merges across partitions without ever
@@ -2954,6 +3046,7 @@ object ExtQueries {
     "q_retrieval_negatives" -> retrievalNegativesQ,
     "q_diversity_ngrams" -> diversityNgramsQ,
     "q_shards_approx" -> shardsApproxQ,
+    "q_quality_c4" -> qualityC4Q,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3019,5 +3112,6 @@ object ExtQueries {
     "q_retrieval_negatives" -> retrievalNegativesSql,
     "q_diversity_ngrams" -> diversityNgramsSql,
     "q_shards_approx" -> shardsApproxSql,
+    "q_quality_c4" -> qualityC4Sql,
   )
 }

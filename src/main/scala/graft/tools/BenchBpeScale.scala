@@ -53,10 +53,12 @@ object BenchBpeScale {
       (m, t, adopted)
     }
     // apply the LARGEST vocabulary corpus-wide (train saw only the
-    // sample; apply must cover everything — the production asymmetry)
+    // sample; apply must cover everything — the production asymmetry).
+    // bpeApplyLarge: at vocab scale the regexp-chain form would be a
+    // 1024-deep expression tree and 1024 regex passes per document.
     val vocab = trains.last._3.map(a => (a._1, a._2))
     val (tApply, applied) = timed {
-      graft.ext.TextStats.bpeApply(docs, "text", vocab)
+      graft.ext.TextStats.bpeApplyLarge(docs, "text", vocab)
         .agg(sum(size(col("bpe_symbols"))), count(lit(1)))
         .head()
     }

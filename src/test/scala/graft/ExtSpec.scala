@@ -373,6 +373,34 @@ class ExtSpec extends AnyFunSuite {
     assert(symbols == Seq(s"new${J}york${J}city", "limits"), symbols)
   }
 
+  test("bpeApplyLarge replays merges bit-identically to the regexp chain; training crosses the checkpoint cut") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "c++", "x.y")
+    val corpus = (1 to 60)
+      .map(i => (i.toLong,
+        (0 until 12).map(_ => words(rng.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    // 20 merges with checkpointEvery=4 crosses the lineage cut 5 times
+    // mid-training; identical adoption to an uncut run proves the cut
+    // is invisible to the algorithm
+    val cut = TextStats.bpeTrain(corpus, "text", merges = 20,
+      checkpointEvery = 4)
+    val uncut = TextStats.bpeTrain(corpus, "text", merges = 20,
+      checkpointEvery = 1000)
+    assert(cut == uncut, s"cut=$cut uncut=$uncut")
+    val vocab = cut.map(m => (m._1, m._2))
+    val chain = TextStats.bpeApply(corpus, "text", vocab)
+      .select("doc_id", "bpe_symbols").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val large = TextStats.bpeApplyLarge(corpus, "text", vocab)
+      .select("doc_id", "bpe_symbols").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chain == large,
+      chain.keys.find(k => chain(k) != large(k))
+        .map(k => s"doc $k: chain=${chain(k)} large=${large(k)}").getOrElse(""))
+  }
+
   test("BPE vocabulary trained on a deterministic sample matches the full-corpus vocabulary") {
     import spark.implicits._
     // heavy-tailed pair distribution with DISTINCT texts (the sample
@@ -949,6 +977,38 @@ class ExtSpec extends AnyFunSuite {
     assert(!f(4L).getAs[Boolean]("rule_alpha"))
     assert(!f(4L).getAs[Boolean]("rule_stopwords"))
     assert(f(4L).getAs[Boolean]("rule_words")) // 50 words is in range
+  }
+
+  test("C4 rules: line retention and page disposal fire per-rule") {
+    import spark.implicits._
+    val good = "one two three four five six.\nseven eight nine ten eleven!" +
+      "\nalpha beta gamma delta epsilon?"
+    val rows = Seq(
+      (1L, good), // 3 kept lines, 3 sentences → passes
+      (2L, good + "\nfour words only here"), // no terminal punct → line drops, page passes
+      (3L, good + "\nshort line."), // < 5 words → drops, page passes
+      (4L, good + "\nenable Javascript to continue reading please."), // js line drops
+      (5L, good + "\nlorem ipsum dolor sit amet."), // page fails
+      (6L, good + "\nif (x) { return y; }"), // brace page fails
+      (7L, "one two three four five six.\nseven eight nine ten eleven!"), // 2 sentences
+      (8L, "no punctuation at all in this text")) // nothing kept
+      .toDF("doc_id", "text")
+    val f = TextStats.withC4Flags(rows, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[Boolean]("pass_c4") && f(1L).getAs[Int]("n_kept") == 3)
+    for (id <- Seq(2L, 3L, 4L)) {
+      assert(f(id).getAs[Int]("n_kept") == 3, s"doc $id kept wrong lines")
+      assert(f(id).getAs[Boolean]("pass_c4"), s"doc $id should pass")
+      assert(f(id).getAs[String]("text_c4") == good, s"doc $id rebuilt text")
+    }
+    assert(f(5L).getAs[Boolean]("has_lorem") && !f(5L).getAs[Boolean]("pass_c4"))
+    // the lorem line itself survives the LINE rule (5 words, '.') —
+    // disposal is the PAGE rule
+    assert(f(5L).getAs[Int]("n_kept") == 4)
+    assert(f(6L).getAs[Boolean]("has_brace") && !f(6L).getAs[Boolean]("pass_c4"))
+    assert(f(7L).getAs[Int]("n_sentences") == 2 && !f(7L).getAs[Boolean]("pass_c4"))
+    assert(f(8L).getAs[Int]("n_kept") == 0 &&
+      f(8L).getAs[String]("text_c4") == "" && !f(8L).getAs[Boolean]("pass_c4"))
   }
 
   test("repetition flags: dup lines, dup-line chars and top-gram coverage computed exactly") {
