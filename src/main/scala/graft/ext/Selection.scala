@@ -220,6 +220,41 @@ object Selection {
     if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
   }
 
+  /** Cluster-balanced resampling — cap every embedding cluster's
+    * contribution at `perCellCap` rows, the standard antidote to
+    * topic skew in scraped corpora (dense topics dominate a uniform
+    * sample; capping per k-means cell flattens the topic histogram —
+    * the rebalancing half of the SemDeDup paper's pipeline, distinct
+    * from its near-duplicate drop). Within a cell, rows are kept by
+    * `scoreCol` DESC when given (keep the BEST `perCellCap`
+    * documents of each topic) and by deterministic md5-of-id
+    * otherwise (an unbiased, reproducible per-cell sample); ties
+    * break on id.
+    *
+    * Scale shape: cell assignment is [[Similarity.assignCells]]'s
+    * narrow O(k·dim)-per-row plan-literal pass (no shuffle of
+    * vectors beyond it); the cap is a `row_number` over
+    * `(cell | order)` that plans as WindowGroupLimit — per-cell
+    * top-`perCellCap` without fully sorting any cell partition — and
+    * the output is ≤ k·perCellCap rows of `(id, cell, cell_rank)`,
+    * broadcast-scale downstream. Vectors ride ONE exchange on
+    * `cell`; bodies/embeddings never move again. */
+  def clusterBalance(df: DataFrame, idCol: String, vecCol: String,
+                     cents: Array[Array[Double]], perCellCap: Int,
+                     scoreCol: Option[String] = None): DataFrame = {
+    require(perCellCap >= 1, s"perCellCap=$perCellCap")
+    import org.apache.spark.sql.expressions.Window
+    val ord: Seq[Column] = (scoreCol match {
+      case Some(sc) => Seq(col(sc).desc)
+      case None => Seq.empty
+    }) ++ Seq(md5(col(idCol).cast("string")), col(idCol))
+    Similarity.assignCells(df, vecCol, cents)
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(ord: _*)))
+      .where(col("cell_rank") <= perCellCap)
+      .select(col(idCol), col("cell"), col("cell_rank"))
+  }
+
   /** Apply frozen tercile thresholds as literals in a narrow pass:
     * head (≤ t1) / middle (≤ t2) / tail; null score → null bucket. */
   def lmBucket(scored: DataFrame,

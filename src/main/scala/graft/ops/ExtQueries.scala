@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Selection, Similarity, TextStats}
 import graft.ml.Featurize
 import Tables._
 
@@ -882,6 +882,8 @@ object ExtQueries {
           "q_sim_ivf_partitioned" -> simIvfSqlFor(
             ivfCentsCache.values.iterator.next(), nprobe = 2),
           "q_dedup_semantic" -> dedupSemanticSqlFor(
+            ivfCentsCache.values.iterator.next()),
+          "q_cluster_balance" -> clusterBalanceSqlFor(
             ivfCentsCache.values.iterator.next()))
       else Map.empty[String, String]
     val pq =
@@ -2243,6 +2245,57 @@ object ExtQueries {
        |    / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cluster-balanced resampling ([[Selection.clusterBalance]]):
+    * every k-means cell's contribution capped at 10 vectors, kept by
+    * deterministic md5-of-id order — the topic-rebalancing curation
+    * step. Shares [[ivfCents]]'s memoized centroids (one k-means fit
+    * serves q_sim_ivf / q_dedup_semantic / this); oracled via
+    * centroid literals like both of those. */
+  val clusterBalanceQ: Q = (s, dir) =>
+    Selection.clusterBalance(
+        embeddings(s, dir).select("vec_id", "embedding"),
+        "vec_id", "embedding", ivfCents(s, dir), perCellCap = 10)
+      .orderBy("cell", "cell_rank")
+
+  /** The cluster-balance query mirrored in SQL: the literal-centroid
+    * assignment CTE of [[dedupSemanticSqlFor]] (same staged norms,
+    * same first-max-wins argmax), then ROW_NUMBER over
+    * `(md5(vec_id), vec_id)` per cell, capped at 10. */
+  def clusterBalanceSqlFor(cents: Array[Array[Double]]): String = {
+    val k = cents.length
+    val centsLit = cents.map(_.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def simExpr(i: Int): String =
+      if (cnorms(i) == 0) "CAST(0.0 AS DOUBLE)"
+      else {
+        val fold = foldSumSql(
+          s"list_transform(range(1, len(cv)+1), j -> cv[j] * cents[${i + 1}][j])")
+        s"(CASE WHEN vn > 0 THEN $fold / (vn * ${dlit(cnorms(i))}) ELSE 0.0 END)"
+      }
+    val sims = (0 until k).map(i => s"  ${simExpr(i)} AS s_$i").mkString(",\n")
+    val best = s"greatest(${(0 until k).map("s_" + _).mkString(", ")})"
+    val cellCase = (0 until k - 1).map(i => s"WHEN s_$i = best THEN $i")
+      .mkString("\n    ") + s"\n    ELSE ${k - 1}"
+    s"""WITH ct AS (SELECT $centsLit AS cents),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |n AS (SELECT vec_id, cv,
+       |  sqrt(${foldSumSql("list_transform(range(1, len(cv)+1), j -> cv[j] * cv[j])")}) AS vn
+       |  FROM e),
+       |s AS (SELECT vec_id, cv, vn,
+       |$sims
+       |FROM n, ct),
+       |m AS (SELECT *, $best AS best FROM s),
+       |a AS (SELECT vec_id,
+       |  CAST(CASE $cellCase END AS INTEGER) AS cell FROM m),
+       |r AS (SELECT vec_id, cell,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER)
+       |    AS cell_rank FROM a)
+       |SELECT vec_id, cell, cell_rank FROM r
+       |WHERE cell_rank <= 10 ORDER BY cell, cell_rank""".stripMargin
+  }
+
   /** C4 cleaning rules ([[TextStats.withC4Flags]], Raffel et al.
     * §2.2) over the corpus plus planted multi-line pages exercising
     * every rule direction: doc_id<10 get a well-formed page (three
@@ -2704,6 +2757,41 @@ object ExtQueries {
        |  ROUND(quantile_cont(tok, 0.5E0), 6) AS p50_tokens
        |FROM t""".stripMargin
 
+  /** The datasheet's documented 100 TB swaps, EXERCISED:
+    * `approx_count_distinct` (HyperLogLog++, mergeable, O(2^p)
+    * sketch) for the distinct counts and `percentile_approx` (GK) for
+    * the median — run side by side with the exact aggregates in ONE
+    * agg pass and gated in-query: the HLL counts must land within
+    * 3×rsd (15%) of exact and the approx median within 5%, else the
+    * query dies loudly. Output is the EXACT datasheet row (same
+    * oracle as q_corpus_datasheet), so the driver row stays
+    * hash-green while the approx machinery is proven live and
+    * error-bounded. */
+  val datasheetApproxQ: Q = (s, dir) => {
+    val t = documents(s, dir).select(col("lang"),
+      size(Featurize.tokensCol(col("text"))).cast("long").as("__tok"),
+      md5(col("text")).as("__h"))
+    val r = t.agg(
+      countDistinct(col("__h")).as("d_exact"),
+      approx_count_distinct(col("__h")).as("d_approx"),
+      countDistinct(col("lang")).as("l_exact"),
+      approx_count_distinct(col("lang")).as("l_approx"),
+      percentile(col("__tok"), lit(0.5)).as("p_exact"),
+      percentile_approx(col("__tok"), lit(0.5), lit(10000))
+        .cast("double").as("p_approx")).head()
+    def gate(name: String, exact: Double, approx: Double, tol: Double,
+             absFloor: Double): Unit =
+      require(math.abs(approx - exact) <= math.max(absFloor, tol * exact),
+        f"datasheet approx path diverged: $name exact=$exact%.2f " +
+          f"approx=$approx%.2f (tol ${tol * 100}%.0f%%)")
+    gate("distinct_texts", r.getLong(0).toDouble, r.getLong(1).toDouble,
+      0.15, 2)
+    gate("distinct_langs", r.getLong(2).toDouble, r.getLong(3).toDouble,
+      0.15, 1)
+    gate("p50_tokens", r.getDouble(4), r.getDouble(5), 0.05, 1)
+    corpusDatasheetQ(s, dir)
+  }
+
   /** The curation PIPELINE as one oracled query — the composition the
     * E2E specs walk through, but value-exact against DuckDB: Gopher
     * quality gate → exact dedup (earliest id per text) → hashed-bigram
@@ -3047,6 +3135,8 @@ object ExtQueries {
     "q_diversity_ngrams" -> diversityNgramsQ,
     "q_shards_approx" -> shardsApproxQ,
     "q_quality_c4" -> qualityC4Q,
+    "q_cluster_balance" -> clusterBalanceQ,
+    "q_datasheet_approx" -> datasheetApproxQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3113,5 +3203,6 @@ object ExtQueries {
     "q_diversity_ngrams" -> diversityNgramsSql,
     "q_shards_approx" -> shardsApproxSql,
     "q_quality_c4" -> qualityC4Sql,
+    "q_datasheet_approx" -> corpusDatasheetSql,
   )
 }

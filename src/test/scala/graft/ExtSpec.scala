@@ -979,6 +979,37 @@ class ExtSpec extends AnyFunSuite {
     assert(f(4L).getAs[Boolean]("rule_words")) // 50 words is in range
   }
 
+  test("clusterBalance caps each cell, keeps best-by-score or deterministic md5 sample") {
+    import spark.implicits._
+    // two well-separated centroids on the x axis; 8 vectors per side
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val rows = (0 until 8).map(i => (i.toLong, Seq(1.0f, 0.01f * i), i * 1.0)) ++
+      (0 until 8).map(i => ((100 + i).toLong, Seq(-1.0f, 0.01f * i), i * 1.0))
+    val df = rows.toDF("vec_id", "embedding", "score")
+    val bal = graft.ext.Selection.clusterBalance(
+      df, "vec_id", "embedding", cents, perCellCap = 3)
+    val byCell = bal.collect().groupBy(_.getInt(1))
+    assert(byCell.keySet == Set(0, 1))
+    byCell.values.foreach { cell =>
+      assert(cell.length == 3)
+      assert(cell.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3)) // dense ranks
+    }
+    // deterministic: re-run keeps the identical ids
+    val again = graft.ext.Selection.clusterBalance(
+      df, "vec_id", "embedding", cents, perCellCap = 3)
+    assert(bal.collect().map(_.getLong(0)).sorted.sameElements(
+      again.collect().map(_.getLong(0)).sorted))
+    // score mode keeps the TOP-scored rows of each cell
+    val best = graft.ext.Selection.clusterBalance(
+        df, "vec_id", "embedding", cents, perCellCap = 2,
+        scoreCol = Some("score"))
+      .collect().map(_.getLong(0)).toSet
+    assert(best == Set(6L, 7L, 106L, 107L), best)
+    intercept[IllegalArgumentException] {
+      graft.ext.Selection.clusterBalance(df, "vec_id", "embedding", cents, 0)
+    }
+  }
+
   test("C4 rules: line retention and page disposal fire per-rule") {
     import spark.implicits._
     val good = "one two three four five six.\nseven eight nine ten eleven!" +

@@ -177,6 +177,11 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("cluster-balance cap plans a window group limit (no full per-cell sort)") {
+    val plan = planOf(ops.ExtQueries.clusterBalanceQ)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("no query in the driver surface touches Python or RDD scans") {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     SparkEntry.queries.foreach { case (name, q) =>
