@@ -2757,6 +2757,93 @@ object ExtQueries {
        |  ROUND(quantile_cont(tok, 0.5E0), 6) AS p50_tokens
        |FROM t""".stripMargin
 
+  /** The training-ASSEMBLY pipeline as one oracled composition — the
+    * counterpart of [[curationPipelineQ]] (which proves the
+    * selection path): C4 page/line cleaning → corpus-wide line-level
+    * dedup over the survivors → token-budget sequence packing. Input
+    * is the organic corpus (every organic page fails C4's sentence
+    * floor — the filter is exercised against 5,000 real rows) plus
+    * the ten planted well-formed pages, whose three-line bodies
+    * share two boilerplate lines: after C4 keeps exactly the three
+    * good lines of each page, lineDedup's keep-first rule leaves the
+    * full 3-line body only in the lowest-id page and just the unique
+    * headline elsewhere, and packSequences then packs 19/6/6/…-token
+    * documents into 16-token-budget sequences across 2 salted
+    * partitions. Integer-exact end to end; every stage is the
+    * already-oracled operator — this proves their COMPOSITION. */
+  val assemblyPipelineQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val planted = docs.where(col("doc_id") < 10).select(
+      (col("doc_id") + 600000).as("doc_id"),
+      concat(
+        lit("alpha beta gamma delta epsilon "),
+        col("doc_id").cast("string"), lit("."),
+        lit("\nzeta eta theta iota kappa lambda!"),
+        lit("\nmu nu xi omicron pi rho sigma?"),
+        lit("\ntoo short."),
+        lit("\nthis line mentions javascript so it gets dropped here."))
+        .as("text"))
+    val clean = TextStats.withC4Flags(docs.unionAll(planted), "text")
+      .where(col("pass_c4"))
+      .select(col("doc_id"), col("text_c4").as("text"))
+    val deduped = Dedup.lineDedup(clean, "text", "doc_id")
+    TextStats.packSequences(deduped, "text", "doc_id",
+        budget = 16, parts = 2)
+      .orderBy("doc_id")
+  }
+
+  val assemblyPipelineSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 600000,
+       |    'alpha beta gamma delta epsilon ' || doc_id || '.' || chr(10) ||
+       |    'zeta eta theta iota kappa lambda!' || chr(10) ||
+       |    'mu nu xi omicron pi rho sigma?' || chr(10) ||
+       |    'too short.' || chr(10) ||
+       |    'this line mentions javascript so it gets dropped here.'
+       |  FROM documents WHERE doc_id < 10),
+       |t AS (SELECT doc_id, text,
+       |  list_filter(string_split(text, chr(10)), l ->
+       |    regexp_matches(trim(l), '[.!?"'']$$')
+       |    AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+       |          w -> len(w) > 0)) >= 5
+       |    AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM base),
+       |c AS (SELECT doc_id,
+       |    COALESCE(array_to_string(kept, chr(10)), '') AS text
+       |  FROM t
+       |  WHERE NOT contains(lower(text), 'lorem ipsum')
+       |    AND NOT contains(text, '{')
+       |    AND len(regexp_extract_all(
+       |          COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) >= 3
+       |    AND len(kept) >= 1),
+       |l0 AS (SELECT doc_id, text,
+       |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+       |  FROM c),
+       |n AS (SELECT doc_id, text, lines, len(lines) AS nl FROM l0),
+       |h AS (SELECT doc_id, unnest(range(0, nl)) AS pos, lines
+       |      FROM n WHERE nl > 0),
+       |p AS (SELECT doc_id, pos, lines[pos + 1] AS line,
+       |        doc_id * 1048576 + pos AS packed FROM h),
+       |w AS (SELECT doc_id, pos, line, packed,
+       |        min(packed) OVER (PARTITION BY md5(line)) AS win FROM p),
+       |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       |      FROM w WHERE packed = win GROUP BY 1),
+       |d AS (SELECT n.doc_id,
+       |    COALESCE(r.text, CASE WHEN n.nl = 0 THEN n.text ELSE '' END) AS text
+       |  FROM n LEFT JOIN r USING (doc_id)),
+       |tk AS (SELECT doc_id, doc_id % 2 AS part,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM d),
+       |o AS (SELECT doc_id, part, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY part
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |  FROM tk)
+       |SELECT doc_id, part, n_tokens, "offset",
+       |  part * 1099511627776 + "offset" // 16 AS seq_id
+       |FROM o ORDER BY doc_id""".stripMargin
+
   /** The datasheet's documented 100 TB swaps, EXERCISED:
     * `approx_count_distinct` (HyperLogLog++, mergeable, O(2^p)
     * sketch) for the distinct counts and `percentile_approx` (GK) for
@@ -3137,6 +3224,7 @@ object ExtQueries {
     "q_quality_c4" -> qualityC4Q,
     "q_cluster_balance" -> clusterBalanceQ,
     "q_datasheet_approx" -> datasheetApproxQ,
+    "q_assembly_pipeline" -> assemblyPipelineQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3204,5 +3292,6 @@ object ExtQueries {
     "q_shards_approx" -> shardsApproxSql,
     "q_quality_c4" -> qualityC4Sql,
     "q_datasheet_approx" -> corpusDatasheetSql,
+    "q_assembly_pipeline" -> assemblyPipelineSql,
   )
 }
