@@ -103,7 +103,16 @@ object BenchSelScale {
           graft.ext.Dedup.semanticDedup(embN, "vec_id", "embedding",
             cents, 0.99).count()
         }
-        f""","semdedup":{"sec":$ts%.3f,"kept":$ns,"cells":${16 * n}}"""
+        // round 9: cluster-balanced resampling on the same centroids —
+        // the paper operating point (cells ∝ corpus, cap constant), so
+        // the kept set grows with CELLS, not rows; wall is the narrow
+        // assignment pass + the WindowGroupLimit cap.
+        val (tcb, ncb) = timed {
+          graft.ext.Selection.clusterBalance(embN, "vec_id", "embedding",
+            cents, perCellCap = 10).count()
+        }
+        f""","semdedup":{"sec":$ts%.3f,"kept":$ns,"cells":${16 * n}}""" +
+          f""","clusterbalance":{"sec":$tcb%.3f,"kept":$ncb,"cells":${16 * n}}"""
       } else ""
       // the LSH variant has no per-row O(cells) term, so it runs at
       // every scale the identical-replica pairwise allows (each of the
