@@ -207,16 +207,25 @@ object Selection {
   }
 
   /** Tercile thresholds of a scored corpus: two 4-dp-rounded doubles
-    * from one exact-percentile agg (nulls ignored; None on an
+    * from one bounded percentile agg (nulls ignored; None on an
     * all-null corpus). Exact `percentile` is right at oracle scale;
-    * `approx_percentile` (or a sample) is the documented 100 TB swap
-    * — either way the result is two literal doubles. */
-  def lmThresholds(scored: DataFrame): Option[(Double, Double)] = {
-    val r = scored.agg(
-      percentile(col("bits_per_token"), array(lit(1.0 / 3), lit(2.0 / 3)))
-        .as("__th"))
-      .select(round(element_at(col("__th"), 1), 4),
-        round(element_at(col("__th"), 2), 4)).head()
+    * `approxAccuracy > 0` takes the 100 TB path — `approx_percentile`'s
+    * mergeable GK sketch (rank error ≤ n/accuracy, never buffers all
+    * values) — either way the result is two literal doubles and the
+    * downstream [[lmBucket]] pass is unchanged. The agreement between
+    * the two paths is spec-enforced (SelectionSpec's approx-threshold
+    * test), mirroring `q_shards_approx`'s in-query gate. */
+  def lmThresholds(scored: DataFrame,
+                   approxAccuracy: Int = 0): Option[(Double, Double)] = {
+    val agg =
+      if (approxAccuracy > 0)
+        approx_percentile(col("bits_per_token"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(approxAccuracy))
+      else
+        percentile(col("bits_per_token"), array(lit(1.0 / 3), lit(2.0 / 3)))
+    val r = scored.agg(agg.as("__th"))
+      .select(round(element_at(col("__th"), 1).cast("double"), 4),
+        round(element_at(col("__th"), 2).cast("double"), 4)).head()
     if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
   }
 

@@ -1349,6 +1349,27 @@ class ExtSpec extends AnyFunSuite {
     assert(refit.exceptAll(composed).isEmpty && composed.exceptAll(refit).isEmpty)
   }
 
+  test("approx LM thresholds bucket the corpus like the exact path") {
+    val scored = Selection.lmScore(docs.select("doc_id", "text", "lang"),
+      "text", "doc_id",
+      Selection.lmTrain(docs, "text", col("lang") === "en"))
+    val exact = Selection.lmThresholds(scored)
+    val approx = Selection.lmThresholds(scored, approxAccuracy = 10000)
+    assert(exact.isDefined && approx.isDefined)
+    // boundary doubles from the GK sketch sit within one data point of
+    // the interpolated exact terciles; the ASSIGNMENTS are the contract
+    val eb = Selection.lmBucket(scored, exact)
+      .select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ab = Selection.lmBucket(scored, approx)
+      .select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val agree = eb.keys.count(k => eb(k) == ab(k)).toDouble / eb.size
+    assert(agree >= 0.98,
+      f"approx tercile assignments diverge: agreement=$agree%.4f " +
+        s"exact=$exact approx=$approx")
+  }
+
   test("LSH semantic dedup drops exact copies at any bucket width") {
     val base = emb.select("vec_id", "embedding")
     val planted = base.union(base.where(col("vec_id") < 5)

@@ -29,6 +29,23 @@ class FixtureSpec extends AnyFunSuite {
     assert(df.select("ts").limit(5).collect().forall(_.get(0) != null))
   }
 
+  test("the canary names the drifted table and column") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fixdrift").toString
+    // region with r_name retyped to INT and a new column — both must
+    // be reported by name; every other table is missing/unreadable
+    Seq((1, 7, "x")).toDF("r_regionkey", "r_name", "r_extra")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val ps = ops.FixtureCheck.problems(spark, dir)
+    assert(ps.exists(p => p.contains("region.r_name") && p.contains("INT")),
+      ps.mkString("; "))
+    assert(ps.exists(_.contains("region.r_extra")), ps.mkString("; "))
+    assert(ps.exists(_.startsWith("events:")), ps.mkString("; "))
+    val e = intercept[IllegalStateException](ops.FixtureCheck.check(spark, dir))
+    assert(e.getMessage.contains("FIXTURE DRIFT"))
+  }
+
   test("normalizeTs dispatches all three known variants and rejects drift") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
