@@ -595,7 +595,7 @@ object Similarity {
     val cellSet = probed.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val indexed = s.read.parquet(indexDir)
-      .where(col("cell").isin(cellSet.map(_.asInstanceOf[Any]): _*))
+      .where(col("cell").isin(cellSet.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
       .withColumn("__cn", sqrt(nDot(s, col("cv"), col("cv"))))
     val w = Window.partitionBy(col("query_id"))

@@ -544,7 +544,7 @@ object ExtQueries {
     val cells = Similarity.probeCellSet(
       emb.where(col("vec_id") < 10), "embedding", cents, nprobe = 2)
     val touched = s.read.parquet(idir)
-      .where(col("cell").isin(cells.map(_.asInstanceOf[Any]): _*))
+      .where(col("cell").isin(cells.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       .select(input_file_name()).distinct().count()
     require(touched < total,
       s"IVF partition pruning read $touched/$total index files — " +

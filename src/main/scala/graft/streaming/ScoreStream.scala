@@ -73,6 +73,37 @@ object ScoreStream {
         col("n_bigrams"), col("bits_per_token"))
   }
 
+  /** Streaming ingest-quality monitor over the C4 cleaning rules
+    * ([[graft.ext.TextStats.withC4Flags]]): per-(window, source) page
+    * volume, C4 pass rate, and surviving-line share. The flag
+    * computation is a pure NARROW projection (no explode, no joins —
+    * cheaper even than [[lmQualityMonitor]]'s broadcast model joins),
+    * so the only streaming state is the watermarked (window, source)
+    * aggregate. A source whose pass rate collapses is shipping
+    * boilerplate/code instead of prose — exactly the ingest
+    * regression this dashboard exists to catch. Works identically on
+    * batch frames (how the spec pins values). */
+  def c4QualityMonitor(docs: DataFrame, tsCol: String, srcCol: String,
+                       textCol: String,
+                       windowLen: String = "1 minute",
+                       watermark: String = "5 minutes"): DataFrame = {
+    val wm = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+             else docs
+    val nPass = sum(when(col("pass_c4"), 1L).otherwise(0L))
+    graft.ext.TextStats.withC4Flags(wm, textCol)
+      .groupBy(window(col(tsCol), windowLen), col(srcCol))
+      .agg(count(lit(1)).as("n_pages"),
+        nPass.as("n_pass"),
+        round(nPass.cast("double") / count(lit(1)).cast("double"), 6)
+          .as("pass_rate"),
+        round(sum(col("n_kept")).cast("double")
+          / greatest(sum(col("n_lines")), lit(1L)).cast("double"), 6)
+          .as("kept_line_share"))
+      .select(col("window.start").as("window_start"), col(srcCol),
+        col("n_pages"), col("n_pass"), col("pass_rate"),
+        col("kept_line_share"))
+  }
+
   /** Score a (possibly streaming) frame with a trained model and count
     * predictions per window — "enriched with brand information in real
     * time". Model scoring is a pure transform, so it runs unchanged on

@@ -229,6 +229,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("good")._2 < out("drift")._2)
   }
 
+  test("streaming C4 quality monitor: per-source pass rates match batch exactly") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    val good = "one two three four five six.\nseven eight nine ten eleven!" +
+      "\nalpha beta gamma delta epsilon?"
+    val rows = Seq(
+      (t0, "clean", good),
+      (t0, "clean", good + "\ntoo short."), // extra line drops, page passes
+      (t0, "boiler", "no punctuation boilerplate stream"),
+      (t0, "boiler", "enable javascript to view this page"))
+    val dir = java.nio.file.Files.createTempDirectory("c4mon_src").toString
+    rows.toDF("ts", "source", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = ScoreStream.c4QualityMonitor(stream, "ts", "source", "text")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("c4mon_out").start()
+    q.processAllAvailable()
+    q.stop()
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val out = grab(spark.table("c4mon_out"))
+    val batch = grab(ScoreStream.c4QualityMonitor(
+      spark.read.parquet(dir), "ts", "source", "text"))
+    assert(out == batch, s"stream=$out batch=$batch")
+    // clean: both pages pass; 3 of 3 + 3 of 4 lines survive
+    assert(out("clean") == ((2L, 2L, 1.0, 6.0 / 7.0 match {
+      case v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    })), out.toString)
+    // boiler: nothing passes, nothing survives
+    assert(out("boiler") == ((2L, 0L, 0.0, 0.0)), out.toString)
+  }
+
   test("streaming CDC apply merges batches in order into atomic published versions") {
     import spark.implicits._
     val tableDir = java.nio.file.Files.createTempDirectory("cdc_table").toString
