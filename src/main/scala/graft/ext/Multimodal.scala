@@ -224,6 +224,106 @@ object Multimodal {
       } catch { case _: Exception => java.util.Arrays.copyOf(payload, w) }
   }
 
+  case class AudioRow(id: Long, payload: Array[Byte])
+
+  /** `decoded` distinguishes the REAL javax.sound path from the
+    * deterministic byte-derived fallback (non-audio payloads, formats
+    * needing external codecs). */
+  case class AudioFeatures(id: Long, sampleRate: Float, channels: Int,
+                           nFrames: Long, durationSec: Float, rms: Float,
+                           decoded: Boolean)
+
+  /** Real pure-JDK audio decode: `javax.sound.sampled.AudioSystem`
+    * reads WAV/AU/AIFF PCM out of the box (no external codec), so the
+    * audio half of the multimodal story mirrors the image half — true
+    * format metadata + signal-derived features from actual samples,
+    * with the same two guards as [[Codec]]:
+    *  - a FRAME BUDGET caps how much PCM is pulled from the header's
+    *    declared length (the decompression-bomb analog: a header
+    *    declaring hours of audio reads at most `maxFrames` frames);
+    *  - payloads no installed reader accepts (MP3/FLAC would need
+    *    external codecs; the text fixtures aren't audio at all) fall
+    *    back to a deterministic byte-derived placeholder so the
+    *    pipeline shape stays total, flagged `decoded = false`. */
+  object AudioCodec {
+    /** Frames actually read per payload (≈ 23 s of 44.1 kHz audio). */
+    val MaxFrames: Long = 1L << 20
+
+    private def fallback(id: Long, payload: Array[Byte]): AudioFeatures = {
+      // deterministic placeholder: pseudo-RMS over raw bytes
+      var sum = 0.0
+      var i = 0
+      while (i < payload.length) { val v = payload(i) / 128.0; sum += v * v; i += 1 }
+      val rms =
+        if (payload.length == 0) 0f
+        else math.sqrt(sum / payload.length).toFloat
+      AudioFeatures(id, 0f, 0, payload.length.toLong, 0f, rms,
+        decoded = false)
+    }
+
+    /** Decode one payload. 16-bit and 8-bit PCM supported on the real
+      * path; anything else the JDK reader surfaces falls back. */
+    def decode(id: Long, payload: Array[Byte],
+               maxFrames: Long = MaxFrames): AudioFeatures =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+        try {
+          val fmt = in.getFormat
+          val declared = in.getFrameLength
+          val bytesPerFrame = math.max(fmt.getFrameSize, 1)
+          val bits = fmt.getSampleSizeInBits
+          if (declared <= 0 || fmt.getSampleRate <= 0 ||
+              (bits != 16 && bits != 8)) fallback(id, payload)
+          else {
+            val frames = math.min(declared, maxFrames)
+            val buf = new Array[Byte]((frames * bytesPerFrame).toInt)
+            var off = 0
+            var n = 0
+            while (off < buf.length &&
+                   { n = in.read(buf, off, buf.length - off); n > 0 })
+              off += n
+            val big = fmt.isBigEndian
+            var sum = 0.0
+            var count = 0
+            if (bits == 16) {
+              var i = 0
+              while (i + 1 < off) {
+                val lo = buf(if (big) i + 1 else i) & 0xff
+                val hi = buf(if (big) i else i + 1)
+                val s = ((hi << 8) | lo).toShort / 32768.0
+                sum += s * s; count += 1; i += 2
+              }
+            } else {
+              val signed = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              var i = 0
+              while (i < off) {
+                val s = (if (signed) buf(i).toDouble
+                         else (buf(i) & 0xff) - 128.0) / 128.0
+                sum += s * s; count += 1; i += 1
+              }
+            }
+            val rms =
+              if (count == 0) 0f else math.sqrt(sum / count).toFloat
+            AudioFeatures(id, fmt.getSampleRate, fmt.getChannels,
+              declared, declared / fmt.getSampleRate, rms, decoded = true)
+          }
+        } finally in.close()
+      } catch { case _: Exception => fallback(id, payload) }
+  }
+
+  /** Batch audio decode — same executor-side `mapPartitions` batch
+    * shape as [[decodeFeatures]]; payloads never pass the driver. */
+  def decodeAudioFeatures(ds: Dataset[AudioRow],
+                          maxFrames: Long = AudioCodec.MaxFrames)
+                         (implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions(rows =>
+      rows.map(r => AudioCodec.decode(r.id, r.payload, maxFrames)))
+  }
+
   /** Batch decode: mapPartitions over typed rows — the decode runs
     * inside the executor, batched per partition, mirroring the
     * `mapInPandas` batch shape. */

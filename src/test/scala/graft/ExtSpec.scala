@@ -675,6 +675,45 @@ class ExtSpec extends AnyFunSuite {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("real WAV audio decodes to true format, duration and sine RMS; non-audio falls back") {
+    import spark.implicits._
+    // genuine 16-bit mono PCM WAV written by javax.sound: a 440 Hz
+    // sine at amplitude 0.5, 8000 Hz, half a second
+    def wav(seconds: Double, rate: Float = 8000f,
+            amp: Double = 0.5): Array[Byte] = {
+      val n = (seconds * rate).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.AudioRow(1L, wav(0.5)),
+      Multimodal.AudioRow(2L, "definitely not audio bytes".getBytes("UTF-8")))
+    val out = Multimodal.decodeAudioFeatures(rows.toDS())
+      .collect().map(f => f.id -> f).toMap
+    val a = out(1L)
+    assert(a.decoded && a.channels == 1 && a.sampleRate == 8000f)
+    assert(a.nFrames == 4000 && math.abs(a.durationSec - 0.5f) < 1e-6)
+    // sine RMS = amp/sqrt(2) ≈ 0.3536
+    assert(math.abs(a.rms - 0.5 / math.sqrt(2)) < 0.01, a.toString)
+    val b = out(2L)
+    assert(!b.decoded && b.sampleRate == 0f && b.rms > 0f)
+    // frame budget: a header declaring 4000 frames capped at 100 reads
+    // only 100 frames of PCM but still reports the DECLARED length
+    val capped = Multimodal.AudioCodec.decode(3L, wav(0.5), maxFrames = 100)
+    assert(capped.decoded && capped.nFrames == 4000)
+  }
+
   test("real encoded PNGs decode to true dimensions and pixel features") {
     import spark.implicits._
     // a genuine 10x6 PNG, solid red, written by ImageIO — the decode
