@@ -277,7 +277,15 @@ object Multimodal {
           if (declared <= 0 || fmt.getSampleRate <= 0 ||
               (bits != 16 && bits != 8)) fallback(id, payload)
           else {
-            val frames = math.min(declared, maxFrames)
+            // budget BYTES, not just frames: a crafted header can
+            // declare a frame size up to 64 KiB, so frames×frameSize
+            // in Int space could wrap (silently neutering the guard)
+            // or allocate gigabytes per row (OutOfMemoryError is an
+            // Error — it would ESCAPE the fallback catch). Long math,
+            // 64 MiB hard cap.
+            val maxBytes = 64L << 20
+            val frames = math.min(math.min(declared, maxFrames),
+              math.max(maxBytes / bytesPerFrame, 1L))
             val buf = new Array[Byte]((frames * bytesPerFrame).toInt)
             var off = 0
             var n = 0

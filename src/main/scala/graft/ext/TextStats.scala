@@ -208,9 +208,13 @@ object TextStats {
     * pipeline hard-filters with `where(pass_c4)` and keeps `text_c4`. */
   def withC4Flags(df: DataFrame, textCol: String,
                   minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    // word floor counts NON-EMPTY tokens: Spark `trim` strips spaces
+    // only, so a tab-indented line would otherwise count a phantom
+    // leading "" token and diverge from the oracle's filtered count
     val keptLines = filter(split(col(textCol), "\n"), l =>
       trim(l).rlike("[.!?\"']$") &&
-        size(split(trim(l), "\\s+")) >= minLineWords &&
+        size(filter(split(trim(l), "\\s+"), t => length(t) > 0))
+          >= minLineWords &&
         !lower(l).contains("javascript"))
     val staged = df
       .withColumn("__c4lines", split(col(textCol), "\n"))
@@ -222,7 +226,8 @@ object TextStats {
       .withColumn("n_sentences", regexp_count(col("text_c4"), lit("[.!?]")))
       .withColumn("has_lorem",
         lower(col(textCol)).contains("lorem ipsum"))
-      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("has_brace",
+        col(textCol).contains("{") || col(textCol).contains("}"))
       .withColumn("pass_c4",
         !col("has_lorem") && !col("has_brace") &&
           col("n_sentences") >= minSentences && col("n_kept") >= 1)
@@ -522,6 +527,18 @@ object TextStats {
       .persist()
     val adopted = Seq.newBuilder[(String, String, Long)]
     var sinceCut = 0
+    val sc = df.sparkSession.sparkContext
+    // localCheckpoint blocks live OUTSIDE the cache manager —
+    // Dataset.unpersist on a checkpointed frame is a no-op, so each
+    // cut's snapshot would otherwise linger until driver GC (up to
+    // merges/checkpointEvery full copies of the token stream). Track
+    // the RDD ids each cut persists (set-diff around the call) and
+    // free the PREVIOUS cut's explicitly once it is superseded.
+    var prevCkptIds: Set[Int] = Set.empty
+    def freeRdds(ids: Set[Int]): Unit = {
+      val live = sc.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
     try {
       for (_ <- 0 until merges) {
         val top = pairCounts(cur, "__t", 1).collect()
@@ -542,7 +559,11 @@ object TextStats {
           val next =
             if (sinceCut >= checkpointEvery) {
               sinceCut = 0
-              merged.localCheckpoint(true) // eager; truncates lineage
+              val before = sc.getPersistentRDDs.keySet
+              val ck = merged.localCheckpoint(true) // eager; cuts lineage
+              freeRdds(prevCkptIds)
+              prevCkptIds = (sc.getPersistentRDDs.keySet -- before).toSet
+              ck
             } else {
               val p = merged.persist()
               p.count() // materialize before dropping the parent
@@ -553,7 +574,10 @@ object TextStats {
         }
       }
       adopted.result()
-    } finally cur.unpersist(false)
+    } finally {
+      cur.unpersist(false)
+      freeRdds(prevCkptIds) // the final snapshot, if cur is one
+    }
   }
 
   /** Tokenize with a trained vocabulary: replay the adopted merges in

@@ -2381,8 +2381,9 @@ object ExtQueries {
       |  CAST(len(regexp_extract_all(text_c4, '[.!?]')) AS INTEGER)
       |    AS n_sentences,
       |  contains(lower(text), 'lorem ipsum') AS has_lorem,
-      |  contains(text, '{') AS has_brace,
-      |  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+      |  (contains(text, '{') OR contains(text, '}')) AS has_brace,
+      |  (NOT contains(lower(text), 'lorem ipsum')
+      |   AND NOT contains(text, '{') AND NOT contains(text, '}')
       |   AND len(regexp_extract_all(text_c4, '[.!?]')) >= 3
       |   AND len(kept) >= 1) AS pass_c4,
       |  text_c4
@@ -2814,7 +2815,7 @@ object ExtQueries {
        |    COALESCE(array_to_string(kept, chr(10)), '') AS text
        |  FROM t
        |  WHERE NOT contains(lower(text), 'lorem ipsum')
-       |    AND NOT contains(text, '{')
+       |    AND NOT contains(text, '{') AND NOT contains(text, '}')
        |    AND len(regexp_extract_all(
        |          COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) >= 3
        |    AND len(kept) >= 1),

@@ -84,7 +84,9 @@ object FixtureCheck {
       expected.foreach { case (table, cols) =>
         val schema =
           try Some(s.read.parquet(s"$dir/$table.parquet").schema)
-          catch { case e: Throwable =>
+          // NonFatal only: an OOM/LinkageError here is a poisoned JVM,
+          // not fixture drift — let it crash instead of mislabeling it
+          catch { case scala.util.control.NonFatal(e) =>
             problems += s"$table: unreadable (${e.getMessage})"; None
           }
         schema.foreach { sc =>
