@@ -45,6 +45,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("C4 flags match an independent Scala reference on randomized pages") {
+    import spark.implicits._
+    // lines mixing indentation (spaces AND tabs — the phantom-token
+    // trap), word counts straddling the floor, terminal/non-terminal
+    // ends, javascript mentions, braces, lorem ipsum
+    val line = for {
+      indent <- Gen.oneOf("", " ", "\t", "  \t")
+      n <- Gen.choose(0, 8)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "Gamma", "x1",
+        "JavaScript", "lorem", "ipsum", "{code}", "plain"))
+      end <- Gen.oneOf(".", "!", "?", "\"", "'", "", " ", ";")
+    } yield indent + ws.mkString(" ") + end
+    val page = Gen.choose(0, 6).flatMap(k =>
+      Gen.listOfN(k, line).map(_.mkString("\n")))
+    val pages = sample(Gen.listOfN(400, page), 11L)
+    val df = pages.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextStats.withC4Flags(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_kept"), r.getAs[Int]("n_sentences"),
+          r.getAs[Boolean]("pass_c4"), r.getAs[String]("text_c4"))).toMap
+    // independent reference: plain Scala, written against the DOC'd
+    // rules (not the Column code) — catches Spark-function semantics
+    // drift like trim/split edge cases
+    def ref(text: String) = {
+      val kept = text.split("\n", -1).filter { l =>
+        val t = l.trim
+        t.nonEmpty && "[.!?\"']$".r.findFirstIn(t).isDefined &&
+          t.split("\\s+").count(_.nonEmpty) >= 5 &&
+          !l.toLowerCase.contains("javascript")
+      }
+      val clean = kept.mkString("\n")
+      val sentences = clean.count(c => c == '.' || c == '!' || c == '?')
+      val pass = !text.toLowerCase.contains("lorem ipsum") &&
+        !text.contains("{") && !text.contains("}") &&
+        sentences >= 3 && kept.nonEmpty
+      (kept.length, sentences, pass, clean)
+    }
+    pages.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t),
+        s"doc $i ${t.replace("\n", "\\n")}: got=${got(i.toLong)} ref=${ref(t)}")
+    }
+  }
+
   test("jaccard is bounded, symmetric, and 1 on self") {
     import spark.implicits._
     val tokenList = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
