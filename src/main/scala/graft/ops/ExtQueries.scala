@@ -1798,6 +1798,23 @@ object ExtQueries {
 
   // ---- streaming (batch-equivalent of the windowed scoring agg) ----
 
+  /** Scope the shuffle width for a REAL streaming run: every stateful
+    * operator materializes one state-store instance (RocksDB here)
+    * PER shuffle partition, so the batch session's width-32 default
+    * means 32 state stores per operator — pure fixed overhead at
+    * fixture volume (measured on q_stream_join_outer: 5.8→2.4 s at
+    * width 8, identical results). Production sizes state width to the
+    * stream's key volume the same way — the knob is the first-run
+    * shuffle width, it just should never be inherited blindly from a
+    * batch default. Restored after the run; the memory-sink read the
+    * queries return is driver-local, so downstream plans see the
+    * original width. */
+  private def withStreamParts[A](s: SparkSession, n: Int = 8)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** §2.11: watermarked tumbling-window counts per event_type — the
     * same transform the streaming path runs (ScoreStream.windowedCounts
     * is engine-agnostic), oracled here in batch via date_trunc. */
@@ -1891,7 +1908,7 @@ object ExtQueries {
     * their event-time timer in the terminal no-data batch. The oracle
     * rebuilds sessions with lag + cumulative break-sum and applies the
     * same closed-session predicate (last + gap ≤ max ts). */
-  val sessionizeTimersQ: Q = (s, dir) => {
+  val sessionizeTimersQ: Q = (s, dir) => withStreamParts(s) {
     implicit val sp: SparkSession = s
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1950,7 +1967,7 @@ object ExtQueries {
     * at-least-once → exactly-once output path, not just the operator:
     * any duplicate surviving dedup, and any row duplicated or lost by
     * the sink's overwrite discipline, breaks the hash match. */
-  val streamDedupQ: Q = (s, dir) => {
+  val streamDedupQ: Q = (s, dir) => withStreamParts(s) {
     val base = scratchDir("sd", dir)
     val ev = events(s, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -1985,7 +2002,7 @@ object ExtQueries {
     * (`round(value*100)`), so the running sum is exact regardless of
     * batch boundaries and the oracle's DECIMAL(18,2) sum matches
     * bit-for-bit after the same /100 double rounding. */
-  val streamTotalsQ: Q = (s, dir) => {
+  val streamTotalsQ: Q = (s, dir) => withStreamParts(s) {
     implicit val sp: SparkSession = s
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -2035,7 +2052,7 @@ object ExtQueries {
     * null rows: clicks still inside the final watermark horizon are
     * (correctly) still in state when AvailableNow drains, so they
     * appear in neither. */
-  val streamJoinOuterQ: Q = (s, dir) => {
+  val streamJoinOuterQ: Q = (s, dir) => withStreamParts(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val src = scratchDir("sjo_src", dir)
@@ -2084,7 +2101,7 @@ object ExtQueries {
     * into a complete-mode memory sink. The stream side never shuffles
     * for the join; only the post-enrichment aggregate exchanges.
     * Oracled against the equivalent batch join in DuckDB. */
-  val streamEnrichQ: Q = (s, dir) => {
+  val streamEnrichQ: Q = (s, dir) => withStreamParts(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     // static dimension: one row per event type with derived attributes
