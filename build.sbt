@@ -29,3 +29,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 scalacOptions += "-deprecation"
+// Sub-minute smoke of the correctness contract (fixture-drift canary +
+// ten cheapest oracled queries); the full Verify+DuckDB pass stays the
+// real gate. Usage: sbt verifyQuick  (optional arg: a testdata dir).
+addCommandAlias("verifyQuick", "runMain graft.tools.VerifyQuick")

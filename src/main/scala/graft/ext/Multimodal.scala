@@ -274,16 +274,20 @@ object Multimodal {
           val declared = in.getFrameLength
           val bytesPerFrame = math.max(fmt.getFrameSize, 1)
           val bits = fmt.getSampleSizeInBits
+          // budget BYTES, not just frames: a crafted header can
+          // declare a frame size up to Int.MaxValue (AU/AIFF carry
+          // 32-bit channel counts), so frames×frameSize in Int space
+          // could wrap (silently neutering the guard) or allocate
+          // gigabytes per row (OutOfMemoryError is an Error — it
+          // would ESCAPE the fallback catch). Long math, 64 MiB hard
+          // cap — and a SINGLE frame over the cap routes to fallback
+          // outright (the old floor of 1 frame let a >64 MiB frame
+          // size through as one ~2 GiB allocation).
+          val maxBytes = 64L << 20
           if (declared <= 0 || fmt.getSampleRate <= 0 ||
-              (bits != 16 && bits != 8)) fallback(id, payload)
+              (bits != 16 && bits != 8) ||
+              bytesPerFrame > maxBytes) fallback(id, payload)
           else {
-            // budget BYTES, not just frames: a crafted header can
-            // declare a frame size up to 64 KiB, so frames×frameSize
-            // in Int space could wrap (silently neutering the guard)
-            // or allocate gigabytes per row (OutOfMemoryError is an
-            // Error — it would ESCAPE the fallback catch). Long math,
-            // 64 MiB hard cap.
-            val maxBytes = 64L << 20
             val frames = math.min(math.min(declared, maxFrames),
               math.max(maxBytes / bytesPerFrame, 1L))
             val buf = new Array[Byte]((frames * bytesPerFrame).toInt)

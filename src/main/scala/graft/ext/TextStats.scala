@@ -208,16 +208,25 @@ object TextStats {
     * pipeline hard-filters with `where(pass_c4)` and keeps `text_c4`. */
   def withC4Flags(df: DataFrame, textCol: String,
                   minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    // Lines split on \r?\n with any residual trailing \r stripped
+    // (a text ending in a bare "...\r", or an old-Mac lone \r): Java
+    // regex `$` also matches just BEFORE a final \r, so on CRLF text
+    // Spark's terminal-punctuation test would keep lines the oracle's
+    // RE2 `$` (end-of-text only) rejects. Normalizing at split time
+    // keeps every downstream term (and text_c4 itself) CR-free and
+    // engine-portable; \n-only text is byte-identical to before.
+    val crFreeLines = transform(split(col(textCol), "\r?\n"),
+      l => regexp_replace(l, "\r+$", ""))
     // word floor counts NON-EMPTY tokens: Spark `trim` strips spaces
     // only, so a tab-indented line would otherwise count a phantom
     // leading "" token and diverge from the oracle's filtered count
-    val keptLines = filter(split(col(textCol), "\n"), l =>
+    val keptLines = filter(col("__c4lines"), l =>
       trim(l).rlike("[.!?\"']$") &&
         size(filter(split(trim(l), "\\s+"), t => length(t) > 0))
           >= minLineWords &&
         !lower(l).contains("javascript"))
     val staged = df
-      .withColumn("__c4lines", split(col(textCol), "\n"))
+      .withColumn("__c4lines", crFreeLines)
       .withColumn("__c4kept", keptLines)
       .withColumn("text_c4", array_join(col("__c4kept"), "\n"))
     staged

@@ -2383,13 +2383,17 @@ object ExtQueries {
       |    'alpha beta gamma delta epsilon ' || doc_id || '.' || chr(10) ||
       |    'zeta eta theta iota kappa lambda!'
       |  FROM documents WHERE doc_id < 5),
-      |t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
-      |  list_filter(string_split(text, chr(10)), l ->
+      |t0 AS (SELECT doc_id, text,
+      |  list_transform(string_split_regex(text, '\r?\n'),
+      |    l -> regexp_replace(l, '\r+$', '')) AS lines
+      |  FROM base),
+      |t AS (SELECT doc_id, text, lines,
+      |  list_filter(lines, l ->
       |    regexp_matches(trim(l), '[.!?"'']$')
       |    AND len(list_filter(string_split_regex(trim(l), '\s+'),
       |          w -> len(w) > 0)) >= 5
       |    AND NOT contains(lower(l), 'javascript')) AS kept
-      |  FROM base),
+      |  FROM t0),
       |a AS (SELECT doc_id, text, lines, kept,
       |  COALESCE(array_to_string(kept, chr(10)), '') AS text_c4 FROM t)
       |SELECT doc_id,
@@ -2822,7 +2826,9 @@ object ExtQueries {
        |    'this line mentions javascript so it gets dropped here.'
        |  FROM documents WHERE doc_id < 10),
        |t AS (SELECT doc_id, text,
-       |  list_filter(string_split(text, chr(10)), l ->
+       |  list_filter(
+       |    list_transform(string_split_regex(text, '\\r?\\n'),
+       |      l -> regexp_replace(l, '\\r+$$', '')), l ->
        |    regexp_matches(trim(l), '[.!?"'']$$')
        |    AND len(list_filter(string_split_regex(trim(l), '\\s+'),
        |          w -> len(w) > 0)) >= 5

@@ -73,17 +73,9 @@ class MlSpec extends AnyFunSuite {
           Trainer.Params(epoch = 3, wordNgrams = 1, numFeatures = 1 << 13))
         val scored = m.predict(d, "narrative", "pr_merchant")
         Evaluator.summary(scored, "merchant", "pr_merchant").collect()
-        // the listener bus drains asynchronously — poll until the
-        // counter is stable for two consecutive reads (bounded 15 s)
-        // instead of trusting a fixed sleep on a loaded box
-        var last = -1L
-        var stable = 0
-        var waited = 0
-        while (stable < 2 && waited < 15000) {
-          Thread.sleep(500); waited += 500
-          val now = acc.get()
-          if (now == last) stable += 1 else { stable = 0; last = now }
-        }
+        // the listener bus drains asynchronously — flush it
+        // deterministically instead of sleep-polling for stability
+        org.apache.spark.GraftTestBridge.flushListenerBus(spark.sparkContext)
         acc.get()
       } finally spark.sparkContext.removeSparkListener(l)
     }

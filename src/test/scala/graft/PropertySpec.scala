@@ -57,8 +57,15 @@ class PropertySpec extends AnyFunSuite {
         "JavaScript", "lorem", "ipsum", "{code}", "plain"))
       end <- Gen.oneOf(".", "!", "?", "\"", "'", "", " ", ";")
     } yield indent + ws.mkString(" ") + end
-    val page = Gen.choose(0, 6).flatMap(k =>
-      Gen.listOfN(k, line).map(_.mkString("\n")))
+    // CRLF coverage: pages may use \r\n separators and may end in a
+    // bare \r — Java-regex `$` matches before a final \r while RE2's
+    // does not, the divergence withC4Flags' split-time \r strip closes
+    val page = for {
+      k <- Gen.choose(0, 6)
+      ls <- Gen.listOfN(k, line)
+      sep <- Gen.oneOf("\n", "\r\n")
+      tail <- Gen.oneOf("", "\r")
+    } yield ls.mkString(sep) + tail
     val pages = sample(Gen.listOfN(400, page), 11L)
     val df = pages.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
@@ -70,7 +77,7 @@ class PropertySpec extends AnyFunSuite {
     // rules (not the Column code) — catches Spark-function semantics
     // drift like trim/split edge cases
     def ref(text: String) = {
-      val kept = text.split("\n", -1).filter { l =>
+      val kept = text.split("\r?\n", -1).map(_.replaceAll("\r+$", "")).filter { l =>
         val t = l.trim
         t.nonEmpty && "[.!?\"']$".r.findFirstIn(t).isDefined &&
           t.split("\\s+").count(_.nonEmpty) >= 5 &&
