@@ -25,15 +25,28 @@ object Sharding {
 
   /** Assign `(shard, pos)` to every row: shard in `[0, nShards)`,
     * pos the 1-based position in the shard's deterministic shuffled
-    * order. `keyCol` must be unique for the order to be total. */
-  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    * order. `keyCol` must be unique for the order to be total.
+    *
+    * `epoch` serves multi-epoch training: each epoch needs a DISTINCT
+    * deterministic order without rewriting the corpus, so epochs > 0
+    * salt the within-shard order md5 with the epoch number while
+    * SHARD MEMBERSHIP stays epoch-invariant (`membershipBucket(key)`
+    * never sees the salt) — a trainer re-reads the same shard files
+    * and only the read order inside each shard changes. Epoch 0 is
+    * the identity salt (the canonical export order). */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int,
+                    epoch: Int = 0): DataFrame = {
     require(nShards > 0, s"nShards=$nShards")
+    require(epoch >= 0, s"epoch=$epoch")
     import org.apache.spark.sql.expressions.Window
     val shard = Sampling.membershipBucket(col(keyCol), nShards).cast("int")
+    val orderKey =
+      if (epoch == 0) md5(col(keyCol).cast("string"))
+      else md5(concat_ws("|", lit(epoch.toString), col(keyCol).cast("string")))
     df.withColumn("shard", shard)
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard"))
-          .orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
+          .orderBy(orderKey, col(keyCol))))
   }
 
   /** Curriculum sharding: shard = contiguous SCORE range (shard 0 =
@@ -95,9 +108,9 @@ object Sharding {
     * one file and nothing is re-shuffled for the write. Returns the
     * assigned frame re-read from disk (self-check friendly). */
   def writeSharded(df: DataFrame, keyCol: String, nShards: Int,
-                   outDir: String): DataFrame = {
+                   outDir: String, epoch: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    shuffleShards(df, keyCol, nShards)
+    shuffleShards(df, keyCol, nShards, epoch)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)

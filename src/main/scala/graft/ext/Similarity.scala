@@ -609,6 +609,77 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Incremental maintenance of a [[writeIvfIndex]] layout under a CDC
+    * change set — the weekly operation of a LIVING vector corpus,
+    * where the 100 TB anti-pattern is rebuilding the whole index for
+    * an upsert batch. Composes [[graft.etl.Merge.latestChanges]]
+    * (latest-`seqCol` change per key wins) with cell-local rewrite:
+    *
+    *  1. LOCATE: one column-pruned scan of the index projecting only
+    *     `(id, cell)` against the broadcast touched-id set finds the
+    *     cells that currently HOLD a touched id (an updated vector may
+    *     move cells, so its old cell must rewrite too; a delete's cell
+    *     is only discoverable here). No vector bytes are read.
+    *  2. ASSIGN: upserted vectors take their cells from the broadcast
+    *     centroid literals — the same [[assignCells]] the build used.
+    *  3. REWRITE: only the union of old+new cells re-materializes —
+    *     survivors (touched cells minus touched ids) plus the freshly
+    *     assigned upserts land in a sibling temp layout, and each
+    *     touched `cell=K/` directory is swapped in whole (a cell
+    *     emptied by deletes is removed). Untouched cells' files are
+    *     never opened for write — byte-identical before and after,
+    *     which `q_sim_ivf_update` gates on checksums.
+    *
+    * Serving ([[ivfPartitionedTopK]]) over the updated layout is
+    * hash-exact with a full rebuild from the CDC-applied corpus — the
+    * layout changes WHERE bytes live, never the answer. Returns the
+    * touched cell ids (sorted). */
+  def updateIvfIndex(indexDir: String, changes: DataFrame, idCol: String,
+                     vecCol: String, cents: Array[Array[Double]],
+                     seqCol: String = "seq", opCol: String = "op"): Array[Int] = {
+    val s = changes.sparkSession
+    val latest = graft.etl.Merge.latestChanges(changes, idCol, seqCol)
+    val touchedIds = latest.select(col(idCol)).distinct()
+    val oldCells = s.read.parquet(indexDir)
+      .select(col(idCol), col("cell"))
+      .join(broadcast(touchedIds), Seq(idCol))
+      .select("cell").distinct().collect().map(_.getInt(0))
+    val upserts = latest.where(col(opCol) =!= lit("d"))
+      .select(col(idCol), col(vecCol))
+    val newAssigned = assignCells(upserts, vecCol, cents)
+      .select(col(idCol), col(vecCol), col("cell"))
+    val newCells = newAssigned.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    val touched = (oldCells ++ newCells).distinct.sorted
+    if (touched.isEmpty) return touched
+    val touchedAny = touched.toIndexedSeq.map(_.asInstanceOf[Any])
+    val survivors = s.read.parquet(indexDir)
+      .where(col("cell").isin(touchedAny: _*))
+      .join(broadcast(touchedIds), Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol), col("cell"))
+    val tmpDir = s"$indexDir.upd-${java.util.UUID.randomUUID().toString.take(8)}"
+    // temp layout fully materializes BEFORE any index file moves — a
+    // failure mid-write leaves the live index untouched
+    survivors.unionByName(newAssigned)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmpDir), s.sparkContext.hadoopConfiguration)
+    try {
+      touched.foreach { k =>
+        val live = new org.apache.hadoop.fs.Path(s"$indexDir/cell=$k")
+        val fresh = new org.apache.hadoop.fs.Path(s"$tmpDir/cell=$k")
+        if (fs.exists(live)) fs.delete(live, true)
+        // a cell emptied by deletes has no fresh dir — stays deleted
+        if (fs.exists(fresh)) fs.rename(fresh, live)
+        ()
+      }
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      ()
+    }
+    touched
+  }
+
   /** Matryoshka funnel retrieval (Kusupati et al., arXiv:2205.13147):
     * embeddings trained with matryoshka losses pack most of their
     * signal into the leading components, so serving can SHORTLIST with

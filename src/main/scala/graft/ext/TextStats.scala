@@ -9,7 +9,10 @@ import graft.ml.Featurize
   * fingerprinting. All pure Catalyst column expressions — narrow maps
   * over the scan, no shuffle, codegen-friendly at any scale.
   */
-object TextStats {
+// Serializable: bpeTrainIncremental's partition closures call helper
+// defs lifted onto this object; a Scala object round-trips to the
+// same singleton (readResolve), so this costs nothing at runtime.
+object TextStats extends Serializable {
 
   /** Small per-language marker vocabularies for the n-gram/stopword
     * language-ID heuristic. Real deployments plug in larger profiles;
@@ -586,6 +589,330 @@ object TextStats {
     } finally {
       cur.unpersist(false)
       freeRdds(prevCkptIds) // the final snapshot, if cur is one
+    }
+  }
+
+  /** [[bpeTrain]] with INCREMENTAL pair-count maintenance and BATCHED
+    * speculative adoption — the path to production vocabulary sizes
+    * (8k-100k merges). The rescan trainer pays one full pair-count
+    * aggregation (explode + shuffle) plus one full regex merge pass
+    * per round: cost linear in `merges x corpus` with one driver
+    * round-trip per merge (~21 min extrapolated at 8k merges on the
+    * sf0.1 sample; a non-starter at 100 TB). This trainer exploits
+    * the classic observation that an adopted merge of (l, r) only
+    * perturbs counts of pairs ADJACENT to its merged occurrences:
+    *
+    *  - the tokenized (sampled) corpus is cached ONCE as an
+    *    `RDD[Array[String]]` — deserialized JVM arrays, so every pass
+    *    is a plain in-memory scan, no encoder work, and document
+    *    bodies never re-shuffle after one balancing exchange;
+    *  - the pair-count table is a cached hash-partitioned RDD that
+    *    never re-aggregates: per-batch deltas fold in with a NARROW
+    *    `zipPartitions` streaming merge;
+    *  - each BATCH speculates that the next `batch` adoptions are the
+    *    current top-`batch` pairs (`takeOrdered` — per-partition
+    *    heads, no shuffle), applies them SEQUENTIALLY in ONE
+    *    distributed pass over the cached corpus while recording exact
+    *    per-step deltas, then CERTIFIES each step on the driver: step
+    *    j's planned pair must be the provable argmax of
+    *    (counts + deltas of steps < j), where pairs outside the
+    *    collected top-M window are bounded by the window floor (plus
+    *    any positive delta) and ties at the floor resolve by the
+    *    (count DESC, l, r) total order against the window edge. Step
+    *    0 is the exact table argmax, so every batch validates at
+    *    least one merge; an uncertifiable or mismatched step rolls
+    *    the corpus back by re-applying only the validated prefix to
+    *    the still-cached pre-batch snapshot.
+    *
+    * Driver round-trips drop from `merges` to ~`merges / batch`
+    * (plus rare rollbacks); per-step deltas reaching the driver are
+    * bounded by the distinct neighbors of that batch's merged
+    * symbols — vocabulary-adjacency scale, never corpus scale.
+    * Every persist is MEMORY_AND_DISK (evictions spill, never drop);
+    * `localCheckpoint` every `checkpointEvery` batches truncates the
+    * RDD object graph before task serialization overflows the stack
+    * (the [[bpeTrain]] discipline).
+    *
+    * The adopted sequence is IDENTICAL to [[bpeTrain]]'s
+    * (spec-enforced at 512 merges): same greedy left-to-right
+    * non-overlap merge rule ([[mergeOnce]] == [[mergePair]], the
+    * bpeApplyLarge equivalence), same (count DESC, l, r) total order,
+    * and the certification logic never ACCEPTS a step it cannot
+    * prove. */
+  def bpeTrainIncremental(df: DataFrame, textCol: String, merges: Int,
+                          sampleFraction: Double = 1.0,
+                          numPartitions: Int = 8,
+                          checkpointEvery: Int = 16,
+                          batch: Int = 64): Seq[(String, String, Long)] = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction=$sampleFraction must be in (0, 1]")
+    require(merges >= 0, s"merges=$merges")
+    require(numPartitions >= 1, s"numPartitions=$numPartitions")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+    require(batch >= 1, s"batch=$batch")
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    type Pair = (String, String)
+    // carrier rows: (doc tokens, null) per document plus ONE
+    // (null, per-step deltas) row per partition per pass
+    type Docs = RDD[(Array[String], Array[((Int, Pair), Long)])]
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val modulus = 1 << 20
+    val base =
+      if (sampleFraction >= 1.0) df
+      else df.where(graft.etl.Sampling.membershipBucket(col(textCol), modulus)
+        < lit(sampleFraction * modulus))
+    val part = new HashPartitioner(numPartitions)
+    def pairsInto(toks: Array[String], sign: Long,
+                  m: scala.collection.mutable.HashMap[Pair, Long]): Unit = {
+      var i = 0
+      while (i + 1 < toks.length) {
+        val k = (toks(i), toks(i + 1))
+        val v = m.getOrElse(k, 0L) + sign
+        if (v == 0L) m.remove(k) else m.update(k, v)
+        i += 1
+      }
+    }
+    def hasAdjacent(toks: Array[String], l: String, r: String): Boolean = {
+      var i = 0
+      while (i + 1 < toks.length) {
+        if (toks(i) == l && toks(i + 1) == r) return true
+        i += 1
+      }
+      false
+    }
+    // one merge pass over a partition's docs for each planned step in
+    // order, recording per-step exact deltas when asked
+    def applyPlan(iter: Iterator[(Array[String], Array[((Int, Pair), Long)])],
+                  plan: Array[Pair], recordDeltas: Boolean)
+        : Iterator[(Array[String], Array[((Int, Pair), Long)])] = {
+      val docs = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+      iter.foreach { case (t, _) => if (t != null) docs += t }
+      val deltas =
+        if (recordDeltas)
+          Array.fill(plan.length)(
+            scala.collection.mutable.HashMap.empty[Pair, Long])
+        else null
+      var j = 0
+      while (j < plan.length) {
+        val (l, r) = plan(j)
+        var d = 0
+        while (d < docs.length) {
+          val toks = docs(d)
+          if (hasAdjacent(toks, l, r)) {
+            val merged = mergeOnce(toks, l, r)
+            if (recordDeltas) {
+              pairsInto(toks, -1L, deltas(j))
+              pairsInto(merged, 1L, deltas(j))
+            }
+            docs(d) = merged
+          }
+          d += 1
+        }
+        j += 1
+      }
+      val flat: Array[((Int, Pair), Long)] =
+        if (recordDeltas)
+          deltas.iterator.zipWithIndex.flatMap { case (m, j) =>
+            m.iterator.map { case (p, n) => ((j, p), n) }
+          }.toArray
+        else Array.empty
+      docs.iterator.map(t => (t, null: Array[((Int, Pair), Long)])) ++
+        Iterator.single((null: Array[String], flat))
+    }
+    // winners ordered (count DESC, l ASC, r ASC) — pairCounts' order
+    val ord = Ordering.by[(Pair, Long), (Long, String, String)] {
+      case ((l, r), n) => (-n, l, r)
+    }
+    val pairOrd = Ordering.Tuple2[String, String]
+    val docs0: Docs = base
+      .select(Featurize.tokensCol(col(textCol)).as("__t"))
+      .rdd.map(r =>
+        (r.getSeq[String](0).toArray, null: Array[((Int, Pair), Long)]))
+      // one balancing shuffle, paid once — every later pass is narrow
+      .repartition(numPartitions)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var counts: RDD[(Pair, Long)] = docs0
+      .flatMap { case (toks, _) =>
+        val m = scala.collection.mutable.HashMap.empty[Pair, Long]
+        pairsInto(toks, 1L, m)
+        m.iterator
+      }
+      .reduceByKey(part, _ + _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def foldDelta(cur: RDD[(Pair, Long)], deltaSeq: Seq[(Pair, Long)],
+                  ckpt: Boolean): RDD[(Pair, Long)] = {
+      val deltaRdd = sc.parallelize(deltaSeq, numPartitions).partitionBy(part)
+      val next = cur.zipPartitions(deltaRdd, preservesPartitioning = true) {
+        (ci, di) =>
+          val d = scala.collection.mutable.HashMap.empty[Pair, Long]
+          di.foreach { case (k, v) => d.update(k, d.getOrElse(k, 0L) + v) }
+          val main = ci.flatMap { case (k, v) =>
+            val nv = v + d.remove(k).getOrElse(0L)
+            if (nv > 0) Some((k, nv)) else None
+          }
+          // by-name ++ defers until main is exhausted; leftovers are
+          // the pairs this batch's merges newly created
+          main ++ d.iterator.filter(_._2 > 0)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      if (ckpt) next.localCheckpoint()
+      next
+    }
+    var backing: Docs = docs0
+    var prevCounts: RDD[(Pair, Long)] = null
+    // every symbol string any merge has created, across batches — the
+    // freshness test's memory. Freshness is only sound if no RAW
+    // corpus token already carries the joiner glyph (else a "new"
+    // symbol string could collide with pre-existing corpus content);
+    // one startup scan decides, and a joiner-bearing corpus simply
+    // runs with certification's conservative unknown-base bound.
+    val createdEver = scala.collection.mutable.HashSet.empty[String]
+    val freshnessSound = docs0.mapPartitions { iter =>
+      Iterator.single(!iter.exists(t =>
+        t._1 != null && t._1.exists(_.contains(BpeJoiner))))
+    }.collect().forall(identity)
+    val adopted = Seq.newBuilder[(String, String, Long)]
+    var nAdopted = 0
+    var batchIdx = 0
+    try {
+      var exhausted = false
+      while (nAdopted < merges && !exhausted) {
+        val want = math.min(batch, merges - nAdopted)
+        // top-M window: the plan plus enough slack that certification
+        // can bound pairs outside the window by the window floor
+        val m = math.max(4 * want, want + 256)
+        val top = counts.takeOrdered(m)(ord) // materializes counts
+        if (prevCounts != null) { prevCounts.unpersist(false); prevCounts = null }
+        if (top.isEmpty) exhausted = true
+        else {
+          val complete = top.length < m // the window IS the whole table
+          val floor = if (complete) Long.MinValue else top.last._2
+          val edgePair = if (complete) null else top.last._1
+          val plan: Array[Pair] = top.take(want).map(_._1)
+          val ckpt = batchIdx % checkpointEvery == checkpointEvery - 1
+          val spec: Docs = backing
+            .mapPartitions(applyPlan(_, plan, recordDeltas = true))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          if (ckpt) spec.localCheckpoint()
+          // exact global per-step deltas — bounded by the distinct
+          // neighbors of this batch's merged symbols; this one action
+          // also materializes (and caches) the speculative corpus
+          val perStepRaw = spec
+            .flatMap(t => if (t._2 != null) t._2.iterator else Iterator.empty)
+            .reduceByKey(_ + _).collect()
+          val perStep = Array.fill(plan.length)(
+            scala.collection.mutable.HashMap.empty[Pair, Long])
+          perStepRaw.foreach { case ((j, p), n) => perStep(j).update(p, n) }
+          // ---- driver-side certification of the speculated order ----
+          // A pair containing a symbol string NEVER created before
+          // (fresh this batch) cannot pre-exist: its base count is
+          // EXACTLY 0, so overlay additions involving fresh symbols
+          // are exact candidates, not unknown threats. Only the rare
+          // joiner-string collision (the same symbol string built by
+          // two different parses, e.g. a+b▁c vs a▁b+c) keeps a pair
+          // unknown-base.
+          val baseMap = scala.collection.mutable.HashMap(top: _*)
+          val overlay = scala.collection.mutable.HashMap.empty[Pair, Long]
+          val freshNow = scala.collection.mutable.HashSet.empty[String]
+          def isFresh(p: Pair): Boolean =
+            freshnessSound &&
+              (freshNow.contains(p._1) || freshNow.contains(p._2))
+          var validated = 0
+          var stop = false
+          while (validated < plan.length && !stop) {
+            val j = validated
+            // candidate counts at step j = base + overlay (steps < j)
+            def eff(p: Pair): Long =
+              baseMap.getOrElse(p, 0L) + overlay.getOrElse(p, 0L)
+            val knownPairs: Iterator[Pair] =
+              if (complete) baseMap.keysIterator ++
+                overlay.keysIterator.filter(p => !baseMap.contains(p))
+              else baseMap.keysIterator ++
+                overlay.keysIterator.filter(p =>
+                  !baseMap.contains(p) && isFresh(p))
+            var best: Pair = null
+            var bestEff = 0L
+            knownPairs.foreach { p =>
+              val e = eff(p)
+              if (e > 0 && (best == null || e > bestEff ||
+                  (e == bestEff && pairOrd.lt(p, best)))) {
+                best = p; bestEff = e
+              }
+            }
+            if (best == null) stop = true
+            else {
+              val certified =
+                if (j == 0) true // plan(0) IS the exact table argmax
+                else if (complete) true // every live pair is known
+                else {
+                  // pairs outside the window: count <= floor, and at
+                  // == floor their (l, r) orders AFTER the window edge;
+                  // positive overlay on an unknown-base (non-fresh)
+                  // pair bounds it by floor + overlay
+                  val unknownUb = overlay.iterator
+                    .filter { case (p, v) =>
+                      v > 0 && !baseMap.contains(p) && !isFresh(p) }
+                    .map { case (_, v) => floor + v }
+                    .foldLeft(Long.MinValue)(math.max)
+                  val beatsEdge = bestEff > floor ||
+                    (bestEff == floor && pairOrd.lteq(best, edgePair))
+                  beatsEdge && bestEff > unknownUb
+                }
+              if (!certified || best != plan(j)) stop = true
+              else {
+                adopted += ((best._1, best._2, bestEff))
+                val born = best._1 + BpeJoiner + best._2
+                if (!createdEver.contains(born)) {
+                  createdEver += born
+                  freshNow += born
+                }
+                perStep(j).foreach { case (p, v) =>
+                  val nv = overlay.getOrElse(p, 0L) + v
+                  if (nv == 0L) overlay.remove(p) else overlay.update(p, nv)
+                }
+                validated += 1
+              }
+            }
+          }
+          nAdopted += validated
+          // step 0 is the exact table argmax, so a batch always
+          // validates >= 1 merge; a zero-validated batch means the
+          // invariant broke — stop loudly instead of looping forever
+          if (validated == 0)
+            throw new IllegalStateException(
+              "bpeTrainIncremental: batch validated 0 steps — " +
+                s"plan head ${plan.headOption}, top head ${top.headOption}")
+          // ---- settle the corpus + count table ----
+          val oldBacking = backing
+          if (validated == plan.length) backing = spec
+          else {
+            // roll back: re-apply only the validated prefix to the
+            // still-cached pre-batch snapshot
+            val fixed: Docs = oldBacking
+              .mapPartitions(
+                applyPlan(_, plan.take(validated), recordDeltas = false))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            if (ckpt) fixed.localCheckpoint()
+            fixed.count()
+            spec.unpersist(false)
+            backing = fixed
+          }
+          if (!(oldBacking eq backing)) oldBacking.unpersist(false)
+          if (validated > 0) {
+            prevCounts = counts
+            counts = foldDelta(counts, overlay.toSeq, ckpt)
+          }
+          batchIdx += 1
+        }
+      }
+      adopted.result()
+    } finally {
+      counts.unpersist(false)
+      if (prevCounts != null) prevCounts.unpersist(false)
+      backing.unpersist(false)
+      docs0.unpersist(false)
     }
   }
 

@@ -555,6 +555,88 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The deterministic CDC change set `q_sim_ivf_update` applies to
+    * the embeddings corpus, mirrored verbatim in its oracle SQL. A
+    * FIXED small id set (not a modulus) keeps the change batch the
+    * same size at every SF — so some cells stay untouched and the
+    * byte-identity gate is never vacuous, at sf0.01 AND on the 10x
+    * replica: vec_id 37/74/111 deleted; 41/82 updated to the REVERSED
+    * vector (pure element reorder — bit-exact in both engines, and
+    * reversal moves the vector to a different cell so the old-cell
+    * rewrite path is exercised); vec_id < 3 re-inserted under
+    * vec_id + 700000 with reversed vectors. */
+  private val ivfUpdateCorpusSql =
+    """SELECT vec_id,
+      |    CASE WHEN vec_id IN (41, 82) THEN list_reverse(cv) ELSE cv END AS cv
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+      |  WHERE vec_id NOT IN (37, 74, 111)
+      |  UNION ALL
+      |  SELECT vec_id + 700000, list_reverse(CAST(embedding AS DOUBLE[]))
+      |  FROM embeddings WHERE vec_id < 3""".stripMargin
+
+  private def ivfUpdateChanges(emb: DataFrame): DataFrame = {
+    val del = emb.where(col("vec_id").isin(37L, 74L, 111L))
+      .select(col("vec_id"), col("embedding"),
+        lit(1L).as("seq"), lit("d").as("op"))
+    val upd = emb.where(col("vec_id").isin(41L, 82L))
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        lit(1L).as("seq"), lit("u").as("op"))
+    val ins = emb.where(col("vec_id") < 3)
+      .select((col("vec_id") + 700000).as("vec_id"),
+        reverse(col("embedding")).as("embedding"),
+        lit(1L).as("seq"), lit("u").as("op"))
+    del.unionByName(upd).unionByName(ins)
+  }
+
+  /** md5 of every file under each cell dir of an IVF layout, keyed by
+    * cell — the byte-identity evidence the update gate compares. */
+  private def cellChecksums(indexDir: String): Map[Int, Map[String, String]] = {
+    val root = new java.io.File(indexDir)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map { d =>
+        val cell = d.getName.stripPrefix("cell=").toInt
+        val files = d.listFiles().filter(_.isFile).map { f =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> digest.map("%02x".format(_)).mkString
+        }.toMap
+        cell -> files
+      }.toMap
+  }
+
+  /** Incremental IVF maintenance under CDC
+    * ([[Similarity.updateIvfIndex]]): build the partitioned index,
+    * apply the deterministic change set, then THROW unless (a) some
+    * cells were untouched (the gate must not be vacuous) and (b) every
+    * untouched cell's files are md5-identical before and after — the
+    * "only touched cells rewrite" contract, checked on bytes, not
+    * plans. Serving the updated layout must then hash-match the
+    * oracle, which computes IVF top-k over the CDC-applied corpus
+    * directly — i.e. the full-rebuild answer. */
+  val simIvfUpdateQ: Q = (s, dir) => {
+    val emb = embeddings(s, dir).select("vec_id", "embedding")
+    val cents = ivfCents(s, dir)
+    val idir = scratchDir("ivfupd", dir)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, idir)
+    val before = cellChecksums(idir)
+    val touched = Similarity.updateIvfIndex(
+      idir, ivfUpdateChanges(emb), "vec_id", "embedding", cents)
+    val after = cellChecksums(idir)
+    val untouched = before.keySet.filterNot(touched.contains)
+    require(touched.nonEmpty && untouched.nonEmpty,
+      s"IVF update gate is vacuous: touched=${touched.length} " +
+        s"of ${before.size} cells")
+    untouched.foreach { k =>
+      require(before(k) == after.getOrElse(k, Map.empty),
+        s"untouched cell $k was rewritten: ${before(k)} -> ${after.get(k)}")
+    }
+    val updated = graft.etl.Merge.applyCdc(emb, ivfUpdateChanges(emb), "vec_id")
+    Similarity.ivfPartitionedTopK(idir,
+        updated.where(col("vec_id") < 10), "vec_id", "embedding", 5, cents,
+        nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Int8 scalar-quantized ANN ([[Similarity.sqBounds]]/[[Similarity.sqTopK]],
     * the FAISS SQ8 shape): per-dimension (min, max) from one bounded
     * agg → 1-byte-per-dim codes (4× smaller index than float32) →
@@ -619,7 +701,10 @@ object ExtQueries {
     * staged norms, same per-centroid cosine (literal centroid norms),
     * same first-max-wins cell argmax, same (sim DESC, cell) probe
     * ranking, same rounded verify cosine and (cosine DESC, id) top-k. */
-  def simIvfSqlFor(cents: Array[Array[Double]], nprobe: Int = 4): String = {
+  def simIvfSqlFor(cents: Array[Array[Double]], nprobe: Int = 4,
+                   corpusSql: String =
+                     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings")
+      : String = {
     val k = cents.length
     val centsLit = cents.map(_.map(dlit).mkString("[", ", ", "]"))
       .mkString("[", ",\n    ", "]")
@@ -640,7 +725,7 @@ object ExtQueries {
     val vnFold = foldSumSql("list_transform(range(1, len(cv)+1), j -> cv[j] * cv[j])")
     val pairFold = foldSumSql("list_transform(range(1, len(qv)+1), j -> qv[j] * cv[j])")
     s"""WITH ct AS (SELECT $centsLit AS cents),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |e AS ($corpusSql),
        |n AS (SELECT vec_id, cv, sqrt($vnFold) AS vn FROM e),
        |s AS (SELECT vec_id, cv, vn,
        |$sims
@@ -881,6 +966,9 @@ object ExtQueries {
         Map("q_sim_ivf" -> simIvfSqlFor(ivfCentsCache.values.iterator.next()),
           "q_sim_ivf_partitioned" -> simIvfSqlFor(
             ivfCentsCache.values.iterator.next(), nprobe = 2),
+          "q_sim_ivf_update" -> simIvfSqlFor(
+            ivfCentsCache.values.iterator.next(), nprobe = 2,
+            corpusSql = ivfUpdateCorpusSql),
           "q_dedup_semantic" -> dedupSemanticSqlFor(
             ivfCentsCache.values.iterator.next()),
           "q_cluster_balance" -> clusterBalanceSqlFor(
@@ -3189,6 +3277,7 @@ object ExtQueries {
     "q_sim_topk" -> simTopK,
     "q_sim_ivf" -> simIvf,
     "q_sim_ivf_partitioned" -> simIvfPartitionedQ,
+    "q_sim_ivf_update" -> simIvfUpdateQ,
     "q_sim_pq" -> simPq,
     "q_sim_sq8" -> simSq8,
     "q_text_langid" -> textLangid,

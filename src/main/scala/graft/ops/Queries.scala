@@ -1108,6 +1108,41 @@ object Queries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Multi-epoch training shuffle ([[graft.etl.Sharding.shuffleShards]]
+    * with `epoch` salts): two epochs of the same corpus — shard
+    * membership must be IDENTICAL (the join on (doc_id, shard) is
+    * total: a membership drift would null out or drop rows and break
+    * rows/hash), while each epoch's within-shard order is its own
+    * deterministic permutation. This is the read pattern of every
+    * multi-epoch LLM training run: same shard files, a fresh order
+    * per epoch, no corpus rewrite. */
+  val shardShuffleEpochQ: Q = (s, dir) => {
+    val d = documents(s, dir).select("doc_id")
+    val e1 = graft.etl.Sharding.shuffleShards(d, "doc_id", nShards = 8,
+        epoch = 1)
+      .select(col("doc_id"), col("shard"), col("pos").as("pos_e1"))
+    val e2 = graft.etl.Sharding.shuffleShards(d, "doc_id", nShards = 8,
+        epoch = 2)
+      .select(col("doc_id"), col("shard"), col("pos").as("pos_e2"))
+    e1.join(e2, Seq("doc_id", "shard"))
+      .orderBy("doc_id")
+  }
+
+  val shardShuffleEpochSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    def posFor(epoch: Int) =
+      s"""CAST(ROW_NUMBER() OVER (PARTITION BY ($hex8) % 8
+         |    ORDER BY md5('$epoch|' || CAST(doc_id AS VARCHAR)), doc_id)
+         |    AS INTEGER)""".stripMargin
+    s"""SELECT doc_id, CAST(($hex8) % 8 AS INTEGER) AS shard,
+       |  ${posFor(1)} AS pos_e1,
+       |  ${posFor(2)} AS pos_e2
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Token-budget domain mixture ([[graft.etl.Sampling.mixtureRates]]):
     * the Pile/DoReMi-style recipe — target token shares per domain
     * against a global budget, each domain downsampled to its
@@ -1431,6 +1466,7 @@ object Queries {
     "q_mixture_rates" -> mixtureRatesQ,
     "q_mixture_sample" -> mixtureSampleQ,
     "q_shard_shuffle" -> shardShuffleQ,
+    "q_shard_shuffle_epoch" -> shardShuffleEpochQ,
     "q_window_ntile" -> windowNtile,
     "q_publish" -> publishRoundtrip,
     "q_merge_upsert" -> mergeUpsert,
@@ -1489,6 +1525,7 @@ object Queries {
     "q_mixture_rates" -> mixtureRatesSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_shard_shuffle" -> shardShuffleSql,
+    "q_shard_shuffle_epoch" -> shardShuffleEpochSql,
     "q_window_ntile" -> windowNtileSql,
     "q_publish" -> publishRoundtripSql,
     "q_merge_upsert" -> mergeUpsertSql,

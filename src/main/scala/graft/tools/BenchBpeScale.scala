@@ -52,11 +52,29 @@ object BenchBpeScale {
       }
       (m, t, adopted)
     }
+    // incremental trainer (batched speculative adoption) at vocab
+    // scale: the rescan path's last measured per-merge cost is the
+    // extrapolation baseline; the largest incremental run must adopt
+    // the IDENTICAL sequence as the rescan path where they overlap
+    // (the spec proves 512; this gates the bench's own 1024)
+    val rescanPerMerge = trains.last._2 / trains.last._1
+    val incSteps = (if (args.length > 1) args(1) else "1024,8192")
+      .split(",").map(_.trim.toInt).toSeq
+    val incs = incSteps.map { m =>
+      val (t, adopted) = timed {
+        graft.ext.TextStats.bpeTrainIncremental(docs, "text", merges = m,
+          sampleFraction = sampleFraction)
+      }
+      (m, t, adopted)
+    }
+    val overlap = math.min(trains.last._3.size, incs.head._3.size)
+    require(trains.last._3.take(overlap) == incs.head._3.take(overlap),
+      s"incremental adoption diverged from rescan within the first $overlap merges")
     // apply the LARGEST vocabulary corpus-wide (train saw only the
     // sample; apply must cover everything — the production asymmetry).
     // bpeApplyLarge: at vocab scale the regexp-chain form would be a
-    // 1024-deep expression tree and 1024 regex passes per document.
-    val vocab = trains.last._3.map(a => (a._1, a._2))
+    // 8192-deep expression tree and 8192 regex passes per document.
+    val vocab = incs.last._3.map(a => (a._1, a._2))
     val (tApply, applied) = timed {
       graft.ext.TextStats.bpeApplyLarge(docs, "text", vocab)
         .agg(sum(size(col("bpe_symbols"))), count(lit(1)))
@@ -65,7 +83,10 @@ object BenchBpeScale {
     val trainJson = trains.map { case (m, t, a) =>
       f""""m$m":{"sec":$t%.3f,"adopted":${a.size},"sec_per_merge":${t / m}%.4f}"""
     }.mkString(",")
-    println(f"""{"metric":"bpe_vocab_scaling","sf":"$sfDir","sample_fraction":$sampleFraction,$trainJson,"apply":{"sec":$tApply%.3f,"merges":${vocab.size},"docs":${applied.getLong(1)},"total_symbols":${applied.getLong(0)}}}""")
+    val incJson = incs.map { case (m, t, a) =>
+      f""""inc$m":{"sec":$t%.3f,"adopted":${a.size},"sec_per_merge":${t / m}%.4f,"vs_rescan_extrapolated":${rescanPerMerge * m / t}%.2f}"""
+    }.mkString(",")
+    println(f"""{"metric":"bpe_vocab_scaling","sf":"$sfDir","sample_fraction":$sampleFraction,$trainJson,$incJson,"rescan_sec_per_merge":$rescanPerMerge%.4f,"apply":{"sec":$tApply%.3f,"merges":${vocab.size},"docs":${applied.getLong(1)},"total_symbols":${applied.getLong(0)}}}""")
     spark.stop()
   }
 }

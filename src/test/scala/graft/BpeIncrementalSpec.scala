@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.ext.TextStats
+
+/** The incremental (batched-speculative) BPE trainer must adopt the
+  * EXACT sequence the rescan trainer adopts — same pairs, same order,
+  * same pre-merge frequencies — because certification never accepts a
+  * step it cannot prove against exact delta-adjusted counts. The
+  * verdict-prescribed depth is 512 merges; the synthetic corpus is
+  * sized so that run crosses from the high-count head deep into the
+  * tie-heavy count-1 tail (the regime that stresses the window-floor
+  * and freshness reasoning hardest). */
+class BpeIncrementalSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val synth = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("pay", "card", "txn", "shop", "food", "tax", "fee",
+      "sub", "net", "vat", "tip", "ref", "pos", "atm", "usd", "eur")
+    val df = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "text")
+    df.persist().count()
+    df
+  }
+
+  test("adopted-merge sequence equals the rescan path for 512 merges") {
+    val inc = TextStats.bpeTrainIncremental(synth, "text", 512)
+    val res = TextStats.bpeTrain(synth, "text", 512)
+    assert(inc.size == 512 && res.size == 512)
+    val firstDiff = inc.zip(res).indexWhere { case (a, b) => a != b }
+    assert(inc == res,
+      s"diverged at merge $firstDiff: inc=${inc.lift(firstDiff)} " +
+        s"rescan=${res.lift(firstDiff)}")
+  }
+
+  test("sequence equality holds on the fixture sample (128 merges)") {
+    val fx = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val inc = TextStats.bpeTrainIncremental(fx, "text", 128)
+    val res = TextStats.bpeTrain(fx, "text", 128)
+    assert(inc == res, s"fixture divergence: ${inc.zip(res).indexWhere(t => t._1 != t._2)}")
+  }
+
+  test("degenerate inputs: zero merges, exhausted corpus, empty corpus") {
+    import spark.implicits._
+    assert(TextStats.bpeTrainIncremental(synth, "text", 0) == Seq.empty)
+    // a two-token corpus exhausts after one merge
+    val tiny = Seq((1L, "a b")).toDF("id", "text")
+    val t = TextStats.bpeTrainIncremental(tiny, "text", 10)
+    assert(t == Seq(("a", "b", 1L)), t.toString)
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(TextStats.bpeTrainIncremental(empty, "text", 5) == Seq.empty)
+  }
+
+  test("joiner-bearing raw corpus still trains correctly (freshness guard)") {
+    import spark.implicits._
+    // raw tokens already containing the joiner glyph disable the
+    // freshness shortcut; adoption must still match the rescan path
+    val j = TextStats.BpeJoiner
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"x${j}y a b a b c${i % 5} x${j}y a")
+    }.toDF("id", "text")
+    val inc = TextStats.bpeTrainIncremental(docs, "text", 24)
+    val res = TextStats.bpeTrain(docs, "text", 24)
+    assert(inc == res,
+      s"diverged at ${inc.zip(res).indexWhere(t => t._1 != t._2)}")
+  }
+}

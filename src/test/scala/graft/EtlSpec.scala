@@ -234,6 +234,37 @@ class EtlSpec extends AnyFunSuite {
     assert(inverted.count() > 0)
   }
 
+  test("epoch shuffle: membership epoch-invariant, orders pairwise distinct and deterministic") {
+    import org.apache.spark.sql.functions._
+    val d = docs.select("doc_id")
+    def run(e: Int): Map[Long, (Int, Int)] =
+      Sharding.shuffleShards(d, "doc_id", nShards = 4, epoch = e)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("shard"), r.getAs[Int]("pos"))).toMap
+    val epochs = Seq(0, 1, 2, 3).map(run)
+    // shard membership never moves across epochs
+    epochs.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.view.mapValues(_._1).toMap == b.view.mapValues(_._1).toMap)
+    }
+    // each epoch's order is its own permutation: every epoch pair
+    // disagrees on at least one position
+    for (i <- epochs.indices; j <- epochs.indices if i < j)
+      assert(epochs(i).exists { case (k, (_, p)) => epochs(j)(k)._2 != p },
+        s"epochs $i and $j produced the identical order")
+    // deterministic per epoch
+    assert(run(2) == epochs(2))
+    // positions stay dense 1..|shard| under a salt
+    Sharding.shuffleShards(d, "doc_id", nShards = 4, epoch = 5)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
+      .collect().foreach { r =>
+        assert(r.getInt(2) == 1 && r.getInt(3).toLong == r.getLong(1), r.toString)
+      }
+    intercept[IllegalArgumentException] {
+      Sharding.shuffleShards(d, "doc_id", 4, epoch = -1)
+    }
+  }
+
   test("sharded export: one file per shard dir, rows in shuffled pos order") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("shard_export").toString

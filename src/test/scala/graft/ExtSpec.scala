@@ -1303,6 +1303,46 @@ class ExtSpec extends AnyFunSuite {
     assert(cells.length < 8 && cells.nonEmpty, cells.mkString(","))
   }
 
+  test("IVF CDC update: post-update index equals a full rebuild; emptied cells vanish") {
+    val e = emb.select("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 8, iters = 1)
+    val idir = java.nio.file.Files.createTempDirectory("ivfupd").toString
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, idir)
+    // delete two ids, move one (reversed vector -> new cell), insert one
+    val del = e.where(col("vec_id").isin(11L, 23L))
+      .select(col("vec_id"), col("embedding"), lit(1L).as("seq"), lit("d").as("op"))
+    val upd = e.where(col("vec_id") === 7L)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        lit(1L).as("seq"), lit("u").as("op"))
+    val ins = e.where(col("vec_id") === 3L)
+      .select((col("vec_id") + 9000).as("vec_id"),
+        reverse(col("embedding")).as("embedding"),
+        lit(1L).as("seq"), lit("u").as("op"))
+    val changes = del.unionByName(upd).unionByName(ins)
+    val touched = Similarity.updateIvfIndex(idir, changes,
+      "vec_id", "embedding", cents)
+    assert(touched.nonEmpty)
+    // full rebuild from the CDC-applied corpus must match row-for-row
+    val applied = graft.etl.Merge.applyCdc(e, changes, "vec_id")
+    val rdir = java.nio.file.Files.createTempDirectory("ivfrebuild").toString
+    Similarity.writeIvfIndex(applied, "vec_id", "embedding", cents, rdir)
+    def content(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("cell"), md5(col("embedding").cast("string")))
+      .collect().map(_.toSeq).toSet
+    assert(content(idir) == content(rdir))
+    // an emptied cell's directory is deleted outright: victims are the
+    // CURRENT members of the smallest live cell
+    val cur = spark.read.parquet(idir).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val (victimCell, victims) = cur.groupBy(_._2).view.mapValues(_.map(_._1))
+      .toSeq.minBy(_._2.length)
+    val delAll = applied.where(col("vec_id").isin(victims.toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding"), lit(2L).as("seq"), lit("d").as("op"))
+    Similarity.updateIvfIndex(idir, delAll, "vec_id", "embedding", cents)
+    assert(!new java.io.File(s"$idir/cell=$victimCell").exists(),
+      s"cell=$victimCell should have been emptied and removed")
+  }
+
   test("matryoshka funnel: exact when shortlist covers corpus, planted copy at rank 1") {
     val e = emb.select("vec_id", "embedding")
     val queries = e.where(col("vec_id") < 5)
