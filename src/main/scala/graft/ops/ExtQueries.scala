@@ -1916,6 +1916,47 @@ object ExtQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** §2.11+: streaming contamination gate
+    * ([[graft.streaming.ScoreStream.contaminationMonitor]]) — eval
+    * probes (doc_id % 37) frozen into a broadcast shingle index, the
+    * arriving corpus flagged per document IN-ROW (stateless) and
+    * aggregated per (window, source). Oracled on the engine-agnostic
+    * batch form (the q_stream_window precedent); real streaming
+    * execution with the memory sink is pinned stream==batch in
+    * StreamingSpec. Documents carry a synthetic event time derived
+    * from doc_id so windowing is deterministic at every SF. */
+  val streamContaminationQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "source", "text")
+      .withColumn("ts",
+        timestamp_seconds(lit(1600000000L) + pmod(col("doc_id"), lit(600L))))
+    val probes = docs.where(col("doc_id") % 37 === 0).select("text")
+    graft.streaming.ScoreStream.contaminationMonitor(
+        docs, probes, "ts", "source", "text")
+      .orderBy("window_start", "source")
+  }
+
+  val streamContaminationSql =
+    s"""WITH d AS (SELECT doc_id, source, text,
+       |    make_timestamp((1600000000 + doc_id % 600) * 1000000) AS ts
+       |  FROM documents),
+       |t AS (SELECT doc_id, source, ts, $toksSql AS toks FROM d),
+       |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM t),
+       |p AS (SELECT DISTINCT md5(sh) AS h FROM sh WHERE doc_id % 37 = 0),
+       |hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+       |  FROM (SELECT doc_id, md5(sh) AS h FROM sh) c JOIN p USING (h)
+       |  GROUP BY 1),
+       |f AS (SELECT t.doc_id, t.source, t.ts,
+       |    COALESCE(hits.n_hits, 0) AS n_hits
+       |  FROM t LEFT JOIN hits USING (doc_id))
+       |SELECT date_trunc('minute', ts) AS window_start, source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_contaminated,
+       |  ROUND(CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_rate,
+       |  CAST(SUM(n_hits) AS BIGINT) AS n_hits_total
+       |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** §2.11+: stream-stream interval join (click→purchase attribution
     * within 10 minutes per user), oracled in its batch form. */
   val streamJoin: Q = (s, dir) => {
@@ -3288,6 +3329,7 @@ object ExtQueries {
     "q_text_fingerprint" -> textFingerprint,
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
+    "q_stream_contamination" -> streamContaminationQ,
     "q_stream_join" -> streamJoin,
     "q_sessionize" -> sessionizeQ,
     "q_sessionize_timers" -> sessionizeTimersQ,
@@ -3360,6 +3402,7 @@ object ExtQueries {
     "q_text_fingerprint" -> textFingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,
+    "q_stream_contamination" -> streamContaminationSql,
     "q_stream_join" -> streamJoinSql,
     "q_sessionize" -> sessionizeSql,
     "q_sessionize_timers" -> sessionizeTimersSql,

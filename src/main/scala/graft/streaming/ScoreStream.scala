@@ -104,6 +104,61 @@ object ScoreStream {
         col("kept_line_share"))
   }
 
+  /** Per-document contamination flags against a STATIC probe set —
+    * the streaming-safe face of [[graft.ext.Dedup.contamination]]
+    * (same per-occurrence `n_hits` semantics): the probe side reduces
+    * to ONE row holding its distinct shingle hashes, broadcast-cross-
+    * joined into the (possibly streaming) document side, and each
+    * document counts its own shingle hits IN-ROW. No explode, no
+    * per-document aggregation — completely STATELESS, so it runs in
+    * append mode with no watermark and each micro-batch re-plans the
+    * probe side (a refreshed eval set is picked up between batches).
+    * At 100 TB of stream the probe array is eval-set-sized (bounded);
+    * swap the membership array for a broadcast bloom filter when the
+    * probe set outgrows a row. */
+  def contaminationFlags(docs: DataFrame, probes: DataFrame,
+                         textCol: String, k: Int = 3): DataFrame = {
+    val probeArr = probes
+      .select(explode(graft.ext.Dedup.shingles(col(textCol), k)).as("__sh"))
+      .select(md5(col("__sh")).as("__h")).distinct()
+      .agg(collect_list(col("__h")).as("__probe"))
+    docs.crossJoin(broadcast(probeArr))
+      .withColumn("__hashes",
+        transform(graft.ext.Dedup.shingles(col(textCol), k), sh => md5(sh)))
+      .withColumn("n_hits",
+        size(filter(col("__hashes"), h => array_contains(col("__probe"), h))))
+      .drop("__hashes", "__probe")
+  }
+
+  /** Streaming contamination gate — "is eval data leaking into my
+    * training stream?" (the operational form of the Lee et al.
+    * decontamination concern): every arriving document is checked
+    * against the frozen probe-shingle index ([[contaminationFlags]],
+    * stateless) and the monitor emits per-(window, source) volume,
+    * contaminated-document count and rate, and total shingle hits.
+    * The only streaming state is the watermarked (window, source)
+    * aggregate — bounded and evicted, never keyed by document. Works
+    * identically on batch frames (how the oracle and spec pin it). */
+  def contaminationMonitor(docs: DataFrame, probes: DataFrame,
+                           tsCol: String, srcCol: String, textCol: String,
+                           k: Int = 3,
+                           windowLen: String = "1 minute",
+                           watermark: String = "5 minutes"): DataFrame = {
+    val wm = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+             else docs
+    val nBad = sum(when(col("n_hits") > 0, 1L).otherwise(0L))
+    contaminationFlags(wm, probes, textCol, k)
+      .groupBy(window(col(tsCol), windowLen), col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        nBad.as("n_contaminated"),
+        round(nBad.cast("double") / count(lit(1)).cast("double"), 6)
+          .as("contamination_rate"),
+        sum(col("n_hits")).cast("long").as("n_hits_total"))
+      .select(col("window.start").as("window_start"), col(srcCol),
+        col("n_docs"), col("n_contaminated"), col("contamination_rate"),
+        col("n_hits_total"))
+  }
+
   /** Score a (possibly streaming) frame with a trained model and count
     * predictions per window — "enriched with brand information in real
     * time". Model scoring is a pure transform, so it runs unchanged on

@@ -229,6 +229,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("good")._2 < out("drift")._2)
   }
 
+  test("streaming contamination gate: per-source flags match batch exactly") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    // probe set = the eval phrase; one stream source leaks it verbatim
+    // (and twice in one doc — per-OCCURRENCE counting), one is clean
+    val evalText = "the quick brown fox jumps over the lazy dog"
+    val probes = Seq(evalText).toDF("text")
+    val rows = Seq(
+      (t0, "leaky", evalText),
+      (t0, "leaky", s"prefix words $evalText suffix $evalText end"),
+      (t0, "leaky", "completely unrelated words here nothing shared"),
+      (t0, "clean", "other unrelated prose with no overlap at all"),
+      (t0, "clean", "more clean text entirely disjoint from probes"))
+    val dir = java.nio.file.Files.createTempDirectory("ctm_src").toString
+    rows.toDF("ts", "source", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = ScoreStream.contaminationMonitor(stream, probes,
+        "ts", "source", "text")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ctm_out").start()
+    q.processAllAvailable()
+    q.stop()
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    val out = grab(spark.table("ctm_out"))
+    val batch = grab(ScoreStream.contaminationMonitor(
+      spark.read.parquet(dir), probes, "ts", "source", "text"))
+    assert(out == batch, s"stream=$out batch=$batch")
+    // leaky: verbatim doc has all 7 probe shingles; the embedded doc
+    // carries the phrase twice = 14 occurrences; third doc is clean
+    assert(out("leaky") == ((3L, 2L, BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 21L)),
+      out.toString)
+    assert(out("clean") == ((2L, 0L, 0.0, 0L)), out.toString)
+    // per-doc flags agree with the batch contamination operator's
+    // per-occurrence n_hits on the docs it reports
+    val ids = spark.read.parquet(dir)
+      .withColumn("doc_id", monotonically_increasing_id()).persist()
+    val flagged = ScoreStream.contaminationFlags(ids, probes, "text")
+      .where(col("n_hits") > 0)
+      .select("doc_id", "n_hits").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val reference = graft.ext.Dedup.contamination(ids, probes, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == reference, s"flags=$flagged ref=$reference")
+  }
+
   test("streaming C4 quality monitor: per-source pass rates match batch exactly") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
