@@ -124,6 +124,31 @@ class Model(
       .drop("__features", "__prediction", "rawPrediction", "probability")
   }
 
+  /** Score `textCol` with the model's CALIBRATED class probability for
+    * one label value — the keep-probability surface a model-based
+    * quality filter needs (a hard label loses the ranking a
+    * threshold/sampling stage works with). Same pure-transform shape
+    * as [[predict]]; probabilities rounded to 6 dp so downstream
+    * thresholds are reproducible within a trained model. */
+  def predictProba(df: DataFrame, textCol: String, labelValue: String,
+                   outputCol: String = "label_prob"): DataFrame = {
+    val idx = indexer.labelsArray.head.indexOf(labelValue)
+    require(idx >= 0,
+      s"label '$labelValue' not in model labels " +
+        s"${indexer.labelsArray.head.mkString("[", ",", "]")}")
+    val featurized = Featurize.addFeatures(df, textCol, "__features",
+      params.wordNgrams, params.numFeatures)
+    val scored = lrModel
+      .setFeaturesCol("__features")
+      .setPredictionCol("__prediction")
+      .transform(featurized)
+    scored
+      .withColumn(outputCol, round(element_at(
+        org.apache.spark.ml.functions.vector_to_array(col("probability")),
+        idx + 1), 6))
+      .drop("__features", "__prediction", "rawPrediction", "probability")
+  }
+
   /** Single-row JVM-side scoring: featurize (same murmur3 hashing as
     * HashingTF via `indexOf`) → LR predict → decoded label. Powers the
     * registered-UDF path; the vectorized `predict` transform is the

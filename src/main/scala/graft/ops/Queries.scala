@@ -674,6 +674,7 @@ object Queries {
     trainedScoreCache.values.forEach(df => { df.unpersist(); () })
     trainedScoreCache.clear()
     clearTuningMemo()
+    clearQualityClsMemo()
   }
 
   private def trainedScore(s: SparkSession, dir: String): DataFrame =
@@ -728,6 +729,56 @@ object Queries {
       f"planted-signal accuracy $overall%.4f < 0.9 — trainer failed to learn")
     perClass.orderBy("lang")
   }
+
+  /** Model-based quality filter under the driver gate
+    * ([[graft.ml.QualityFilter]]): the curated-vs-raw classifier —
+    * the canonical GPT-3/LLaMA pipeline stage downstream of the rule
+    * filters. The fixture text is random (uncorrelated with any
+    * quality notion), so quality is PLANTED: docs with doc_id % 3 != 0
+    * carry a "curated" marker phrase, the rest a "raw" one; the
+    * classifier trains on the 80% split and must recover the signal on
+    * the held-out 20% — the query THROWS under 0.9 accuracy, so a
+    * non-learning filter fails the driver outright. Output: bounded
+    * per-source keep counts at the 0.5 threshold. Rows-only (training
+    * is not SQL). Memoized per (session, dir) like [[trainedScore]]. */
+  private val qualityClsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[ops] def clearQualityClsMemo(): Unit = {
+    qualityClsCache.values.forEach(df => { df.unpersist(); () })
+    qualityClsCache.clear()
+  }
+
+  /** Held-out docs scored with keep_prob, gate already enforced —
+    * memoized (and persisted) so Verify/Bench/PlanSpec train once. */
+  private def qualityScored(s: SparkSession, dir: String): DataFrame =
+    qualityClsCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+      val curatedDoc = col("doc_id") % 3 =!= 0
+      val sig = when(curatedDoc, lit("wellformed cited prose"))
+        .otherwise(lit("boilerplate scraped clutter"))
+      val docs = documents(s, dir).select(col("doc_id"), col("source"),
+        concat_ws(" ", col("text"), sig, sig).as("text"))
+      val train = docs.where(col("doc_id") % 10 < 8)
+      val heldout = docs.where(col("doc_id") % 10 >= 8)
+      val qm = graft.ml.QualityFilter.train(
+        train.where(curatedDoc), train.where(!curatedDoc), "text")
+      val scored = qm.score(heldout, "text").persist()
+      val r = scored.agg(
+        sum(when((col("keep_prob") >= 0.5) === curatedDoc, 1L)
+          .otherwise(0L)).as("ok"),
+        count(lit(1)).as("n")).head()
+      val acc = r.getLong(0).toDouble / math.max(r.getLong(1), 1L)
+      require(acc >= 0.9,
+        f"quality classifier held-out accuracy $acc%.4f < 0.9 — " +
+          "the curated-vs-raw filter failed to learn")
+      scored
+    })
+
+  val qualityClassifierQ: Q = (s, dir) =>
+    qualityScored(s, dir).groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("keep_prob") >= 0.5, 1L).otherwise(0L)).as("n_keep"))
+      .orderBy("source")
 
   /** M5 under the driver gate: a small deterministic hyperparameter
     * search on a bounded planted-signal slice — successive halving
@@ -1445,6 +1496,7 @@ object Queries {
     "q_ml_score" -> mlScore,
     "q_ml_eval_summary" -> mlEvalSummary,
     "q_ml_planted_accuracy" -> mlPlantedAccuracy,
+    "q_quality_classifier" -> qualityClassifierQ,
     "q_tuning_halving" -> tuningHalving,
     "q_training_file" -> trainingFileRoundtrip,
     "q_featurize_counts" -> featurizeCounts,

@@ -87,6 +87,46 @@ class MlSpec extends AnyFunSuite {
         s"($small -> $big) — something in featurize/fit/score collects row-scale data")
   }
 
+  test("quality classifier learns curated-vs-raw and composes into curation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val noise = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def prose(n: Int) = Seq.fill(n)(noise(rng.nextInt(noise.size))).mkString(" ")
+    // curated docs carry citation-like structure; raw carry boilerplate
+    val docs = (0 until 300).map { i =>
+      val curated = i % 3 != 0
+      val marker = if (curated) "wellformed cited prose" else "boilerplate scraped clutter"
+      // the d$i token keeps every text unique (dedup must only
+      // collapse the PLANTED duplicates, never prose collisions)
+      (i.toLong, s"${prose(6)} d$i $marker $marker")
+    }.toDF("doc_id", "text")
+    // plant exact duplicates of two curated docs for the dedup stage
+    val dup = docs.where(col("doc_id").isin(1L, 2L))
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val corpus = docs.unionAll(dup).persist()
+    val qm = graft.ml.QualityFilter.train(
+      corpus.where(col("doc_id") % 3 =!= 0 && col("doc_id") < 240),
+      corpus.where(col("doc_id") % 3 === 0 && col("doc_id") < 240), "text")
+    // scoring separates the held-out planted classes
+    val heldout = corpus.where(col("doc_id") >= 240 && col("doc_id") < 1000)
+    val scored = qm.score(heldout, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("keep_prob"))
+    scored.foreach { case (id, p) =>
+      if (id % 3 != 0) assert(p >= 0.5, s"curated doc $id scored $p")
+      else assert(p < 0.5, s"raw doc $id scored $p")
+    }
+    // COMPOSITION: model filter -> exact dedup, plain frames in/out —
+    // survivors are exactly the curated ids with duplicates collapsed
+    // to their smallest id
+    val filtered = qm.filter(corpus, "text", 0.5)
+    val survivors = graft.ext.Dedup.exactDedup(
+        filtered.select("doc_id", "text"), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (0 until 300).filter(_ % 3 != 0).map(_.toLong).toSet
+    assert(survivors == expected,
+      s"diff +${(survivors -- expected).take(5)} -${(expected -- survivors).take(5)}")
+  }
+
   test("save/load round trip predicts identically; registry resolves production") {
     val tmp = java.nio.file.Files.createTempDirectory("ml").toString
     val model = Trainer.train(trainDf, "merchant", "narrative",
