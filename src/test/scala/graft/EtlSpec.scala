@@ -285,6 +285,41 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("shard skew audit: a 90%-one-domain corpus still yields balanced shard bytes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // adversarial: 90% of documents from one domain, and that domain's
+    // documents are ~15x longer — domain skew must NOT become shard
+    // skew, because the shard key is the md5 of the UNIQUE doc key,
+    // independent of domain and length
+    val dom = (0 until 900).map(i =>
+      (i.toLong, "src0", Seq.tabulate(60)(j => s"tok${i}_$j").mkString(" ")))
+    val rest = (900 until 1000).map(i =>
+      (i.toLong, s"src${i % 9 + 1}", s"short text $i"))
+    val corpus = (dom ++ rest).toDF("doc_id", "source", "text")
+    val out = java.nio.file.Files.createTempDirectory("shard_skew").toString
+    val back = Sharding.writeSharded(corpus, "doc_id", 8, out)
+    assert(back.count() == 1000)
+    // row balance
+    val counts = back.groupBy("shard").count()
+      .collect().map(_.getLong(1)).sorted
+    assert(counts.length == 8)
+    val rowRatio = counts.max.toDouble / counts(counts.length / 2)
+    assert(rowRatio <= 1.5, s"row skew $rowRatio: ${counts.mkString(",")}")
+    // byte balance of the written shard files
+    val bytes = (0 until 8).map { k =>
+      val d = new java.io.File(s"$out/shard=$k")
+      d.listFiles().filter(f => f.isFile && f.getName.startsWith("part"))
+        .map(_.length()).sum
+    }.sorted
+    val byteRatio = bytes.max.toDouble / bytes(bytes.length / 2)
+    assert(byteRatio <= 1.5, s"byte skew $byteRatio: ${bytes.mkString(",")}")
+    // the dominant domain spreads across EVERY shard (no funnel)
+    val domSpread = back.where(col("source") === "src0")
+      .select("shard").distinct().count()
+    assert(domSpread == 8, s"src0 reached only $domSpread shards")
+  }
+
   test("seeded sampleBy variant is reproducible for a fixed seed") {
     val labeled = Etl.cleanAndLabel(docs, cfg)
     val a = Sampling.sampleData(labeled, "lang", 60, 30, seed = 7).count()
