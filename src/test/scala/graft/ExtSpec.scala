@@ -712,6 +712,19 @@ class ExtSpec extends AnyFunSuite {
     // only 100 frames of PCM but still reports the DECLARED length
     val capped = Multimodal.AudioCodec.decode(3L, wav(0.5), maxFrames = 100)
     assert(capped.decoded && capped.nFrames == 4000)
+    // crafted AU header declaring 2^26 channels (frame size ~128 MiB,
+    // over the 64 MiB byte cap): must route to the fallback instead of
+    // allocating a single giant frame buffer (OutOfMemoryError would
+    // escape the Exception catch)
+    val au = java.nio.ByteBuffer.allocate(32)
+    au.putInt(0x2e736e64) // ".snd"
+    au.putInt(24)         // data offset
+    au.putInt(8)          // data size
+    au.putInt(3)          // encoding: 16-bit linear PCM
+    au.putInt(44100)      // sample rate
+    au.putInt(1 << 26)    // channels -> frameSize = 2 * 2^26 bytes
+    val bomb = Multimodal.AudioCodec.decode(4L, au.array())
+    assert(!bomb.decoded, bomb.toString)
   }
 
   test("real encoded PNGs decode to true dimensions and pixel features") {
