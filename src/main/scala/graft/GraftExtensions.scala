@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, DotProduct}
+import graft.functions.{BloomMightContain, DotProduct, SortedCountIn}
 
 /** Registry of the engine's native Catalyst expressions. */
 object GraftFunctions {
@@ -29,7 +29,16 @@ object GraftFunctions {
         BloomMightContain(children.head, children(1))
       })
 
-  private val all = Seq(dotProduct, bloomMightContain)
+  val sortedCountIn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("sorted_count_in"),
+      new ExpressionInfo(classOf[SortedCountIn].getName, "sorted_count_in"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"sorted_count_in takes 2 arguments, got ${children.length}")
+        SortedCountIn(children.head, children(1))
+      })
+
+  private val all = Seq(dotProduct, bloomMightContain, sortedCountIn)
 
   /** Imperative registration for sessions built without
     * `spark.sql.extensions` (idempotent — re-registering replaces the
@@ -52,5 +61,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProduct)
     ext.injectFunction(GraftFunctions.bloomMightContain)
+    ext.injectFunction(GraftFunctions.sortedCountIn)
   }
 }

@@ -113,21 +113,25 @@ object ScoreStream {
     * per-document aggregation — completely STATELESS, so it runs in
     * append mode with no watermark and each micro-batch re-plans the
     * probe side (a refreshed eval set is picked up between batches).
-    * At 100 TB of stream the probe array is eval-set-sized (bounded);
-    * swap the membership array for a broadcast bloom filter when the
-    * probe set outgrows a row. */
+    * The probe array is kept SORTED and membership is a codegen'd
+    * binary search ([[graft.functions.SortedCountIn]]) — O(S·log P)
+    * per document. The naive `filter(array_contains)` form is O(S·P)
+    * and at a corpus-scaled probe set (the 100× replica: ~200k probe
+    * hashes) degenerates to trillions of string compares in one narrow
+    * pass — the scale bug the 100× correctness run surfaced. */
   def contaminationFlags(docs: DataFrame, probes: DataFrame,
                          textCol: String, k: Int = 3): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
     val probeArr = probes
       .select(explode(graft.ext.Dedup.shingles(col(textCol), k)).as("__sh"))
       .select(md5(col("__sh")).as("__h")).distinct()
-      .agg(collect_list(col("__h")).as("__probe"))
+      .agg(sort_array(collect_list(col("__h"))).as("__probe"))
     docs.crossJoin(broadcast(probeArr))
-      .withColumn("__hashes",
-        transform(graft.ext.Dedup.shingles(col(textCol), k), sh => md5(sh)))
       .withColumn("n_hits",
-        size(filter(col("__hashes"), h => array_contains(col("__probe"), h))))
-      .drop("__hashes", "__probe")
+        call_function("sorted_count_in",
+          transform(graft.ext.Dedup.shingles(col(textCol), k), sh => md5(sh)),
+          col("__probe")))
+      .drop("__probe")
   }
 
   /** Streaming contamination gate — "is eval data leaking into my

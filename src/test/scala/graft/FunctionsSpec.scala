@@ -66,4 +66,68 @@ class FunctionsSpec extends AnyFunSuite {
     // session is covered by Verify/Bench mains which set
     // spark.sql.extensions (only one SparkContext fits in this JVM)
   }
+
+  test("sorted_count_in matches the naive array_contains form per-occurrence") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // duplicates in needles each count; haystack sorted+distinct;
+    // null needles skipped; empty haystack hits nothing
+    val rows = Seq(
+      (Seq("b", "a", "b", "zz", null), Seq("a", "b", "x")),
+      (Seq("q"), Seq("a", "b", "x")),
+      (Seq[String](), Seq("a", "b", "x")),
+      (Seq("a", "x", "x", "x"), Seq[String]()))
+    val df = rows.toDF("needles", "hay")
+      .withColumn("hay", sort_array(col("hay")))
+    val got = df.select(
+      call_function("sorted_count_in", col("needles"), col("hay")).as("n"),
+      size(filter(col("needles"),
+        h => array_contains(col("hay"), h))).as("naive"))
+      .collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(3, 0, 0, 0), got.toSeq.toString)
+    assert(got.forall(r => r.getInt(0) == r.getInt(1)), got.toSeq.toString)
+    // null ARRAY on either side is null (BinaryExpression contract)
+    val n = spark.sql(
+      "SELECT sorted_count_in(CAST(NULL AS ARRAY<STRING>), array('a'))").head()
+    assert(n.isNullAt(0))
+  }
+
+  test("sorted_count_in agrees with array_contains on fixture shingle hashes") {
+    GraftFunctions.register(spark)
+    // the exact probe-index shape contaminationFlags builds: md5
+    // shingle hashes against a sorted distinct probe array — the
+    // binary search must agree with the linear scan on every doc
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        transform(graft.ext.Dedup.shingles(col("text"), 3), sh => md5(sh))
+          .as("hashes"))
+    val probe = docs.where(col("doc_id") % 37 === 0)
+      .select(explode(col("hashes")).as("h")).distinct()
+      .agg(sort_array(collect_list(col("h"))).as("probe"))
+    val both = docs.crossJoin(broadcast(probe)).select(
+      call_function("sorted_count_in", col("hashes"), col("probe")).as("fast"),
+      size(filter(col("hashes"),
+        h => array_contains(col("probe"), h))).as("naive"))
+    assert(both.where(col("fast") =!= col("naive")).count() == 0)
+    assert(both.where(col("fast") > 0).count() > 0) // non-vacuous
+  }
+
+  test("sorted_count_in executes inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the needle array is built with codegen'd expressions only — a
+      // transform(...) HOF in the same projection would force the whole
+      // stage interpreted regardless of this expression's doGenCode
+      val q = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(call_function("sorted_count_in",
+          array(md5(col("text")), md5(substring(col("text"), 1, 8))),
+          sort_array(array(md5(lit("x")), md5(lit("y"))))).as("n"))
+        .agg(sum("n"))
+      q.head()
+      val plan = q.queryExecution.executedPlan.toString
+      val starProject = "\\*\\(\\d+\\) Project \\[sorted_count_in".r
+      assert(starProject.findFirstIn(plan).isDefined, plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
