@@ -9,28 +9,89 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * file flips readers to it with an atomic rename. Readers therefore
   * never observe a half-written directory; a writer that crashes
   * mid-write leaves the previous version live; and old versions stay
-  * on disk until explicitly vacuumed (time-travel-lite). This is the
-  * overwrite discipline `mode("overwrite")` does NOT give on a plain
-  * directory (it deletes before it writes), and the closest honest
-  * stand-in for transactional table formats in this parquet-only
-  * environment.
+  * on disk until explicitly vacuumed. This is the overwrite
+  * discipline `mode("overwrite")` does NOT give on a plain directory
+  * (it deletes before it writes), and the closest honest stand-in for
+  * transactional table formats in this parquet-only environment.
+  *
+  * Each successful publish ALSO claims the next ordinal in a
+  * `_commits/` log (`00000001`, `00000002`, ... — one file per
+  * commit, each holding its version-directory name, claimed with an
+  * atomic no-replace move so two racing writers serialize instead of
+  * clobbering — the optimistic-concurrency discipline of
+  * log-structured table formats). The ordered log is what TIME TRAVEL
+  * reads: [[readVersion]] resolves commit N whether or not later
+  * commits (or the manifest) have moved on, and [[history]] lists the
+  * commit sequence. `AS OF` semantics without a table format, priced
+  * honestly: history costs disk until [[vacuum]].
   */
 object Publish {
 
   private val Manifest = "_MANIFEST"
+  private val CommitsDir = "_commits"
 
-  /** Write `df` as a new version of `tableDir` and atomically flip the
-    * manifest to it. Returns the version directory written. */
+  /** Write `df` as a new version of `tableDir`, claim the next commit
+    * ordinal, and atomically flip the manifest to it. Returns the
+    * version directory written. */
   def write(df: DataFrame, tableDir: String): String = {
     Files.createDirectories(Paths.get(tableDir))
     val version = "v_" + java.util.UUID.randomUUID().toString.take(12)
     val vdir = s"$tableDir/$version"
     df.write.parquet(vdir)
+    commit(tableDir, version)
     val tmp = Paths.get(tableDir, s".$Manifest.tmp.$version")
     Files.write(tmp, version.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(tableDir, Manifest),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     vdir
+  }
+
+  /** Claim the next free ordinal for `version`. The no-replace atomic
+    * move makes the claim exclusive: a concurrent writer that took
+    * ordinal N forces this one to N+1 — commits serialize, never
+    * overwrite. Returns the ordinal claimed. */
+  private def commit(tableDir: String, version: String): Long = {
+    val dir = Paths.get(tableDir, CommitsDir)
+    Files.createDirectories(dir)
+    val tmp = Files.write(dir.resolve(s".tmp.$version"),
+      version.getBytes(StandardCharsets.UTF_8))
+    var n = history(tableDir).lastOption.map(_._1).getOrElse(0L) + 1L
+    while (true) {
+      try {
+        Files.move(tmp, dir.resolve(f"$n%08d"), StandardCopyOption.ATOMIC_MOVE)
+        return n
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => n += 1L
+      }
+    }
+    n // unreachable
+  }
+
+  /** The committed (ordinal, version-directory) sequence, oldest
+    * first. Commits are the durable record — the manifest only caches
+    * the latest. */
+  def history(tableDir: String): Seq[(Long, String)] = {
+    val d = new java.io.File(s"$tableDir/$CommitsDir")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("\\d{8}"))
+      .map(f => f.getName.toLong -> new String(
+        Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim)
+      .sortBy(_._1).toSeq
+  }
+
+  /** Time travel: read the table AS OF commit `ordinal` (1-based, as
+    * listed by [[history]]), regardless of how many commits or
+    * manifest flips happened since. */
+  def readVersion(spark: SparkSession, tableDir: String,
+                  ordinal: Long): DataFrame = {
+    val v = history(tableDir).collectFirst { case (`ordinal`, ver) => ver }
+      .getOrElse(throw new IllegalStateException(
+        s"no commit $ordinal under $tableDir (history: " +
+          s"${history(tableDir).map(_._1).mkString(",")})"))
+    if (!Files.exists(Paths.get(tableDir, v)))
+      throw new IllegalStateException(
+        s"commit $ordinal points at vacuumed version $v")
+    spark.read.parquet(s"$tableDir/$v")
   }
 
   /** The currently-published version directory, if any. */

@@ -2591,6 +2591,52 @@ object ExtQueries {
       |  MIN(difficulty) AS lo, MAX(difficulty) AS hi
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Corpus heavy hitters — top-20 tokens by EXACT frequency (the
+    * oracled output), with the Misra–Gries sketch
+    * ([[graft.functions.FreqSketchAgg]], the bounded-summary path a
+    * 100 TB corpus requires when the vocabulary itself cannot be
+    * grouped) exercised beside it under an in-query agreement gate:
+    * the sketch's published bounds — estimates never exceed the
+    * truth, undercount by at most N/(capacity+1), and every item
+    * above that threshold is PRESENT — must hold for every exact
+    * top-20 row, or the query dies loudly. The gate asserts the
+    * theorem's (merge-order-independent) inequalities, never raw
+    * sketch values, so it is deterministic even though MG counter
+    * values depend on partitioning; the sketch map itself stays out
+    * of the oracled output. Driver traffic: one `capacity`-entry
+    * summary row + the 20 output rows — bounded. */
+  val heavyHittersApproxQ: Q = (s, dir) => {
+    val toks = documents(s, dir)
+      .select(explode(graft.ml.Featurize.tokensCol(col("text"))).as("token"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(20)
+    val capacity = 512
+    val sketch = org.apache.spark.sql.functions.udaf(
+      new graft.functions.FreqSketchAgg(capacity))
+    val row = toks.agg(count(lit(1)).as("n"), sketch(col("token")).as("sk"))
+      .head()
+    val n = row.getLong(0)
+    val sk = row.getMap[String, Long](1)
+    val eps = n.toDouble / (capacity + 1).toDouble
+    exact.collect().foreach { r =>
+      val (t, c) = (r.getString(0), r.getLong(1))
+      if (c > eps) sk.get(t) match {
+        case None => throw new IllegalStateException(
+          f"MG sketch lost heavy hitter '$t' (cnt=$c > eps=$eps%.1f)")
+        case Some(est) if est > c || c - est > eps =>
+          throw new IllegalStateException(
+            f"MG estimate for '$t' violates bounds: est=$est cnt=$c eps=$eps%.1f")
+        case _ => ()
+      }
+    }
+    exact
+  }
+
+  val heavyHittersApproxSql =
+    s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
+       |SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1
+       |ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
   /** Gopher rule-filter flags over every document: per-rule booleans +
     * the conjunction, one narrow tokenize pass (audit form — a
     * pipeline hard-filters with `where(pass_gopher)`). */
@@ -3376,6 +3422,7 @@ object ExtQueries {
     "q_retrieval_negatives" -> retrievalNegativesQ,
     "q_diversity_ngrams" -> diversityNgramsQ,
     "q_shards_approx" -> shardsApproxQ,
+    "q_heavy_hitters_approx" -> heavyHittersApproxQ,
     "q_quality_c4" -> qualityC4Q,
     "q_cluster_balance" -> clusterBalanceQ,
     "q_datasheet_approx" -> datasheetApproxQ,
@@ -3446,6 +3493,7 @@ object ExtQueries {
     "q_retrieval_negatives" -> retrievalNegativesSql,
     "q_diversity_ngrams" -> diversityNgramsSql,
     "q_shards_approx" -> shardsApproxSql,
+    "q_heavy_hitters_approx" -> heavyHittersApproxSql,
     "q_quality_c4" -> qualityC4Sql,
     "q_datasheet_approx" -> corpusDatasheetSql,
     "q_assembly_pipeline" -> assemblyPipelineSql,

@@ -934,6 +934,32 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Time travel over the publish commit log: version 1 (even doc_ids
+    * only) is superseded by version 2 (the full table) — and then
+    * read back AS OF its ordinal, proving a superseded-but-unvacuumed
+    * version stays exactly readable while [[graft.etl.Publish.read]]
+    * serves the latest. A fresh table dir per run keeps the ordinal
+    * sequence at exactly (1, 2). */
+  val publishTimetravel: Q = (s, dir) => {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_tt_" + java.util.UUID.randomUUID().toString.take(12))
+      .getAbsolutePath
+    val df = documents(s, dir).select("doc_id", "lang", "n_chars")
+    graft.etl.Publish.write(df.where(col("doc_id") % 2 === 0), base)
+    graft.etl.Publish.write(df, base)
+    val hist = graft.etl.Publish.history(base)
+    require(hist.map(_._1) == Seq(1L, 2L), s"unexpected history $hist")
+    graft.etl.Publish.readVersion(s, base, 1L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val publishTimetravelSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 2 = 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Featurizer shape is SQL-checkable even though training isn't:
     * token/bigram counts of the cleaned text. */
   val featurizeCounts: Q = (s, dir) =>
@@ -1521,6 +1547,7 @@ object Queries {
     "q_shard_shuffle_epoch" -> shardShuffleEpochQ,
     "q_window_ntile" -> windowNtile,
     "q_publish" -> publishRoundtrip,
+    "q_publish_timetravel" -> publishTimetravel,
     "q_merge_upsert" -> mergeUpsert,
     "q_corpus_diff" -> corpusDiffQ,
     "q_shard_curriculum" -> shardCurriculumQ,
@@ -1580,6 +1607,7 @@ object Queries {
     "q_shard_shuffle_epoch" -> shardShuffleEpochSql,
     "q_window_ntile" -> windowNtileSql,
     "q_publish" -> publishRoundtripSql,
+    "q_publish_timetravel" -> publishTimetravelSql,
     "q_merge_upsert" -> mergeUpsertSql,
     "q_corpus_diff" -> corpusDiffSql,
     "q_shard_curriculum" -> shardCurriculumSql,

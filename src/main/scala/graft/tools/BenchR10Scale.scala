@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * token-suffix / shifted-id bijections as the sibling sidecars).
   *
   * Expected shapes, checked in the output:
-  *  - ivf_update: the CDC batch is FIXED-SIZE (100 changes) at every
+  *  - ivf_update: the CDC batch is FIXED-SIZE (20 changes) at every
   *    scale, so update wall must stay bounded by the touched cells'
   *    data — the rebuild:update ratio should GROW with corpus size
   *    (that ratio is the whole point of incremental maintenance);
@@ -54,18 +54,20 @@ object BenchR10Scale {
     spark.read.parquet(dir)
   }
 
-  /** Fixed 100-change CDC batch over 1×-range ids (present at every
-    * scale): 30 deletes, 30 updates to the reversed vector (moves the
-    * vector across cells — exercises the old-cell rewrite), 40
-    * inserts under fresh ids. Constant size by construction. */
+  /** Fixed 20-change CDC batch over 1×-range ids (present at every
+    * scale): 5 deletes, 5 updates to the reversed vector (moves the
+    * vector across cells — exercises the old-cell rewrite), 10
+    * inserts under fresh ids. Constant size by construction, and
+    * small against the 64-cell layout so a meaningful fraction of
+    * cells stays untouched — the incrementality being measured. */
   private def cdcBatch(emb1x: DataFrame): DataFrame = {
-    val del = emb1x.where(col("vec_id") % 163 === 7).limit(30)
+    val del = emb1x.where(col("vec_id") % 163 === 7).limit(5)
       .select(col("vec_id"), col("embedding"),
         lit(1L).as("seq"), lit("d").as("op"))
-    val upd = emb1x.where(col("vec_id") % 163 === 11).limit(30)
+    val upd = emb1x.where(col("vec_id") % 163 === 11).limit(5)
       .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
         lit(1L).as("seq"), lit("u").as("op"))
-    val ins = emb1x.where(col("vec_id") % 163 === 23).limit(40)
+    val ins = emb1x.where(col("vec_id") % 163 === 23).limit(10)
       .select((col("vec_id") + 900000000L).as("vec_id"),
         reverse(col("embedding")).as("embedding"),
         lit(1L).as("seq"), lit("u").as("op"))
@@ -92,7 +94,7 @@ object BenchR10Scale {
     // centroids + quality model come from the 1× fixture ONCE — at
     // 100 TB neither is retrained per serving batch
     val cents = graft.ext.Similarity.kmeansCentroids(
-      emb, "vec_id", "embedding", 16, iters = 1)
+      emb, "vec_id", "embedding", 64, iters = 1)
     val med = docs.agg(expr("percentile(n_chars, 0.5)")).head().getDouble(0)
     val qm = graft.ml.QualityFilter.train(
       docs.where(col("n_chars") >= med), docs.where(col("n_chars") < med),
@@ -117,9 +119,14 @@ object BenchR10Scale {
         graft.ext.Similarity.updateIvfIndex(
           idxDir, changes, "vec_id", "embedding", cents)
       }
+      // aggregate over `pos` so the position window cannot be pruned
+      // away by ColumnPruning (a bare count() would measure only the
+      // scan)
       val (te, ne) = timed {
         graft.etl.Sharding.shuffleShards(
-          docsN.select("doc_id"), "doc_id", 16, epoch = 2).count()
+            docsN.select("doc_id"), "doc_id", 16, epoch = 2)
+          .agg(max("pos").as("mx"), count(lit(1)).as("n"))
+          .head().getLong(1)
       }
       val (tq, nq) = timed {
         qm.score(docsN, "text").where(col("keep_prob") >= 0.5).count()

@@ -39,4 +39,54 @@ class SketchSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(a == b, s"1-part=$a 16-part=$b") // HLL merge is exact
   }
+
+  /** The three Misra–Gries inequalities (estimates never exceed the
+    * truth, undercount ≤ N/(capacity+1), every item above that
+    * threshold present) must hold for EVERY sketch entry and every
+    * heavy item — these are the merge-order-independent guarantees
+    * the in-query gate of q_heavy_hitters_approx relies on. */
+  private def assertMgBounds(sk: collection.Map[String, Long],
+                             exact: Map[String, Long], n: Long,
+                             capacity: Int): Unit = {
+    val eps = n.toDouble / (capacity + 1).toDouble
+    sk.foreach { case (t, est) =>
+      val c = exact.getOrElse(t, 0L)
+      assert(est <= c, s"overestimate: '$t' est=$est exact=$c")
+      assert(c - est <= eps, s"undercount beyond bound: '$t' est=$est exact=$c eps=$eps")
+    }
+    exact.foreach { case (t, c) =>
+      if (c > eps) assert(sk.contains(t), s"lost heavy hitter '$t' (cnt=$c > eps=$eps)")
+    }
+  }
+
+  test("Misra-Gries sketch honors its bounds on fixture tokens") {
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.ml.Featurize.tokensCol(col("text"))).as("t"))
+    val exact = toks.groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    for (cap <- Seq(16, 128)) {
+      val agg = udaf(new graft.functions.FreqSketchAgg(cap))
+      val sk = toks.agg(agg(col("t"))).head().getMap[String, Long](0)
+      assert(sk.size <= cap)
+      assertMgBounds(sk, exact, n, cap)
+    }
+  }
+
+  test("Misra-Gries bounds survive adversarial partitioning") {
+    import spark.implicits._
+    // one planted majority item + a long distinct tail, scattered
+    // across very different partition layouts — counter VALUES may
+    // differ by layout, the BOUNDS may not
+    val rows = (1 to 3000).map(i => if (i % 3 == 0) "hot" else s"tail$i")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cap = 8
+    for (parts <- Seq(1, 7, 32)) {
+      val agg = udaf(new graft.functions.FreqSketchAgg(cap))
+      val sk = rows.toDF("t").repartition(parts)
+        .agg(agg(col("t"))).head().getMap[String, Long](0)
+      assertMgBounds(sk, exact, rows.size.toLong, cap)
+      assert(sk.contains("hot"), s"parts=$parts lost the majority item")
+    }
+  }
 }

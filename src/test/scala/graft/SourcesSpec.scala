@@ -156,6 +156,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(graft.etl.Publish.read(spark, table).count() == 3)
   }
 
+  test("publish time travel: ordinal commits stay readable until vacuumed") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("publish_tt").toString
+    val P = graft.etl.Publish
+    P.write(Seq((1L, "a")).toDF("id", "v"), table)
+    P.write(Seq((1L, "a2"), (2L, "b")).toDF("id", "v"), table)
+    P.write(Seq((3L, "c")).toDF("id", "v"), table)
+    // ordered, gap-free history; manifest agrees with the last commit
+    val hist = P.history(table)
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L), hist.toString)
+    assert(P.currentVersion(table).contains(hist.last._2))
+    // AS OF each ordinal returns that commit's exact content
+    assert(P.readVersion(spark, table, 1L).as[(Long, String)].collect()
+      .toSet == Set((1L, "a")))
+    assert(P.readVersion(spark, table, 2L).as[(Long, String)].collect()
+      .toSet == Set((1L, "a2"), (2L, "b")))
+    assert(P.readVersion(spark, table, 3L).count() == 1)
+    // unknown ordinal names the available history
+    val miss = intercept[IllegalStateException](P.readVersion(spark, table, 9L))
+    assert(miss.getMessage.contains("history: 1,2,3"), miss.getMessage)
+    // vacuum keeps current; older ordinals fail LOUDLY, current still reads
+    P.vacuum(table)
+    val gone = intercept[IllegalStateException](P.readVersion(spark, table, 1L))
+    assert(gone.getMessage.contains("vacuumed"), gone.getMessage)
+    assert(P.readVersion(spark, table, 3L).count() == 1)
+    assert(P.read(spark, table).count() == 1)
+    // a racing commit claim serializes onto the next ordinal instead
+    // of clobbering: simulate by pre-claiming ordinal 4
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_commits", "00000004"),
+      "v_squatter".getBytes)
+    P.write(Seq((4L, "d")).toDF("id", "v"), table)
+    assert(P.history(table).map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(P.readVersion(spark, table, 5L).count() == 1)
+  }
+
   test("z-order interleave matches a reference Morton encoding") {
     import spark.implicits._
     def ref(a: Long, b: Long, bits: Int): Long =
