@@ -900,4 +900,49 @@ object Dedup {
     assigned.join(dropIds, Seq("__id"), "left_anti")
       .select(col("__id").as(idCol), col("bucket"))
   }
+
+  /** Semantic near-dup MATCHES of arriving embeddings against a
+    * static reference corpus — the SemDeDup concern in operational,
+    * streaming-safe form ("is this incoming document a semantic
+    * duplicate of what the index already holds"): each arrival is
+    * assigned its cell from the broadcast centroid literals (narrow),
+    * joined stream-static on `cell` against the identically-assigned
+    * reference, and every reference neighbor with 6-dp-rounded cosine
+    * ≥ `threshold` is emitted as one `(id, neighbor_id, cosine)` row.
+    *
+    * STATELESS by design: no per-arrival aggregation, no watermark —
+    * raw matches append; a consumer wanting a boolean gate takes
+    * `dropDuplicates(idCol)` or routes matches to quarantine (the
+    * [[graft.streaming.ScoreStream.contaminationFlags]] discipline).
+    * Works identically on batch frames (how the oracle and spec pin
+    * it); on a stream the static side is re-planned every micro-batch,
+    * so a refreshed reference corpus is picked up between batches.
+    *
+    * Scale shape: arrivals touch only their OWN cell's reference rows
+    * (the join key bounds the pairing exactly as [[semanticDedup]]'s
+    * within-cell rule); the reference never reshuffles per batch
+    * beyond the cell exchange, and with a [[Similarity.writeIvfIndex]]
+    * layout as `reference` the scan itself is cell-partitioned. */
+  def semanticMatches(arrivals: DataFrame, reference: DataFrame,
+                      idCol: String, vecCol: String,
+                      cents: Array[Array[Double]],
+                      threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold=$threshold")
+    val spark = reference.sparkSession
+    val arr = Similarity.assignCells(
+        arrivals.select(col(idCol), col(vecCol)), vecCol, cents)
+      .select(col(idCol), col(vecCol).as("__v"), col("cell"))
+      .withColumn("__n", sqrt(Similarity.nDot(spark, col("__v"), col("__v"))))
+    val ref = Similarity.assignCells(
+        reference.select(col(idCol).as("neighbor_id"), col(vecCol)),
+        vecCol, cents)
+      .select(col("neighbor_id"), col(vecCol).as("__rv"), col("cell"))
+      .withColumn("__rn", sqrt(Similarity.nDot(spark, col("__rv"), col("__rv"))))
+    arr.join(ref, Seq("cell"))
+      .withColumn("cosine", Similarity.cosineFromNorms(
+        Similarity.nDot(spark, col("__v"), col("__rv")),
+        col("__n"), col("__rn")))
+      .where(col("cosine") >= threshold)
+      .select(col(idCol), col("neighbor_id"), col("cosine"))
+  }
 }

@@ -971,6 +971,8 @@ object ExtQueries {
             corpusSql = ivfUpdateCorpusSql),
           "q_dedup_semantic" -> dedupSemanticSqlFor(
             ivfCentsCache.values.iterator.next()),
+          "q_stream_semantic" -> streamSemanticSqlFor(
+            ivfCentsCache.values.iterator.next()),
           "q_cluster_balance" -> clusterBalanceSqlFor(
             ivfCentsCache.values.iterator.next()))
       else Map.empty[String, String]
@@ -3301,6 +3303,87 @@ object ExtQueries {
        |WHERE d.vec_id IS NULL ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Streaming semantic near-dup gate ([[Dedup.semanticMatches]]) as
+    * a REAL streaming run: arrivals = planted exact copies
+    * (vec_id+900000 of vec_id < 10, MUST match their originals) plus
+    * reversed decoys (vec_id+800000 of 10 ≤ vec_id < 20, must match
+    * nothing), streamed AvailableNow against the static embedding
+    * corpus on the shared memoized centroids. Stateless append all
+    * the way to the idempotent parquet sink. Oracled via centroid
+    * literals (dynamic, like q_dedup_semantic). */
+  val streamSemanticQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("ssem", dir)
+    val emb = embeddings(s, dir).select("vec_id", "embedding")
+    val arrivals = emb.where(col("vec_id") < 10)
+      .select((col("vec_id") + 900000).as("vec_id"), col("embedding"))
+      .unionByName(emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select((col("vec_id") + 800000).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    arrivals.write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(arrivals.schema).parquet(s"$base/src")
+    val matches = Dedup.semanticMatches(stream, emb, "vec_id", "embedding",
+      ivfCents(s, dir), threshold = 0.99)
+    val q = graft.streaming.ScoreStream.idempotentParquetSink(
+      matches, s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select("vec_id", "neighbor_id", "cosine")
+      .orderBy("vec_id", "neighbor_id")
+  }
+
+  /** [[streamSemanticQ]]'s oracle: both sides assigned via the same
+    * literal-centroid first-max-wins argmax as [[dedupSemanticSqlFor]],
+    * joined on cell, 6-dp cosine ≥ 0.99. */
+  def streamSemanticSqlFor(cents: Array[Array[Double]]): String = {
+    val k = cents.length
+    val centsLit = cents.map(_.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def simExpr(i: Int): String =
+      if (cnorms(i) == 0) "CAST(0.0 AS DOUBLE)"
+      else {
+        val fold = foldSumSql(
+          s"list_transform(range(1, len(cv)+1), j -> cv[j] * cents[${i + 1}][j])")
+        s"(CASE WHEN vn > 0 THEN $fold / (vn * ${dlit(cnorms(i))}) ELSE 0.0 END)"
+      }
+    val sims = (0 until k).map(i => s"  ${simExpr(i)} AS s_$i").mkString(",\n")
+    val best = s"greatest(${(0 until k).map("s_" + _).mkString(", ")})"
+    val cellCase = (0 until k - 1).map(i => s"WHEN s_$i = best THEN $i")
+      .mkString("\n    ") + s"\n    ELSE ${k - 1}"
+    val vnSql = "sqrt(" + foldSumSql(
+      "list_transform(range(1, len(cv)+1), j -> cv[j] * cv[j])") + ")"
+    val pairFold = foldSumSql(
+      "list_transform(range(1, len(xv)+1), j -> xv[j] * yv[j])")
+    s"""WITH ct AS (SELECT $centsLit AS cents),
+       |arr0 AS (SELECT vec_id + 900000 AS id, CAST(embedding AS DOUBLE[]) AS cv
+       |    FROM embeddings WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT vec_id + 800000, list_reverse(CAST(embedding AS DOUBLE[]))
+       |    FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
+       |ref0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings),
+       |an AS (SELECT id, cv, $vnSql AS vn FROM arr0),
+       |asim AS (SELECT id, cv, vn,
+       |$sims
+       |FROM an, ct),
+       |am AS (SELECT *, $best AS best FROM asim),
+       |aa AS (SELECT id AS vec_id, cv AS xv, vn AS xn,
+       |  CAST(CASE $cellCase END AS INTEGER) AS cell FROM am),
+       |rn AS (SELECT id, cv, $vnSql AS vn FROM ref0),
+       |rsim AS (SELECT id, cv, vn,
+       |$sims
+       |FROM rn, ct),
+       |rm AS (SELECT *, $best AS best FROM rsim),
+       |ra AS (SELECT id AS neighbor_id, cv AS yv, vn AS yn,
+       |  CAST(CASE $cellCase END AS INTEGER) AS cell FROM rm),
+       |m AS (SELECT aa.vec_id, ra.neighbor_id,
+       |  (CASE WHEN aa.xn * ra.yn > 0
+       |   THEN ROUND($pairFold / (aa.xn * ra.yn), 6) ELSE 0.0 END) AS cosine
+       |  FROM aa JOIN ra USING (cell))
+       |SELECT vec_id, neighbor_id, cosine FROM m
+       |WHERE cosine >= 0.99E0 ORDER BY vec_id, neighbor_id""".stripMargin
+  }
+
   /** SemDeDup past the centroid boundary: the LSH-bucket variant on
     * the same planted-copies fixture — sign buckets from the
     * deterministic md5 planes partition the corpus, the within-bucket
@@ -3376,6 +3459,7 @@ object ExtQueries {
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
     "q_stream_contamination" -> streamContaminationQ,
+    "q_stream_semantic" -> streamSemanticQ,
     "q_stream_join" -> streamJoin,
     "q_sessionize" -> sessionizeQ,
     "q_sessionize_timers" -> sessionizeTimersQ,

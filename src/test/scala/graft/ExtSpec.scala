@@ -1477,4 +1477,44 @@ class ExtSpec extends AnyFunSuite {
         ids.contains(i.toLong) && !ids.contains(i + 7000L)), s"nBits=$bits")
     }
   }
+
+  test("tokenizer artifact round-trips bit-exact and rejects torn files") {
+    import spark.implicits._
+    val corpus = Seq(
+      "new york city", "new york times", "new york",
+      "san francisco bay", "san francisco").toDF("text")
+    val merges = TextStats.bpeTrain(corpus, "text", merges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art")
+    val path = s"$dir/merges.tsv"
+    Tokenizer.saveMerges(merges, path)
+    assert(Tokenizer.loadMerges(path) == merges)
+    // a loaded artifact tokenizes identically to the in-memory list
+    val unseen = Seq("new york city limits").toDF("text")
+    val fromMem = TextStats.bpeApplyLarge(unseen, "text",
+      merges.map(m => (m._1, m._2))).select("bpe_symbols").head().getSeq[String](0)
+    val fromFile = TextStats.bpeApplyLarge(unseen, "text",
+      Tokenizer.loadMerges(path).map(m => (m._1, m._2)))
+      .select("bpe_symbols").head().getSeq[String](0)
+    assert(fromMem == fromFile, s"$fromMem vs $fromFile")
+    // overwrite is atomic-replace: saving a shorter list fully wins
+    Tokenizer.saveMerges(merges.take(1), path)
+    assert(Tokenizer.loadMerges(path) == merges.take(1))
+    // torn artifact (header count != lines) fails loudly
+    val torn = s"$dir/torn.tsv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(torn),
+      java.util.List.of("graft-bpe\tv1\t5", "a\tb\t3"))
+    val e1 = intercept[IllegalStateException](Tokenizer.loadMerges(torn))
+    assert(e1.getMessage.contains("torn"), e1.getMessage)
+    // foreign file and future version both refuse
+    val foreign = s"$dir/foreign.tsv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(foreign),
+      java.util.List.of("not\ta\tmerge"))
+    assert(intercept[IllegalStateException](Tokenizer.loadMerges(foreign))
+      .getMessage.contains("not a graft-bpe artifact"))
+    val vnext = s"$dir/vnext.tsv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(vnext),
+      java.util.List.of("graft-bpe\tv9\t0"))
+    assert(intercept[IllegalStateException](Tokenizer.loadMerges(vnext))
+      .getMessage.contains("unsupported"))
+  }
 }

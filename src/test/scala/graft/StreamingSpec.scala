@@ -497,4 +497,36 @@ class StreamingSpec extends AnyFunSuite {
       sessions.mkString(", "))
     assert(sessions.length == 3, sessions.mkString(", "))
   }
+
+  test("streaming semantic gate: matches equal the batch result exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // arrivals: exact copies of vec_id < 5 (must match their original
+    // and only it) + reversed decoys (must match nothing)
+    val arrivals = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 900000).as("vec_id"), col("embedding"))
+      .unionByName(emb.where(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select((col("vec_id") + 800000).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    val cents = graft.ext.Similarity.kmeansCentroids(
+      emb, "vec_id", "embedding", 8, iters = 1)
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = grab(graft.ext.Dedup.semanticMatches(
+      arrivals, emb, "vec_id", "embedding", cents, 0.99))
+    val dir = java.nio.file.Files.createTempDirectory("sem_arr").toString
+    arrivals.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(arrivals.schema).parquet(dir)
+    val q = graft.ext.Dedup.semanticMatches(
+        stream, emb, "vec_id", "embedding", cents, 0.99)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sem_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = grab(spark.table("sem_out"))
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // exactly the planted copies, each at rounded cosine 1.0
+    assert(batch == (0 until 5)
+      .map(i => (i + 900000L, i.toLong, 1.0)).toSet, batch.toString)
+  }
 }
