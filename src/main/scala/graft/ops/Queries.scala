@@ -1133,6 +1133,38 @@ object Queries {
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** CSV round trip — the interchange format every ingest pipeline
+    * still meets. The document text carries embedded newlines and
+    * quotes, so the trip only survives with RFC-4180 discipline:
+    * WRITE with quote-doubling (`escape = "` — Spark's default `\`
+    * escape is not what other CSV readers expect), READ with
+    * `multiLine` (quoted newlines span physical lines) and the
+    * EXPLICIT source schema (inference on free text is a fidelity
+    * hazard, not a convenience). Checksummed like the JSONL/ORC trips
+    * so any mangling shows up against the parquet-direct oracle. */
+  val csvRoundtrip: Q = (s, dir) => {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_csv_" + Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()).getAbsolutePath
+    val src = documents(s, dir).select("doc_id", "lang", "text", "n_chars")
+    src.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(base)
+    s.read.schema(src.schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(base)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_sum"))
+      .orderBy("lang")
+  }
+
+  val csvRoundtripSql = orcRoundtripSql
+
   /** Temperature-weighted training mix (√count weights, capped):
     * the multilingual upsampling move, deterministic md5-bucket
     * membership, rate arithmetic mirrored op-for-op in the oracle
@@ -1538,6 +1570,7 @@ object Queries {
     "q_agg_collect" -> aggCollect,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
+    "q_csv_roundtrip" -> csvRoundtrip,
     "q_agg_pushdown" -> aggPushdown,
     "q_global_ids" -> globalIds,
     "q_sample_temperature" -> sampleTemperatureQ,
@@ -1598,6 +1631,7 @@ object Queries {
     "q_agg_collect" -> aggCollectSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_csv_roundtrip" -> csvRoundtripSql,
     "q_agg_pushdown" -> aggPushdownSql,
     "q_global_ids" -> globalIdsSql,
     "q_sample_temperature" -> sampleTemperatureSql,
