@@ -3080,6 +3080,46 @@ object ExtQueries {
     corpusDatasheetQ(s, dir)
   }
 
+  /** STORED sketch columns — the incremental-datasheet primitive a
+    * 100 TB corpus actually needs: per-(lang, shard-half) DataSketches
+    * HLL sketches are built once, MATERIALIZED to parquet as binary
+    * columns beside the data, read back, and `hll_union_agg`-merged
+    * per language — corpus-wide distinct counts from stored summaries
+    * with NO re-scan of the shards (append a shard tomorrow: sketch
+    * only the new shard, merge all stored sketches). In-query gate:
+    * the merged estimate must land within 5% of the exact per-lang
+    * distinct-token count (lgConfigK=14 ⇒ rsd ≈ 0.8%, gate at >3×),
+    * or the query dies. Output is the EXACT per-lang counts, DuckDB-
+    * oracled — the sketch bytes never enter oracled output (they are
+    * build-dependent binary). */
+  val sketchColumnQ: Q = (s, dir) => {
+    val base = scratchDir("hll", dir)
+    val toks = documents(s, dir).select(col("lang"),
+      pmod(col("doc_id"), lit(2)).as("half"),
+      explode(Featurize.tokensCol(col("text"))).as("token"))
+    toks.groupBy("lang", "half")
+      .agg(hll_sketch_agg(col("token"), lit(14)).as("sk"))
+      .write.mode("overwrite").parquet(s"$base/sketches")
+    val merged = s.read.parquet(s"$base/sketches")
+      .groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = toks.groupBy("lang")
+      .agg(countDistinct(col("token")).as("n_distinct_tokens"))
+    val bad = merged.join(exact, "lang")
+      .where(abs(col("est").cast("double")
+        - col("n_distinct_tokens").cast("double"))
+        > col("n_distinct_tokens").cast("double") * 0.05)
+      .collect()
+    require(bad.isEmpty,
+      s"stored-sketch union diverged >5% from exact: ${bad.mkString(", ")}")
+    exact.orderBy("lang")
+  }
+
+  val sketchColumnSql =
+    s"""WITH t AS (SELECT lang, unnest($toksSql) AS token FROM documents)
+       |SELECT lang, COUNT(DISTINCT token) AS n_distinct_tokens
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The curation PIPELINE as one oracled query — the composition the
     * E2E specs walk through, but value-exact against DuckDB: Gopher
     * quality gate → exact dedup (earliest id per text) → hashed-bigram
@@ -3510,6 +3550,7 @@ object ExtQueries {
     "q_quality_c4" -> qualityC4Q,
     "q_cluster_balance" -> clusterBalanceQ,
     "q_datasheet_approx" -> datasheetApproxQ,
+    "q_sketch_column" -> sketchColumnQ,
     "q_assembly_pipeline" -> assemblyPipelineQ,
   )
 
@@ -3580,6 +3621,7 @@ object ExtQueries {
     "q_heavy_hitters_approx" -> heavyHittersApproxSql,
     "q_quality_c4" -> qualityC4Sql,
     "q_datasheet_approx" -> corpusDatasheetSql,
+    "q_sketch_column" -> sketchColumnSql,
     "q_assembly_pipeline" -> assemblyPipelineSql,
   )
 }
