@@ -135,7 +135,32 @@ object BenchR10Scale {
         graft.streaming.ScoreStream.contaminationFlags(docsN, probes, "text")
           .where(col("n_hits") > 0).count()
       }
-      f""""x$n":{"ivf":{"rebuild_sec":$tb%.3f,"update_sec":$tu%.3f,"touched_cells":${touched.length}},"epoch_shuffle":{"sec":$te%.3f,"rows":$ne},"quality_score":{"sec":$tq%.3f,"kept":$nq},"contamination":{"sec":$tc%.3f,"flagged":$nc}}"""
+      // MG heavy hitters: one ObjectHashAggregate pass, map-side
+      // capacity-entry buffers — wall should be scan-bound ~linear
+      val (th, nh) = timed {
+        val agg = org.apache.spark.sql.functions.udaf(
+          new graft.functions.FreqSketchAgg(512))
+        docsN.select(explode(graft.ml.Featurize.tokensCol(col("text")))
+            .as("t"))
+          .agg(agg(col("t"))).head().getMap[String, Long](0).size
+      }
+      // stored HLL sketch columns: build per (lang, half), merge the
+      // stored bytes — both declarative aggs, ~linear build, merge
+      // bounded by groups not corpus
+      val (ts2, _) = timed {
+        val skDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_r10scale_hll${n}_${ProcessHandle.current().pid()}")
+          .getAbsolutePath
+        docsN.select(col("lang"), pmod(col("doc_id"), lit(2)).as("half"),
+            explode(graft.ml.Featurize.tokensCol(col("text"))).as("t"))
+          .groupBy("lang", "half")
+          .agg(hll_sketch_agg(col("t"), lit(14)).as("sk"))
+          .write.mode("overwrite").parquet(skDir)
+        spark.read.parquet(skDir).groupBy("lang")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+          .collect().length
+      }
+      f""""x$n":{"ivf":{"rebuild_sec":$tb%.3f,"update_sec":$tu%.3f,"touched_cells":${touched.length}},"epoch_shuffle":{"sec":$te%.3f,"rows":$ne},"quality_score":{"sec":$tq%.3f,"kept":$nq},"contamination":{"sec":$tc%.3f,"flagged":$nc},"heavy_hitters":{"sec":$th%.3f,"entries":$nh},"sketch_column":{"sec":$ts2%.3f}}"""
     }
     println(s"""{"metric":"r10_family_scaling","sf":"$sfDir",${runs.mkString(",")}}""")
     spark.stop()
