@@ -529,4 +529,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == (0 until 5)
       .map(i => (i + 900000L, i.toLong, 1.0)).toSet, batch.toString)
   }
+
+  test("frozen tokenizer artifact applies to a stream identically to batch") {
+    import spark.implicits._
+    // train → ship artifact → tokenize an ingest stream with the
+    // LOADED merges: bpeApplyLarge's per-partition replay is
+    // stateless, so it runs in append mode with no watermark
+    val corpus = Seq(
+      "new york city", "new york times", "new york",
+      "san francisco bay", "san francisco").toDF("text")
+    val merges = graft.ext.TextStats.bpeTrain(corpus, "text", merges = 3)
+    val art = java.nio.file.Files.createTempDirectory("bpe_stream")
+      .resolve("merges.tsv").toString
+    graft.ext.Tokenizer.saveMerges(merges, art)
+    val loaded = graft.ext.Tokenizer.loadMerges(art).map(m => (m._1, m._2))
+    val docs = Seq((1L, "new york city limits"), (2L, "san francisco fog"),
+      (3L, "unrelated words entirely")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_src").toString
+    docs.write.mode("overwrite").parquet(dir)
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val batch = grab(graft.ext.TextStats.bpeApplyLarge(docs, "text", loaded)
+      .select("doc_id", "bpe_symbols"))
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = graft.ext.TextStats.bpeApplyLarge(stream, "text", loaded)
+      .select("doc_id", "bpe_symbols")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_out").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(grab(spark.table("bpe_out")) == batch)
+    val J = graft.ext.TextStats.BpeJoiner
+    assert(batch(1L) == List(s"new${J}york${J}city", "limits"), batch(1L))
+  }
 }
