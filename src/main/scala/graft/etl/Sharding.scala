@@ -116,4 +116,32 @@ object Sharding {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     spark.read.parquet(outDir)
   }
+
+  /** [[writeSharded]] in the format trainers actually stream: one
+    * JSONL file per shard (`shard=K/` dir, single `.txt` part whose
+    * LINE order is the shard's shuffled order). Every non-key column
+    * rides into the JSON object plus `shard`/`pos`, so an exported
+    * line is self-describing and the export is audit-replayable.
+    * Same write shape as the parquet sink — the shard exchange feeds
+    * `partitionBy` directly, in-task `(shard, pos)` sort, exactly one
+    * file per shard dir, nothing re-shuffled for the write. Returns
+    * the re-parsed frame (self-check friendly; callers compare it to
+    * [[shuffleShards]] output). */
+  def writeShardedJsonl(df: DataFrame, keyCol: String, nShards: Int,
+                        outDir: String, epoch: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val assigned = shuffleShards(df, keyCol, nShards, epoch)
+    val payload = assigned.columns.filterNot(_ == "shard")
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .select(col("shard"),
+        to_json(struct(payload.map(col).toIndexedSeq: _*)).as("value"))
+      .write.mode("overwrite").partitionBy("shard").text(outDir)
+    spark.read.text(outDir) // partition discovery restores `shard`
+      .select(col("shard"),
+        from_json(col("value"), assigned.drop("shard").schema).as("__r"))
+      .select(col("shard") +: payload.filterNot(_ == "shard")
+        .map(c => col(s"__r.$c").as(c)).toIndexedSeq: _*)
+  }
 }

@@ -1252,6 +1252,26 @@ object Queries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** JSONL sharded training export
+    * ([[graft.etl.Sharding.writeShardedJsonl]]): the format trainers
+    * actually stream — one JSONL file per shard dir, line order = the
+    * shard's deterministic shuffle. The query exports, re-parses the
+    * FILES, and returns (doc_id, shard, pos) — so a serialization
+    * loss (column dropped, pos scrambled, JSON mangling) breaks the
+    * hash against the same shard-assignment oracle as
+    * [[shardShuffleQ]]. */
+  val shardJsonlQ: Q = (s, dir) => {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_sjl_" + Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()).getAbsolutePath
+    graft.etl.Sharding.writeShardedJsonl(
+        documents(s, dir).select("doc_id"), "doc_id", nShards = 8, out)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  val shardJsonlSql = shardShuffleSql
+
   /** Token-budget domain mixture ([[graft.etl.Sampling.mixtureRates]]):
     * the Pile/DoReMi-style recipe — target token shares per domain
     * against a global budget, each domain downsampled to its
@@ -1577,6 +1597,7 @@ object Queries {
     "q_mixture_rates" -> mixtureRatesQ,
     "q_mixture_sample" -> mixtureSampleQ,
     "q_shard_shuffle" -> shardShuffleQ,
+    "q_shard_jsonl" -> shardJsonlQ,
     "q_shard_shuffle_epoch" -> shardShuffleEpochQ,
     "q_window_ntile" -> windowNtile,
     "q_publish" -> publishRoundtrip,
@@ -1638,6 +1659,7 @@ object Queries {
     "q_mixture_rates" -> mixtureRatesSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_shard_shuffle" -> shardShuffleSql,
+    "q_shard_jsonl" -> shardJsonlSql,
     "q_shard_shuffle_epoch" -> shardShuffleEpochSql,
     "q_window_ntile" -> windowNtileSql,
     "q_publish" -> publishRoundtripSql,

@@ -285,6 +285,49 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("JSONL sharded export: one line-ordered file per shard, parse round-trips") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("shard_jsonl").toString
+    val src = docs.select(col("doc_id"), col("text"))
+    val back = Sharding.writeShardedJsonl(src, "doc_id", 4, out)
+    assert(back.count() == src.count())
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until 4).foreach { k =>
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/shard=$k"))
+        .map(_.getPath.getName).filter(_.startsWith("part"))
+      assert(parts.length == 1, s"shard $k: ${parts.toSeq}")
+      // raw LINE order is the shuffled order — what a trainer streams
+      val lines = scala.io.Source.fromFile(
+        s"$out/shard=$k/${parts.head}").getLines().toArray
+      val pos = lines.map { ln =>
+        "\"pos\":(\\d+)".r.findFirstMatchIn(ln).get.group(1).toInt
+      }
+      assert(pos.sameElements(pos.sorted), s"shard $k lines not pos-ordered")
+      assert(pos.head == 1 && pos.last == pos.length, s"shard $k pos not dense")
+    }
+    // parsed read-back equals the assignment frame exactly
+    val expect = Sharding.shuffleShards(src, "doc_id", 4)
+      .select("shard", "doc_id", "pos", "text").collect().map(_.toSeq).toSet
+    val got = back.select("shard", "doc_id", "pos", "text")
+      .collect().map(_.toSeq).toSet
+    assert(got == expect)
+    // epoch salt flows through: same membership, different order
+    // (fresh dir — overwriting `out` would invalidate `back`'s files)
+    val out2 = java.nio.file.Files.createTempDirectory("shard_jsonl2").toString
+    val e2 = Sharding.writeShardedJsonl(src, "doc_id", 4, out2, epoch = 2)
+    val m1 = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val m2 = e2.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m1 == m2, "epoch changed shard membership")
+    val o1 = back.where(col("shard") === 0).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o2 = e2.where(col("shard") === 0).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(o1 != o2, "epoch 2 should reorder within-shard")
+  }
+
   test("shard skew audit: a 90%-one-domain corpus still yields balanced shard bytes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
