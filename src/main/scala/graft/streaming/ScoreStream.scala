@@ -104,6 +104,39 @@ object ScoreStream {
         col("kept_line_share"))
   }
 
+  /** Model-based ingest-quality monitor — the streaming face of
+    * [[graft.ml.QualityFilter]]: every arriving document is scored
+    * with the FROZEN curated-vs-raw classifier (a pure transform —
+    * featurize → vector math → probability; the model rides to
+    * executors inside the plan, no training in the stream), and the
+    * monitor emits per-(window, source) volume, mean keep-probability,
+    * and the share clearing `threshold`. Complements
+    * [[c4QualityMonitor]] (rules) and [[lmQualityMonitor]] (fluency):
+    * a source whose keep-rate collapses started shipping raw-crawl-
+    * shaped text. Only streaming state: the watermarked
+    * (window, source) aggregate. Works identically on batch frames
+    * (how the spec pins stream==batch). */
+  def qualityClassifierMonitor(docs: DataFrame,
+                               model: graft.ml.QualityFilter.QualityModel,
+                               tsCol: String, srcCol: String,
+                               textCol: String, threshold: Double = 0.5,
+                               windowLen: String = "1 minute",
+                               watermark: String = "5 minutes"): DataFrame = {
+    val wm = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+             else docs
+    val nKeep = sum(when(col("keep_prob") >= threshold, 1L).otherwise(0L))
+    model.score(wm, textCol)
+      .groupBy(window(col(tsCol), windowLen), col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("keep_prob")), 6).as("mean_keep_prob"),
+        nKeep.as("n_keep"),
+        round(nKeep.cast("double") / count(lit(1)).cast("double"), 6)
+          .as("keep_rate"))
+      .select(col("window.start").as("window_start"), col(srcCol),
+        col("n_docs"), col("mean_keep_prob"), col("n_keep"),
+        col("keep_rate"))
+  }
+
   /** Per-document contamination flags against a STATIC probe set —
     * the streaming-safe face of [[graft.ext.Dedup.contamination]]
     * (same per-occurrence `n_hits` semantics): the probe side reduces

@@ -530,6 +530,43 @@ class StreamingSpec extends AnyFunSuite {
       .map(i => (i + 900000L, i.toLong, 1.0)).toSet, batch.toString)
   }
 
+  test("model-based quality monitor: keep rates match batch; raw source collapses") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    def prose(i: Int, marker: String) =
+      s"some ordinary prose words here item$i $marker $marker"
+    val curated = (0 until 40).map(i => prose(i, "wellformed cited"))
+    val raw = (40 until 80).map(i => prose(i, "boilerplate clutter"))
+    val qm = graft.ml.QualityFilter.train(
+      curated.toDF("text"), raw.toDF("text"), "text")
+    // two stream sources: one ships curated-shaped text, one raw-shaped
+    val rows = (0 until 20).map { i =>
+      if (i % 2 == 0) (t0, "good", prose(100 + i, "wellformed cited"))
+      else (t0, "bad", prose(100 + i, "boilerplate clutter"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("qc_src").toString
+    rows.toDF("ts", "source", "text").write.mode("overwrite").parquet(dir)
+    val batchDf = spark.read.parquet(dir)
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    val stream = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = ScoreStream.qualityClassifierMonitor(stream, qm,
+        "ts", "source", "text")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qc_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = grab(spark.table("qc_out"))
+    val batch = grab(ScoreStream.qualityClassifierMonitor(
+      batchDf, qm, "ts", "source", "text"))
+    assert(out == batch, s"stream=$out batch=$batch")
+    // the raw-shaped source collapses, the curated-shaped one holds
+    assert(out("good")._4 == 1.0, out.toString)
+    assert(out("bad")._4 == 0.0, out.toString)
+    assert(out("good")._2 > out("bad")._2)
+  }
+
   test("frozen tokenizer artifact applies to a stream identically to batch") {
     import spark.implicits._
     // train → ship artifact → tokenize an ingest stream with the
