@@ -1445,6 +1445,54 @@ object Queries {
       |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
       |SELECT status, COUNT(*) AS n FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Time travel COMPOSED with the snapshot diff — the audit workflow
+    * "what changed between yesterday's and today's published corpus":
+    * two versions published through the ordinal commit log (v1 = the
+    * `q_corpus_diff` mutation applied, v2 = the full table), both read
+    * back AS OF their commits, diffed by content hash. Everything is
+    * the already-oracled operator ([[graft.etl.Publish.readVersion]] +
+    * [[graft.etl.Merge.corpusDiff]]); this query proves the
+    * composition — a commit-resolution bug or a version-content mixup
+    * breaks the counts. */
+  val publishDiffQ: Q = (s, dir) => {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pdiff_" + java.util.UUID.randomUUID().toString.take(12))
+      .getAbsolutePath
+    val full = documents(s, dir).select("doc_id", "text")
+    val mutated = full.where(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(full.where(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.etl.Publish.write(mutated, base)
+    graft.etl.Publish.write(full, base)
+    graft.etl.Merge.corpusDiff(
+        graft.etl.Publish.readVersion(s, base, 1L),
+        graft.etl.Publish.readVersion(s, base, 2L), "doc_id", "text")
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  /** The same classification with old/new REVERSED relative to
+    * [[corpusDiffSql]] (v1 is the mutation, v2 the full table):
+    * inserts become 'removed', deletions 'added'. */
+  val publishDiffSql =
+    """WITH v1 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0),
+      |o AS (SELECT doc_id, md5(text) AS ho FROM v1),
+      |n AS (SELECT doc_id, md5(text) AS hn FROM documents),
+      |d AS (SELECT
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN ho = hn THEN 'same' ELSE 'changed' END AS status
+      |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+      |SELECT status, COUNT(*) AS n FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Curriculum sharding ([[graft.etl.Sharding.curriculumShards]]):
     * shard = contiguous difficulty quartile (boundaries from one
     * bounded exact-percentile agg applied as literals — no global
@@ -1604,6 +1652,7 @@ object Queries {
     "q_publish_timetravel" -> publishTimetravel,
     "q_merge_upsert" -> mergeUpsert,
     "q_corpus_diff" -> corpusDiffQ,
+    "q_publish_diff" -> publishDiffQ,
     "q_shard_curriculum" -> shardCurriculumQ,
     "q_zorder_key" -> zorderKey,
     "q_skew_profile" -> skewProfile,
@@ -1666,6 +1715,7 @@ object Queries {
     "q_publish_timetravel" -> publishTimetravelSql,
     "q_merge_upsert" -> mergeUpsertSql,
     "q_corpus_diff" -> corpusDiffSql,
+    "q_publish_diff" -> publishDiffSql,
     "q_shard_curriculum" -> shardCurriculumSql,
     "q_zorder_key" -> zorderKeySql,
     "q_skew_profile" -> skewProfileSql,
