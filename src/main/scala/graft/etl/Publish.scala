@@ -117,11 +117,19 @@ object Publish {
       .map(_.getName).toSeq.sorted
   }
 
-  /** Delete every version except the published one (crashed writers'
-    * orphans and superseded history). Returns the removed names. */
-  def vacuum(tableDir: String): Seq[String] = {
-    val keep = currentVersion(tableDir)
-    versions(tableDir).filterNot(keep.contains).map { v =>
+  /** Delete superseded versions and crashed writers' orphans,
+    * RETAINING the manifest's version plus the last `keepLast`
+    * committed versions — the retention policy that makes time travel
+    * a bounded cost instead of unbounded history (Delta's
+    * RETAIN-hours analog, counted in commits because this log has no
+    * clock). `keepLast = 1` (default) keeps only the latest commit —
+    * the pre-time-travel behavior. Uncommitted version dirs (crashed
+    * writers) are always removed. Returns the removed names. */
+  def vacuum(tableDir: String, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, s"keepLast=$keepLast")
+    val retained = history(tableDir).takeRight(keepLast).map(_._2).toSet ++
+      currentVersion(tableDir)
+    versions(tableDir).filterNot(retained).map { v =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(); ()

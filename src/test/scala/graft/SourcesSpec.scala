@@ -192,6 +192,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(P.readVersion(spark, table, 5L).count() == 1)
   }
 
+  test("publish vacuum retention: keepLast bounds history, older commits fail loudly") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("publish_ret").toString
+    val P = graft.etl.Publish
+    (1 to 4).foreach(i => P.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), table))
+    // a crashed writer's orphan must go regardless of retention
+    Seq((9L, "junk")).toDF("id", "v").write.parquet(s"$table/v_orphan")
+    val removed = P.vacuum(table, keepLast = 2)
+    // commits 1 and 2's versions + the orphan removed; 3 and 4 retained
+    assert(removed.size == 3, removed.toString)
+    assert(P.readVersion(spark, table, 3L).as[(Long, String)].head() == ((3L, "v3")))
+    assert(P.readVersion(spark, table, 4L).as[(Long, String)].head() == ((4L, "v4")))
+    val gone = intercept[IllegalStateException](P.readVersion(spark, table, 1L))
+    assert(gone.getMessage.contains("vacuumed"), gone.getMessage)
+    assert(P.read(spark, table).count() == 1)
+    intercept[IllegalArgumentException](P.vacuum(table, keepLast = 0))
+  }
+
   test("z-order interleave matches a reference Morton encoding") {
     import spark.implicits._
     def ref(a: Long, b: Long, bits: Int): Long =
