@@ -96,6 +96,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_count_in equals the linear-scan count on randomized arrays") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // random needles (duplicates likely: small alphabet) against a
+    // random haystack, incl. empty sides — one job over 400 cases; the
+    // binary search must agree with the naive scan on every row
+    val tinyWord = Gen.listOfN(2, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val cases = sample(Gen.listOfN(400, for {
+      needles <- Gen.listOf(tinyWord)
+      hay <- Gen.listOf(tinyWord)
+    } yield (needles, hay.distinct)), 7L)
+    val rows = cases.toDF("needles", "hay")
+      .withColumn("hay", sort_array(col("hay")))
+      .select(
+        call_function("sorted_count_in", col("needles"), col("hay")).as("fast"),
+        size(filter(col("needles"),
+          h => array_contains(col("hay"), h))).as("naive"),
+        size(col("needles")).as("n"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == math.max(r.getInt(1), 0), r.toString)
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= r.getInt(2), r.toString)
+    }
+    assert(rows.exists(_.getInt(0) > 0), "vacuous: no case ever matched")
+  }
+
   test("jaccard is bounded, symmetric, and 1 on self") {
     import spark.implicits._
     val tokenList = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
