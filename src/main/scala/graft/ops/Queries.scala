@@ -1445,6 +1445,59 @@ object Queries {
       |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
       |SELECT status, COUNT(*) AS n FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Row-level data-quality expectations
+    * ([[graft.etl.Expectations]] — the expect / expect-or-drop /
+    * expect-or-fail lakehouse contract): four rules over the document
+    * corpus, output = the per-rule violation audit (ONE agg pass,
+    * |rules| rows out whatever the corpus). `max_len` (tolerated)
+    * has REAL violations — documents over the 500-char ceiling — so
+    * the violation-counting path is non-vacuous and the quarantine
+    * side is non-empty; the split cross-check (passed + quarantined ==
+    * total, quarantined rows all name ≥1 violated rule) runs in-query
+    * and dies loudly on drift. */
+  val expectationsQ: Q = (s, dir) => {
+    import graft.etl.Expectations.{Rule, audit, split}
+    val docs = documents(s, dir).select("doc_id", "lang", "text", "n_chars")
+    val rules = Seq(
+      Rule("id_present", col("doc_id").isNotNull),
+      Rule("nonempty_text", length(trim(col("text"))) > 0),
+      Rule("lang_wellformed", col("lang").rlike("^[a-z]{2}$")),
+      Rule("chars_match", col("n_chars") === length(col("text")),
+        tolerance = 1.0),
+      Rule("max_len", col("n_chars") <= 500, tolerance = 1.0))
+    val (passed, quarantined) = split(docs, rules)
+    val (np, nq, nTot) = (passed.count(), quarantined.count(), docs.count())
+    require(np + nq == nTot, s"split lost rows: $np + $nq != $nTot")
+    require(nq > 0, "expectations audit is vacuous: nothing quarantined")
+    val unnamed = quarantined.where(size(col("violations")) === 0).count()
+    require(unnamed == 0, s"$unnamed quarantined rows name no violated rule")
+    audit(docs, rules).orderBy("rule")
+  }
+
+  val expectationsSql =
+    """WITH f AS (SELECT
+      |    CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END AS v_id,
+      |    CASE WHEN length(trim(text)) > 0 THEN 0 ELSE 1 END AS v_txt,
+      |    CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 0 ELSE 1 END AS v_lang,
+      |    CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END AS v_chars,
+      |    CASE WHEN n_chars <= 500 THEN 0 ELSE 1 END AS v_line
+      |  FROM documents),
+      |a AS (SELECT CAST(SUM(v_id) AS BIGINT) AS id_present,
+      |    CAST(SUM(v_txt) AS BIGINT) AS nonempty_text,
+      |    CAST(SUM(v_lang) AS BIGINT) AS lang_wellformed,
+      |    CAST(SUM(v_chars) AS BIGINT) AS chars_match,
+      |    CAST(SUM(v_line) AS BIGINT) AS max_len,
+      |    COUNT(*) AS n FROM f),
+      |u AS (SELECT 'id_present' AS rule, id_present AS n_violations, n FROM a
+      |  UNION ALL SELECT 'nonempty_text', nonempty_text, n FROM a
+      |  UNION ALL SELECT 'lang_wellformed', lang_wellformed, n FROM a
+      |  UNION ALL SELECT 'chars_match', chars_match, n FROM a
+      |  UNION ALL SELECT 'max_len', max_len, n FROM a)
+      |SELECT rule, n_violations, n AS n_rows,
+      |  ROUND(CAST(n_violations AS DOUBLE) / CAST(GREATEST(n, 1) AS DOUBLE), 6)
+      |    AS violation_rate
+      |FROM u ORDER BY rule""".stripMargin
+
   /** Time travel COMPOSED with the snapshot diff — the audit workflow
     * "what changed between yesterday's and today's published corpus":
     * two versions published through the ordinal commit log (v1 = the
@@ -1653,6 +1706,7 @@ object Queries {
     "q_merge_upsert" -> mergeUpsert,
     "q_corpus_diff" -> corpusDiffQ,
     "q_publish_diff" -> publishDiffQ,
+    "q_expectations" -> expectationsQ,
     "q_shard_curriculum" -> shardCurriculumQ,
     "q_zorder_key" -> zorderKey,
     "q_skew_profile" -> skewProfile,
@@ -1716,6 +1770,7 @@ object Queries {
     "q_merge_upsert" -> mergeUpsertSql,
     "q_corpus_diff" -> corpusDiffSql,
     "q_publish_diff" -> publishDiffSql,
+    "q_expectations" -> expectationsSql,
     "q_shard_curriculum" -> shardCurriculumSql,
     "q_zorder_key" -> zorderKeySql,
     "q_skew_profile" -> skewProfileSql,

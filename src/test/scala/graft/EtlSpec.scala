@@ -385,4 +385,43 @@ class EtlSpec extends AnyFunSuite {
     assert(fixedLines == 5L * 5) // 5 langs × 5 rows
     assert(TrainingFile.listTrainingFiles(s"$tmp/out").size == 2)
   }
+
+  test("expectations: split routes exactly, nulls violate, enforce honors tolerance") {
+    import spark.implicits._
+    import graft.etl.Expectations._
+    val df = Seq(
+      (1L, "good row", 10),
+      (2L, "", 5),              // fails nonempty
+      (3L, null, 7),            // null predicate input => violation
+      (4L, "also fine", -1),    // fails positive
+      (5L, "fine", 3)).toDF("id", "txt", "score")
+    val rules = Seq(
+      Rule("nonempty", length(col("txt")) > 0),
+      Rule("positive", col("score") > 0, tolerance = 0.25))
+    val (passed, quarantined) = split(df, rules)
+    assert(passed.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 5L))
+    val quar = quarantined.select(col("id"), col("violations"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(quar == Map(2L -> Set("nonempty"), 3L -> Set("nonempty"),
+      4L -> Set("positive")), quar.toString)
+    // passed side keeps the ORIGINAL schema (no flag columns leak)
+    assert(passed.columns.toSeq == Seq("id", "txt", "score"))
+    // audit: one row per rule, exact counts
+    val a = audit(df, rules).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(a("nonempty") == ((2L, 0.4)), a.toString)
+    assert(a("positive") == ((1L, 0.2)), a.toString)
+    // enforce: positive (rate 0.2 <= tol 0.25) alone passes; nonempty
+    // (0.4 > 0) fails and is NAMED
+    enforce(df, Seq(rules(1)))
+    val e = intercept[IllegalStateException](enforce(df, rules))
+    assert(e.getMessage.contains("nonempty") &&
+      !e.getMessage.contains("positive"), e.getMessage)
+    // duplicate rule names and bad tolerances refuse loudly
+    intercept[IllegalArgumentException](
+      withFlags(df, Seq(rules.head, rules.head.copy(predicate = lit(true)))))
+    intercept[IllegalArgumentException](Rule("x", lit(true), tolerance = 1.5))
+    intercept[IllegalArgumentException](Rule("bad name", lit(true)))
+  }
 }
