@@ -137,6 +137,41 @@ object ScoreStream {
         col("keep_rate"))
   }
 
+  /** Streaming data-contract monitor — [[graft.etl.Expectations]] on
+    * the ingest path: every arriving row evaluates the rule flags
+    * in-row (narrow codegen, [[graft.etl.Expectations.withFlags]])
+    * and the monitor emits per-(window, source, rule) violation
+    * counts and rates. State is the watermarked aggregate keyed by
+    * (window, source, rule) — bounded at windows × sources × |rules|,
+    * never by row. The unpivot happens BEFORE the aggregate (one
+    * in-row explode of |rules| structs), so adding a rule widens the
+    * explode, not the plan. A source whose violation rate jumps is
+    * shipping contract-breaking rows NOW — the alert that batch
+    * `enforce` would only raise after the fact. Works identically on
+    * batch frames (how the spec pins stream==batch). */
+  def expectationsMonitor(docs: DataFrame,
+                          rules: Seq[graft.etl.Expectations.Rule],
+                          tsCol: String, srcCol: String,
+                          windowLen: String = "1 minute",
+                          watermark: String = "5 minutes"): DataFrame = {
+    val wm = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+             else docs
+    val flagged = graft.etl.Expectations.withFlags(wm, rules)
+    val perRule = flagged.select(col(tsCol), col(srcCol),
+      explode(array(rules.map(r => struct(lit(r.name).as("rule"),
+        col(s"ok_${r.name}").as("ok"))): _*)).as("__e"))
+    perRule.groupBy(window(col(tsCol), windowLen), col(srcCol),
+        col("__e.rule").as("rule"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(!col("__e.ok"), 1L).otherwise(0L)).as("n_violations"))
+      .withColumn("violation_rate",
+        round(col("n_violations").cast("double")
+          / greatest(col("n_rows"), lit(1L)).cast("double"), 6))
+      .select(col("window.start").as("window_start"), col(srcCol),
+        col("rule"), col("n_rows"), col("n_violations"),
+        col("violation_rate"))
+  }
+
   /** Per-document contamination flags against a STATIC probe set —
     * the streaming-safe face of [[graft.ext.Dedup.contamination]]
     * (same per-occurrence `n_hits` semantics): the probe side reduces

@@ -567,6 +567,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("good")._2 > out("bad")._2)
   }
 
+  test("streaming expectations monitor: per-rule rates match batch; bad source flagged") {
+    import spark.implicits._
+    import graft.etl.Expectations.Rule
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    // "clean" ships contract-conforming rows; "dirty" ships empties
+    // and negative scores
+    val rows = (0 until 12).map { i =>
+      if (i % 2 == 0) (t0, "clean", s"text $i", 5)
+      else if (i % 4 == 1) (t0, "dirty", "", 5)
+      else (t0, "dirty", s"text $i", -1)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("exp_src").toString
+    rows.toDF("ts", "source", "txt", "score")
+      .write.mode("overwrite").parquet(dir)
+    val batchDf = spark.read.parquet(dir)
+    val rules = Seq(Rule("nonempty", length(col("txt")) > 0),
+      Rule("positive", col("score") > 0))
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val stream = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = ScoreStream.expectationsMonitor(stream, rules, "ts", "source")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("exp_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = grab(spark.table("exp_out"))
+    val batch = grab(ScoreStream.expectationsMonitor(
+      batchDf, rules, "ts", "source"))
+    assert(out == batch, s"stream=$out batch=$batch")
+    // clean source: zero violations on both rules; dirty source: 3
+    // empties and 3 negatives out of 6 rows each
+    assert(out(("clean", "nonempty")) == ((6L, 0L, 0.0)), out.toString)
+    assert(out(("clean", "positive")) == ((6L, 0L, 0.0)), out.toString)
+    assert(out(("dirty", "nonempty")) == ((6L, 3L, 0.5)), out.toString)
+    assert(out(("dirty", "positive")) == ((6L, 3L, 0.5)), out.toString)
+  }
+
   test("frozen tokenizer artifact applies to a stream identically to batch") {
     import spark.implicits._
     // train → ship artifact → tokenize an ingest stream with the
