@@ -72,8 +72,12 @@ object Expectations {
     * bounded at |rules| rows whatever the corpus size. */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules")
+    // coalesce: sum over ZERO rows is null, but an empty input
+    // trivially satisfies every expectation — audit must report 0,
+    // not null (enforce reads these as primitives)
     val aggs = rules.map { r =>
-      sum(when(!met(r), 1L).otherwise(0L)).as(s"__v_${r.name}")
+      coalesce(sum(when(!met(r), 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_${r.name}")
     } :+ count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the ONE agg row with stack — a per-rule union of selects

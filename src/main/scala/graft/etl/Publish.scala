@@ -46,25 +46,32 @@ object Publish {
     vdir
   }
 
-  /** Claim the next free ordinal for `version`. The no-replace atomic
-    * move makes the claim exclusive: a concurrent writer that took
+  /** Claim the next free ordinal for `version`. The claim is a hard
+    * link onto a fully-written temp file: link(2) atomically FAILS
+    * with EEXIST when the target exists (unlike rename(2), which
+    * Files.move+ATOMIC_MOVE maps to on Linux and which silently
+    * REPLACES an existing target), so a concurrent writer that took
     * ordinal N forces this one to N+1 — commits serialize, never
-    * overwrite. Returns the ordinal claimed. */
+    * overwrite — and the linked file carries its full content the
+    * instant the ordinal appears, so readers never see a half-written
+    * commit. Returns the ordinal claimed. */
   private def commit(tableDir: String, version: String): Long = {
     val dir = Paths.get(tableDir, CommitsDir)
     Files.createDirectories(dir)
     val tmp = Files.write(dir.resolve(s".tmp.$version"),
       version.getBytes(StandardCharsets.UTF_8))
     var n = history(tableDir).lastOption.map(_._1).getOrElse(0L) + 1L
-    while (true) {
-      try {
-        Files.move(tmp, dir.resolve(f"$n%08d"), StandardCopyOption.ATOMIC_MOVE)
-        return n
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => n += 1L
+    try {
+      while (true) {
+        try {
+          Files.createLink(dir.resolve(f"$n%08d"), tmp)
+          return n
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => n += 1L
+        }
       }
-    }
-    n // unreachable
+      n // unreachable
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** The committed (ordinal, version-directory) sequence, oldest

@@ -680,6 +680,44 @@ object Similarity {
     touched
   }
 
+  /** Exact re-rank (refine) of a quantized shortlist — the second
+    * stage of the standard two-stage production ANN shape (FAISS's
+    * `IndexRefineFlat`): any approximate path (PQ / SQ8 / IVFPQ / IVF)
+    * run with `k = shortlist ≫ final k` proposes candidates cheaply,
+    * and only those |queries|·shortlist (query, neighbor) pairs are
+    * re-scored with EXACT full-width cosine. This is what turns the
+    * quantized menu's compressed-domain recall (0.2-ish on hard
+    * fixtures) into production recall: the ranking that decides the
+    * final top-k is exact; the quantizer only has to get the true
+    * neighbors INTO the shortlist.
+    *
+    * Scale shape: `shortlist` must expose (query_id, neighbor_id) —
+    * bounded at |queries|·shortlist rows, so it BROADCASTS; the full
+    * corpus vectors are fetched by one broadcast equi-join on
+    * neighbor id (the corpus never shuffles and is scanned once,
+    * pruned to id+vector columns); queries broadcast likewise. Same
+    * 6-dp rounding and (cosine DESC, id) tie-break as every other ANN
+    * path, so `rerank(bruteTopK(k=shortlist))` is exactly
+    * [[bruteTopK]] — the identity the spec pins. */
+  def rerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int, shortlist: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    val pairs = shortlist.select(col("query_id"), col("neighbor_id"))
+    val full = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("__cn", sqrt(nDot(s, col("cv"), col("cv"))))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__qn", sqrt(nDot(s, col("qv"), col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    full.join(broadcast(pairs), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosineFromNorms(
+        nDot(s, col("qv"), col("cv")), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Matryoshka funnel retrieval (Kusupati et al., arXiv:2205.13147):
     * embeddings trained with matryoshka losses pack most of their
     * signal into the leading components, so serving can SHORTLIST with

@@ -11,12 +11,28 @@ import scala.jdk.CollectionConverters._
   * size, the same class as centroids and frozen-LM models), so the
   * artifact write is plain file IO — no Spark job, no part files.
   *
-  * Format (`graft-bpe v1`):
+  * Format (`graft-bpe v1` — merges only):
   * {{{
   * graft-bpe\tv1\t<n_merges>
   * <left>\t<right>\t<pair_count>
   * ...
   * }}}
+  *
+  * Format (`graft-bpe v2` — what a trainer actually consumes: the
+  * merges PLUS the special-token table and, implied by line order, the
+  * deterministic vocab-id assignment):
+  * {{{
+  * graft-bpe\tv2\t<n_merges>\t<n_special>
+  * #special\t<role>\t<token>          (× n_special; id = line index)
+  * <left>\t<right>\t<pair_count>      (× n_merges; product id =
+  * ...                                 n_special + merge index)
+  * }}}
+  * Ids never depend on corpus content or load order: special token i
+  * (artifact order) has id i, and the product of merge j (training
+  * order, symbol `left + BpeJoiner + right`) has id n_special + j —
+  * so every consumer of the same artifact derives the identical
+  * [[BpeArtifact.vocabIds]] map with no id column stored.
+  *
   * Symbols come from whitespace-split tokens, so neither side can
   * contain a tab or newline — the separator is unambiguous by
   * construction. Line order IS merge order (BPE apply is
@@ -30,17 +46,61 @@ object Tokenizer {
 
   private val Magic = "graft-bpe"
   private val Version = "v1"
+  private val Version2 = "v2"
+  private val SpecialTag = "#special"
 
-  /** Atomically write `merges` (training order) to `path`. */
-  def saveMerges(merges: Seq[(String, String, Long)], path: String): Unit = {
+  /** The conventional special-token table (role → literal). */
+  val DefaultSpecials: Seq[(String, String)] = Seq(
+    "bos" -> "<s>", "eos" -> "</s>", "pad" -> "<pad>", "unk" -> "<unk>")
+
+  /** A trainer-consumable tokenizer: ordered merges + ordered special
+    * tokens. Id assignment is positional and therefore deterministic
+    * (see the v2 format note). */
+  case class BpeArtifact(merges: Seq[(String, String, Long)],
+                         specials: Seq[(String, String)]) {
+    specials.foreach { case (role, tok) =>
+      require(role.matches("[a-z_]+"), s"special role '$role'")
+      require(tok.nonEmpty && !tok.exists(_.isWhitespace),
+        s"unencodable special token '$tok'")
+    }
+    require(specials.map(_._1).distinct.size == specials.size,
+      s"duplicate special roles in ${specials.map(_._1)}")
+    require(specials.map(_._2).distinct.size == specials.size,
+      s"duplicate special literals in ${specials.map(_._2)}")
+
+    /** Deterministic vocab ids: specials first (artifact order), then
+      * each merge's product symbol in training order. Fails loudly if
+      * a special literal collides with a merge product — such an
+      * artifact would tokenize ambiguously. */
+    def vocabIds: Map[String, Int] = {
+      val products = merges.map { case (l, r, _) =>
+        l + TextStats.BpeJoiner + r }
+      val clash = specials.map(_._2).toSet intersect products.toSet
+      require(clash.isEmpty, s"special tokens collide with merge products: $clash")
+      // first occurrence wins: two merges can legitimately yield the
+      // same surface symbol (("a▁b","c") and ("a","b▁c")); the symbol
+      // is indistinguishable downstream, so it keeps its FIRST id
+      (specials.map(_._2) ++ products).zipWithIndex
+        .foldLeft(Map.empty[String, Int]) { case (m, (s, i)) =>
+          if (m.contains(s)) m else m.updated(s, i)
+        }
+    }
+
+    /** The id a consumer maps unknown symbols to, if an `unk` special
+      * is declared. */
+    def unkId: Option[Int] =
+      specials.zipWithIndex.collectFirst { case (("unk", _), i) => i }
+  }
+
+  private def requireEncodable(merges: Seq[(String, String, Long)]): Unit =
     merges.foreach { case (l, r, _) =>
       require(l.nonEmpty && r.nonEmpty && !l.exists(_.isWhitespace) &&
         !r.exists(_.isWhitespace), s"unencodable merge pair ($l, $r)")
     }
+
+  private def writeAtomic(path: String, lines: Seq[String]): Unit = {
     val p = Paths.get(path)
     Option(p.getParent).foreach(Files.createDirectories(_))
-    val lines = s"$Magic\t$Version\t${merges.size}" +:
-      merges.map { case (l, r, n) => s"$l\t$r\t$n" }
     val tmp = p.resolveSibling(s".${p.getFileName}.tmp")
     Files.write(tmp, lines.asJava, StandardCharsets.UTF_8)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
@@ -48,30 +108,71 @@ object Tokenizer {
     ()
   }
 
-  /** Load a merge list saved by [[saveMerges]]. Fails loudly on a
-    * foreign file, version mismatch, or a merge count that does not
-    * match the header (a torn or concatenated artifact). */
-  def loadMerges(path: String): Seq[(String, String, Long)] = {
+  /** Atomically write `merges` (training order) to `path` (v1). */
+  def saveMerges(merges: Seq[(String, String, Long)], path: String): Unit = {
+    requireEncodable(merges)
+    writeAtomic(path, s"$Magic\t$Version\t${merges.size}" +:
+      merges.map { case (l, r, n) => s"$l\t$r\t$n" })
+  }
+
+  /** Atomically write a full v2 artifact (specials + merges). */
+  def saveArtifact(artifact: BpeArtifact, path: String): Unit = {
+    requireEncodable(artifact.merges)
+    writeAtomic(path,
+      s"$Magic\t$Version2\t${artifact.merges.size}\t${artifact.specials.size}" +:
+        (artifact.specials.map { case (role, tok) =>
+          s"$SpecialTag\t$role\t$tok" } ++
+          artifact.merges.map { case (l, r, n) => s"$l\t$r\t$n" }))
+  }
+
+  /** Load a v1 OR v2 artifact. A v1 file loads with an empty specials
+    * table. Fails loudly on a foreign file, an unknown version, or
+    * section counts that do not match the header (a torn or
+    * concatenated artifact). */
+  def loadArtifact(path: String): BpeArtifact = {
     val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
       .asScala.toSeq
     val header = lines.headOption.getOrElse(
       throw new IllegalStateException(s"empty tokenizer artifact $path"))
+    def parseMerges(ls: Seq[String], n: Int): Seq[(String, String, Long)] = {
+      val merges = ls.map { ln =>
+        ln.split("\t", -1) match {
+          case Array(l, r, c) => (l, r, c.toLong)
+          case _ => throw new IllegalStateException(
+            s"malformed merge line in $path: '$ln'")
+        }
+      }
+      if (merges.size != n) throw new IllegalStateException(
+        s"torn artifact $path: header says $n merges, found ${merges.size}")
+      merges
+    }
     header.split("\t", -1) match {
       case Array(Magic, Version, n) =>
-        val merges = lines.tail.map { ln =>
+        BpeArtifact(parseMerges(lines.tail, n.toInt), Nil)
+      case Array(Magic, Version2, n, s) =>
+        val (specialLines, mergeLines) =
+          lines.tail.span(_.startsWith(SpecialTag + "\t"))
+        if (specialLines.size != s.toInt) throw new IllegalStateException(
+          s"torn artifact $path: header says $s specials, " +
+            s"found ${specialLines.size}")
+        val specials = specialLines.map { ln =>
           ln.split("\t", -1) match {
-            case Array(l, r, c) => (l, r, c.toLong)
+            case Array(SpecialTag, role, tok) => (role, tok)
             case _ => throw new IllegalStateException(
-              s"malformed merge line in $path: '$ln'")
+              s"malformed special line in $path: '$ln'")
           }
         }
-        if (merges.size != n.toInt) throw new IllegalStateException(
-          s"torn artifact $path: header says $n merges, found ${merges.size}")
-        merges
-      case Array(Magic, v, _) => throw new IllegalStateException(
+        BpeArtifact(parseMerges(mergeLines, n.toInt), specials)
+      case Array(Magic, v, _*) => throw new IllegalStateException(
         s"unsupported tokenizer artifact version $v in $path")
       case _ => throw new IllegalStateException(
         s"not a graft-bpe artifact: $path ('$header')")
     }
   }
+
+  /** Load the merge list of a v1 OR v2 artifact (specials dropped) —
+    * the [[graft.ext.TextStats.bpeApplyLarge]] input; existing v1
+    * consumers read v2 artifacts unchanged. */
+  def loadMerges(path: String): Seq[(String, String, Long)] =
+    loadArtifact(path).merges
 }

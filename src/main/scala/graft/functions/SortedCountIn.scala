@@ -26,10 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Null contract: a null array on either side yields null
   * (BinaryExpression default); null NEEDLE elements are skipped (probe
-  * hashes are md5 output and never null). The haystack is trusted
-  * sorted — a caller passing an unsorted array gets undefined counts,
-  * which is why [[graft.streaming.ScoreStream.contaminationFlags]]
-  * builds it with `sort_array(collect_list(...))` in the same plan.
+  * hashes are md5 output and never null); null HAYSTACK slots compare
+  * as LESS-THAN any needle — `sort_array`'s default places nulls
+  * first, so a `collect_list` that captured a null still leaves the
+  * non-null suffix sorted and searchable instead of NPE-ing mid-probe.
+  * The haystack is trusted sorted — a caller passing an unsorted array
+  * gets undefined counts, which is why
+  * [[graft.streaming.ScoreStream.contaminationFlags]] builds it with
+  * `sort_array(collect_list(...))` in the same plan.
   */
 case class SortedCountIn(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
@@ -55,7 +59,9 @@ case class SortedCountIn(left: Expression, right: Expression)
         var hi = m - 1
         while (lo <= hi) {
           val mid = (lo + hi) >>> 1
-          val c = hay.getUTF8String(mid).compareTo(key)
+          // null slots sort first: treat as less-than and move right
+          val c = if (hay.isNullAt(mid)) -1
+                  else hay.getUTF8String(mid).compareTo(key)
           if (c == 0) { hits += 1; lo = hi + 2 } // found: +1 and break
           else if (c < 0) lo = mid + 1
           else hi = mid - 1
@@ -89,7 +95,8 @@ case class SortedCountIn(left: Expression, right: Expression)
          |    int $hi = $m - 1;
          |    while ($lo <= $hi) {
          |      final int $mid = ($lo + $hi) >>> 1;
-         |      final int $c = $y.getUTF8String($mid).compareTo($key);
+         |      final int $c = $y.isNullAt($mid) ? -1
+         |        : $y.getUTF8String($mid).compareTo($key);
          |      if ($c == 0) { $hits++; break; }
          |      else if ($c < 0) { $lo = $mid + 1; }
          |      else { $hi = $mid - 1; }

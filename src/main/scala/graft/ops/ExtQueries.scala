@@ -859,7 +859,8 @@ object ExtQueries {
     * assignment + probe ranking CTEs composed with the PQ oracle's
     * code/lut CTEs, joined on cell instead of the PQ cross join. */
   def simIvfPqSqlFor(cents: Array[Array[Double]],
-                     books: Array[Array[Array[Double]]]): String = {
+                     books: Array[Array[Array[Double]]],
+                     k: Int = 5): String = {
     val kc = cents.length
     val centsLit = cents.map(_.map(dlit).mkString("[", ", ", "]"))
       .mkString("[", ",\n    ", "]")
@@ -952,6 +953,48 @@ object ExtQueries {
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM j) t
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The two-stage refine shape on the quantized menu
+    * ([[Similarity.rerankTopK]]): IVFPQ proposes a top-25 shortlist by
+    * asymmetric distance (compressed-domain, 0.2-ish recall alone);
+    * only those |queries|·25 pairs are re-scored with EXACT full-width
+    * cosine and the final top-5 ranked from that — FAISS's
+    * `IndexRefineFlat` composition. The ranking the user sees is
+    * exact; the quantizer only had to get true neighbors INTO the
+    * shortlist. */
+  val simIvfPqRerank: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    val queries = emb.where(col("vec_id") < 10)
+    val short = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+      25, ivfCents(s, dir), nprobe = 4, books = pqBooks(s, dir))
+    Similarity.rerankTopK(queries, emb, "vec_id", "embedding", 5, short)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Rerank oracle: the IVFPQ oracle at k = 25 as the shortlist
+    * subquery, then the matryoshka oracle's exact-cosine stage-2
+    * formulation over those pairs. */
+  def simIvfPqRerankSqlFor(cents: Array[Array[Double]],
+                           books: Array[Array[Array[Double]]]): String = {
+    val inner = simIvfPqSqlFor(cents, books, k = 25)
+    def cos(a: String, b: String) =
+      s"""ROUND(${foldSumSql(s"list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])")} /
+         |  (sqrt(${foldSumSql(s"list_transform(range(1, len($a)+1), i -> $a[i] * $a[i])")}) *
+         |   sqrt(${foldSumSql(s"list_transform(range(1, len($b)+1), i -> $b[i] * $b[i])")})), 6)""".stripMargin
+    s"""WITH sl AS (SELECT query_id, neighbor_id FROM (
+       |$inner
+       |) s0),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT sl.query_id, sl.neighbor_id, q.v AS qv, c.v AS cv
+       |  FROM sl JOIN e2 q ON sl.query_id = q.vec_id
+       |    JOIN e2 c ON sl.neighbor_id = c.vec_id),
+       |s2 AS (SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cosine
+       |  FROM p)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s2) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
@@ -984,7 +1027,10 @@ object ExtQueries {
       if (ivfCentsCache.size == 1 && pqBooksCache.size == 1)
         Map("q_sim_ivfpq" -> simIvfPqSqlFor(
           ivfCentsCache.values.iterator.next(),
-          pqBooksCache.values.iterator.next()))
+          pqBooksCache.values.iterator.next()),
+          "q_sim_ivfpq_rerank" -> simIvfPqRerankSqlFor(
+            ivfCentsCache.values.iterator.next(),
+            pqBooksCache.values.iterator.next()))
       else Map.empty[String, String]
     val bpe =
       if (bpeMergesCache.size == 1)
@@ -3525,6 +3571,7 @@ object ExtQueries {
     "q_dedup_canonical" -> dedupCanonicalQ,
     "q_batch_by_length" -> batchByLengthQ,
     "q_sim_ivfpq" -> simIvfPq,
+    "q_sim_ivfpq_rerank" -> simIvfPqRerank,
     "q_join_dpp" -> joinDppQ,
     "q_join_runtime_filter" -> joinRuntimeFilterQ,
     "q_join_skew_aqe" -> joinSkewAqeQ,

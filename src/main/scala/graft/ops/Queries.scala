@@ -934,16 +934,31 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Deterministic per-(input-dir, process) scratch table dir,
+    * CLEARED before reuse — repeated harness runs (the 10×/100×/1000×
+    * correctness sweeps) reuse one path instead of leaking a fresh
+    * UUID-named parquet copy per invocation, and clearing keeps
+    * publish ordinal sequences starting from 1. */
+  private def scratchTableDir(prefix: String, dir: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      prefix + Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid())
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(); ()
+    }
+    rm(f)
+    f.getAbsolutePath
+  }
+
   /** Time travel over the publish commit log: version 1 (even doc_ids
     * only) is superseded by version 2 (the full table) — and then
     * read back AS OF its ordinal, proving a superseded-but-unvacuumed
     * version stays exactly readable while [[graft.etl.Publish.read]]
-    * serves the latest. A fresh table dir per run keeps the ordinal
+    * serves the latest. A cleared table dir per run keeps the ordinal
     * sequence at exactly (1, 2). */
   val publishTimetravel: Q = (s, dir) => {
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_tt_" + java.util.UUID.randomUUID().toString.take(12))
-      .getAbsolutePath
+    val base = scratchTableDir("graft_tt_", dir)
     val df = documents(s, dir).select("doc_id", "lang", "n_chars")
     graft.etl.Publish.write(df.where(col("doc_id") % 2 === 0), base)
     graft.etl.Publish.write(df, base)
@@ -1498,6 +1513,73 @@ object Queries {
       |    AS violation_rate
       |FROM u ORDER BY rule""".stripMargin
 
+  /** The expectations OPERATIONAL loop (the DLT-expectations workflow
+    * a data-contract user actually runs): quarantine → fix → re-ingest
+    * → audit shows zero. Violating rows are routed through a real
+    * quarantine SINK (parquet, `violations` array included), read
+    * back, corrected (truncate to the 500-char ceiling, recompute
+    * `n_chars` — fixing both rules at once), unioned with the passed
+    * side, and re-audited. In-query gates: the quarantine is
+    * non-empty (the loop is non-vacuous), the post-replay audit is
+    * all-zero (the fix actually closed the contract), and no rows were
+    * lost across the loop. Output: per-rule before/after violation
+    * counts + the final corpus size. */
+  val expectationsReplayQ: Q = (s, dir) => {
+    import graft.etl.Expectations.{Rule, audit, split}
+    val docs = documents(s, dir).select("doc_id", "lang", "text", "n_chars")
+    val rules = Seq(
+      Rule("max_len", col("n_chars") <= 500),
+      Rule("chars_match", col("n_chars") === length(col("text"))))
+    val before = audit(docs, rules)
+    val (passed, quarantined) = split(docs, rules)
+    val qDir = scratchTableDir("graft_quar_", dir)
+    quarantined.write.parquet(qDir)
+    val fromSink = s.read.parquet(qDir)
+    val nq = fromSink.count()
+    require(nq > 0, "expectations replay is vacuous: nothing quarantined")
+    val corrected = fromSink.drop("violations")
+      .withColumn("text", substring(col("text"), 1, 500))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "lang", "text", "n_chars")
+    val reingested = passed.unionByName(corrected)
+    val after = audit(reingested, rules)
+    val afterRows = after.collect()
+    require(afterRows.forall(_.getLong(1) == 0L),
+      "replay did not close the contract: " + afterRows.mkString(", "))
+    require(reingested.count() == docs.count(), "replay lost rows")
+    before.select(col("rule"), col("n_violations").as("n_before"))
+      .join(after.select(col("rule"), col("n_violations").as("n_after"),
+        col("n_rows").as("n_rows_final")), Seq("rule"))
+      .orderBy("rule")
+  }
+
+  /** The replay loop mirrored in SQL: the same fix applied to rows
+    * failing EITHER rule, before/after audits joined per rule. */
+  val expectationsReplaySql =
+    """WITH d AS (SELECT doc_id, text, n_chars,
+      |    (n_chars <= 500) AS ok_max,
+      |    (n_chars = length(text)) AS ok_chars
+      |  FROM documents),
+      |ri AS (SELECT
+      |    CASE WHEN ok_max AND ok_chars THEN text
+      |         ELSE substr(text, 1, 500) END AS text,
+      |    CASE WHEN ok_max AND ok_chars THEN n_chars
+      |         ELSE length(substr(text, 1, 500)) END AS n_chars
+      |  FROM d),
+      |a1 AS (SELECT
+      |    CAST(SUM(CASE WHEN n_chars <= 500 THEN 0 ELSE 1 END) AS BIGINT) AS max_len,
+      |    CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) AS chars_match
+      |  FROM documents),
+      |a2 AS (SELECT
+      |    CAST(SUM(CASE WHEN n_chars <= 500 THEN 0 ELSE 1 END) AS BIGINT) AS max_len,
+      |    CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) AS chars_match,
+      |    COUNT(*) AS n FROM ri),
+      |u AS (SELECT 'max_len' AS rule, a1.max_len AS n_before,
+      |    a2.max_len AS n_after, a2.n AS n_rows_final FROM a1, a2
+      |  UNION ALL SELECT 'chars_match', a1.chars_match, a2.chars_match, a2.n
+      |  FROM a1, a2)
+      |SELECT rule, n_before, n_after, n_rows_final FROM u ORDER BY rule""".stripMargin
+
   /** Time travel COMPOSED with the snapshot diff — the audit workflow
     * "what changed between yesterday's and today's published corpus":
     * two versions published through the ordinal commit log (v1 = the
@@ -1508,9 +1590,7 @@ object Queries {
     * composition — a commit-resolution bug or a version-content mixup
     * breaks the counts. */
   val publishDiffQ: Q = (s, dir) => {
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_pdiff_" + java.util.UUID.randomUUID().toString.take(12))
-      .getAbsolutePath
+    val base = scratchTableDir("graft_pdiff_", dir)
     val full = documents(s, dir).select("doc_id", "text")
     val mutated = full.where(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"),
@@ -1707,6 +1787,7 @@ object Queries {
     "q_corpus_diff" -> corpusDiffQ,
     "q_publish_diff" -> publishDiffQ,
     "q_expectations" -> expectationsQ,
+    "q_expectations_replay" -> expectationsReplayQ,
     "q_shard_curriculum" -> shardCurriculumQ,
     "q_zorder_key" -> zorderKey,
     "q_skew_profile" -> skewProfile,
@@ -1771,6 +1852,7 @@ object Queries {
     "q_corpus_diff" -> corpusDiffSql,
     "q_publish_diff" -> publishDiffSql,
     "q_expectations" -> expectationsSql,
+    "q_expectations_replay" -> expectationsReplaySql,
     "q_shard_curriculum" -> shardCurriculumSql,
     "q_zorder_key" -> zorderKeySql,
     "q_skew_profile" -> skewProfileSql,

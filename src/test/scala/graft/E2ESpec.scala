@@ -263,5 +263,34 @@ class E2ESpec extends AnyFunSuite {
       .where(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(top1 == Map(5000001L -> 5000001L), top1.toString)
+
+    // two-stage refine over the same index: the ADC shortlist is
+    // re-scored with EXACT cosine, so the planted copy comes back at
+    // rank 1 with cosine exactly 1.0 — the production serving shape
+    val refined = graft.ext.Similarity.rerankTopK(
+      emb.where(col("vec_id") === 7), emb.unionByName(planted),
+      "vec_id", "embedding", 5,
+      graft.ext.Similarity.ivfPqTopK(emb.where(col("vec_id") === 7),
+        emb.unionByName(planted), "vec_id", "embedding", 50,
+        cents, nprobe = 2, books = books))
+      .where(col("rank") === 1).collect()
+    assert(refined.length == 1 && refined(0).getLong(1) == 800007L &&
+      refined(0).getDouble(2) == 1.0, refined.mkString(","))
+
+    // the expectations operational loop on the live version:
+    // quarantine via a real sink → fix → re-ingest → audit zero
+    {
+      import graft.etl.Expectations.{Rule, audit, split}
+      val rules = Seq(Rule("max_len", length(col("text")) <= 400))
+      val (ok, bad) = split(current, rules)
+      val qdir = java.nio.file.Files.createTempDirectory("e2e_quar").toString
+      bad.write.mode("overwrite").parquet(qdir)
+      val fixed = spark.read.parquet(qdir).drop("violations")
+        .withColumn("text", substring(col("text"), 1, 400))
+      val replayed = ok.unionByName(fixed)
+      assert(replayed.count() == current.count())
+      val after = audit(replayed, rules).collect()
+      assert(after.forall(_.getLong(1) == 0L), after.mkString(","))
+    }
   }
 }

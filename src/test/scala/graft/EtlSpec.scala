@@ -423,5 +423,14 @@ class EtlSpec extends AnyFunSuite {
       withFlags(df, Seq(rules.head, rules.head.copy(predicate = lit(true)))))
     intercept[IllegalArgumentException](Rule("x", lit(true), tolerance = 1.5))
     intercept[IllegalArgumentException](Rule("bad name", lit(true)))
+    // an EMPTY frame trivially satisfies every expectation: audit
+    // reports zeros (not nulls) and enforce passes instead of NPE-ing
+    // — empty daily partitions are a realistic input
+    val empty = df.where(lit(false))
+    val z = audit(empty, rules).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(z == Map("nonempty" -> ((0L, 0.0)), "positive" -> ((0L, 0.0))),
+      z.toString)
+    enforce(empty, rules)
   }
 }

@@ -237,6 +237,39 @@ class ExtSpec extends AnyFunSuite {
     assert(found.contains(900000L), s"planted copy not in top-5: $found")
   }
 
+  test("rerank of a brute shortlist is exactly bruteTopK; rerank lifts PQ recall") {
+    val queries = emb.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // identity: exact shortlist + exact re-rank = exact top-k, bit for
+    // bit (same fold order, rounding, tie-breaks)
+    val brute5 = rows(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
+    val viaRerank = rows(Similarity.rerankTopK(queries, emb, "vec_id", "embedding", 5,
+      Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 20)))
+    assert(viaRerank == brute5)
+    // the production composition: a coarse quantizer proposes, exact
+    // cosine decides — recall@5 must LIFT beyond the quantized path's
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 8, iters = 1)
+    val bruteSet = brute5.map(r => (r._1, r._2)).toSet
+    val pqAlone = Similarity.pqTopK(queries, emb, "vec_id", "embedding", 5, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shortl = Similarity.pqTopK(queries, emb, "vec_id", "embedding", 100, books)
+    val refined = Similarity.rerankTopK(queries, emb, "vec_id", "embedding", 5, shortl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rPq = (bruteSet intersect pqAlone).size.toDouble / bruteSet.size
+    val rRef = (bruteSet intersect refined).size.toDouble / bruteSet.size
+    assert(rRef > rPq, s"refined recall $rRef !> pq-alone recall $rPq")
+    // re-ranked scores are EXACT cosines: every (q,n) pair the refined
+    // result shares with brute truth carries the identical score
+    val bruteScores = brute5.map(r => (r._1, r._2) -> r._3).toMap
+    rows(Similarity.rerankTopK(queries, emb, "vec_id", "embedding", 5, shortl))
+      .foreach { case (q, nb, c, _) =>
+        bruteScores.get((q, nb)).foreach(exp => assert(c == exp, s"($q,$nb)"))
+      }
+  }
+
   test("SQ8 codes are valid, near-exact on planted copies, fine on constant dims") {
     import spark.implicits._
     val (mins, steps) = Similarity.sqBounds(emb, "embedding", 64)
@@ -1516,5 +1549,41 @@ class ExtSpec extends AnyFunSuite {
       java.util.List.of("graft-bpe\tv9\t0"))
     assert(intercept[IllegalStateException](Tokenizer.loadMerges(vnext))
       .getMessage.contains("unsupported"))
+
+    // ---- v2: specials + deterministic vocab ids ----
+    val art = Tokenizer.BpeArtifact(merges, Tokenizer.DefaultSpecials)
+    val v2path = s"$dir/tokenizer.v2.tsv"
+    Tokenizer.saveArtifact(art, v2path)
+    assert(Tokenizer.loadArtifact(v2path) == art) // bit-exact round trip
+    // a v1-era consumer reads the merge section of a v2 file unchanged
+    assert(Tokenizer.loadMerges(v2path) == merges)
+    // positional id contract: specials 0..3 in artifact order, then
+    // merge products in training order; unk resolves to its slot
+    val ids = art.vocabIds
+    assert(ids("<s>") == 0 && ids("</s>") == 1 && ids("<pad>") == 2 &&
+      ids("<unk>") == 3, ids.toString)
+    val J = TextStats.BpeJoiner
+    merges.zipWithIndex.foreach { case ((l, r, _), j) =>
+      assert(ids(l + J + r) == 4 + j, s"merge $j")
+    }
+    assert(art.unkId.contains(3))
+    assert(Tokenizer.BpeArtifact(merges, Nil).unkId.isEmpty)
+    // a v1 artifact loads as specials-free
+    assert(Tokenizer.loadArtifact(path) ==
+      Tokenizer.BpeArtifact(merges.take(1), Nil))
+    // torn v2 (header promises more specials than present) refuses
+    val tornV2 = s"$dir/torn_v2.tsv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(tornV2),
+      java.util.List.of("graft-bpe\tv2\t0\t2", "#special\tbos\t<s>"))
+    assert(intercept[IllegalStateException](Tokenizer.loadArtifact(tornV2))
+      .getMessage.contains("torn"))
+    // ambiguous artifacts refuse loudly
+    intercept[IllegalArgumentException](Tokenizer.BpeArtifact(
+      merges, Seq("bos" -> "<s>", "eos" -> "<s>"))) // dup literal
+    intercept[IllegalArgumentException](Tokenizer.BpeArtifact(
+      merges, Seq("bad role!" -> "<s>")))
+    val (l0, r0, _) = merges.head
+    intercept[IllegalArgumentException](Tokenizer.BpeArtifact(
+      merges, Seq("bos" -> (l0 + J + r0))).vocabIds) // special == product
   }
 }

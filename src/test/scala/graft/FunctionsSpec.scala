@@ -92,6 +92,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("sorted_count_in tolerates null haystack slots (nulls sort first)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // a collect_list that captured a null leaves sort_array placing it
+    // FIRST; the search must treat the slot as less-than, not NPE
+    val rows = Seq(
+      (Seq("b", "a", "zz"), Seq(null, "a", "b", "x")),
+      (Seq("a"), Seq[String](null, null)),
+      (Seq("x"), Seq(null, "x")))
+    val got = rows.toDF("needles", "hay")
+      .select(call_function("sorted_count_in",
+        col("needles"), col("hay")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 0, 1), got.toString)
+    // same answers through the interpreted path (codegen off)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = rows.toDF("needles", "hay")
+        .select(call_function("sorted_count_in",
+          col("needles"), col("hay")).as("n"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(interp == Seq(2, 0, 1), interp.toString)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("sorted_count_in agrees with array_contains on fixture shingle hashes") {
     GraftFunctions.register(spark)
     // the exact probe-index shape contaminationFlags builds: md5

@@ -190,6 +190,14 @@ class SourcesSpec extends AnyFunSuite {
     P.write(Seq((4L, "d")).toDF("id", "v"), table)
     assert(P.history(table).map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
     assert(P.readVersion(spark, table, 5L).count() == 1)
+    // the pre-claimed ordinal's CONTENT survives — the claim must fail
+    // atomically on an existing target (link(2) EEXIST), never replace
+    // it the way rename(2) silently would
+    assert(P.history(table).collectFirst { case (4L, v) => v }
+      .contains("v_squatter"))
+    // and no claim temp files linger in the log dir
+    assert(!new java.io.File(s"$table/_commits").listFiles()
+      .exists(_.getName.startsWith(".tmp.")))
   }
 
   test("publish vacuum retention: keepLast bounds history, older commits fail loudly") {
