@@ -77,3 +77,45 @@ class FreqSketchAgg(capacity: Int)
   override def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }
+
+/** Merge STORED Misra–Gries summaries (the map columns
+  * [[FreqSketchAgg]] materializes to parquet) back into one summary —
+  * the aggregator that makes MG a stored-sketch-catalog member next to
+  * `hll_union_agg`: per-shard summaries are built once at ingest,
+  * stored beside the data, and corpus-wide heavy hitters come from
+  * merging the stored maps — no re-scan of shard items, ever.
+  *
+  * IN  = one stored summary (map<item, counter>);
+  * BUF/OUT/merge = exactly [[FreqSketchAgg]]'s (pointwise sum, then
+  * subtract the (capacity+1)-th largest and truncate). The
+  * mergeable-summaries theorem makes the result carry the SAME bounds
+  * as if one sketch had seen every item: undercount-only, error at
+  * most N/(capacity+1), all items above that threshold present —
+  * where N is the total item count across all merged shards.
+  * `capacity` must be >= the stored summaries' capacity or the error
+  * bound degrades to the smaller capacity's. */
+class FreqSketchMergeAgg(capacity: Int)
+    extends Aggregator[Map[String, Long], mutable.HashMap[String, Long], Map[String, Long]] {
+
+  require(capacity > 0, s"capacity=$capacity")
+  private val inner = new FreqSketchAgg(capacity)
+
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+  override def reduce(buf: mutable.HashMap[String, Long],
+                      summary: Map[String, Long]): mutable.HashMap[String, Long] =
+    if (summary == null) buf
+    else inner.merge(buf, mutable.HashMap.from(summary))
+
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    inner.merge(a, b)
+
+  override def finish(buf: mutable.HashMap[String, Long]): Map[String, Long] =
+    buf.toMap
+
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.ext.{Dedup, Multimodal, Selection, Similarity, TextStats}
@@ -3166,6 +3167,126 @@ object ExtQueries {
        |SELECT lang, COUNT(DISTINCT token) AS n_distinct_tokens
        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The full stored-sketch PROFILE triple — distincts (HLL), heavy
+    * hitters (Misra–Gries maps), and quantiles (per-shard GK points)
+    * all materialized per (lang, shard-half) beside the data and
+    * merged corpus-wide from STORAGE, never from a re-scan: the
+    * complete "append a shard, sketch only it, merge summaries"
+    * datasheet discipline.
+    *
+    *  - HLL: `hll_union_agg` over stored binaries, 5% gate vs exact;
+    *  - MG: [[graft.functions.FreqSketchMergeAgg]] over stored maps —
+    *    mergeable-summaries bounds gated in-query (undercount-only,
+    *    error ≤ N/(cap+1), all heavier items present);
+    *  - quantiles: per-shard `percentile_approx` (GK) at `qpts`
+    *    equi-spaced ranks, each point carrying weight n_shard/qpts;
+    *    the merged p50 is the weighted-median of the stored points,
+    *    gated in RANK space (true rank of the estimate within 3% of
+    *    n/2 — the summed per-shard GK error is ≤ n/(2·qpts) ≈ 0.8%).
+    *
+    * Output is EXACT per-lang values only (distinct tokens, the top
+    * token by (count DESC, token) and its count, exact median chars) —
+    * sketch bytes and estimates never enter oracled output. */
+  val sketchProfileQ: Q = (s, dir) => {
+    val base = scratchDir("skprof", dir)
+    val cap = 16
+    val qpts = 64
+    val docs = documents(s, dir).select(col("lang"),
+      pmod(col("doc_id"), lit(2)).as("half"), col("text"), col("n_chars"))
+    val toks = docs.select(col("lang"), col("half"),
+      explode(Featurize.tokensCol(col("text"))).as("token"))
+    val mgAgg = udaf(new graft.functions.FreqSketchAgg(cap))
+    val probs = array((0 until qpts).map(i => lit((i + 0.5) / qpts)): _*)
+    // one row per (lang, half): all three summaries + shard sizes
+    toks.groupBy("lang", "half")
+      .agg(hll_sketch_agg(col("token"), lit(14)).as("hll"),
+        mgAgg(col("token")).as("mg"),
+        count(lit(1)).as("n_tokens"))
+      .join(docs.groupBy("lang", "half")
+        .agg(percentile_approx(col("n_chars").cast("double"), probs,
+          lit(10000)).as("qpoints"),
+          count(lit(1)).as("n_docs")), Seq("lang", "half"))
+      .write.mode("overwrite").parquet(s"$base/sketches")
+    val stored = s.read.parquet(s"$base/sketches")
+    // ---- merge 1: HLL distincts from stored binaries, 5% gate
+    val exactDistinct = toks.groupBy("lang")
+      .agg(countDistinct(col("token")).as("n_distinct_tokens"))
+    val badHll = stored.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("est"))
+      .join(exactDistinct, "lang")
+      .where(abs(col("est").cast("double")
+        - col("n_distinct_tokens").cast("double"))
+        > col("n_distinct_tokens").cast("double") * 0.05)
+      .collect()
+    require(badHll.isEmpty, s"stored-HLL union >5% off: ${badHll.mkString(",")}")
+    // ---- merge 2: MG heavy hitters from stored maps, bounds gated
+    val mgMerge = udaf(new graft.functions.FreqSketchMergeAgg(cap))
+    val merged = stored.groupBy("lang")
+      .agg(mgMerge(col("mg")).as("mg"), sum("n_tokens").as("n_tok"))
+      .select(col("lang"), col("n_tok"),
+        explode(col("mg")).as(Seq("token", "est")))
+    val exactCounts = toks.groupBy("lang", "token")
+      .agg(count(lit(1)).as("cnt"))
+    val badMg = merged.join(exactCounts, Seq("lang", "token"))
+      .where(col("est") > col("cnt") ||
+        (col("cnt") - col("est")).cast("double")
+          > col("n_tok").cast("double") / (cap + 1))
+      .collect()
+    require(badMg.isEmpty, s"merged MG violates bounds: ${badMg.mkString(",")}")
+    val lost = exactCounts
+      .join(stored.groupBy("lang").agg(sum("n_tokens").as("n_tok")), "lang")
+      .where(col("cnt").cast("double") > col("n_tok").cast("double") / (cap + 1))
+      .join(merged.select("lang", "token"), Seq("lang", "token"), "left_anti")
+      .collect()
+    require(lost.isEmpty, s"merged MG lost heavy hitters: ${lost.mkString(",")}")
+    // ---- merge 3: weighted median of stored GK points, rank gate
+    val wCum = Window.partitionBy("lang").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p50est = stored.select(col("lang"),
+        (col("n_docs").cast("double") / qpts).as("w"),
+        explode(col("qpoints")).as("v"))
+      .withColumn("cum", sum("w").over(wCum))
+      .withColumn("tot", sum("w").over(Window.partitionBy("lang")))
+      .where(col("cum") >= col("tot") * 0.5)
+      .groupBy("lang").agg(min("v").as("p50_est"))
+    val badQ = docs.join(p50est, "lang")
+      .groupBy("lang")
+      .agg(sum(when(col("n_chars").cast("double") <= col("p50_est"), 1L)
+        .otherwise(0L)).as("rank_est"), count(lit(1)).as("n"))
+      .where(abs(col("rank_est").cast("double") - col("n") * 0.5)
+        > col("n").cast("double") * 0.03)
+      .collect()
+    require(badQ.isEmpty, s"merged quantile rank >3% off: ${badQ.mkString(",")}")
+    // ---- oracled output: exact values only
+    val wTop = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("token").asc)
+    val top = exactCounts.withColumn("r", row_number().over(wTop))
+      .where(col("r") === 1)
+      .select(col("lang"), col("token").as("top_token"),
+        col("cnt").as("top_count"))
+    exactDistinct.join(top, "lang")
+      .join(docs.groupBy("lang")
+        .agg(round(percentile(col("n_chars").cast("double"), lit(0.5)), 4)
+          .as("p50_chars")), "lang")
+      .orderBy("lang")
+  }
+
+  val sketchProfileSql =
+    s"""WITH t AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+       |d AS (SELECT lang, COUNT(DISTINCT token) AS n_distinct_tokens
+       |  FROM t GROUP BY 1),
+       |c AS (SELECT lang, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+       |tp AS (SELECT lang, token AS top_token, cnt AS top_count FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY cnt DESC, token) AS r FROM c) x WHERE r = 1),
+       |q AS (SELECT lang,
+       |    ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5E0), 4) AS p50_chars
+       |  FROM documents GROUP BY 1)
+       |SELECT d.lang, d.n_distinct_tokens, tp.top_token, tp.top_count,
+       |  q.p50_chars
+       |FROM d JOIN tp ON d.lang = tp.lang JOIN q ON d.lang = q.lang
+       |ORDER BY d.lang""".stripMargin
+
   /** The curation PIPELINE as one oracled query — the composition the
     * E2E specs walk through, but value-exact against DuckDB: Gopher
     * quality gate → exact dedup (earliest id per text) → hashed-bigram
@@ -3598,6 +3719,7 @@ object ExtQueries {
     "q_cluster_balance" -> clusterBalanceQ,
     "q_datasheet_approx" -> datasheetApproxQ,
     "q_sketch_column" -> sketchColumnQ,
+    "q_sketch_profile" -> sketchProfileQ,
     "q_assembly_pipeline" -> assemblyPipelineQ,
   )
 
@@ -3669,6 +3791,7 @@ object ExtQueries {
     "q_quality_c4" -> qualityC4Sql,
     "q_datasheet_approx" -> corpusDatasheetSql,
     "q_sketch_column" -> sketchColumnSql,
+    "q_sketch_profile" -> sketchProfileSql,
     "q_assembly_pipeline" -> assemblyPipelineSql,
   )
 }

@@ -89,4 +89,29 @@ class SketchSpec extends AnyFunSuite {
       assert(sk.contains("hot"), s"parts=$parts lost the majority item")
     }
   }
+
+  test("Misra-Gries summaries merge from STORAGE with the same bounds") {
+    import spark.implicits._
+    // the stored-sketch-catalog loop: per-shard MG maps written to
+    // parquet, read back, merged with FreqSketchMergeAgg — the merged
+    // summary must honor the full-corpus bounds as if one sketch had
+    // seen every item (mergeable-summaries theorem), with NO re-scan
+    // of shard items
+    val rows = (1 to 4000).map(i =>
+      (i % 4, if (i % 3 == 0) "hot" else if (i % 5 == 0) s"warm${i % 7}"
+        else s"tail$i"))
+    val exact = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val cap = 8
+    val agg = udaf(new graft.functions.FreqSketchAgg(cap))
+    val dir = java.nio.file.Files.createTempDirectory("mg_store").toString
+    rows.toDF("shard", "t").groupBy("shard").agg(agg(col("t")).as("mg"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == 4)
+    val mergeAgg = udaf(new graft.functions.FreqSketchMergeAgg(cap))
+    val sk = stored.agg(mergeAgg(col("mg"))).head().getMap[String, Long](0)
+    assert(sk.size <= cap)
+    assertMgBounds(sk, exact, rows.size.toLong, cap)
+    assert(sk.contains("hot"), "stored-merge lost the majority item")
+  }
 }
