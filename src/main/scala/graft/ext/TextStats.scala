@@ -638,18 +638,31 @@ object TextStats extends Serializable {
     * non-overlap merge rule ([[mergeOnce]] == [[mergePair]], the
     * bpeApplyLarge equivalence), same (count DESC, l, r) total order,
     * and the certification logic never ACCEPTS a step it cannot
-    * prove. */
+    * prove.
+    *
+    * Per-merge cost stays FLAT to 32k+ merges via two levers (see the
+    * in-loop comment): once the distinct-pair table fits
+    * `driverTableMaxPairs` it moves to the driver (complete-knowledge
+    * certification, no per-batch takeOrdered, no window-floor
+    * failures), and AIMD batch sizing doubles fully-validated batches
+    * up to `maxBatch` so corpus passes amortize; a corpus whose pair
+    * table never fits stays distributed with an adaptively widening
+    * window. */
   def bpeTrainIncremental(df: DataFrame, textCol: String, merges: Int,
                           sampleFraction: Double = 1.0,
                           numPartitions: Int = 8,
                           checkpointEvery: Int = 16,
-                          batch: Int = 64): Seq[(String, String, Long)] = {
+                          batch: Int = 64,
+                          driverTableMaxPairs: Int = 500000,
+                          maxBatch: Int = 1024): Seq[(String, String, Long)] = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction=$sampleFraction must be in (0, 1]")
     require(merges >= 0, s"merges=$merges")
     require(numPartitions >= 1, s"numPartitions=$numPartitions")
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     require(batch >= 1, s"batch=$batch")
+    require(maxBatch >= batch, s"maxBatch=$maxBatch < batch=$batch")
+    require(driverTableMaxPairs >= 0, s"driverTableMaxPairs=$driverTableMaxPairs")
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
@@ -776,18 +789,53 @@ object TextStats extends Serializable {
     val adopted = Seq.newBuilder[(String, String, Long)]
     var nAdopted = 0
     var batchIdx = 0
+    // ---- the two levers that hold s/merge FLAT to 32k+ merges ----
+    // (1) Once the distinct-pair table fits `driverTableMaxPairs`
+    // entries, it is collected ONCE and maintained on the driver (the
+    // same bounded-driver-data class as the vocabulary itself):
+    // certification then has COMPLETE knowledge — no takeOrdered job
+    // per batch, and no window-floor failures, which were what shrank
+    // certified batches (and grew s/merge) as counts thinned at depth.
+    // A corpus whose pair table never fits stays on the distributed
+    // path with the adaptive window below. (2) AIMD batch sizing:
+    // fully-validated batches DOUBLE the next batch (corpus passes
+    // amortize over more adopted merges, up to `maxBatch`); a partial
+    // validation halves it — rollback passes stay rare and cheap.
+    var driverTable: scala.collection.mutable.HashMap[Pair, Long] = null
+    var batchBoost = 1
+    val maxBoost = math.max(1, maxBatch / batch)
+    var windowBoost = 1
     try {
       var exhausted = false
       while (nAdopted < merges && !exhausted) {
-        val want = math.min(batch, merges - nAdopted)
-        // top-M window: the plan plus enough slack that certification
-        // can bound pairs outside the window by the window floor
-        val m = math.max(4 * want, want + 256)
-        val top = counts.takeOrdered(m)(ord) // materializes counts
-        if (prevCounts != null) { prevCounts.unpersist(false); prevCounts = null }
+        val want = math.min(math.min(batch * batchBoost, maxBatch),
+          merges - nAdopted)
+        if (driverTable == null && batchIdx % 4 == 0 &&
+            counts.count() <= driverTableMaxPairs) {
+          driverTable = scala.collection.mutable.HashMap(counts.collect(): _*)
+          counts.unpersist(false)
+          if (prevCounts != null) { prevCounts.unpersist(false); prevCounts = null }
+        }
+        val top: Array[(Pair, Long)] =
+          if (driverTable != null)
+            driverTable.iterator.map { case (p, n) => (p, n) }
+              .toArray.sorted(ord).take(want)
+          else {
+            // top-M window: the plan plus enough slack that
+            // certification can bound pairs outside the window by the
+            // window floor; the window WIDENS adaptively when floor
+            // ties start cutting batches short
+            val m = math.max(4 * want * windowBoost, want + 256)
+            val t = counts.takeOrdered(m)(ord) // materializes counts
+            if (prevCounts != null) { prevCounts.unpersist(false); prevCounts = null }
+            t
+          }
         if (top.isEmpty) exhausted = true
         else {
-          val complete = top.length < m // the window IS the whole table
+          // driver mode sees the WHOLE table; distributed mode only a
+          // window (complete when the window swallowed the table)
+          val m = math.max(4 * want * windowBoost, want + 256)
+          val complete = driverTable != null || top.length < m
           val floor = if (complete) Long.MinValue else top.last._2
           val edgePair = if (complete) null else top.last._1
           val plan: Array[Pair] = top.take(want).map(_._1)
@@ -813,7 +861,9 @@ object TextStats extends Serializable {
           // joiner-string collision (the same symbol string built by
           // two different parses, e.g. a+b▁c vs a▁b+c) keeps a pair
           // unknown-base.
-          val baseMap = scala.collection.mutable.HashMap(top: _*)
+          val baseMap =
+            if (driverTable != null) driverTable // read-only this batch
+            else scala.collection.mutable.HashMap(top: _*)
           val overlay = scala.collection.mutable.HashMap.empty[Pair, Long]
           val freshNow = scala.collection.mutable.HashSet.empty[String]
           def isFresh(p: Pair): Boolean =
@@ -901,8 +951,26 @@ object TextStats extends Serializable {
           }
           if (!(oldBacking eq backing)) oldBacking.unpersist(false)
           if (validated > 0) {
-            prevCounts = counts
-            counts = foldDelta(counts, overlay.toSeq, ckpt)
+            if (driverTable != null)
+              overlay.foreach { case (p, v) =>
+                val nv = driverTable.getOrElse(p, 0L) + v
+                if (nv > 0L) driverTable.update(p, nv)
+                else driverTable.remove(p)
+              }
+            else {
+              prevCounts = counts
+              counts = foldDelta(counts, overlay.toSeq, ckpt)
+            }
+          }
+          // AIMD: full validation doubles the next batch (and relaxes
+          // the window); partial validation halves it (and widens the
+          // window so the floor stops cutting certification short)
+          if (validated == plan.length) {
+            batchBoost = math.min(batchBoost * 2, maxBoost)
+            windowBoost = math.max(1, windowBoost / 2)
+          } else {
+            batchBoost = math.max(1, batchBoost / 2)
+            windowBoost = math.min(windowBoost * 2, 64)
           }
           batchIdx += 1
         }
