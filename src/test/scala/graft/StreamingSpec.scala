@@ -615,8 +615,13 @@ class StreamingSpec extends AnyFunSuite {
       "san francisco bay", "san francisco").toDF("text")
     val merges = graft.ext.TextStats.bpeTrain(corpus, "text", merges = 3)
     val art = java.nio.file.Files.createTempDirectory("bpe_stream")
-      .resolve("merges.tsv").toString
-    graft.ext.Tokenizer.saveMerges(merges, art)
+      .resolve("tokenizer.tsv").toString
+    // ship the FULL v2 artifact (specials + merges): the streaming
+    // consumer reads the merge section through the same loader
+    graft.ext.Tokenizer.saveArtifact(graft.ext.Tokenizer.BpeArtifact(
+      merges, graft.ext.Tokenizer.DefaultSpecials), art)
+    assert(graft.ext.Tokenizer.loadArtifact(art).vocabIds.size ==
+      4 + merges.size)
     val loaded = graft.ext.Tokenizer.loadMerges(art).map(m => (m._1, m._2))
     val docs = Seq((1L, "new york city limits"), (2L, "san francisco fog"),
       (3L, "unrelated words entirely")).toDF("doc_id", "text")
