@@ -654,7 +654,9 @@ object TextStats extends Serializable {
                           checkpointEvery: Int = 16,
                           batch: Int = 64,
                           driverTableMaxPairs: Int = 500000,
-                          maxBatch: Int = 1024): Seq[(String, String, Long)] = {
+                          maxBatch: Int = 1024,
+                          driverCorpusMaxSymbols: Long = 2000000L)
+      : Seq[(String, String, Long)] = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction=$sampleFraction must be in (0, 1]")
     require(merges >= 0, s"merges=$merges")
@@ -805,6 +807,9 @@ object TextStats extends Serializable {
     var batchBoost = 1
     val maxBoost = math.max(1, maxBatch / batch)
     var windowBoost = 1
+    // diagnostic heartbeat (GRAFT_BPE_LOG=1): one stderr line per batch
+    val logBatches = sys.env.contains("GRAFT_BPE_LOG")
+    val t0 = System.nanoTime()
     try {
       var exhausted = false
       while (nAdopted < merges && !exhausted) {
@@ -816,6 +821,69 @@ object TextStats extends Serializable {
           counts.unpersist(false)
           if (prevCounts != null) { prevCounts.unpersist(false); prevCounts = null }
         }
+        // ---- ENDGAME: the tie-storm regime (max count <= 2) defeats
+        // batched speculation structurally — each adoption creates
+        // count-1 pairs that can lexicographically precede every
+        // later plan entry, so batches validate ~1 step and every
+        // merge costs two distributed passes (measured: the 16k+
+        // depth cost growth). But by then the corpus STATE is tiny
+        // (each doc a handful of merged symbols): when the total
+        // position count fits `driverCorpusMaxSymbols`, collect the
+        // tokenized docs once and finish the exact greedy loop
+        // locally — same (count DESC, l, r) total order, same
+        // mergeOnce, zero distributed passes per merge. A corpus
+        // whose endgame never fits stays distributed (and a 100 TB
+        // tokenizer trains on a sample anyway — the same bounded
+        // class as the pair table).
+        if (driverTable != null && nAdopted < merges) {
+          val positions = driverTable.valuesIterator.sum
+          val topCount = if (driverTable.isEmpty) 0L
+            else driverTable.valuesIterator.max
+          if (topCount <= 2 && positions <= driverCorpusMaxSymbols) {
+            val localDocs: Array[Array[String]] =
+              backing.flatMap(t => Option(t._1)).collect()
+            var remaining = merges - nAdopted
+            while (remaining > 0 && driverTable.nonEmpty) {
+              var best: Pair = null
+              var bc = 0L
+              driverTable.foreach { case (p, c) =>
+                if (c > bc || (c == bc && best != null && pairOrd.lt(p, best)))
+                  { best = p; bc = c }
+              }
+              if (best == null) remaining = 0
+              else {
+                adopted += ((best._1, best._2, bc))
+                var d = 0
+                while (d < localDocs.length) {
+                  val toks = localDocs(d)
+                  if (hasAdjacent(toks, best._1, best._2)) {
+                    val merged = mergeOnce(toks, best._1, best._2)
+                    val dm = scala.collection.mutable.HashMap.empty[Pair, Long]
+                    pairsInto(toks, -1L, dm)
+                    pairsInto(merged, 1L, dm)
+                    dm.foreach { case (p, v) =>
+                      val nv = driverTable.getOrElse(p, 0L) + v
+                      if (nv > 0L) driverTable.update(p, nv)
+                      else driverTable.remove(p)
+                    }
+                    localDocs(d) = merged
+                  }
+                  d += 1
+                }
+                nAdopted += 1
+                remaining -= 1
+              }
+            }
+            if (logBatches)
+              System.err.println(
+                f"[bpe] endgame: local takeover at positions=$positions%d " +
+                  f"adopted=$nAdopted%d elapsed=${(System.nanoTime() - t0) / 1e9}%.1f")
+            exhausted = true
+          }
+        }
+        if (exhausted || nAdopted >= merges) {
+          // endgame finished (or nothing left to do) — skip planning
+        } else {
         val top: Array[(Pair, Long)] =
           if (driverTable != null)
             driverTable.iterator.map { case (p, n) => (p, n) }
@@ -962,6 +1030,14 @@ object TextStats extends Serializable {
               counts = foldDelta(counts, overlay.toSeq, ckpt)
             }
           }
+          if (logBatches)
+            System.err.println(
+              f"[bpe] batch=$batchIdx%d plan=${plan.length}%d " +
+                f"validated=$validated%d adopted=$nAdopted%d " +
+                f"table=${if (driverTable != null) driverTable.size else -1}%d " +
+                f"driverMode=${driverTable != null} " +
+                f"topCount=${top.head._2}%d " +
+                f"elapsed=${(System.nanoTime() - t0) / 1e9}%.1f")
           // AIMD: full validation doubles the next batch (and relaxes
           // the window); partial validation halves it (and widens the
           // window so the floor stops cutting certification short)
@@ -974,6 +1050,7 @@ object TextStats extends Serializable {
           }
           batchIdx += 1
         }
+        } // end non-endgame planning branch
       }
       adopted.result()
     } finally {
