@@ -62,6 +62,31 @@ class BpeIncrementalSpec extends AnyFunSuite {
     assert(TextStats.bpeTrainIncremental(empty, "text", 5) == Seq.empty)
   }
 
+  test("every execution mode adopts the identical sequence (knob matrix)") {
+    // small corpora engage the driver table + local endgame almost
+    // immediately, so the distributed deep branches would otherwise
+    // lose direct coverage; force each mode with the override knobs
+    // and pin all of them to the rescan truth
+    val res = TextStats.bpeTrain(synth, "text", 192)
+    // (a) fully distributed: no driver table, no endgame — the
+    // takeOrdered window + window-floor certification path
+    val dist = TextStats.bpeTrainIncremental(synth, "text", 192,
+      driverTableMaxPairs = 0, driverCorpusMaxSymbols = 0L)
+    assert(dist == res,
+      s"distributed diverged at ${dist.zip(res).indexWhere(t => t._1 != t._2)}")
+    // (b) driver table but NO endgame — complete-knowledge
+    // certification grinding through the tie storm batch by batch
+    val noEnd = TextStats.bpeTrainIncremental(synth, "text", 192,
+      driverCorpusMaxSymbols = 0L)
+    assert(noEnd == res,
+      s"no-endgame diverged at ${noEnd.zip(res).indexWhere(t => t._1 != t._2)}")
+    // (c) default: driver table + local endgame (covered again for
+    // completeness of the matrix)
+    val full = TextStats.bpeTrainIncremental(synth, "text", 192)
+    assert(full == res,
+      s"default diverged at ${full.zip(res).indexWhere(t => t._1 != t._2)}")
+  }
+
   test("joiner-bearing raw corpus still trains correctly (freshness guard)") {
     import spark.implicits._
     // raw tokens already containing the joiner glyph disable the
