@@ -61,9 +61,16 @@ object Bench {
     // line, losing ~half the per-query timings; the COMPLETE map is
     // also written to a committed sidecar so every query stays
     // round-over-round diffable.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case _: Throwable => }
+    // Anchored path (GRAFT_BENCH_SIDECAR overrides; else CWD) and an
+    // IOException-only catch: swallowing Throwable here could mask an
+    // OOM/interrupt and leave a silently STALE sidecar behind.
+    val sidecar = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_BENCH_SIDECAR", "BENCH_FULL.json"))
+    try java.nio.file.Files.writeString(sidecar, line + "\n")
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] sidecar write failed ($sidecar): $e")
+    }
     spark.stop()
   }
 }

@@ -804,6 +804,8 @@ object TextStats extends Serializable {
     // amortize over more adopted merges, up to `maxBatch`); a partial
     // validation halves it — rollback passes stay rare and cheap.
     var driverTable: scala.collection.mutable.HashMap[Pair, Long] = null
+    var nextTableProbe = 0
+    var tableProbeGap = 4
     var batchBoost = 1
     val maxBoost = math.max(1, maxBatch / batch)
     var windowBoost = 1
@@ -815,11 +817,23 @@ object TextStats extends Serializable {
       while (nAdopted < merges && !exhausted) {
         val want = math.min(math.min(batch * batchBoost, maxBatch),
           merges - nAdopted)
-        if (driverTable == null && batchIdx % 4 == 0 &&
-            counts.count() <= driverTableMaxPairs) {
-          driverTable = scala.collection.mutable.HashMap(counts.collect(): _*)
-          counts.unpersist(false)
-          if (prevCounts != null) { prevCounts.unpersist(false); prevCounts = null }
+        // Probe the distinct-pair-table size only when the driver
+        // table is ENABLED (maxPairs > 0 — the knob-matrix spec runs
+        // with 0 to pin the distributed path, and counting then is a
+        // recurring wasted job) and with multiplicative backoff after
+        // misses (a table 100x over the bound will not fit next batch
+        // either; re-probing every 4th batch burns a full count() job
+        // each time on a corpus that never fits).
+        if (driverTable == null && driverTableMaxPairs > 0 &&
+            batchIdx >= nextTableProbe) {
+          if (counts.count() <= driverTableMaxPairs) {
+            driverTable = scala.collection.mutable.HashMap(counts.collect(): _*)
+            counts.unpersist(false)
+            if (prevCounts != null) { prevCounts.unpersist(false); prevCounts = null }
+          } else {
+            tableProbeGap = math.min(tableProbeGap * 2, 64)
+            nextTableProbe = batchIdx + tableProbeGap
+          }
         }
         // ---- ENDGAME: the tie-storm regime (max count <= 2) defeats
         // batched speculation structurally — each adoption creates
@@ -839,7 +853,20 @@ object TextStats extends Serializable {
           val positions = driverTable.valuesIterator.sum
           val topCount = if (driverTable.isEmpty) 0L
             else driverTable.valuesIterator.max
-          if (topCount <= 2 && positions <= driverCorpusMaxSymbols) {
+          // `positions` (sum of pair counts) equals totalSymbols -
+          // nDocs: a doc already merged to ONE symbol contributes 0
+          // pairs, so pair mass alone under-counts the state the
+          // collect below would pull to the driver. Gate the takeover
+          // on the ACTUAL symbol count (one narrow pass over the
+          // persisted backing, paid at most once per potential
+          // takeover) — a corpus of millions of fully-merged docs
+          // stays distributed instead of OOMing the driver.
+          if (topCount <= 2 && positions <= driverCorpusMaxSymbols && {
+                val stateSymbols = backing
+                  .map(t => if (t._1 != null) t._1.length.toLong else 0L)
+                  .fold(0L)(_ + _)
+                stateSymbols <= driverCorpusMaxSymbols
+              }) {
             val localDocs: Array[Array[String]] =
               backing.flatMap(t => Option(t._1)).collect()
             var remaining = merges - nAdopted

@@ -150,11 +150,17 @@ object Tokenizer {
       case Array(Magic, Version, n) =>
         BpeArtifact(parseMerges(lines.tail, n.toInt), Nil)
       case Array(Magic, Version2, n, s) =>
-        val (specialLines, mergeLines) =
-          lines.tail.span(_.startsWith(SpecialTag + "\t"))
-        if (specialLines.size != s.toInt) throw new IllegalStateException(
-          s"torn artifact $path: header says $s specials, " +
-            s"found ${specialLines.size}")
+        // Section boundary comes from the HEADER count, not a prefix
+        // scan: span(startsWith("#special\t")) would absorb a
+        // legitimate merge whose left symbol is literally "#special"
+        // (possible from a raw corpus token) into the specials
+        // section and mis-report a torn artifact.
+        val (specialLines, mergeLines) = lines.tail.splitAt(s.toInt)
+        if (specialLines.size != s.toInt ||
+            specialLines.exists(!_.startsWith(SpecialTag + "\t")))
+          throw new IllegalStateException(
+            s"torn artifact $path: header says $s specials, " +
+              s"found ${specialLines.count(_.startsWith(SpecialTag + "\t"))}")
         val specials = specialLines.map { ln =>
           ln.split("\t", -1) match {
             case Array(SpecialTag, role, tok) => (role, tok)

@@ -944,7 +944,13 @@ object Queries {
       prefix + Integer.toHexString(dir.hashCode) + "_" +
         ProcessHandle.current().pid())
     def rm(x: java.io.File): Unit = {
-      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      // never recurse THROUGH a symlink — listFiles on a link
+      // resolves to the target, so a planted/leftover link inside the
+      // reused scratch path would have its target's contents deleted;
+      // deleting the link itself is enough (same guard as
+      // ExtQueries.scratchDir)
+      if (!java.nio.file.Files.isSymbolicLink(x.toPath))
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
       x.delete(); ()
     }
     rm(f)

@@ -1577,6 +1577,14 @@ class ExtSpec extends AnyFunSuite {
       java.util.List.of("graft-bpe\tv2\t0\t2", "#special\tbos\t<s>"))
     assert(intercept[IllegalStateException](Tokenizer.loadArtifact(tornV2))
       .getMessage.contains("torn"))
+    // a merge whose LEFT symbol is literally "#special" (possible
+    // from a raw corpus token) must round-trip — the section boundary
+    // is the header count, not a prefix scan that would absorb it
+    val trap = Tokenizer.BpeArtifact(
+      ("#special", "tag", 7L) +: merges, Tokenizer.DefaultSpecials)
+    val trapPath = s"$dir/trap.tsv"
+    Tokenizer.saveArtifact(trap, trapPath)
+    assert(Tokenizer.loadArtifact(trapPath) == trap)
     // ambiguous artifacts refuse loudly
     intercept[IllegalArgumentException](Tokenizer.BpeArtifact(
       merges, Seq("bos" -> "<s>", "eos" -> "<s>"))) // dup literal
