@@ -61,6 +61,68 @@ object TextStats extends Serializable {
       .drop("__toks" +: "__best" +: scoreCols: _*)
   }
 
+  /** Unicode-script codepoint ranges (BMP, regex-safe literal
+    * endpoints — identical pattern semantics in Java regex and RE2,
+    * so oracles share the exact class strings). Order is the
+    * dominant-script tiebreak order of [[withScriptId]]. Marker-token
+    * langid ([[withLangId]]) is blind to no-whitespace scripts — CJK
+    * or Thai text has no space-split tokens to match — so script ID
+    * by codepoint-class counting is the detector that actually works
+    * on a multilingual corpus. */
+  val scriptRanges: Seq[(String, Int, Int)] = Seq(
+    ("han", 0x4E00, 0x9FFF),
+    ("hiragana", 0x3040, 0x309F),
+    ("katakana", 0x30A0, 0x30FF),
+    ("hangul", 0xAC00, 0xD7AF),
+    ("arabic", 0x0600, 0x06FF),
+    ("hebrew", 0x0590, 0x05FF),
+    ("cyrillic", 0x0400, 0x04FF),
+    ("greek", 0x0370, 0x03FF),
+    ("devanagari", 0x0900, 0x097F),
+    ("thai", 0x0E00, 0x0E7F),
+    ("latin", 'A'.toInt, 'z'.toInt)) // [A-z] incl. the 6 symbols between
+
+  /** Char-class regex for one codepoint range — literal endpoints. */
+  def scriptClass(lo: Int, hi: Int): String =
+    "[" + new String(Character.toChars(lo)) + "-" +
+      new String(Character.toChars(hi)) + "]"
+
+  /** Matches any codepoint outside printable ASCII + \t\n\r (hex
+    * escapes parse identically in Java regex and RE2). */
+  val nonAsciiClass: String = "[^\\x20-\\x7e\\n\\t\\r]"
+
+  /** Number of codepoints outside printable ASCII — the cheap "is
+    * this text actually multilingual" signal, and the canary that
+    * keeps the unicode fixture surface honest. Codepoint counting
+    * (length-after-strip), never UTF-16 units. */
+  def nonAsciiCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, nonAsciiClass, ""))
+
+  /** Codepoints of `text` inside one script range. */
+  def scriptCount(text: Column, lo: Int, hi: Int): Column =
+    length(text) - length(regexp_replace(text, scriptClass(lo, hi), ""))
+
+  /** Dominant unicode script per document: argmax of per-script
+    * codepoint counts with the [[scriptRanges]] preference order,
+    * `und` when no range matches. One narrow codegen'd projection —
+    * each class strip is a single regexp_replace, no UDFs, no
+    * explode. The language-ID complement for no-whitespace scripts
+    * (a CJK document has zero space-split tokens for marker langid
+    * to see). */
+  def withScriptId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val scoreCols = scriptRanges.map { case (n, _, _) => s"__sc_$n" }
+    val scored = df
+      .select(col("*") +: scriptRanges.map { case (n, lo, hi) =>
+        scriptCount(col(textCol), lo, hi).as(s"__sc_$n") }: _*)
+      .withColumn("__best", greatest(scoreCols.map(col): _*))
+    val pick = scriptRanges.foldRight(lit("und"): Column) { case ((n, _, _), acc) =>
+      when(col(s"__sc_$n") === col("__best") && col("__best") > 0, lit(n))
+        .otherwise(acc)
+    }
+    scored.withColumn(outCol, pick)
+      .drop("__best" +: scoreCols: _*)
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(Featurize.tokensCol(text))
 

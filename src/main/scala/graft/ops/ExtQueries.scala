@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.ext.{Dedup, Multimodal, Selection, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Selection, Similarity, TextStats, UnicodeFixture}
 import graft.ml.Featurize
 import Tables._
 
@@ -3639,6 +3639,324 @@ object ExtQueries {
        |WHERE d.vec_id IS NULL ORDER BY b.vec_id""".stripMargin
   }
 
+  // ---- unicode correctness surface ----
+  // The driver fixtures are 100% ASCII, so every text oracle above is
+  // proven only on ASCII bytes. These queries run the SAME operators
+  // over documents ∪ the planted UnicodeFixture zoo (CJK/RTL/
+  // combining/emoji/NFC-NFD/zero-width), with the identical corpus
+  // spliced into the DuckDB oracle as literals — codepoint-vs-byte
+  // semantics, UTF-8 md5, regex classes and round-trip encoding are
+  // hash-compared cross-engine, not assumed.
+
+  private def unicodeBase(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select("doc_id", "lang", "text")
+      .unionAll(UnicodeFixture.df(s))
+
+  private val unicodeBaseSql =
+    s"""base AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, lang, text
+       |  FROM ${UnicodeFixture.valuesSql} AS u(doc_id, lang, text))"""
+      .stripMargin
+
+  /** Codepoint count, UTF-8 byte count, whitespace tokens, non-ASCII
+    * codepoints and UTF-8 md5 per document — the length/byte/hash
+    * contracts a multilingual corpus leans on, value-compared
+    * cross-engine. Per-row `raise_error` pin: a planted row with ZERO
+    * non-ASCII codepoints means the unicode fixture decayed to ASCII
+    * — fail the query, never silently re-prove ASCII. */
+  val unicodeStats: Q = (s, dir) =>
+    unicodeBase(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        octet_length(col("text")).as("n_bytes"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.nonAsciiCount(col("text")).as("__na"),
+        md5(col("text")).as("text_md5"))
+      .select(col("doc_id"), col("n_chars"), col("n_bytes"), col("n_tokens"),
+        when(col("doc_id") < 700000L || col("__na") > 0, col("__na"))
+          .otherwise(raise_error(concat(lit("ASCII-only unicode fixture row "),
+            col("doc_id").cast("string")))).as("n_nonascii"),
+        col("text_md5"))
+      .orderBy("doc_id")
+
+  val unicodeStatsSql = {
+    val na = TextStats.nonAsciiClass
+    s"""WITH $unicodeBaseSql
+       |SELECT doc_id, len(text) AS n_chars, strlen(text) AS n_bytes,
+       |  len($toksSql) AS n_tokens,
+       |  len(text) - len(regexp_replace(text, '$na', '', 'g')) AS n_nonascii,
+       |  md5(text) AS text_md5
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  /** Dominant-script ID ([[TextStats.withScriptId]]) — the langid
+    * complement that actually works on no-whitespace scripts (a CJK
+    * doc has zero space-split tokens for marker langid to see).
+    * Oracle recomputes every per-script codepoint count from the
+    * same literal char-class strings. */
+  val unicodeScript: Q = (s, dir) =>
+    TextStats.withScriptId(unicodeBase(s, dir), "text", "script")
+      .select("doc_id", "script")
+      .orderBy("doc_id")
+
+  val unicodeScriptSql = {
+    val strips = TextStats.scriptRanges.map { case (n, lo, hi) =>
+      s"len(text) - len(regexp_replace(text, '${TextStats.scriptClass(lo, hi)}', '', 'g')) AS s_$n"
+    }.mkString(",\n  ")
+    val names = TextStats.scriptRanges.map(_._1)
+    val best = s"greatest(${names.map("s_" + _).mkString(", ")})"
+    val cases = names.map(n => s"WHEN s_$n = __best AND __best > 0 THEN '$n'")
+      .mkString("\n    ")
+    s"""WITH $unicodeBaseSql,
+       |sc AS (SELECT doc_id,
+       |  $strips
+       |FROM base),
+       |m AS (SELECT *, $best AS __best FROM sc)
+       |SELECT doc_id,
+       |  CASE $cases ELSE 'und' END AS script
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact dedup over unicode text: every planted doc re-appears
+    * byte-identical at +1000 and must lose to its original, while the
+    * NFC and NFD spellings of the SAME visual text are byte-distinct
+    * and must BOTH survive (no engine normalizes silently — md5 of
+    * UTF-8 bytes on one side, raw text grouping on the other, same
+    * verdict). */
+  val unicodeDedup: Q = (s, dir) => {
+    val base = unicodeBase(s, dir)
+    val dupes = UnicodeFixture.df(s)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("lang"), col("text"))
+    Dedup.exactDedup(base.unionAll(dupes).select("doc_id", "text"),
+        "text", "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val unicodeDedupSql =
+    s"""WITH $unicodeBaseSql,
+       |full_c AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 1000, text
+       |  FROM ${UnicodeFixture.valuesSql} AS u(doc_id, lang, text))
+       |SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM full_c) t
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Line-level boilerplate dedup on unicode lines: a CJK newsletter
+    * line is appended to every planted doc; only its first occurrence
+    * (lowest doc_id, position order) survives. Reconstructed text is
+    * md5-compared — the reassembly must be byte-exact through
+    * UTF-8. */
+  val unicodeLines: Q = (s, dir) => {
+    val boiler = "订阅我们的新闻通讯。"
+    val base = unicodeBase(s, dir).select("doc_id", "text")
+    val planted = UnicodeFixture.df(s)
+      .select(col("doc_id"),
+        concat(col("text"), lit("\n" + boiler)).as("text"))
+    val corpus = base.where(col("doc_id") < 700000L).unionAll(planted)
+    Dedup.lineDedup(corpus, "text", "doc_id")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val unicodeLinesSql =
+    s"""WITH $unicodeBaseSql,
+       |corpus AS (
+       |  SELECT doc_id, text FROM base WHERE doc_id < 700000
+       |  UNION ALL
+       |  SELECT doc_id, text || chr(10) || '订阅我们的新闻通讯。'
+       |  FROM ${UnicodeFixture.valuesSql} AS u(doc_id, lang, text)),
+       |t AS (SELECT doc_id, text,
+       |  list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+       |  FROM corpus),
+       |n AS (SELECT doc_id, text, lines, len(lines) AS nl FROM t),
+       |h AS (SELECT doc_id, unnest(range(0, nl)) AS pos, lines
+       |      FROM n WHERE nl > 0),
+       |p AS (SELECT doc_id, pos, lines[pos + 1] AS line,
+       |        doc_id * 1048576 + pos AS packed FROM h),
+       |w AS (SELECT doc_id, pos, line, packed,
+       |        min(packed) OVER (PARTITION BY md5(line)) AS win FROM p),
+       |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       |      FROM w WHERE packed = win GROUP BY 1)
+       |SELECT doc_id, md5(text) AS text_md5 FROM r ORDER BY doc_id""".stripMargin
+
+  /** Whitespace/BPE-ish token counts and mean token length (in
+    * CODEPOINTS) over unicode text: a CJK doc is one giant ws-token
+    * but many bpe-ish tokens (every Han char is non-alphanumeric to
+    * the ASCII-centric splitter — in BOTH regex engines). */
+  val unicodeTokens: Q = (s, dir) =>
+    unicodeBase(s, dir)
+      .select(col("doc_id"), col("text"),
+        Featurize.tokensCol(col("text")).as("__t"))
+      .select(col("doc_id"),
+        size(col("__t")).as("n_ws_tokens"),
+        TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+        round(TextStats.meanTokenLengthOfTokens(col("__t")), 6)
+          .as("mean_tok_len"))
+      .orderBy("doc_id")
+
+  val unicodeTokensSql =
+    s"""WITH $unicodeBaseSql,
+       |t AS (SELECT doc_id, text, $toksSql AS toks FROM base)
+       |SELECT doc_id,
+       |  len(toks) AS n_ws_tokens,
+       |  len(list_filter(string_split_regex(
+       |    regexp_replace(text, '([^a-zA-Z0-9\\s])', ' \\1 ', 'g'), '\\s+'),
+       |    tk -> len(tk) > 0)) AS n_bpeish_tokens,
+       |  CASE WHEN len(toks) > 0 THEN
+       |    ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, tk -> CAST(len(tk) AS BIGINT))),
+       |      (acc, v) -> acc + v) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+       |  ELSE 0.0 END AS mean_tok_len
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Bag + rolling fingerprints over unicode tokens — md5 of the
+    * sorted token bag must agree cross-engine (UTF-8 byte order vs
+    * codepoint sort: list_sort and array_sort both compare by
+    * codepoint here), and the rolling hash walks token CODEPOINT
+    * lengths. */
+  val unicodeFingerprint: Q = (s, dir) =>
+    unicodeBase(s, dir)
+      .select(col("doc_id"), Featurize.tokensCol(col("text")).as("__t"))
+      .select(col("doc_id"),
+        TextStats.bagFingerprintOfTokens(col("__t")).as("bag_fp"),
+        TextStats.rollingFingerprintOfTokens(col("__t")).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  val unicodeFingerprintSql =
+    s"""WITH $unicodeBaseSql,
+       |t AS (SELECT doc_id, $toksSql AS toks FROM base)
+       |SELECT doc_id,
+       |  md5(array_to_string(list_sort(toks), ' ')) AS bag_fp,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(toks, tk -> CAST(len(tk) AS BIGINT))),
+       |    (acc, v) -> (acc * 31 + v) % 1000003) AS rolling_fp
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** CSV round trip of the unicode corpus (embedded newlines, quotes
+    * via multiLine read): per-lang doc counts + md5-prefix sums must
+    * survive write→read byte-exactly. */
+  val unicodeCsv: Q = (s, dir) => {
+    val base = scratchDir("ucsv", dir)
+    val src = unicodeBase(s, dir)
+    src.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(base)
+    s.read.schema(src.schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(base)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_sum"))
+      .orderBy("lang")
+  }
+
+  /** JSONL round trip of the same corpus (the training-data exchange
+    * format): JSON \uXXXX escapes and raw UTF-8 must decode back to
+    * the identical bytes. */
+  val unicodeJsonl: Q = (s, dir) => {
+    val base = scratchDir("ujsonl", dir)
+    val src = unicodeBase(s, dir)
+    src.write.mode("overwrite").json(base)
+    s.read.schema(src.schema).json(base)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_sum"))
+      .orderBy("lang")
+  }
+
+  val unicodeRoundtripSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""WITH $unicodeBaseSql
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(SUM($hex8) AS BIGINT) AS text_sum
+       |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Marker-token langid over the unicode corpus: no-whitespace
+    * scripts produce zero matchable tokens → `und` (the documented
+    * blind spot [[unicodeScript]] exists to cover), while the ASCII
+    * corpus keeps its labels — and `lower()` agrees cross-engine on
+    * every planted codepoint (case-hazard chars are deliberately not
+    * planted; see UnicodeFixture). */
+  val unicodeLangid: Q = (s, dir) =>
+    TextStats.withLangId(unicodeBase(s, dir), "text", "lang_pred")
+      .select("doc_id", "lang_pred")
+      .orderBy("doc_id")
+
+  val unicodeLangidSql =
+    s"WITH $unicodeBaseSql,\n" +
+      textLangidSql.stripPrefix("WITH ").replace("FROM documents", "FROM base")
+
+  /** Gopher hygiene rules on unicode text: CJK docs are one giant
+    * "word" (mean_word_len explodes, alpha ratio 0 — correctly
+    * failing the ASCII-centric rules in BOTH engines), mixed-script
+    * docs pass/fail by the same arithmetic. */
+  val unicodeGopher: Q = (s, dir) =>
+    TextStats.withGopherFlags(unicodeBase(s, dir), "text")
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_ratio", "n_stopwords", "rule_words", "rule_word_len",
+        "rule_symbols", "rule_alpha", "rule_stopwords", "pass_gopher")
+      .orderBy("doc_id")
+
+  val unicodeGopherSql =
+    s"WITH $unicodeBaseSql,\n" +
+      qualityGopherSql.stripPrefix("WITH ").replace("FROM documents", "FROM base")
+
+  /** C4 line filters on unicode text: CJK lines end in 。 (NOT the
+    * ASCII terminal class — dropped, same verdict both engines);
+    * three planted multilingual docs with ASCII terminal punctuation
+    * and ≥5 tokens/line PASS end-to-end, so the rule is exercised in
+    * both directions on non-ASCII content. */
+  val unicodeC4: Q = (s, dir) => {
+    val passDocs = Seq(
+      (710001L, "el", "το μοντέλο εκπαιδεύεται με δεδομένα κειμένου.\nη ποιότητα των δεδομένων είναι σημαντική εδώ.\nτα αποτελέσματα βελτιώνονται με περισσότερα δεδομένα."),
+      (710002L, "ru", "модель обучается на больших объёмах текста.\nкачество данных определяет итоговую точность модели.\nфильтрация мусора улучшает обучение существенно всегда."),
+      (710003L, "mixed", "the tokenizer handles 混合 text with ease.\nunicode coverage includes עברית and العربية scripts.\nall codepoints survive the pipeline round trip."))
+    import s.implicits._
+    val corpus = unicodeBase(s, dir)
+      .unionAll(passDocs.toDF("doc_id", "lang", "text"))
+      .select("doc_id", "text")
+    TextStats.withC4Flags(corpus, "text")
+      .select("doc_id", "n_lines", "n_kept", "n_sentences",
+        "has_lorem", "has_brace", "pass_c4", "text_c4")
+      .orderBy("doc_id")
+  }
+
+  val unicodeC4Sql = {
+    val passVals = Seq(
+      (710001L, "το μοντέλο εκπαιδεύεται με δεδομένα κειμένου.\nη ποιότητα των δεδομένων είναι σημαντική εδώ.\nτα αποτελέσματα βελτιώνονται με περισσότερα δεδομένα."),
+      (710002L, "модель обучается на больших объёмах текста.\nкачество данных определяет итоговую точность модели.\nфильтрация мусора улучшает обучение существенно всегда."),
+      (710003L, "the tokenizer handles 混合 text with ease.\nunicode coverage includes עברית and العربية scripts.\nall codepoints survive the pipeline round trip."))
+      .map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')" }
+      .mkString("(VALUES\n  ", ",\n  ", ")")
+    // splice the unicode corpus in as the flags pipeline's base CTE;
+    // the flags SQL itself is shared verbatim with q_quality_c4
+    val tail = qualityC4Sql.substring(qualityC4Sql.indexOf("t0 AS ("))
+    s"""WITH $unicodeBaseSql,
+       |base2 AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id, text FROM $passVals AS p(doc_id, text)),
+       |$tail""".stripMargin.replace("FROM base),\nt AS", "FROM base2),\nt AS")
+  }
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -3663,6 +3981,17 @@ object ExtQueries {
     "q_text_repetition" -> textRepetition,
     "q_text_pii" -> textPii,
     "q_text_fingerprint" -> textFingerprint,
+    "q_unicode_stats" -> unicodeStats,
+    "q_unicode_script" -> unicodeScript,
+    "q_unicode_dedup" -> unicodeDedup,
+    "q_unicode_lines" -> unicodeLines,
+    "q_unicode_tokens" -> unicodeTokens,
+    "q_unicode_fingerprint" -> unicodeFingerprint,
+    "q_unicode_csv" -> unicodeCsv,
+    "q_unicode_jsonl" -> unicodeJsonl,
+    "q_unicode_langid" -> unicodeLangid,
+    "q_unicode_gopher" -> unicodeGopher,
+    "q_unicode_c4" -> unicodeC4,
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
     "q_stream_contamination" -> streamContaminationQ,
@@ -3741,6 +4070,17 @@ object ExtQueries {
     "q_text_repetition" -> textRepetitionSql,
     "q_text_pii" -> textPiiSql,
     "q_text_fingerprint" -> textFingerprintSql,
+    "q_unicode_stats" -> unicodeStatsSql,
+    "q_unicode_script" -> unicodeScriptSql,
+    "q_unicode_dedup" -> unicodeDedupSql,
+    "q_unicode_lines" -> unicodeLinesSql,
+    "q_unicode_tokens" -> unicodeTokensSql,
+    "q_unicode_fingerprint" -> unicodeFingerprintSql,
+    "q_unicode_csv" -> unicodeRoundtripSql,
+    "q_unicode_jsonl" -> unicodeRoundtripSql,
+    "q_unicode_langid" -> unicodeLangidSql,
+    "q_unicode_gopher" -> unicodeGopherSql,
+    "q_unicode_c4" -> unicodeC4Sql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,
     "q_stream_contamination" -> streamContaminationSql,
