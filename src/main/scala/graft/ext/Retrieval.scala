@@ -182,4 +182,79 @@ object Retrieval {
       .where(col("neg_rank") <= nNeg)
       .select("query_id", "doc_id", "score", "neg_rank")
   }
+
+  /** Ranking-quality evaluation of a retrieval run against a binary
+    * relevance truth set — recall@k, precision@k, reciprocal rank and
+    * nDCG@k per query, as a DataFrame operator (the retrieval-stack
+    * analog of `ml.Evaluator`: the metric lives IN the engine, so
+    * serving-path evaluation and the recall benchmark harness share
+    * one implementation and cannot drift).
+    *
+    * Inputs: `results` shaped `(queryCol, docCol, rankCol)` (any
+    * top-k output here — [[bm25TopK]], [[rrfFuse]],
+    * `Similarity.*TopK`); `truth` shaped `(queryCol, docCol)`, one
+    * row per relevant document (deduped defensively). The metric
+    * universe is the TRUTH's query set: a query with no surviving
+    * results scores 0 everywhere, and result-set queries absent from
+    * truth are dropped (they have no defined relevance).
+    *
+    * Determinism: recall/precision/RR are exact rationals; DCG and
+    * IDCG fold 1/log2(rank+1) in ASCENDING rank order over an
+    * at-most-k element array (collect_list → array_sort → aggregate),
+    * so the floating sum ORDER is fixed and two engines produce the
+    * identical double, rounded to 6 dp. No metric touches corpus
+    * text: the whole evaluation is |truth| + |queries|·k rows —
+    * broadcast-scale regardless of corpus size, one equi-join + two
+    * aggregations.
+    *
+    * Output: `(queryCol, n_rel, n_hit, recall_at_k, precision_at_k,
+    * rr, ndcg_at_k)`, one row per truth query. Mean the columns for
+    * corpus-level MRR/recall (see [[rankingSummary]]). */
+  def rankingMetrics(results: DataFrame, truth: DataFrame,
+                     queryCol: String, docCol: String, rankCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    val res = results.select(col(queryCol).as("__q"),
+        col(docCol).as("__d"), col(rankCol).cast("long").as("__r"))
+      .where(col("__r") <= k)
+    val tr = truth.select(col(queryCol).as("__q"), col(docCol).as("__d"))
+      .distinct()
+    val rel = tr.groupBy("__q").agg(count(lit(1)).as("n_rel"))
+    // hit ranks per query, folded in sorted order (deterministic FP)
+    def dcgOf(ranks: Column): Column =
+      aggregate(array_sort(ranks), lit(0.0),
+        (acc, r) => acc + lit(1.0) / log2(r.cast("double") + lit(1.0)))
+    val perQ = res.join(tr, Seq("__q", "__d"))
+      .groupBy("__q")
+      .agg(count(lit(1)).as("__nh"),
+        min(col("__r")).as("__minr"),
+        dcgOf(collect_list(col("__r"))).as("__dcg"))
+    val idcg = dcgOf(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))))
+    rel.join(perQ, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        col("n_rel"),
+        coalesce(col("__nh"), lit(0L)).as("n_hit"),
+        round(coalesce(col("__nh"), lit(0L)).cast("double") /
+          col("n_rel").cast("double"), 6).as(s"recall_at_$k"),
+        round(coalesce(col("__nh"), lit(0L)).cast("double") / k, 6)
+          .as(s"precision_at_$k"),
+        round(coalesce(lit(1.0) / col("__minr").cast("double"), lit(0.0)), 6)
+          .as("rr"),
+        round(coalesce(col("__dcg"), lit(0.0)) / idcg, 6).as(s"ndcg_at_$k"))
+  }
+
+  /** Corpus-level summary of [[rankingMetrics]]: one row —
+    * `(n_queries, recall_at_k, precision_at_k, mrr, ndcg_at_k)`,
+    * each the mean of the per-query column (MRR is by definition the
+    * mean RR). One extra aggregation over |queries| rows. */
+  def rankingSummary(results: DataFrame, truth: DataFrame,
+                     queryCol: String, docCol: String, rankCol: String,
+                     k: Int): DataFrame = {
+    val m = rankingMetrics(results, truth, queryCol, docCol, rankCol, k)
+    m.agg(count(lit(1)).as("n_queries"),
+      round(avg(col(s"recall_at_$k")), 6).as(s"recall_at_$k"),
+      round(avg(col(s"precision_at_$k")), 6).as(s"precision_at_$k"),
+      round(avg(col("rr")), 6).as("mrr"),
+      round(avg(col(s"ndcg_at_$k")), 6).as(s"ndcg_at_$k"))
+  }
 }

@@ -3639,6 +3639,53 @@ object ExtQueries {
        |WHERE d.vec_id IS NULL ORDER BY b.vec_id""".stripMargin
   }
 
+  /** Retrieval evaluation as an ENGINE operator
+    * ([[graft.ext.Retrieval.rankingMetrics]]): BM25 top-10 for the
+    * first five query docs scored against a deterministic relevance
+    * set (same-lang docs with doc_id < 100 — includes the self-hit,
+    * which BM25 ranks first, so RR/nDCG exercise a real gradient).
+    * Every metric recomputed in DuckDB: recall/precision exact
+    * rationals, DCG/IDCG folded in ascending-rank order so the
+    * floating sums are order-deterministic cross-engine. */
+  val retrievalMetricsQ: Q = (s, dir) => {
+    val docs0 = documents(s, dir).select("doc_id", "lang", "text")
+    val queries = docs0.where(col("doc_id") < 5)
+    val results = graft.ext.Retrieval.bm25TopK(
+      queries, docs0, "doc_id", "text", k = 10)
+    val truth = queries.select(col("doc_id").as("query_id"), col("lang"))
+      .join(docs0.where(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang")), Seq("lang"))
+      .select("query_id", "doc_id")
+    graft.ext.Retrieval.rankingMetrics(results, truth,
+        "query_id", "doc_id", "rank", k = 10)
+      .orderBy("query_id")
+  }
+
+  val retrievalMetricsSql = {
+    val fold = (lst: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), $lst),
+         |    (a, v) -> a + 1E0 / log2(CAST(v AS DOUBLE) + 1E0))""".stripMargin
+    s"""WITH res AS (SELECT * FROM ($bm25TopKSql) bm),
+       |tr AS (SELECT DISTINCT q.doc_id AS query_id, d.doc_id AS doc_id
+       |  FROM documents q JOIN documents d USING (lang)
+       |  WHERE q.doc_id < 5 AND d.doc_id < 100),
+       |rel AS (SELECT query_id, COUNT(*) AS n_rel FROM tr GROUP BY 1),
+       |h AS (SELECT r.query_id, r.rank
+       |  FROM res r JOIN tr USING (query_id, doc_id)),
+       |pq AS (SELECT query_id, COUNT(*) AS nh, MIN(rank) AS minr,
+       |  ${fold("list_sort(list(rank))")} AS dcg
+       |  FROM h GROUP BY 1)
+       |SELECT query_id, n_rel,
+       |  COALESCE(nh, 0) AS n_hit,
+       |  ROUND(CAST(COALESCE(nh, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE), 6)
+       |    AS recall_at_10,
+       |  ROUND(CAST(COALESCE(nh, 0) AS DOUBLE) / 10E0, 6) AS precision_at_10,
+       |  ROUND(COALESCE(1E0 / CAST(minr AS DOUBLE), 0E0), 6) AS rr,
+       |  ROUND(COALESCE(dcg, 0E0) /
+       |    ${fold("range(1, least(n_rel, 10) + 1)")}, 6) AS ndcg_at_10
+       |FROM rel LEFT JOIN pq USING (query_id) ORDER BY query_id""".stripMargin
+  }
+
   // ---- unicode correctness surface ----
   // The driver fixtures are 100% ASCII, so every text oracle above is
   // proven only on ASCII bytes. These queries run the SAME operators
@@ -3992,6 +4039,7 @@ object ExtQueries {
     "q_unicode_langid" -> unicodeLangid,
     "q_unicode_gopher" -> unicodeGopher,
     "q_unicode_c4" -> unicodeC4,
+    "q_retrieval_metrics" -> retrievalMetricsQ,
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
     "q_stream_contamination" -> streamContaminationQ,
@@ -4081,6 +4129,7 @@ object ExtQueries {
     "q_unicode_langid" -> unicodeLangidSql,
     "q_unicode_gopher" -> unicodeGopherSql,
     "q_unicode_c4" -> unicodeC4Sql,
+    "q_retrieval_metrics" -> retrievalMetricsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,
     "q_stream_contamination" -> streamContaminationSql,

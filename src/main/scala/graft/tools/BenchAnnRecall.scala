@@ -31,13 +31,15 @@ object BenchAnnRecall {
     ((System.nanoTime() - t0) / 1e9, r)
   }
 
-  /** query_id -> neighbor ids (rank order dropped; recall is set
-    * overlap at k). */
-  private def topSets(df: DataFrame): Map[Long, Set[Long]] =
-    df.select("query_id", "neighbor_id").collect()
-      .groupBy(_.getLong(0)).map { case (q, rows) =>
-        q -> rows.map(_.getLong(1)).toSet
-      }
+  /** Mean recall@k via the ENGINE's metric operator
+    * ([[graft.ext.Retrieval.rankingMetrics]]) with the brute-force
+    * run as the truth set — the harness measures exactly what a user
+    * evaluating a serving path would compute, so tool and engine
+    * cannot drift. */
+  private def meanRecall(run: DataFrame, truth: DataFrame, k: Int): Double =
+    graft.ext.Retrieval.rankingMetrics(run, truth,
+        "query_id", "neighbor_id", "rank", k)
+      .agg(avg(col(s"recall_at_$k"))).head().getDouble(0)
 
   /** Deterministic Gaussian-mixture embeddings: `n` vectors over
     * `nCenters` seeded-random centers (unit-ish N(0,1) coords) plus
@@ -69,14 +71,12 @@ object BenchAnnRecall {
       m = 8, ksub = 32, iters = 2)
     val (mins, steps) = S.sqBounds(emb, "embedding", dim = 64)
     val (tBrute, exact) = timed {
-      topSets(S.bruteTopK(queries, emb, "vec_id", "embedding", k))
+      val d = S.bruteTopK(queries, emb, "vec_id", "embedding", k)
+        .select("query_id", "neighbor_id").cache()
+      d.count()
+      d
     }
-    def recall(got: Map[Long, Set[Long]]): Double = {
-      val per = exact.map { case (q, ex) =>
-        got.get(q).map(g => (g & ex).size.toDouble / ex.size).getOrElse(0.0)
-      }
-      per.sum / per.size
-    }
+    def recall(got: DataFrame): Double = meanRecall(got, exact, k)
     def rerank(short: DataFrame): DataFrame =
       S.rerankTopK(queries, emb, "vec_id", "embedding", k, short)
     val variants: Seq[(String, () => DataFrame)] = Seq(
@@ -115,8 +115,16 @@ object BenchAnnRecall {
       "pq_rerank_s400" -> (() => rerank(
         S.pqTopK(queries, emb, "vec_id", "embedding", 400, books))))
     val entries = variants.map { case (name, run) =>
-      val (t, got) = timed(topSets(run()))
-      f""""$name":{"recall_at_$k":${recall(got)}%.4f,"sec":$t%.3f}"""
+      // timing measures the run's materialization (as before); the
+      // recall evaluation happens on the cached result, off the clock
+      val (t, got) = timed {
+        val d = run().select("query_id", "neighbor_id", "rank").cache()
+        d.count()
+        d
+      }
+      val r = recall(got)
+      got.unpersist()
+      f""""$name":{"recall_at_$k":$r%.4f,"sec":$t%.3f}"""
     }
     f""""brute":{"recall_at_$k":1.0,"sec":$tBrute%.3f},${entries.mkString(",")}"""
   }

@@ -1269,6 +1269,46 @@ class ExtSpec extends AnyFunSuite {
     assert(d3.getDouble(2) == expect3, s"$d3 vs $expect3")
   }
 
+  test("rankingMetrics computes hand-checked recall/precision/RR/nDCG") {
+    // q1: truth {1,2,3}; run ranks [1(hit), 9, 2(hit)] at k=3
+    //   recall 2/3, precision 2/3, rr 1 (first hit at rank 1)
+    //   dcg = 1/log2(2) + 1/log2(4) = 1.5; idcg(3 rel, k=3)
+    //       = 1 + 1/log2(3) + 1/2 — ndcg = 1.5/idcg
+    // q2: truth {5}; run has no hits — all zeros, n_rel 1
+    // q3: in truth only (no results) — zeros
+    // q9: in results only — must be ABSENT from output
+    val results = Seq(
+      (1L, 1L, 1), (1L, 9L, 2), (1L, 2L, 3), (1L, 3L, 4), // rank 4 > k
+      (2L, 7L, 1), (2L, 8L, 2),
+      (9L, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 2L), // dup row
+      (2L, 5L), (3L, 4L)).toDF("query_id", "doc_id")
+    val m = Retrieval.rankingMetrics(results, truth,
+        "query_id", "doc_id", "rank", k = 3)
+      .orderBy("query_id").collect()
+    assert(m.length == 3, m.mkString(";"))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q1 = m(0)
+    assert(q1.getLong(1) == 3 && q1.getLong(2) == 2) // n_rel, n_hit
+    assert(q1.getDouble(3) == r6(2.0 / 3.0), q1.toString) // recall
+    assert(q1.getDouble(4) == r6(2.0 / 3.0)) // precision
+    assert(q1.getDouble(5) == 1.0) // rr
+    val dcg = 1.0 / (math.log(2) / math.log(2)) + 1.0 / (math.log(4) / math.log(2))
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(q1.getDouble(6) == r6(dcg / idcg), s"${q1.getDouble(6)} vs ${dcg / idcg}")
+    val q2 = m(1)
+    assert(q2.getLong(1) == 1 && q2.getLong(2) == 0 &&
+      q2.getDouble(3) == 0.0 && q2.getDouble(5) == 0.0 && q2.getDouble(6) == 0.0)
+    val q3 = m(2)
+    assert(q3.getLong(0) == 3L && q3.getLong(2) == 0)
+    // summary: mean of per-query columns, mrr = mean rr
+    val s0 = Retrieval.rankingSummary(results, truth,
+      "query_id", "doc_id", "rank", k = 3).head()
+    assert(s0.getLong(0) == 3)
+    assert(s0.getDouble(3) == r6((1.0 + 0.0 + 0.0) / 3.0)) // mrr
+  }
+
   test("semantic dedup drops planted exact copies and keeps the rest") {
     val base = emb.select("vec_id", "embedding")
     val planted = base.union(base.where(col("vec_id") < 5)
