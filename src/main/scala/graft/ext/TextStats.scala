@@ -594,14 +594,47 @@ object TextStats extends Serializable {
       if (sampleFraction >= 1.0) df
       else df.where(graft.etl.Sampling.membershipBucket(col(textCol), modulus)
         < lit(sampleFraction * modulus))
-    var cur = base
-      .select(concat_ws(" ", Featurize.tokensCol(col(textCol))).as("__t"))
+    bpeTrainLoop(base
+      .select(concat_ws(" ", Featurize.tokensCol(col(textCol))).as("__t")),
+      merges, checkpointEvery)
+  }
+
+  /** Byte-LEVEL BPE training: identical greedy loop, but the seed
+    * symbols are the document's UTF-8 bytes as hex-pair symbols
+    * ([[byteSymbolStream]]) instead of whitespace words — so the
+    * alphabet is CLOSED (≤256 seed symbols) and ANY UTF-8 input
+    * tokenizes to a known vocabulary, the byte-fallback property every
+    * production tokenizer ships (GPT-2 byte encoder, SentencePiece
+    * byte-fallback). Spaces are ordinary bytes (symbol "20"), so
+    * merges freely learn space-prefixed units the way GPT-2's Ġ does.
+    * Same determinism and scale shape as [[bpeTrain]]. */
+  def bpeTrainBytes(df: DataFrame, textCol: String, merges: Int,
+                    sampleFraction: Double = 1.0,
+                    checkpointEvery: Int = 16): Seq[(String, String, Long)] = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction=$sampleFraction must be in (0, 1]")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+    val modulus = 1 << 20
+    val base =
+      if (sampleFraction >= 1.0) df
+      else df.where(graft.etl.Sampling.membershipBucket(col(textCol), modulus)
+        < lit(sampleFraction * modulus))
+    bpeTrainLoop(base.select(byteSymbolStream(col(textCol)).as("__t")),
+      merges, checkpointEvery)
+  }
+
+  /** The shared greedy merge loop over a pre-seeded symbol stream
+    * column `__t` (space-separated symbols; see [[bpeTrain]] /
+    * [[bpeTrainBytes]] for the two seeders). */
+  private def bpeTrainLoop(seeded: DataFrame, merges: Int,
+                           checkpointEvery: Int): Seq[(String, String, Long)] = {
+    var cur = seeded
       // merge rounds re-scan the corpus; keep the normalized token
       // stream materialized so round i doesn't re-run rounds 0..i-1
       .persist()
     val adopted = Seq.newBuilder[(String, String, Long)]
     var sinceCut = 0
-    val sc = df.sparkSession.sparkContext
+    val sc = seeded.sparkSession.sparkContext
     // localCheckpoint blocks live OUTSIDE the cache manager —
     // Dataset.unpersist on a checkpointed frame is a no-op, so each
     // cut's snapshot would otherwise linger until driver GC (up to
@@ -1164,6 +1197,39 @@ object TextStats extends Serializable {
     df.withColumn(outCol,
       filter(split(stream, " "), t => length(t) > 0))
   }
+
+  /** The document's UTF-8 bytes as a space-separated stream of
+    * fixed-width HEX-PAIR symbols ("48 65 6C ..."): the byte-level
+    * BPE seed alphabet. Hex pairs are the byte-to-printable mapping
+    * (GPT-2 uses a unicode shift table for the same purpose); they
+    * are whitespace-free, joiner-free and engine-portable (`hex` is
+    * uppercase in both Spark and DuckDB), so the SAME merge machinery
+    * ([[mergePair]]) and oracle replay work unchanged. Pure codegen:
+    * encode → hex → one regexp pass to interleave spaces. */
+  def byteSymbolStream(text: Column): Column =
+    trim(regexp_replace(hex(encode(coalesce(text, lit("")), "UTF-8")),
+      "(..)", "$1 "))
+
+  /** Tokenize with a BYTE-LEVEL vocabulary ([[bpeTrainBytes]]):
+    * every UTF-8 input reduces to hex-pair base symbols plus trained
+    * merge products — closed vocabulary over arbitrary text, no
+    * un-mergeable out-of-alphabet tokens possible. Narrow codegen'd
+    * regexp chain, no shuffle. */
+  def bpeApplyBytes(df: DataFrame, textCol: String,
+                    merges: Seq[(String, String)],
+                    outCol: String = "bpe_symbols"): DataFrame = {
+    val stream = merges.foldLeft(byteSymbolStream(col(textCol))) {
+      case (acc, (l, r)) => mergePair(acc, l, r)
+    }
+    df.withColumn(outCol, filter(split(stream, " "), t => length(t) > 0))
+  }
+
+  /** Exact inverse of [[bpeApplyBytes]]: strip joiners, concatenate
+    * the hex pairs, unhex, decode UTF-8 — `bpeDecodeBytes ∘
+    * bpeApplyBytes == identity` on ANY string (property-tested), the
+    * round-trip guarantee word-level BPE cannot make. */
+  def bpeDecodeBytes(symbols: Column): Column =
+    decode(unhex(translate(concat_ws("", symbols), BpeJoiner, "")), "UTF-8")
 
   /** One left-to-right greedy non-overlapping merge pass — the exact
     * Scala equivalent of [[mergePair]]'s

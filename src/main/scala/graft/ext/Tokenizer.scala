@@ -33,6 +33,16 @@ import scala.jdk.CollectionConverters._
   * so every consumer of the same artifact derives the identical
   * [[BpeArtifact.vocabIds]] map with no id column stored.
   *
+  * Format (`graft-bpe v3` — adds the MODE field: `words` artifacts
+  * keep writing v2 byte-for-byte so existing readers are unaffected;
+  * `bytes` artifacts — [[TextStats.bpeTrainBytes]] hex-pair seeding,
+  * closed vocabulary over arbitrary UTF-8 — need the consumer to use
+  * the matching seeder, so the mode rides in the header):
+  * {{{
+  * graft-bpe\tv3\t<n_merges>\t<n_special>\t<mode>
+  * ...same sections as v2...
+  * }}}
+  *
   * Symbols come from whitespace-split tokens, so neither side can
   * contain a tab or newline — the separator is unambiguous by
   * construction. Line order IS merge order (BPE apply is
@@ -47,7 +57,16 @@ object Tokenizer {
   private val Magic = "graft-bpe"
   private val Version = "v1"
   private val Version2 = "v2"
+  private val Version3 = "v3"
   private val SpecialTag = "#special"
+
+  /** Tokenizer modes: `words` seeds from whitespace tokens
+    * ([[TextStats.bpeTrain]]); `bytes` seeds from UTF-8 hex-pair
+    * symbols ([[TextStats.bpeTrainBytes]] — closed vocabulary over
+    * arbitrary input). A consumer MUST apply the matching seeder, so
+    * the mode rides in the artifact (v3) rather than in folklore. */
+  val ModeWords = "words"
+  val ModeBytes = "bytes"
 
   /** The conventional special-token table (role → literal). */
   val DefaultSpecials: Seq[(String, String)] = Seq(
@@ -57,7 +76,10 @@ object Tokenizer {
     * tokens. Id assignment is positional and therefore deterministic
     * (see the v2 format note). */
   case class BpeArtifact(merges: Seq[(String, String, Long)],
-                         specials: Seq[(String, String)]) {
+                         specials: Seq[(String, String)],
+                         mode: String = ModeWords) {
+    require(mode == ModeWords || mode == ModeBytes,
+      s"unknown tokenizer mode '$mode'")
     specials.foreach { case (role, tok) =>
       require(role.matches("[a-z_]+"), s"special role '$role'")
       require(tok.nonEmpty && !tok.exists(_.isWhitespace),
@@ -118,8 +140,16 @@ object Tokenizer {
   /** Atomically write a full v2 artifact (specials + merges). */
   def saveArtifact(artifact: BpeArtifact, path: String): Unit = {
     requireEncodable(artifact.merges)
+    // words-mode artifacts stay v2 byte-for-byte (every existing v2
+    // reader keeps working); only a bytes-mode artifact needs the v3
+    // header that records the seeder
+    val header =
+      if (artifact.mode == ModeWords)
+        s"$Magic\t$Version2\t${artifact.merges.size}\t${artifact.specials.size}"
+      else
+        s"$Magic\t$Version3\t${artifact.merges.size}\t${artifact.specials.size}\t${artifact.mode}"
     writeAtomic(path,
-      s"$Magic\t$Version2\t${artifact.merges.size}\t${artifact.specials.size}" +:
+      header +:
         (artifact.specials.map { case (role, tok) =>
           s"$SpecialTag\t$role\t$tok" } ++
           artifact.merges.map { case (l, r, n) => s"$l\t$r\t$n" }))
@@ -146,29 +176,34 @@ object Tokenizer {
         s"torn artifact $path: header says $n merges, found ${merges.size}")
       merges
     }
+    def parseSectioned(n: Int, s: Int, mode: String): BpeArtifact = {
+      // Section boundary comes from the HEADER count, not a prefix
+      // scan: span(startsWith("#special\t")) would absorb a
+      // legitimate merge whose left symbol is literally "#special"
+      // (possible from a raw corpus token) into the specials
+      // section and mis-report a torn artifact.
+      val (specialLines, mergeLines) = lines.tail.splitAt(s)
+      if (specialLines.size != s ||
+          specialLines.exists(!_.startsWith(SpecialTag + "\t")))
+        throw new IllegalStateException(
+          s"torn artifact $path: header says $s specials, " +
+            s"found ${specialLines.count(_.startsWith(SpecialTag + "\t"))}")
+      val specials = specialLines.map { ln =>
+        ln.split("\t", -1) match {
+          case Array(SpecialTag, role, tok) => (role, tok)
+          case _ => throw new IllegalStateException(
+            s"malformed special line in $path: '$ln'")
+        }
+      }
+      BpeArtifact(parseMerges(mergeLines, n), specials, mode)
+    }
     header.split("\t", -1) match {
       case Array(Magic, Version, n) =>
         BpeArtifact(parseMerges(lines.tail, n.toInt), Nil)
+      case Array(Magic, Version3, n, s, mode) =>
+        parseSectioned(n.toInt, s.toInt, mode)
       case Array(Magic, Version2, n, s) =>
-        // Section boundary comes from the HEADER count, not a prefix
-        // scan: span(startsWith("#special\t")) would absorb a
-        // legitimate merge whose left symbol is literally "#special"
-        // (possible from a raw corpus token) into the specials
-        // section and mis-report a torn artifact.
-        val (specialLines, mergeLines) = lines.tail.splitAt(s.toInt)
-        if (specialLines.size != s.toInt ||
-            specialLines.exists(!_.startsWith(SpecialTag + "\t")))
-          throw new IllegalStateException(
-            s"torn artifact $path: header says $s specials, " +
-              s"found ${specialLines.count(_.startsWith(SpecialTag + "\t"))}")
-        val specials = specialLines.map { ln =>
-          ln.split("\t", -1) match {
-            case Array(SpecialTag, role, tok) => (role, tok)
-            case _ => throw new IllegalStateException(
-              s"malformed special line in $path: '$ln'")
-          }
-        }
-        BpeArtifact(parseMerges(mergeLines, n.toInt), specials)
+        parseSectioned(n.toInt, s.toInt, ModeWords)
       case Array(Magic, v, _*) => throw new IllegalStateException(
         s"unsupported tokenizer artifact version $v in $path")
       case _ => throw new IllegalStateException(

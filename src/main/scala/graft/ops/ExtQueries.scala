@@ -1038,7 +1038,12 @@ object ExtQueries {
         Map("q_bpe_apply" -> bpeApplySqlFor(
           bpeMergesCache.values.iterator.next()))
       else Map.empty[String, String]
-    ivf ++ pq ++ ivfpq ++ bpe
+    val bpeBytes =
+      if (bpeByteMergesCache.size == 1)
+        Map("q_bpe_apply_bytes" -> bpeApplyBytesSqlFor(
+          bpeByteMergesCache.values.iterator.next()))
+      else Map.empty[String, String]
+    ivf ++ pq ++ ivfpq ++ bpe ++ bpeBytes
   }
 
   /** Embedding near-dup pairs via 16-bit sign-bucket LSH with
@@ -1674,6 +1679,60 @@ object ExtQueries {
        |  FROM documents)
        |SELECT doc_id, array_to_string(bpe_symbols, ' ') AS bpe_text,
        |  CAST(len(bpe_symbols) AS INTEGER) AS n_symbols
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  private val bpeByteMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def bpeByteMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeByteMergesCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+      TextStats.bpeTrainBytes(
+          documents(s, dir).where(col("doc_id") % 10 === 0).select("text"),
+          "text", merges = 8)
+        .map(m => (m._1, m._2)))
+
+  /** BYTE-level BPE over the unicode corpus: vocabulary trained on
+    * the (ASCII) fixture slice, applied to documents ∪ the planted
+    * unicode zoo — every non-ASCII codepoint falls back to its UTF-8
+    * hex-pair base symbols (CLOSED vocabulary over arbitrary input,
+    * the property word-seeded BPE cannot give), and the in-query
+    * `rt_ok` gate raise_errors unless decode∘apply reproduces every
+    * document byte-exactly. Oracle replays the same merges over the
+    * same hex stream in DuckDB ([[bpeApplyBytesSqlFor]]). */
+  val bpeApplyBytesQ: Q = (s, dir) => {
+    val merges = bpeByteMergesFor(s, dir)
+    TextStats.bpeApplyBytes(unicodeBase(s, dir), "text", merges)
+      .select(col("doc_id"),
+        array_join(col("bpe_symbols"), " ").as("bpe_text"),
+        size(col("bpe_symbols")).as("n_symbols"),
+        when(TextStats.bpeDecodeBytes(col("bpe_symbols")) === col("text"),
+            lit(true))
+          .otherwise(raise_error(concat(
+            lit("byte-BPE round trip failed for doc "),
+            col("doc_id").cast("string")))).as("rt_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** The byte-level merge replay in DuckDB: same space-doubling
+    * literal-replace chain as [[bpeApplySqlFor]], seeded from the
+    * hex-pair byte stream instead of whitespace tokens. */
+  def bpeApplyBytesSqlFor(merges: Seq[(String, String)]): String = {
+    def q(str: String) = str.replace("'", "''")
+    val seed = """trim(regexp_replace(hex(encode(text)), '(..)', '\1 ', 'g'))"""
+    val chain = merges.foldLeft(seed) {
+      case (acc, (l, r)) =>
+        val from = "' " + q(l) + "  " + q(r) + " '"
+        val to = "' " + q(l) + TextStats.BpeJoiner + q(r) + " '"
+        s"trim(replace(replace(' ' || replace($acc, ' ', '  ') || ' ', $from, $to), '  ', ' '))"
+    }
+    s"""WITH $unicodeBaseSql,
+       |a AS (SELECT doc_id,
+       |    list_filter(string_split($chain, ' '), t -> len(t) > 0) AS bpe_symbols
+       |  FROM base)
+       |SELECT doc_id, array_to_string(bpe_symbols, ' ') AS bpe_text,
+       |  CAST(len(bpe_symbols) AS INTEGER) AS n_symbols,
+       |  true AS rt_ok
        |FROM a ORDER BY doc_id""".stripMargin
   }
 
@@ -4040,6 +4099,7 @@ object ExtQueries {
     "q_unicode_gopher" -> unicodeGopher,
     "q_unicode_c4" -> unicodeC4,
     "q_retrieval_metrics" -> retrievalMetricsQ,
+    "q_bpe_apply_bytes" -> bpeApplyBytesQ,
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
     "q_stream_contamination" -> streamContaminationQ,

@@ -1625,6 +1625,29 @@ class ExtSpec extends AnyFunSuite {
     val trapPath = s"$dir/trap.tsv"
     Tokenizer.saveArtifact(trap, trapPath)
     assert(Tokenizer.loadArtifact(trapPath) == trap)
+
+    // ---- v3: byte-mode artifact records its seeder ----
+    val byteMerges = TextStats.bpeTrainBytes(corpus, "text", merges = 4)
+    val bArt = Tokenizer.BpeArtifact(byteMerges, Tokenizer.DefaultSpecials,
+      Tokenizer.ModeBytes)
+    val v3path = s"$dir/tokenizer.v3.tsv"
+    Tokenizer.saveArtifact(bArt, v3path)
+    val loaded3 = Tokenizer.loadArtifact(v3path)
+    assert(loaded3 == bArt && loaded3.mode == Tokenizer.ModeBytes)
+    // words-mode artifacts still write the v2 header BYTE-FOR-BYTE
+    // (existing readers unaffected); bytes-mode writes v3
+    val head2 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(v2path)).get(0)
+    val head3 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(v3path)).get(0)
+    assert(head2.startsWith("graft-bpe\tv2\t"), head2)
+    assert(head3 == s"graft-bpe\tv3\t${byteMerges.size}\t4\tbytes", head3)
+    // v2 load resolves to words mode; unknown mode string refuses
+    assert(Tokenizer.loadArtifact(v2path).mode == Tokenizer.ModeWords)
+    intercept[IllegalArgumentException](
+      Tokenizer.BpeArtifact(merges, Nil, "hexish"))
+    // v1-era merge consumer reads the v3 merge section unchanged
+    assert(Tokenizer.loadMerges(v3path) == byteMerges)
     // ambiguous artifacts refuse loudly
     intercept[IllegalArgumentException](Tokenizer.BpeArtifact(
       merges, Seq("bos" -> "<s>", "eos" -> "<s>"))) // dup literal

@@ -386,4 +386,47 @@ class PropertySpec extends AnyFunSuite {
       assert(keys == (sMap.keySet ++ dMap.keySet), s"seed $seed")
     }
   }
+
+  // codepoints across the planes a real corpus hits: ASCII, latin-1+
+  // BMP letters, CJK, supplementary-plane emoji, zero-width/combining
+  // marks, whitespace — every generated string is valid UTF-16 (chars
+  // built from codepoints, never raw surrogates)
+  private val uniCodepoint: org.scalacheck.Gen[Int] = Gen.frequency(
+    4 -> Gen.choose(0x20, 0x7E),
+    2 -> Gen.choose(0xA1, 0x2FFF),
+    2 -> Gen.choose(0x4E00, 0x9FFF),
+    1 -> Gen.choose(0x1F300, 0x1FAFF),
+    1 -> Gen.oneOf(0x200B, 0x200D, 0xFEFF, 0x0301, 0x0E01),
+    1 -> Gen.oneOf(0x0A, 0x09, 0x20))
+  private val uniString: org.scalacheck.Gen[String] =
+    Gen.listOf(uniCodepoint)
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+
+  test("byte-BPE decode ∘ apply is the identity on arbitrary UTF-8") {
+    import spark.implicits._
+    val texts = sample(Gen.listOfN(300, uniString), 7L).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // merges trained on the same distribution, so some products fire
+    val merges = TextStats.bpeTrainBytes(df, "text", merges = 12)
+      .map(m => (m._1, m._2))
+    assert(merges.nonEmpty)
+    val out = TextStats.bpeApplyBytes(df, "text", merges)
+      .select(col("id"), col("text"),
+        TextStats.bpeDecodeBytes(col("bpe_symbols")).as("rt"),
+        col("bpe_symbols"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"round trip failed for id ${r.getLong(0)}: " +
+          s"${r.getString(1).take(40)}... vs ${r.getString(2).take(40)}...")
+      // closed vocabulary: every base symbol under the joiner is a
+      // 2-char uppercase hex pair — nothing outside the byte alphabet
+      r.getSeq[String](3).foreach { sym =>
+        sym.split(TextStats.BpeJoiner).foreach(part =>
+          assert(part.length == 2 && part.forall(c =>
+            (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F')), sym))
+      }
+    }
+  }
 }
