@@ -1330,7 +1330,30 @@ object TextStats extends Serializable {
             lit("packSequences: partition "), col("part").cast("string"),
             lit(s" exceeded maxSeqsPerPart=$maxSeqsPerPart sequences — raise parts or maxSeqsPerPart"))))
           .otherwise(col("part") * lit(maxSeqsPerPart) + seqIdx))
+      // document span INSIDE its sequence — the boundary metadata an
+      // attention mask needs, first-class instead of derivable:
+      // begin = offset within the owning sequence's budget window;
+      // end may exceed `budget` (the documented spill-into-next
+      // semantics: the doc BELONGS to the sequence its start falls
+      // in). Narrow arithmetic over columns already present.
+      .withColumn("seq_begin", pmod(col("offset"), lit(budget.toLong)))
+      .withColumn("seq_end", col("seq_begin") + col("n_tokens"))
   }
+
+  /** Per-SEQUENCE assembly of [[packSequences]] output: one row per
+    * `seq_id` with its ordered document span list
+    * `array<struct<begin, end, doc>>` (sorted by begin — the exact
+    * shape a trainer consumes to build block-diagonal attention
+    * masks over a packed sequence). One groupBy on `seq_id` — the
+    * aggregation a shard writer performs anyway; spans are
+    * `(long,long,long)` structs, so the shuffle carries metadata,
+    * never text. */
+  def packedSpans(packed: DataFrame, idCol: String): DataFrame =
+    packed.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        array_sort(collect_list(struct(col("seq_begin").as("begin"),
+          col("seq_end").as("end"), col(idCol).as("doc")))).as("spans"))
 
   /** Overlapping token-window chunks (size `chunk`, step `stride`) —
     * the chunking pass of an embedding/RAG pipeline. One narrow

@@ -1820,8 +1820,44 @@ object ExtQueries {
        |          AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
        |      FROM t)
        |SELECT doc_id, part, n_tokens, "offset",
-       |  part * 1099511627776 + "offset" // 256 AS seq_id
+       |  part * 1099511627776 + "offset" // 256 AS seq_id,
+       |  "offset" % 256 AS seq_begin,
+       |  "offset" % 256 + n_tokens AS seq_end
        |FROM o ORDER BY doc_id""".stripMargin
+
+  /** Per-sequence span assembly ([[TextStats.packedSpans]]): one row
+    * per packed sequence with its ordered `doc:begin:end` span list —
+    * the block-diagonal attention-mask metadata, oracled as an
+    * ordered string aggregation. */
+  val packSpansQ: Q = (s, dir) => {
+    val packed = TextStats.packSequences(
+      documents(s, dir).select("doc_id", "text"),
+      "text", "doc_id", budget = 256, parts = 8)
+    TextStats.packedSpans(packed, "doc_id")
+      .select(col("seq_id"), col("n_docs"), col("total_tokens"),
+        array_join(transform(col("spans"), x =>
+          concat_ws(":", x("doc").cast("string"), x("begin").cast("string"),
+            x("end").cast("string"))), " ").as("spans_str"))
+      .orderBy("seq_id")
+  }
+
+  val packSpansSql =
+    s"""WITH t AS (SELECT doc_id, doc_id % 8 AS part,
+       |             CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+       |o AS (SELECT doc_id, part, n_tokens,
+       |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY part
+       |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |          AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |      FROM t),
+       |sp AS (SELECT part * 1099511627776 + "offset" // 256 AS seq_id,
+       |         doc_id, n_tokens, "offset" % 256 AS b,
+       |         "offset" % 256 + n_tokens AS e
+       |       FROM o)
+       |SELECT seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  string_agg(doc_id || ':' || b || ':' || e, ' '
+       |    ORDER BY b, e, doc_id) AS spans_str
+       |FROM sp GROUP BY 1 ORDER BY seq_id""".stripMargin
 
   /** Length-bucketed batch assembly ([[TextStats.batchByLength]]):
     * per-batch padding audit (n_docs, max/sum tokens, padding) for the
@@ -3148,7 +3184,9 @@ object ExtQueries {
        |      AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
        |  FROM tk)
        |SELECT doc_id, part, n_tokens, "offset",
-       |  part * 1099511627776 + "offset" // 16 AS seq_id
+       |  part * 1099511627776 + "offset" // 16 AS seq_id,
+       |  "offset" % 16 AS seq_begin,
+       |  "offset" % 16 + n_tokens AS seq_end
        |FROM o ORDER BY doc_id""".stripMargin
 
   /** The datasheet's documented 100 TB swaps, EXERCISED:
@@ -4123,6 +4161,7 @@ object ExtQueries {
     "q_profile_stats" -> profileStats,
     "q_fuzzy_match" -> fuzzyMatch,
     "q_pack_sequences" -> packSequencesQ,
+    "q_pack_spans" -> packSpansQ,
     "q_chunk_docs" -> chunkDocsQ,
     "q_dedup_spans" -> dedupSpansQ,
     "q_dedup_lines" -> dedupLinesQ,
@@ -4211,6 +4250,7 @@ object ExtQueries {
     "q_profile_stats" -> profileStatsSql,
     "q_fuzzy_match" -> fuzzyMatchSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_pack_spans" -> packSpansSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_dedup_spans" -> dedupSpansSql,
     "q_dedup_lines" -> dedupLinesSql,
