@@ -30,48 +30,105 @@ object Publish {
   private val Manifest = "_MANIFEST"
   private val CommitsDir = "_commits"
 
+  /** The exclusive-creation primitive behind commit-ordinal claims:
+    * atomically publish `content` at `path` IFF nothing exists there.
+    * `true` = this caller won the claim; `false` = the path was
+    * already claimed (by anyone, at any time). Implementations must
+    * be all-or-nothing: a reader that can see the path sees the FULL
+    * content — never a partial write.
+    *
+    * This is the one storage capability the publish protocol needs
+    * beyond plain writes, isolated here so the backend is swappable:
+    *  - POSIX (shipped): [[PosixLinkClaim]] — hard link from a
+    *    fully-written temp file; link(2) fails EEXIST atomically.
+    *  - S3 (mapping documented; no SDK in this environment):
+    *    `PutObject` with `If-None-Match: *` — HTTP 412 = claim lost.
+    *  - GCS: `objects.insert` with `ifGenerationMatch=0` — 412 =
+    *    claim lost.
+    * All three give identical win/lose semantics, so [[write]] and
+    * the ordinal loop in `commit` are backend-independent. */
+  trait CommitClaim {
+    def claim(path: String, content: Array[Byte]): Boolean
+  }
+
+  /** POSIX claim: write a temp file COMPLETELY, then hard-link it to
+    * the claim path. link(2) atomically fails with EEXIST when the
+    * target exists (unlike rename(2), which silently REPLACES), and
+    * the linked file carries its full content the instant the path
+    * appears. */
+  object PosixLinkClaim extends CommitClaim {
+    def claim(path: String, content: Array[Byte]): Boolean = {
+      val p = Paths.get(path)
+      val tmp = Files.write(
+        p.resolveSibling(s".claim.${java.util.UUID.randomUUID().toString.take(12)}"),
+        content)
+      try {
+        Files.createLink(p, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        Files.deleteIfExists(tmp); ()
+      }
+    }
+  }
+
   /** Write `df` as a new version of `tableDir`, claim the next commit
     * ordinal, and atomically flip the manifest to it. Returns the
     * version directory written. */
-  def write(df: DataFrame, tableDir: String): String = {
+  def write(df: DataFrame, tableDir: String,
+            claimer: CommitClaim = PosixLinkClaim): String = {
     Files.createDirectories(Paths.get(tableDir))
     val version = "v_" + java.util.UUID.randomUUID().toString.take(12)
     val vdir = s"$tableDir/$version"
     df.write.parquet(vdir)
-    commit(tableDir, version)
+    commit(tableDir, version, claimer)
+    flipManifest(tableDir, version)
+    vdir
+  }
+
+  private def flipManifest(tableDir: String, version: String): Unit = {
     val tmp = Paths.get(tableDir, s".$Manifest.tmp.$version")
     Files.write(tmp, version.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(tableDir, Manifest),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    vdir
+    ()
   }
 
-  /** Claim the next free ordinal for `version`. The claim is a hard
-    * link onto a fully-written temp file: link(2) atomically FAILS
-    * with EEXIST when the target exists (unlike rename(2), which
-    * Files.move+ATOMIC_MOVE maps to on Linux and which silently
-    * REPLACES an existing target), so a concurrent writer that took
-    * ordinal N forces this one to N+1 — commits serialize, never
-    * overwrite — and the linked file carries its full content the
-    * instant the ordinal appears, so readers never see a half-written
-    * commit. Returns the ordinal claimed. */
-  private def commit(tableDir: String, version: String): Long = {
+  /** Claim the next free ordinal for `version` through the
+    * backend-independent [[CommitClaim]] primitive: a concurrent
+    * writer that took ordinal N forces this one to N+1 — commits
+    * serialize, never overwrite. Returns the ordinal claimed.
+    * `private[graft]` so the crash-recovery spec can commit WITHOUT
+    * flipping the manifest (the kill-between-steps scenario). */
+  private[graft] def commit(tableDir: String, version: String,
+                            claimer: CommitClaim = PosixLinkClaim): Long = {
     val dir = Paths.get(tableDir, CommitsDir)
     Files.createDirectories(dir)
-    val tmp = Files.write(dir.resolve(s".tmp.$version"),
-      version.getBytes(StandardCharsets.UTF_8))
+    val content = version.getBytes(StandardCharsets.UTF_8)
     var n = history(tableDir).lastOption.map(_._1).getOrElse(0L) + 1L
-    try {
-      while (true) {
-        try {
-          Files.createLink(dir.resolve(f"$n%08d"), tmp)
-          return n
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => n += 1L
-        }
-      }
-      n // unreachable
-    } finally Files.deleteIfExists(tmp)
+    while (!claimer.claim(dir.resolve(f"$n%08d").toString, content))
+      n += 1L
+    n
+  }
+
+  /** Reconcile the manifest CACHE with the durable commit log — the
+    * crash-recovery step for a writer killed between its commit claim
+    * and its manifest flip. Every claimed ordinal points at a fully
+    * written version directory (the claim happens strictly after the
+    * parquet write completes), so the torn state is merely a STALE
+    * manifest: readers still resolve the previous version, and this
+    * call completes the interrupted publish by flipping to the
+    * latest committed version. Idempotent; returns the version
+    * flipped to, or None when the manifest was already current (or
+    * the log is empty). */
+  def recover(tableDir: String): Option[String] = {
+    history(tableDir).lastOption.map(_._2) match {
+      case Some(latest) if !currentVersion(tableDir).contains(latest) =>
+        flipManifest(tableDir, latest)
+        Some(latest)
+      case _ => None
+    }
   }
 
   /** The committed (ordinal, version-directory) sequence, oldest
