@@ -38,7 +38,18 @@ object GraftFunctions {
         SortedCountIn(children.head, children(1))
       })
 
-  private val all = Seq(dotProduct, bloomMightContain, sortedCountIn)
+  val nfcNormalize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,
+        "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"nfc_normalize takes 1 argument, got ${children.length}")
+        graft.functions.NfcNormalize(children.head)
+      })
+
+  private val all = Seq(dotProduct, bloomMightContain, sortedCountIn,
+    nfcNormalize)
 
   /** Imperative registration for sessions built without
     * `spark.sql.extensions` (idempotent — re-registering replaces the
@@ -62,5 +73,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotProduct)
     ext.injectFunction(GraftFunctions.bloomMightContain)
     ext.injectFunction(GraftFunctions.sortedCountIn)
+    ext.injectFunction(GraftFunctions.nfcNormalize)
   }
 }

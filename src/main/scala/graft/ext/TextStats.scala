@@ -123,6 +123,16 @@ object TextStats extends Serializable {
       .drop("__best" +: scoreCols: _*)
   }
 
+  /** Canonical NFC spelling of `text` (native codegen'd
+    * [[graft.functions.NfcNormalize]]) — the normalization pass a
+    * multilingual ingest runs before dedup keys / tokenizer input so
+    * NFC and NFD spellings of the same visual text unify. */
+  def nfcNormalized(spark: org.apache.spark.sql.SparkSession,
+                    text: Column): Column = {
+    graft.GraftFunctions.register(spark)
+    call_function("nfc_normalize", text)
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(Featurize.tokensCol(text))
 

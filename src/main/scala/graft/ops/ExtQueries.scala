@@ -4032,6 +4032,32 @@ object ExtQueries {
        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Unicode NFC normalization ([[TextStats.nfcNormalized]], the
+    * native codegen'd expression): the NFD-spelled planted row
+    * changes (combining marks compose, codepoint count shrinks) and
+    * then hashes IDENTICALLY to its NFC sibling — while every
+    * already-canonical row passes through byte-exact. Oracle: DuckDB
+    * `nfc_normalize` (both sides implement UAX #15 canonical
+    * composition), md5-value-compared — a cross-ENGINE normalization
+    * parity proof, not a self-check. */
+  val unicodeNfc: Q = (s, dir) =>
+    unicodeBase(s, dir)
+      .select(col("doc_id"), col("text"),
+        TextStats.nfcNormalized(s, col("text")).as("__n"))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        length(col("__n")).as("n_chars_nfc"),
+        (col("text") =!= col("__n")).as("changed"),
+        md5(col("__n")).as("nfc_md5"))
+      .orderBy("doc_id")
+
+  val unicodeNfcSql =
+    s"""WITH $unicodeBaseSql,
+       |n AS (SELECT doc_id, text, nfc_normalize(text) AS nt FROM base)
+       |SELECT doc_id, len(text) AS n_chars_raw, len(nt) AS n_chars_nfc,
+       |  text != nt AS changed, md5(nt) AS nfc_md5
+       |FROM n ORDER BY doc_id""".stripMargin
+
   /** Marker-token langid over the unicode corpus: no-whitespace
     * scripts produce zero matchable tokens → `und` (the documented
     * blind spot [[unicodeScript]] exists to cover), while the ASCII
@@ -4136,6 +4162,7 @@ object ExtQueries {
     "q_unicode_langid" -> unicodeLangid,
     "q_unicode_gopher" -> unicodeGopher,
     "q_unicode_c4" -> unicodeC4,
+    "q_unicode_nfc" -> unicodeNfc,
     "q_retrieval_metrics" -> retrievalMetricsQ,
     "q_bpe_apply_bytes" -> bpeApplyBytesQ,
     "q_multimodal_meta" -> multimodalMeta,
@@ -4228,6 +4255,7 @@ object ExtQueries {
     "q_unicode_langid" -> unicodeLangidSql,
     "q_unicode_gopher" -> unicodeGopherSql,
     "q_unicode_c4" -> unicodeC4Sql,
+    "q_unicode_nfc" -> unicodeNfcSql,
     "q_retrieval_metrics" -> retrievalMetricsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,

@@ -124,6 +124,42 @@ class UnicodeSpec extends AnyFunSuite {
     assert(fromJson == expected)
   }
 
+  test("nfc_normalize composes NFD to NFC, idempotent, unifies dedup keys") {
+    val n = (c: org.apache.spark.sql.Column) =>
+      TextStats.nfcNormalized(spark, c)
+    // the planted NFD row normalizes to EXACTLY the NFC row's bytes
+    val two = zoo.where(col("doc_id").isin(700014L, 700015L))
+      .select(col("doc_id"), n(col("text")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(two(700014L) == two(700015L))
+    assert(two(700014L) == UnicodeFixture.docs
+      .find(_._1 == 700014L).get._3) // NFC side unchanged
+    // dedup AFTER normalization collapses the pair (before: distinct)
+    val normed = zoo.select(col("doc_id"), n(col("text")).as("text"))
+    val kept = Dedup.exactDedup(normed, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(700014L) && !kept.contains(700015L), kept.toString)
+    // idempotence + null contract + ASCII passthrough
+    val r = Seq(("abc", "é"), (null, "x"))
+      .toDF("a", "b")
+      .select(n(col("a")).as("na"), n(n(col("b"))).as("nb2"),
+        n(col("b")).as("nb"))
+      .collect()
+    assert(r(0).getString(0) == "abc")
+    assert(r(0).getString(1) == r(0).getString(2) &&
+      r(0).getString(2) == "é")
+    assert(r(1).isNullAt(0))
+    // the expression must run INSIDE whole-stage codegen (no fence) —
+    // checked over a parquet scan (a local relation short-circuits to
+    // LocalTableScan with no codegen stage at all)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = docs.select(n(col("text")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [nfc_normalize"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("md5 hashes UTF-8 bytes (reference value)") {
     // md5('中文') over UTF-8 bytes — fixed reference value, so a
     // charset regression (e.g. platform-default encoding) fails loudly
