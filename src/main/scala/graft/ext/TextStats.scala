@@ -1234,6 +1234,41 @@ object TextStats extends Serializable {
     df.withColumn(outCol, filter(split(stream, " "), t => length(t) > 0))
   }
 
+  private val hexPairs: Array[String] =
+    Array.tabulate(256)(b => f"$b%02X")
+
+  /** [[bpeApplyBytes]] for LARGE vocabularies: the regexp-chain form
+    * rewrites the full 3×-text hex stream once per merge (measured
+    * superlinear wall at x100 corpus from string churn alone); this
+    * form seeds hex-pair symbols directly from the UTF-8 bytes in a
+    * `mapPartitions` and applies merges with in-place array passes
+    * ([[mergeOnce]] — the exact regex semantics), broadcasting the
+    * merge list once. Bit-identical output to [[bpeApplyBytes]]
+    * (spec-pinned); same shape as [[bpeApplyLarge]] for word mode. */
+  def bpeApplyLargeBytes(df: DataFrame, textCol: String,
+                         merges: Seq[(String, String)],
+                         outCol: String = "bpe_symbols"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val outSchema = df.schema.add(outCol, ArrayType(StringType, false))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val bc = df.sparkSession.sparkContext.broadcast(merges.toArray)
+    df.mapPartitions { rows =>
+      val ms = bc.value
+      rows.map { row =>
+        val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var toks = Array.tabulate(bytes.length)(i => hexPairs(bytes(i) & 0xFF))
+        var i = 0
+        while (i < ms.length) {
+          toks = mergeOnce(toks, ms(i)._1, ms(i)._2)
+          i += 1
+        }
+        Row.fromSeq(row.toSeq :+ toks.toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Exact inverse of [[bpeApplyBytes]]: strip joiners, concatenate
     * the hex pairs, unhex, decode UTF-8 — `bpeDecodeBytes ∘
     * bpeApplyBytes == identity` on ANY string (property-tested), the

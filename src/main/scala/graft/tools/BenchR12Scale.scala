@@ -109,13 +109,19 @@ object BenchR12Scale {
         T.bpeApplyBytes(docs, "text", merges)
           .agg(sum(size(col("bpe_symbols")))).head().getLong(0)
       }
+      val (tBytesL, nSymL) = timed {
+        T.bpeApplyLargeBytes(docs, "text", merges)
+          .agg(sum(size(col("bpe_symbols")))).head().getLong(0)
+      }
+      require(nSymL == nSym, s"large/regex symbol count diverged: $nSymL vs $nSym")
 
       System.err.println(f"[r12scale] x$n stats=$tStats%.1f script=$tScript%.1f " +
-        f"bm25=$tBm25%.1f metrics=$tMetrics%.2f bytes=$tBytes%.1f")
+        f"bm25=$tBm25%.1f metrics=$tMetrics%.2f bytes=$tBytes%.1f large=$tBytesL%.1f")
       f""""x$n":{"docs":$nStats,"unicode_stats_sec":$tStats%.2f,""" +
         f""""script_id_sec":$tScript%.2f,"script_rows":$nScript,""" +
         f""""bm25_sec":$tBm25%.2f,"ranking_metrics_sec":$tMetrics%.3f,""" +
         f""""metric_rows":$mRows,"bpe_bytes_sec":$tBytes%.2f,""" +
+        f""""bpe_bytes_large_sec":$tBytesL%.2f,""" +
         f""""bpe_symbols":$nSym}"""
     }
     println(s"""{"metric":"r12_scale","sf":"$sfDir",${entries.mkString(",")}}""")

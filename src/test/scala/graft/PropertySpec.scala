@@ -416,6 +416,15 @@ class PropertySpec extends AnyFunSuite {
         TextStats.bpeDecodeBytes(col("bpe_symbols")).as("rt"),
         col("bpe_symbols"))
       .collect()
+    // the large-vocab mapPartitions path is bit-identical to the
+    // regexp-chain path on every generated string
+    val viaLarge = TextStats.bpeApplyLargeBytes(df, "text", merges)
+      .select(col("id"), col("bpe_symbols")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out.foreach { r =>
+      assert(viaLarge(r.getLong(0)) == r.getSeq[String](3),
+        s"large/regex divergence at id ${r.getLong(0)}")
+    }
     out.foreach { r =>
       assert(r.getString(1) == r.getString(2),
         s"round trip failed for id ${r.getLong(0)}: " +
