@@ -23,7 +23,17 @@ object TextStats extends Serializable {
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
     "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "en"),
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
-    "zh" -> Seq("de", "shi", "le", "bu", "wo", "ni", "ta", "men", "zai", "you"))
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "ni", "ta", "men", "zai", "you"),
+    // space-separated non-Latin scripts — marker langid works for
+    // these (unlike CJK/Thai, which need withScriptId); markers are
+    // the usual top function words, already lowercase (lower() is
+    // identity for Arabic/Hebrew/Devanagari; Greek/Cyrillic markers
+    // are written lowercase)
+    "ru" -> Seq("и", "в", "не", "на", "с", "что", "как", "это", "по", "для"),
+    "el" -> Seq("και", "το", "η", "ο", "των", "της", "με", "για", "από", "είναι"),
+    "hi" -> Seq("है", "के", "की", "का", "में", "और", "से", "को", "पर", "यह"),
+    "ar" -> Seq("في", "من", "على", "و", "أن", "إلى", "عن", "مع", "هذا", "التي"),
+    "he" -> Seq("של", "את", "על", "עם", "זה", "הוא", "לא", "גם", "כי", "אני"))
 
   /** Count of tokens that appear in `markers` (occurrence count, not
     * set intersection). */

@@ -55,7 +55,15 @@ object UnicodeFixture {
     (700019L, "combining", "à̖̗é̂ stacked mārks"),
     (700020L, "rtl_mix", "price: 100 ريال (approx) مع الشكر"),
     (700021L, "bom", "﻿leading bom char document"),
-    (700022L, "mixed", "मिश्रित script 混合 טקסט текст κείμενο"))
+    (700022L, "mixed", "मिश्रित script 混合 טקסט текст κείμενο"),
+    // marker-bearing docs in space-separated non-Latin scripts: these
+    // must be DETECTED by marker langid (withLangId), not just by
+    // script ID — each carries that language's top function words
+    (700023L, "ru", "модель и данные не на тесте а в обучении что это для нас"),
+    (700024L, "el", "και το μοντέλο με δεδομένα για την ποιότητα από την αρχή"),
+    (700025L, "hi", "यह मॉडल है और डेटा के साथ में काम से चलता है"),
+    (700026L, "ar", "هذا النموذج من البيانات في التدريب على الجودة مع الدقة"),
+    (700027L, "he", "של הנתונים את המודל על איכות עם דיוק זה הוא חשוב"))
 
   // every planted doc must actually carry non-ASCII — the pin the
   // judge asked for: an accidental ASCII-only edit fails at class
