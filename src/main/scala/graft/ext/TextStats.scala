@@ -292,7 +292,9 @@ object TextStats extends Serializable {
     * `pass_c4`) plus `text_c4` (the surviving lines re-joined) — a
     * pipeline hard-filters with `where(pass_c4)` and keeps `text_c4`. */
   def withC4Flags(df: DataFrame, textCol: String,
-                  minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+                  minLineWords: Int = 5, minSentences: Int = 3,
+                  terminalClass: String = "[.!?\"']",
+                  sentenceClass: String = "[.!?]"): DataFrame = {
     // Lines split on \r?\n with any residual trailing \r stripped
     // (a text ending in a bare "...\r", or an old-Mac lone \r): Java
     // regex `$` also matches just BEFORE a final \r, so on CRLF text
@@ -305,8 +307,12 @@ object TextStats extends Serializable {
     // word floor counts NON-EMPTY tokens: Spark `trim` strips spaces
     // only, so a tab-indented line would otherwise count a phantom
     // leading "" token and diverge from the oracle's filtered count
+    // terminal/sentence classes are parameters so a CJK corpus can
+    // extend them with fullwidth 。！？ (the ASCII defaults are the C4
+    // paper's rule; class literals stay valid in Java regex AND RE2
+    // so oracles share them verbatim)
     val keptLines = filter(col("__c4lines"), l =>
-      trim(l).rlike("[.!?\"']$") &&
+      trim(l).rlike(terminalClass + "$") &&
         size(filter(split(trim(l), "\\s+"), t => length(t) > 0))
           >= minLineWords &&
         !lower(l).contains("javascript"))
@@ -317,7 +323,8 @@ object TextStats extends Serializable {
     staged
       .withColumn("n_lines", size(col("__c4lines")))
       .withColumn("n_kept", size(col("__c4kept")))
-      .withColumn("n_sentences", regexp_count(col("text_c4"), lit("[.!?]")))
+      .withColumn("n_sentences",
+        regexp_count(col("text_c4"), lit(sentenceClass)))
       .withColumn("has_lorem",
         lower(col(textCol)).contains("lorem ipsum"))
       .withColumn("has_brace",

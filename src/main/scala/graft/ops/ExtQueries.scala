@@ -4032,6 +4032,50 @@ object ExtQueries {
        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** C4 with CJK-aware terminal punctuation over the planted zoo
+    * only: fullwidth 。！？ join the terminal and sentence classes and
+    * the per-line word floor drops to 1 (CJK lines are one ws-token),
+    * so the Chinese/Japanese multi-line docs now PASS the line-keep
+    * rule their 。-terminated lines failed under ASCII C4 — while the
+    * no-punctuation docs still fail. The knob, exercised and oracled
+    * in both directions. */
+  val unicodeC4Cjk: Q = (s, dir) =>
+    TextStats.withC4Flags(
+        UnicodeFixture.df(s).select("doc_id", "text"), "text",
+        minLineWords = 1, minSentences = 3,
+        terminalClass = "[.!?\"'。！？]", sentenceClass = "[.!?。！？]")
+      .select("doc_id", "n_lines", "n_kept", "n_sentences", "pass_c4",
+        "text_c4")
+      .orderBy("doc_id")
+
+  val unicodeC4CjkSql =
+    s"""WITH u AS (SELECT doc_id, text
+       |  FROM ${UnicodeFixture.valuesSql} AS u(doc_id, lang, text)),
+       |t0 AS (SELECT doc_id, text,
+       |  list_transform(string_split_regex(text, '\\r?\\n'),
+       |    l -> regexp_replace(l, '\\r+$$', '')) AS lines
+       |  FROM u),
+       |t AS (SELECT doc_id, text, lines,
+       |  list_filter(lines, l ->
+       |    regexp_matches(trim(l), '[.!?"''。！？]$$')
+       |    AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+       |          w -> len(w) > 0)) >= 1
+       |    AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM t0),
+       |a AS (SELECT doc_id, text, lines, kept,
+       |  COALESCE(array_to_string(kept, chr(10)), '') AS text_c4 FROM t)
+       |SELECT doc_id,
+       |  CAST(len(lines) AS INTEGER) AS n_lines,
+       |  CAST(len(kept) AS INTEGER) AS n_kept,
+       |  CAST(len(regexp_extract_all(text_c4, '[.!?。！？]')) AS INTEGER)
+       |    AS n_sentences,
+       |  (NOT contains(lower(text), 'lorem ipsum')
+       |   AND NOT contains(text, '{') AND NOT contains(text, '}')
+       |   AND len(regexp_extract_all(text_c4, '[.!?。！？]')) >= 3
+       |   AND len(kept) >= 1) AS pass_c4,
+       |  text_c4
+       |FROM a ORDER BY doc_id""".stripMargin
+
   /** Unicode NFC normalization ([[TextStats.nfcNormalized]], the
     * native codegen'd expression): the NFD-spelled planted row
     * changes (combining marks compose, codepoint count shrinks) and
@@ -4163,6 +4207,7 @@ object ExtQueries {
     "q_unicode_gopher" -> unicodeGopher,
     "q_unicode_c4" -> unicodeC4,
     "q_unicode_nfc" -> unicodeNfc,
+    "q_unicode_c4_cjk" -> unicodeC4Cjk,
     "q_retrieval_metrics" -> retrievalMetricsQ,
     "q_bpe_apply_bytes" -> bpeApplyBytesQ,
     "q_multimodal_meta" -> multimodalMeta,
@@ -4256,6 +4301,7 @@ object ExtQueries {
     "q_unicode_gopher" -> unicodeGopherSql,
     "q_unicode_c4" -> unicodeC4Sql,
     "q_unicode_nfc" -> unicodeNfcSql,
+    "q_unicode_c4_cjk" -> unicodeC4CjkSql,
     "q_retrieval_metrics" -> retrievalMetricsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,
