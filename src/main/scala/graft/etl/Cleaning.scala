@@ -177,6 +177,22 @@ object Cleaning {
   /** Full cleaning chain (`01_merchcat_etl.py:56-66`), including trim. */
   def cleanCol(c: Column): Column = cleanBasicCol(stripDatesCol(c))
 
+  /** Multilingual variant of [[cleanBasicCol]]: the reference chain's
+    * `[^a-zA-Z0-9]+` squeeze deletes every non-ASCII codepoint (right
+    * for UK card narratives, fatal for a multilingual corpus) — here
+    * the squeeze keeps Unicode letters and digits via `\p{L}\p{N}`,
+    * which Java regex and RE2 both evaluate per-codepoint with the
+    * same category tables (oracle-proven on the unicode zoo). Same
+    * price/paren/& stages; same squeeze-and-trim discipline. */
+  def cleanMultilingualCol(c: Column): Column = {
+    var t = regexp_replace(c, priceRegex, "")
+    t = regexp_replace(t, """(\(+)|(\)+)""", "")
+    t = regexp_replace(t, "&", " and ")
+    t = regexp_replace(t, """[^\p{L}\p{N}]+""", " ")
+    t = regexp_replace(t, """\s+""", " ")
+    trim(t)
+  }
+
   // --- UDF surface (covers SURVEY §2.9 U1) ---
 
   /** Register `clean_text` / `strip_dates` for the SQL surface; the UDF

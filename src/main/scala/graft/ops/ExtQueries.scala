@@ -4076,6 +4076,48 @@ object ExtQueries {
        |  text_c4
        |FROM a ORDER BY doc_id""".stripMargin
 
+  /** The reference's ASCII cleaning chain on unicode text: the
+    * `[^a-zA-Z0-9]+` squeeze deletes every non-ASCII codepoint — the
+    * documented-fatal behavior for a multilingual corpus, proven
+    * IDENTICAL cross-engine (a CJK doc reduces to its ASCII residue
+    * in both). The honest negative result the multilingual variant
+    * below exists to fix. */
+  val unicodeClean: Q = (s, dir) =>
+    unicodeBase(s, dir)
+      .select(col("doc_id"),
+        graft.etl.Cleaning.cleanBasicCol(col("text")).as("clean"))
+      .orderBy("doc_id")
+
+  val unicodeCleanSql =
+    s"WITH $unicodeBaseSql\n" +
+      graft.ops.Queries.cleanBasicSql.replace("FROM documents", "FROM base")
+
+  /** Multilingual cleaning ([[graft.etl.Cleaning.cleanMultilingualCol]]):
+    * the squeeze keeps `\p{L}\p{N}` — CJK/RTL/Indic letters survive,
+    * punctuation/emoji/zero-width collapse to single spaces — and the
+    * Unicode category tables agree between Java regex and RE2
+    * (value-compared on every zoo row, not assumed). */
+  val unicodeCleanMl: Q = (s, dir) =>
+    unicodeBase(s, dir)
+      .select(col("doc_id"),
+        graft.etl.Cleaning.cleanMultilingualCol(col("text")).as("clean"))
+      .orderBy("doc_id")
+
+  val unicodeCleanMlSql =
+    s"""WITH $unicodeBaseSql
+       |SELECT doc_id, TRIM(
+       |  regexp_replace(
+       |   regexp_replace(
+       |    regexp_replace(
+       |     regexp_replace(
+       |      regexp_replace(text,
+       |       '(((?:\\d+\\.)*\\d+,\\d+)|(\\d+\\.\\d+))(?:[/\\s]*)(?:(gbp|\\%))', '', 'g'),
+       |      '(\\(+)|(\\)+)', '', 'g'),
+       |     '&', ' and ', 'g'),
+       |    '[^\\p{L}\\p{N}]+', ' ', 'g'),
+       |   '\\s+', ' ', 'g')) AS clean
+       |FROM base ORDER BY doc_id""".stripMargin
+
   /** Unicode NFC normalization ([[TextStats.nfcNormalized]], the
     * native codegen'd expression): the NFD-spelled planted row
     * changes (combining marks compose, codepoint count shrinks) and
@@ -4208,6 +4250,8 @@ object ExtQueries {
     "q_unicode_c4" -> unicodeC4,
     "q_unicode_nfc" -> unicodeNfc,
     "q_unicode_c4_cjk" -> unicodeC4Cjk,
+    "q_unicode_clean" -> unicodeClean,
+    "q_unicode_clean_ml" -> unicodeCleanMl,
     "q_retrieval_metrics" -> retrievalMetricsQ,
     "q_bpe_apply_bytes" -> bpeApplyBytesQ,
     "q_multimodal_meta" -> multimodalMeta,
@@ -4302,6 +4346,8 @@ object ExtQueries {
     "q_unicode_c4" -> unicodeC4Sql,
     "q_unicode_nfc" -> unicodeNfcSql,
     "q_unicode_c4_cjk" -> unicodeC4CjkSql,
+    "q_unicode_clean" -> unicodeCleanSql,
+    "q_unicode_clean_ml" -> unicodeCleanMlSql,
     "q_retrieval_metrics" -> retrievalMetricsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,
