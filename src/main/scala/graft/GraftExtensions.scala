@@ -48,8 +48,18 @@ object GraftFunctions {
         graft.functions.NfcNormalize(children.head)
       })
 
+  val graphemeCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("grapheme_count"),
+      new ExpressionInfo(classOf[graft.functions.GraphemeCount].getName,
+        "grapheme_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"grapheme_count takes 1 argument, got ${children.length}")
+        graft.functions.GraphemeCount(children.head)
+      })
+
   private val all = Seq(dotProduct, bloomMightContain, sortedCountIn,
-    nfcNormalize)
+    nfcNormalize, graphemeCount)
 
   /** Imperative registration for sessions built without
     * `spark.sql.extensions` (idempotent — re-registering replaces the
@@ -74,5 +84,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bloomMightContain)
     ext.injectFunction(GraftFunctions.sortedCountIn)
     ext.injectFunction(GraftFunctions.nfcNormalize)
+    ext.injectFunction(GraftFunctions.graphemeCount)
   }
 }

@@ -143,6 +143,15 @@ object TextStats extends Serializable {
     call_function("nfc_normalize", text)
   }
 
+  /** User-perceived character count (UAX #29 extended grapheme
+    * clusters; see [[graft.functions.GraphemeCount]]) — the honest
+    * length metric for emoji/combining-mark text. */
+  def graphemeCount(spark: org.apache.spark.sql.SparkSession,
+                    text: Column): Column = {
+    graft.GraftFunctions.register(spark)
+    call_function("grapheme_count", text)
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(Featurize.tokensCol(text))
 

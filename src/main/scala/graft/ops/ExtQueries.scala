@@ -4076,6 +4076,31 @@ object ExtQueries {
        |  text_c4
        |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Grapheme-cluster length beside codepoint and byte lengths
+    * ([[TextStats.graphemeCount]], ICU-backed UAX #29): the ZWJ
+    * family/flag/skin-tone rows show graphemes < codepoints < bytes
+    * — the three length scales a multilingual pipeline must keep
+    * straight. Oracle: DuckDB `length_grapheme`, value-compared on
+    * the corpus MINUS Devanagari rows (Unicode 15.1's GB9c joins
+    * Indic conjuncts under ICU 77; utf8proc predates it — a
+    * documented version skew, spec-pinned to the modern semantics in
+    * UnicodeSpec, excluded here rather than papered over). */
+  val unicodeGraphemes: Q = (s, dir) =>
+    unicodeBase(s, dir)
+      .where(!col("lang").isin("hi", "mixed"))
+      .select(col("doc_id"),
+        TextStats.graphemeCount(s, col("text")).as("n_graphemes"),
+        length(col("text")).as("n_chars"),
+        octet_length(col("text")).as("n_bytes"))
+      .orderBy("doc_id")
+
+  val unicodeGraphemesSql =
+    s"""WITH $unicodeBaseSql
+       |SELECT doc_id, CAST(length_grapheme(text) AS INTEGER) AS n_graphemes,
+       |  len(text) AS n_chars, strlen(text) AS n_bytes
+       |FROM base WHERE lang NOT IN ('hi', 'mixed')
+       |ORDER BY doc_id""".stripMargin
+
   /** The reference's ASCII cleaning chain on unicode text: the
     * `[^a-zA-Z0-9]+` squeeze deletes every non-ASCII codepoint — the
     * documented-fatal behavior for a multilingual corpus, proven
@@ -4252,6 +4277,7 @@ object ExtQueries {
     "q_unicode_c4_cjk" -> unicodeC4Cjk,
     "q_unicode_clean" -> unicodeClean,
     "q_unicode_clean_ml" -> unicodeCleanMl,
+    "q_unicode_graphemes" -> unicodeGraphemes,
     "q_retrieval_metrics" -> retrievalMetricsQ,
     "q_bpe_apply_bytes" -> bpeApplyBytesQ,
     "q_multimodal_meta" -> multimodalMeta,
@@ -4348,6 +4374,7 @@ object ExtQueries {
     "q_unicode_c4_cjk" -> unicodeC4CjkSql,
     "q_unicode_clean" -> unicodeCleanSql,
     "q_unicode_clean_ml" -> unicodeCleanMlSql,
+    "q_unicode_graphemes" -> unicodeGraphemesSql,
     "q_retrieval_metrics" -> retrievalMetricsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,

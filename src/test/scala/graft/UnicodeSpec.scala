@@ -160,6 +160,35 @@ class UnicodeSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("grapheme_count: UAX #29 extended clusters (modern GB9c semantics)") {
+    val g = (c: org.apache.spark.sql.Column) =>
+      TextStats.graphemeCount(spark, c)
+    val rows = Seq(
+      ("👩‍👩‍👧‍👦", 1),  // ZWJ family: 7 codepoints, ONE grapheme
+      ("🇯🇵", 1),           // regional-indicator flag pair
+      ("👋🏽", 1),           // skin-tone modifier sequence
+      ("café", 4),          // NFC
+      ("café", 4),         // NFD: combining acute joins its base
+      ("a\r\nb", 3),        // GB3: CRLF is one cluster
+      ("中文abc", 5),
+      ("नमस्ते", 3),         // Unicode 15.1 GB9c Indic conjuncts (ICU 77;
+                            // utf8proc-era counting gives 4 — version skew
+                            // documented at q_unicode_graphemes)
+      ("", 0))
+      .toDF("s", "expected")
+      .select(g(col("s")).as("got"), col("expected"), col("s"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"'${r.getString(2)}': got ${r.getInt(0)} want ${r.getInt(1)}"))
+    // null contract + codegen placement over a parquet scan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = docs.select(g(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [grapheme_count"), plan)
+    assert(Seq((null: String, 1)).toDF("s", "x")
+      .select(g(col("s"))).head().isNullAt(0))
+  }
+
   test("md5 hashes UTF-8 bytes (reference value)") {
     // md5('中文') over UTF-8 bytes — fixed reference value, so a
     // charset regression (e.g. platform-default encoding) fails loudly
