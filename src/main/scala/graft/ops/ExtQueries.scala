@@ -4076,6 +4076,48 @@ object ExtQueries {
        |  text_c4
        |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Streaming script-mix monitor
+    * ([[graft.streaming.ScoreStream.scriptMonitor]]) over the unicode
+    * corpus with derived event times: per-(window, script) volumes and
+    * exact char/non-ASCII tallies — the multilingual-ingest drift
+    * signal, oracled on the batch-identical path (stream==batch
+    * pinned in StreamingSpec). */
+  val streamScriptQ: Q = (s, dir) => {
+    val docs = unicodeBase(s, dir)
+      .withColumn("ts",
+        timestamp_seconds(lit(1600000000L) + pmod(col("doc_id"), lit(600L))))
+    graft.streaming.ScoreStream.scriptMonitor(docs, "ts", "text")
+      .orderBy("window_start", "script")
+  }
+
+  val streamScriptSql = {
+    val strips = TextStats.scriptRanges.map { case (n, lo, hi) =>
+      s"len(text) - len(regexp_replace(text, '${TextStats.scriptClass(lo, hi)}', '', 'g')) AS s_$n"
+    }.mkString(",\n  ")
+    val names = TextStats.scriptRanges.map(_._1)
+    val best = s"greatest(${names.map("s_" + _).mkString(", ")})"
+    val cases = names.map(n => s"WHEN s_$n = __best AND __best > 0 THEN '$n'")
+      .mkString("\n    ")
+    val na = TextStats.nonAsciiClass
+    s"""WITH $unicodeBaseSql,
+       |d AS (SELECT doc_id, text,
+       |    make_timestamp((1600000000 + doc_id % 600) * 1000000) AS ts
+       |  FROM base),
+       |sc AS (SELECT doc_id, text, ts,
+       |  $strips
+       |FROM d),
+       |m AS (SELECT *, $best AS __best FROM sc),
+       |t AS (SELECT ts, text,
+       |  CASE $cases ELSE 'und' END AS script,
+       |  len(text) - len(regexp_replace(text, '$na', '', 'g')) AS na
+       |FROM m)
+       |SELECT date_trunc('minute', ts) AS window_start, script,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(na) AS BIGINT) AS n_nonascii
+       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Grapheme-cluster length beside codepoint and byte lengths
     * ([[TextStats.graphemeCount]], ICU-backed UAX #29): the ZWJ
     * family/flag/skin-tone rows show graphemes < codepoints < bytes
@@ -4278,6 +4320,7 @@ object ExtQueries {
     "q_unicode_clean" -> unicodeClean,
     "q_unicode_clean_ml" -> unicodeCleanMl,
     "q_unicode_graphemes" -> unicodeGraphemes,
+    "q_stream_script" -> streamScriptQ,
     "q_retrieval_metrics" -> retrievalMetricsQ,
     "q_bpe_apply_bytes" -> bpeApplyBytesQ,
     "q_multimodal_meta" -> multimodalMeta,
@@ -4375,6 +4418,7 @@ object ExtQueries {
     "q_unicode_clean" -> unicodeCleanSql,
     "q_unicode_clean_ml" -> unicodeCleanMlSql,
     "q_unicode_graphemes" -> unicodeGraphemesSql,
+    "q_stream_script" -> streamScriptSql,
     "q_retrieval_metrics" -> retrievalMetricsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,

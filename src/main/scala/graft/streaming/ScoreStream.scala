@@ -231,6 +231,34 @@ object ScoreStream {
         col("n_hits_total"))
   }
 
+  /** Streaming script-mix monitor — "what writing systems are flowing
+    * into my training corpus?" (the multilingual-ingest counterpart of
+    * the language/quality monitors): every arriving document is tagged
+    * with its dominant unicode script
+    * ([[graft.ext.TextStats.withScriptId]], a stateless narrow codegen
+    * projection) and the monitor emits per-(window, script) volumes
+    * plus exact character/non-ASCII tallies — an ASCII-only pipeline
+    * suddenly receiving CJK (or a multilingual one silently going
+    * ASCII, the fixture-decay failure mode) shows up as a script-mix
+    * shift within one window. The only streaming state is the
+    * watermarked (window, script) aggregate — bounded and evicted,
+    * never keyed by document. Works identically on batch frames (how
+    * the oracle and spec pin it). */
+  def scriptMonitor(docs: DataFrame, tsCol: String, textCol: String,
+                    windowLen: String = "1 minute",
+                    watermark: String = "5 minutes"): DataFrame = {
+    val wm = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+             else docs
+    graft.ext.TextStats.withScriptId(wm, textCol, "script")
+      .withColumn("__na", graft.ext.TextStats.nonAsciiCount(col(textCol)))
+      .groupBy(window(col(tsCol), windowLen), col("script"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        sum(col("__na")).cast("long").as("n_nonascii"))
+      .select(col("window.start").as("window_start"), col("script"),
+        col("n_docs"), col("n_chars"), col("n_nonascii"))
+  }
+
   /** Score a (possibly streaming) frame with a trained model and count
     * predictions per window — "enriched with brand information in real
     * time". Model scoring is a pure transform, so it runs unchanged on

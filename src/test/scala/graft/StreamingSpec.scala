@@ -642,4 +642,35 @@ class StreamingSpec extends AnyFunSuite {
     val J = graft.ext.TextStats.BpeJoiner
     assert(batch(1L) == List(s"new${J}york${J}city", "limits"), batch(1L))
   }
+
+  test("streaming script-mix monitor matches batch exactly") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    val rows = Seq(
+      (t0, "人工智能正在改变世界机器学习"),      // 14 han codepoints
+      (t0, "обработка естественного языка"),   // 27 cyrillic + 2 spaces
+      (t0, "plain ascii english text here"),   // latin, 0 non-ASCII
+      (t0, "🚀🚀👍"))                           // outside every range: und
+    val dir = java.nio.file.Files.createTempDirectory("scr_src").toString
+    rows.toDF("ts", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = ScoreStream.scriptMonitor(stream, "ts", "text")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("scr_out").start()
+    q.processAllAvailable()
+    q.stop()
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val out = grab(spark.table("scr_out"))
+    val batch = grab(ScoreStream.scriptMonitor(
+      spark.read.parquet(dir), "ts", "text"))
+    assert(out == batch, s"stream=$out batch=$batch")
+    assert(out.keySet == Set("han", "cyrillic", "latin", "und"), out.toString)
+    assert(out("han") == ((1L, 14L, 14L)), out.toString)
+    assert(out("cyrillic") == ((1L, 29L, 27L)), out.toString)
+    assert(out("latin") == ((1L, 29L, 0L)), out.toString)
+    assert(out("und") == ((1L, 3L, 3L)), out.toString)
+  }
 }
