@@ -264,6 +264,100 @@ object Selection {
       .select(col(idCol), col("cell"), col("cell_rank"))
   }
 
+  /** Diversity-maximizing selection: per k-means cell, the
+    * deterministic farthest-point (k-center) greedy of Gonzalez
+    * (1985) — the coverage-maximizing counterpart of
+    * [[clusterBalance]] (which caps volume but picks by score/md5,
+    * i.e. with no regard to how SPREAD the survivors are). Data
+    * curation uses this shape to pick representative-yet-diverse
+    * exemplars per topic cluster (coreset selection).
+    *
+    * Deterministic contract (mirrored exactly by the DuckDB oracle):
+    * candidates per cell are the `candCap` first rows in
+    * `(md5(id), id)` order (the same deterministic sample as
+    * [[clusterBalance]]); pick 1 is the smallest id; each further
+    * pick maximizes the minimum cosine DISTANCE `1 − round(cos, 6)`
+    * to everything already picked, ties broken by smaller id. A
+    * zero-norm vector has cosine 0 (distance 1) to everything —
+    * [[graft.ext.Similarity]]'s convention. Dot products and norms
+    * accumulate left-to-right in Double, so the 6-dp rounding is
+    * bit-reproducible cross-engine.
+    *
+    * Scale shape: ONE exchange on `cell`; the greedy runs per group
+    * over at most `candCap` candidates (O(candCap·picks·dim) — the
+    * imperative kernel is bounded by construction, which is why
+    * `flatMapGroups` is acceptable here). Output is bounded at
+    * |cells|·`picksPerCell` rows whatever the corpus. */
+  def diverseSelect(df: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Double]], picksPerCell: Int,
+                    candCap: Int = 256): DataFrame = {
+    require(picksPerCell >= 1, s"picksPerCell=$picksPerCell")
+    require(candCap >= picksPerCell,
+      s"candCap=$candCap < picksPerCell=$picksPerCell")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val capped = Similarity.assignCells(df, vecCol, cents)
+      .withColumn("__ds_rank", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .where(col("__ds_rank") <= candCap)
+      .select(col("cell").cast("int"), col(idCol).cast("long"),
+        col(vecCol).cast("array<float>"))
+      .as[(Int, Long, Seq[Float])]
+    val m = picksPerCell
+    capped.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val cands = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = math.min(a.length, b.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < d) {
+          val x = a(j).toDouble; val y = b(j).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          j += 1
+        }
+        val n1 = math.sqrt(na); val n2 = math.sqrt(nb)
+        if (n1 > 0 && n2 > 0) dot / (n1 * n2) else 0.0
+      }
+      def dist(a: Array[Float], b: Array[Float]): Double =
+        1.0 - java.math.BigDecimal.valueOf(cos(a, b))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val n = cands.length
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val isPicked = new Array[Boolean](n)
+      // min distance of each candidate to the picked set so far —
+      // updated once per pick, so the greedy is O(picks·candCap·dim)
+      val minD = Array.fill(n)(Double.MaxValue)
+      var t = 0
+      while (t < math.min(m, n)) {
+        var best = -1
+        var bestD = -1.0
+        var i = 0
+        while (i < n) {
+          if (!isPicked(i) && minD(i) > bestD) { // strict: tie → min id
+            bestD = minD(i); best = i
+          }
+          i += 1
+        }
+        isPicked(best) = true
+        picked += best
+        var j = 0
+        while (j < n) {
+          if (!isPicked(j)) {
+            val dp = dist(cands(j)._2, cands(best)._2)
+            if (dp < minD(j)) minD(j) = dp
+          }
+          j += 1
+        }
+        t += 1
+      }
+      picked.iterator.zipWithIndex.map { case (i, idx) =>
+        (cell, idx + 1, cands(i)._1)
+      }
+    }.toDF("cell", "pick_rank", idCol)
+  }
+
   /** Apply frozen tercile thresholds as literals in a narrow pass:
     * head (≤ t1) / middle (≤ t2) / tail; null score → null bucket. */
   def lmBucket(scored: DataFrame,

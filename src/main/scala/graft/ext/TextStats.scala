@@ -344,6 +344,59 @@ object TextStats extends Serializable {
       .drop("__c4lines", "__c4kept")
   }
 
+  /** Blocklist (bad-word-list) page filter — the one C4 §2.2 rule
+    * [[withC4Flags]] leaves to the caller because it needs an external
+    * list (Raffel et al., arXiv:1910.10683: "any page that contained
+    * any word on the 'List of Dirty, Naughty, Obscene or Otherwise Bad
+    * Words'" is removed). Word entries (no internal whitespace) match
+    * whole lowercased whitespace tokens; multi-word entries match as
+    * lowercase substrings (the published list contains phrases).
+    *
+    * Scale shape: pure narrow codegen, no shuffle. Word entries are
+    * deduped, lowercased, and binary-searched per token via
+    * `sorted_count_in` — O(w·log B) per document whatever the list
+    * size (the naive per-token `array_contains` scan is O(w·B); at a
+    * production list of thousands of entries over a 100 TB corpus
+    * that factor is the whole job). The sorted haystack is a literal
+    * child of `sort_array`, constant-folded once at plan time. Phrase
+    * occurrences are counted by length arithmetic
+    * (`(len - len(replace(...))) / len(phrase)`) — exact substring
+    * counts with no regex, engine-portable, one pass per phrase (keep
+    * the phrase section of a list short; the word section can be
+    * arbitrarily long). Lists too large for a plan literal should go
+    * through the broadcast one-row-array shape
+    * ([[graft.streaming.ScoreStream.contaminationFlags]]) instead.
+    *
+    * Output: `n_blocked_words` (per-occurrence token hits),
+    * `n_blocked_phrases` (per-occurrence substring hits),
+    * `pass_blocklist` (no hits of either kind). Audit form — a
+    * pipeline hard-filters with `where(pass_blocklist)`. */
+  def withBlocklistFlags(df: DataFrame, textCol: String,
+                         blocklist: Seq[String]): DataFrame = {
+    val entries = blocklist.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    require(entries.nonEmpty, "withBlocklistFlags: empty blocklist")
+    val (phrases, words) = entries.partition(_.exists(_.isWhitespace))
+    graft.GraftFunctions.register(df.sparkSession)
+    val lowerText = col("__bl_lower")
+    val wordHits =
+      if (words.isEmpty) lit(0)
+      else call_function("sorted_count_in",
+        Featurize.tokensCol(lowerText),
+        sort_array(lit(words.toArray)))
+    val phraseHits =
+      if (phrases.isEmpty) lit(0)
+      else phrases.map { p =>
+        ((length(lowerText) - length(replace(lowerText, lit(p))))
+          / p.length).cast("int")
+      }.reduce(_ + _)
+    df.withColumn("__bl_lower", lower(col(textCol)))
+      .withColumn("n_blocked_words", wordHits)
+      .withColumn("n_blocked_phrases", phraseHits)
+      .withColumn("pass_blocklist",
+        col("n_blocked_words") === 0 && col("n_blocked_phrases") === 0)
+      .drop("__bl_lower")
+  }
+
   /** Fraction of repeated (non-distinct) n-grams in a pre-computed
     * gram array — the Gopher-style repetition quality signal. Callers
     * should pass an ATTRIBUTE (stage the gram expression under its own
@@ -1301,6 +1354,58 @@ object TextStats extends Serializable {
     * round-trip guarantee word-level BPE cannot make. */
   def bpeDecodeBytes(symbols: Column): Column =
     decode(unhex(translate(concat_ws("", symbols), BpeJoiner, "")), "UTF-8")
+
+  /** Tokenizer fertility audit — the per-group efficiency report a
+    * vocabulary decision is made on (HuggingFace "fertility" = subword
+    * tokens per word; Rust/SentencePiece eval reports the same
+    * triple): apply a byte-level vocabulary ([[bpeApplyBytes]]) and
+    * aggregate per `groupCol` (typically language):
+    *
+    *  - `fertility` = total BPE symbols / total whitespace words — the
+    *    classic metric, meaningful for whitespace scripts (a CJK group
+    *    has ~1 "word" per doc; read `bytes_per_symbol` there instead);
+    *  - `bytes_per_symbol` = UTF-8 bytes / symbols — the
+    *    compression-rate view that works for EVERY script;
+    *  - `unmerged_frac` = fraction of emitted symbols that are bare
+    *    byte-fallback symbols (no merge applied) — the coverage gap:
+    *    a vocabulary trained on English shows ~0 on English and ~1 on
+    *    scripts it never saw, exactly the signal that drives vocab
+    *    retraining before a multilingual run.
+    *
+    * Scale shape: one narrow apply pass + ONE hash aggregate keyed by
+    * the group — partial aggregation map-side, |groups| rows out
+    * whatever the corpus. Ratio columns are null for empty
+    * denominators (a group with no whitespace words reports no
+    * fertility rather than a fake number). */
+  def tokenizerFertility(df: DataFrame, textCol: String, groupCol: String,
+                         merges: Seq[(String, String)]): DataFrame = {
+    val applied = bpeApplyBytes(df, textCol, merges, outCol = "__tf_syms")
+    val syms = col("__tf_syms")
+    applied
+      .withColumn("__tf_words", size(Featurize.tokensCol(col(textCol))))
+      .withColumn("__tf_bytes", octet_length(col(textCol)).cast("long"))
+      .withColumn("__tf_base",
+        size(filter(syms, s => !s.contains(BpeJoiner))))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tf_words")).as("total_words"),
+        sum(size(syms)).as("total_symbols"),
+        sum(col("__tf_bytes")).as("total_bytes"),
+        sum(col("__tf_base")).as("base_symbols"))
+      .withColumn("fertility",
+        when(col("total_words") > 0,
+          round(col("total_symbols").cast("double") /
+            col("total_words").cast("double"), 6)))
+      .withColumn("bytes_per_symbol",
+        when(col("total_symbols") > 0,
+          round(col("total_bytes").cast("double") /
+            col("total_symbols").cast("double"), 6)))
+      .withColumn("unmerged_frac",
+        when(col("total_symbols") > 0,
+          round(col("base_symbols").cast("double") /
+            col("total_symbols").cast("double"), 6)))
+  }
 
   /** One left-to-right greedy non-overlapping merge pass — the exact
     * Scala equivalent of [[mergePair]]'s

@@ -1018,6 +1018,8 @@ object ExtQueries {
           "q_stream_semantic" -> streamSemanticSqlFor(
             ivfCentsCache.values.iterator.next()),
           "q_cluster_balance" -> clusterBalanceSqlFor(
+            ivfCentsCache.values.iterator.next()),
+          "q_select_diverse" -> diverseSelectSqlFor(
             ivfCentsCache.values.iterator.next()))
       else Map.empty[String, String]
     val pq =
@@ -1041,7 +1043,9 @@ object ExtQueries {
     val bpeBytes =
       if (bpeByteMergesCache.size == 1)
         Map("q_bpe_apply_bytes" -> bpeApplyBytesSqlFor(
-          bpeByteMergesCache.values.iterator.next()))
+            bpeByteMergesCache.values.iterator.next()),
+          "q_tokenizer_fertility" -> tokenizerFertilitySqlFor(
+            bpeByteMergesCache.values.iterator.next()))
       else Map.empty[String, String]
     ivf ++ pq ++ ivfpq ++ bpe ++ bpeBytes
   }
@@ -1734,6 +1738,57 @@ object ExtQueries {
        |  CAST(len(bpe_symbols) AS INTEGER) AS n_symbols,
        |  true AS rt_ok
        |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  /** Tokenizer fertility audit ([[TextStats.tokenizerFertility]])
+    * over documents ∪ the unicode zoo, grouped by lang: the
+    * English-trained byte vocabulary shows LOW unmerged_frac on the
+    * ASCII corpus slices and ~1.0 on the non-ASCII zoo rows — the
+    * vocabulary-coverage signal, value-exact cross-engine (integer
+    * totals; ratios rounded at 6 dp from the same integer sums). */
+  val tokenizerFertilityQ: Q = (s, dir) => {
+    val merges = bpeByteMergesFor(s, dir)
+    TextStats.tokenizerFertility(unicodeBase(s, dir), "text", "lang", merges)
+      .select("lang", "n_docs", "total_words", "total_symbols",
+        "total_bytes", "base_symbols", "fertility", "bytes_per_symbol",
+        "unmerged_frac")
+      .orderBy("lang")
+  }
+
+  /** Per-group fertility mirror: the same byte merge replay as
+    * [[bpeApplyBytesSqlFor]], aggregated per lang. */
+  def tokenizerFertilitySqlFor(merges: Seq[(String, String)]): String = {
+    def q(str: String) = str.replace("'", "''")
+    val seed = """trim(regexp_replace(hex(encode(text)), '(..)', '\1 ', 'g'))"""
+    val chain = merges.foldLeft(seed) {
+      case (acc, (l, r)) =>
+        val from = "' " + q(l) + "  " + q(r) + " '"
+        val to = "' " + q(l) + TextStats.BpeJoiner + q(r) + " '"
+        s"trim(replace(replace(' ' || replace($acc, ' ', '  ') || ' ', $from, $to), '  ', ' '))"
+    }
+    s"""WITH $unicodeBaseSql,
+       |a AS (SELECT doc_id, lang, text,
+       |    list_filter(string_split($chain, ' '), t -> len(t) > 0)
+       |      AS bpe_symbols
+       |  FROM base),
+       |g AS (SELECT lang,
+       |  COUNT(*) AS n_docs,
+       |  SUM(CAST(len($toksSql) AS BIGINT)) AS total_words,
+       |  SUM(CAST(len(bpe_symbols) AS BIGINT)) AS total_symbols,
+       |  SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+       |  SUM(CAST(len(list_filter(bpe_symbols,
+       |    sy -> NOT contains(sy, '${TextStats.BpeJoiner}'))) AS BIGINT))
+       |    AS base_symbols
+       |FROM a GROUP BY 1)
+       |SELECT lang, n_docs, total_words, total_symbols, total_bytes,
+       |  base_symbols,
+       |  CASE WHEN total_words > 0 THEN ROUND(CAST(total_symbols AS DOUBLE)
+       |    / CAST(total_words AS DOUBLE), 6) END AS fertility,
+       |  CASE WHEN total_symbols > 0 THEN ROUND(CAST(total_bytes AS DOUBLE)
+       |    / CAST(total_symbols AS DOUBLE), 6) END AS bytes_per_symbol,
+       |  CASE WHEN total_symbols > 0 THEN ROUND(CAST(base_symbols AS DOUBLE)
+       |    / CAST(total_symbols AS DOUBLE), 6) END AS unmerged_frac
+       |FROM g ORDER BY lang""".stripMargin
   }
 
   /** Block-quantized exact span dedup ([[Dedup.spanDedup]]): every
@@ -2547,6 +2602,81 @@ object ExtQueries {
         "vec_id", "embedding", ivfCents(s, dir), perCellCap = 10)
       .orderBy("cell", "cell_rank")
 
+  /** Diversity-maximizing per-cell selection
+    * ([[Selection.diverseSelect]]): the deterministic farthest-point
+    * greedy, 3 picks from a 40-candidate deterministic sample per
+    * k-means cell. Shares [[ivfCents]]'s memoized centroids; the
+    * oracle unrolls the 3-step greedy into explicit argmax stages
+    * over the same rounded cosine distances. */
+  val selectDiverseQ: Q = (s, dir) =>
+    Selection.diverseSelect(
+        embeddings(s, dir).select("vec_id", "embedding"),
+        "vec_id", "embedding", ivfCents(s, dir),
+        picksPerCell = 3, candCap = 40)
+      .orderBy("cell", "pick_rank")
+
+  /** The diverse-select query mirrored in SQL: literal-centroid cell
+    * assignment + the (md5, id) candidate cap of
+    * [[clusterBalanceSqlFor]], then the greedy UNROLLED — pick 1 =
+    * min id; pick t = argmax of the running min distance
+    * `1 − round(cosine, 6)` to picks 1..t−1, tie → min id. */
+  def diverseSelectSqlFor(cents: Array[Array[Double]]): String = {
+    val k = cents.length
+    val centsLit = cents.map(_.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def simExpr(i: Int): String =
+      if (cnorms(i) == 0) "CAST(0.0 AS DOUBLE)"
+      else {
+        val fold = foldSumSql(
+          s"list_transform(range(1, len(cv)+1), j -> cv[j] * cents[${i + 1}][j])")
+        s"(CASE WHEN vn > 0 THEN $fold / (vn * ${dlit(cnorms(i))}) ELSE 0.0 END)"
+      }
+    val sims = (0 until k).map(i => s"  ${simExpr(i)} AS s_$i").mkString(",\n")
+    val best = s"greatest(${(0 until k).map("s_" + _).mkString(", ")})"
+    val cellCase = (0 until k - 1).map(i => s"WHEN s_$i = best THEN $i")
+      .mkString("\n    ") + s"\n    ELSE ${k - 1}"
+    def distPair(xcv: String, xvn: String, ycv: String, yvn: String) = {
+      val fold = foldSumSql(
+        s"list_transform(range(1, len($xcv)+1), j -> $xcv[j] * $ycv[j])")
+      s"""(1 - round(CASE WHEN $xvn > 0 AND $yvn > 0
+         |    THEN $fold / ($xvn * $yvn) ELSE 0.0 END, 6))""".stripMargin
+    }
+    s"""WITH ct AS (SELECT $centsLit AS cents),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |n AS (SELECT vec_id, cv,
+       |  sqrt(${foldSumSql("list_transform(range(1, len(cv)+1), j -> cv[j] * cv[j])")}) AS vn
+       |  FROM e),
+       |s AS (SELECT vec_id, cv, vn,
+       |$sims
+       |FROM n, ct),
+       |m AS (SELECT *, $best AS best FROM s),
+       |a AS (SELECT vec_id, cv, vn,
+       |  CAST(CASE $cellCase END AS INTEGER) AS cell FROM m),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM a),
+       |c AS (SELECT cell, vec_id, cv, vn FROM r WHERE rk <= 40),
+       |p1 AS (SELECT c.cell, c.vec_id, c.cv, c.vn FROM c
+       |  JOIN (SELECT cell, min(vec_id) AS id FROM c GROUP BY 1) w
+       |  ON c.cell = w.cell AND c.vec_id = w.id),
+       |d1 AS (SELECT c.cell, c.vec_id, c.cv, c.vn,
+       |  ${distPair("c.cv", "c.vn", "p.cv", "p.vn")} AS md
+       |  FROM c JOIN p1 p ON c.cell = p.cell AND c.vec_id <> p.vec_id),
+       |p2 AS (SELECT cell, vec_id, cv, vn, md FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY md DESC, vec_id) AS rn FROM d1) WHERE rn = 1),
+       |d2 AS (SELECT d.cell, d.vec_id,
+       |  least(d.md, ${distPair("d.cv", "d.vn", "p.cv", "p.vn")}) AS md
+       |  FROM d1 d JOIN p2 p ON d.cell = p.cell AND d.vec_id <> p.vec_id),
+       |p3 AS (SELECT cell, vec_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY md DESC, vec_id) AS rn FROM d2) WHERE rn = 1)
+       |SELECT cell, 1 AS pick_rank, vec_id FROM p1
+       |UNION ALL SELECT cell, 2, vec_id FROM p2
+       |UNION ALL SELECT cell, 3, vec_id FROM p3
+       |ORDER BY cell, pick_rank""".stripMargin
+  }
+
   /** The cluster-balance query mirrored in SQL: the literal-centroid
     * assignment CTE of [[dedupSemanticSqlFor]] (same staged norms,
     * same first-max-wins argmax), then ROW_NUMBER over
@@ -2826,6 +2956,44 @@ object ExtQueries {
        |    AND n_stopwords >= 2 AS pass_gopher
        |FROM c ORDER BY doc_id""".stripMargin
   }
+
+  /** Blocklist (C4 bad-word-list) flags over the corpus plus one
+    * planted mixed-case document: word entries `merge`/`slow` fire on
+    * hundreds of organic docs while `contraband` never occurs (both
+    * directions exercised without planting), the phrase entry
+    * `hash join` fires as a substring across token boundaries, and
+    * the planted doc proves case-folding on both kinds (upper-case
+    * MERGE token, `Hash JOIN` phrase). Counts are per-occurrence. */
+  val qualityBlocklistQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val planted = s.range(1).select(lit(400000L).as("doc_id"),
+      lit("Totally CLEAN prose until a MERGE appears; also a Hash JOIN phrase.")
+        .as("text"))
+    TextStats.withBlocklistFlags(docs.unionAll(planted), "text",
+        Seq("merge", "slow", "contraband", "hash join"))
+      .select("doc_id", "n_blocked_words", "n_blocked_phrases",
+        "pass_blocklist")
+      .orderBy("doc_id")
+  }
+
+  val qualityBlocklistSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT 400000,
+       |    'Totally CLEAN prose until a MERGE appears; also a Hash JOIN phrase.'),
+       |t AS (SELECT doc_id, lower(text) AS ltext,
+       |  $toksLowerSql AS toks FROM base),
+       |c AS (SELECT doc_id,
+       |  len(list_filter(toks,
+       |    tk -> list_contains(['contraband', 'merge', 'slow'], tk)))
+       |    AS n_blocked_words,
+       |  CAST((len(ltext) - len(replace(ltext, 'hash join', ''))) / 9 AS INT)
+       |    AS n_blocked_phrases
+       |FROM t)
+       |SELECT doc_id, n_blocked_words, n_blocked_phrases,
+       |  n_blocked_words = 0 AND n_blocked_phrases = 0 AS pass_blocklist
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** Gopher repetition rules (§A1.2) over the corpus plus planted
     * pathological documents: five docs duplicated line-wise
@@ -4323,6 +4491,7 @@ object ExtQueries {
     "q_stream_script" -> streamScriptQ,
     "q_retrieval_metrics" -> retrievalMetricsQ,
     "q_bpe_apply_bytes" -> bpeApplyBytesQ,
+    "q_tokenizer_fertility" -> tokenizerFertilityQ,
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
     "q_stream_contamination" -> streamContaminationQ,
@@ -4360,6 +4529,7 @@ object ExtQueries {
     "q_join_bucketed" -> joinBucketedQ,
     "q_bm25_topk" -> bm25TopKQ,
     "q_quality_gopher" -> qualityGopher,
+    "q_quality_blocklist" -> qualityBlocklistQ,
     "q_quality_repetition" -> qualityRepetitionQ,
     "q_select_weighted" -> selectWeightedQ,
     "q_dsir_weights" -> dsirWeightsQ,
@@ -4378,6 +4548,7 @@ object ExtQueries {
     "q_heavy_hitters_approx" -> heavyHittersApproxQ,
     "q_quality_c4" -> qualityC4Q,
     "q_cluster_balance" -> clusterBalanceQ,
+    "q_select_diverse" -> selectDiverseQ,
     "q_datasheet_approx" -> datasheetApproxQ,
     "q_sketch_column" -> sketchColumnQ,
     "q_sketch_profile" -> sketchProfileQ,
@@ -4453,6 +4624,7 @@ object ExtQueries {
     "q_join_bucketed" -> joinBucketedSql,
     "q_bm25_topk" -> bm25TopKSql,
     "q_quality_gopher" -> qualityGopherSql,
+    "q_quality_blocklist" -> qualityBlocklistSql,
     "q_quality_repetition" -> qualityRepetitionSql,
     "q_select_weighted" -> selectWeightedSql,
     "q_dsir_weights" -> dsirWeightsSql,

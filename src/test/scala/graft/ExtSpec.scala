@@ -1064,6 +1064,77 @@ class ExtSpec extends AnyFunSuite {
     assert(f(4L).getAs[Boolean]("rule_words")) // 50 words is in range
   }
 
+  test("diverseSelect: farthest-point greedy picks spread, not proximity") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    // cell 0: id2 nearly duplicates id1; id3 is the farthest direction;
+    // id4 sits between. Greedy from min-id must pick 1, 3, 4 — a
+    // volume cap (clusterBalance) would have kept the near-duplicate.
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.01f)),
+      (3L, Seq(0.6f, 0.8f)), (4L, Seq(0.8f, 0.6f)),
+      (10L, Seq(-1.0f, 0.0f)), (11L, Seq(-0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Selection.diverseSelect(
+        rows, "vec_id", "embedding", cents, picksPerCell = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((0, 1)) == 1L) // pick 1 = min id
+    assert(got((0, 2)) == 3L) // farthest from 1
+    assert(got((0, 3)) == 4L) // 0.04 from 3 beats the near-dup's 5e-5
+    assert(got((1, 1)) == 10L)
+    assert(got((1, 2)) == 11L)
+    assert(!got.contains((1, 3))) // cell exhausted: 2 picks only
+    intercept[IllegalArgumentException] {
+      graft.ext.Selection.diverseSelect(rows, "vec_id", "embedding",
+        cents, picksPerCell = 5, candCap = 3)
+    }
+  }
+
+  test("tokenizer fertility: exact hand-computed triple per group") {
+    import spark.implicits._
+    // "He He" = 48 65 20 48 65; merge (48,65) -> [48▁65, 20, 48▁65]
+    // "你"    = E4 BD A0 (no merge applies) -> 3 base symbols
+    val rows = Seq(("en", 1L, "He He"), ("zh", 2L, "你"))
+      .toDF("lang", "doc_id", "text")
+    val f = TextStats.tokenizerFertility(rows, "text", "lang",
+        Seq(("48", "65")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(f("en").getAs[Long]("total_words") == 2L)
+    assert(f("en").getAs[Long]("total_symbols") == 3L)
+    assert(f("en").getAs[Long]("total_bytes") == 5L)
+    assert(f("en").getAs[Long]("base_symbols") == 1L)
+    assert(f("en").getAs[Double]("fertility") == 1.5)
+    assert(f("en").getAs[Double]("bytes_per_symbol") == 1.666667)
+    assert(f("en").getAs[Double]("unmerged_frac") == 0.333333)
+    assert(f("zh").getAs[Long]("total_symbols") == 3L)
+    assert(f("zh").getAs[Double]("fertility") == 3.0)
+    assert(f("zh").getAs[Double]("unmerged_frac") == 1.0) // zero coverage
+  }
+
+  test("blocklist flags: token-exact words, substring phrases, case-fold, per-occurrence") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "clean prose with nothing at all blocked"),
+      (2L, "bad BAD bad"),                 // word ×3 across cases
+      (3L, "a badge is not a bad word"),   // word must NOT match inside badge
+      (4L, "foo bar then foo bar again"),  // phrase ×2
+      (5L, "xfoo barx"))                   // phrase matches as substring
+      .toDF("doc_id", "text")
+    val f = TextStats.withBlocklistFlags(
+        rows, "text", Seq("Bad ", "bad", "foo bar")) // trim+dedup entries
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[Boolean]("pass_blocklist"))
+    assert(f(2L).getAs[Int]("n_blocked_words") == 3)
+    assert(!f(2L).getAs[Boolean]("pass_blocklist"))
+    assert(f(3L).getAs[Int]("n_blocked_words") == 1) // only the bare token
+    assert(f(4L).getAs[Int]("n_blocked_phrases") == 2)
+    assert(f(5L).getAs[Int]("n_blocked_phrases") == 1)
+    assert(!f(5L).getAs[Boolean]("pass_blocklist"))
+    intercept[IllegalArgumentException] {
+      TextStats.withBlocklistFlags(rows, "text", Seq("  ", ""))
+    }
+  }
+
   test("clusterBalance caps each cell, keeps best-by-score or deterministic md5 sample") {
     import spark.implicits._
     // two well-separated centroids on the x axis; 8 vectors per side
