@@ -945,4 +945,65 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col(idCol), col("neighbor_id"), col("cosine"))
   }
+
+  /** Streaming TEXT near-dup gate — the MinHash/LSH counterpart of
+    * [[semanticMatches]]: which reference documents is each arriving
+    * document a likely near-duplicate of? Arrivals get their MinHash
+    * signature IN-ROW (the column form [[minhashSignature]] — no
+    * aggregation, so the stream side stays a stateless narrow
+    * projection in append mode), band keys explode per arrival, and a
+    * stream-static equi-join on `(band_idx, band_key)` pairs each
+    * arrival with only the reference docs sharing a band — never
+    * all-pairs. Output: `(id, neighbor_id, est_jaccard)` where
+    * `est_jaccard` = agreeing signature lanes / `numHashes` (the
+    * standard MinHash Jaccard estimate), thresholded at `minJaccard`.
+    *
+    * Exact-once emission without a stateful distinct: a pair sharing
+    * several bands would surface once per shared band, and
+    * de-duplicating on a stream means state. Instead both full
+    * signatures ride the join, the first agreeing band index is
+    * recomputed IN-ROW from them, and the pair is kept only in that
+    * band's row — the same emit-where-it-starts trick as
+    * [[graft.ops.RangeJoin]]'s interval overlap, stateless by
+    * construction.
+    *
+    * Scale shape: the reference's signature+band table is
+    * |ref|·`bands` narrow rows (32-B keys + the lane array — bodies
+    * never leave the scan); the arrival side is linear in the batch.
+    * Works identically in batch (stream == batch is spec-pinned). */
+  def minhashMatches(arrivals: DataFrame, reference: DataFrame,
+                     idCol: String, textCol: String,
+                     numHashes: Int = 4, bands: Int = 2,
+                     minJaccard: Double = 0.0): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes=$numHashes not divisible by bands=$bands")
+    val rows = numHashes / bands
+    val ref = minhashSignatures(
+        reference.select(col(idCol).as("neighbor_id"), col(textCol)),
+        textCol, "neighbor_id", numHashes)
+      .withColumn("__rsig",
+        array((0 until numHashes).map(i => col(s"m$i")): _*))
+      .select(col("neighbor_id"), col("__rsig"),
+        posexplode(bandKeysFromColumns(numHashes, bands))
+          .as(Seq("band_idx", "band_key")))
+    val arr = arrivals
+      .select(col(idCol), Featurize.tokensCol(col(textCol)).as("__t"))
+      .select(col(idCol), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__asig", minhashSignature(col("__sh"), numHashes))
+      .select(col(idCol), col("__asig"),
+        posexplode(bandKeys(col("__asig"), bands, rows))
+          .as(Seq("band_idx", "band_key")))
+    val firstMatch = array_min(filter(
+      sequence(lit(0), lit(bands - 1)),
+      b => slice(col("__asig"), b * rows + 1, lit(rows)) ===
+        slice(col("__rsig"), b * rows + 1, lit(rows))))
+    arr.join(ref, Seq("band_idx", "band_key"))
+      .where(col("band_idx") === firstMatch)
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("__asig"), col("__rsig"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes, 6))
+      .where(col("est_jaccard") >= minJaccard)
+      .select(col(idCol), col("neighbor_id"), col("est_jaccard"))
+  }
 }

@@ -3803,6 +3803,75 @@ object ExtQueries {
       .orderBy("vec_id", "neighbor_id")
   }
 
+  /** Streaming TEXT near-dup gate ([[Dedup.minhashMatches]]) as a
+    * REAL streaming run: arrivals = planted exact copies
+    * (doc_id+700000 of doc_id < 10 — all four lanes agree, est 1.0),
+    * tail-mutated near-dups (doc_id+710000 of 10 ≤ doc_id < 15,
+    * ` extra appended words here` appended — only tail shingles
+    * change, so lanes may or may not move; the oracle computes the
+    * identical estimate), and reversed decoys (doc_id+720000 of
+    * 15 ≤ doc_id < 20 — different shingles entirely), streamed
+    * AvailableNow against the static document corpus. Stateless
+    * append all the way to the idempotent parquet sink; pairs
+    * emitted exactly once via the first-agreeing-band rule. */
+  val streamNeardupQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("sndp", dir)
+    val docs = documents(s, dir).select("doc_id", "text")
+    val arrivals = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+        .select((col("doc_id") + 710000).as("doc_id"),
+          concat(col("text"), lit(" extra appended words here")).as("text")))
+      .unionByName(docs.where(col("doc_id") >= 15 && col("doc_id") < 20)
+        .select((col("doc_id") + 720000).as("doc_id"),
+          reverse(col("text")).as("text")))
+    arrivals.write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(arrivals.schema).parquet(s"$base/src")
+    val matches = Dedup.minhashMatches(stream, docs, "doc_id", "text")
+    val q = graft.streaming.ScoreStream.idempotentParquetSink(
+      matches, s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select("doc_id", "neighbor_id", "est_jaccard")
+      .orderBy("doc_id", "neighbor_id")
+  }
+
+  /** [[streamNeardupQ]]'s oracle: the same 4-lane MinHash on both
+    * sides (the [[dedupMinhashSigSql]] lane arithmetic), candidate
+    * iff band (m0,m1) or band (m2,m3) agrees, estimate = agreeing
+    * lanes / 4 — one row per qualifying pair, matching the
+    * first-band exact-once emission. */
+  val streamNeardupSql = {
+    def lanes(pfx: String) = (0 until 4).map(i =>
+      s"  list_min(list_transform(sh, x -> substr(md5(x), ${i * 8 + 1}, 8))) AS $pfx$i")
+      .mkString(",\n")
+    s"""WITH arr0 AS (
+       |  SELECT doc_id + 700000 AS id, text FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 710000, text || ' extra appended words here'
+       |  FROM documents WHERE doc_id >= 10 AND doc_id < 15
+       |  UNION ALL
+       |  SELECT doc_id + 720000, reverse(text)
+       |  FROM documents WHERE doc_id >= 15 AND doc_id < 20),
+       |ta AS (SELECT id, $toksSql AS toks FROM arr0),
+       |sa AS (SELECT id, $shinglesSql AS sh FROM ta),
+       |ma AS (SELECT id,
+       |${lanes("a")}
+       |FROM sa WHERE len(sh) > 0),
+       |tr AS (SELECT doc_id AS neighbor_id, $toksSql AS toks FROM documents),
+       |sr AS (SELECT neighbor_id, $shinglesSql AS sh FROM tr),
+       |mr AS (SELECT neighbor_id,
+       |${lanes("m")}
+       |FROM sr WHERE len(sh) > 0)
+       |SELECT a.id AS doc_id, r.neighbor_id,
+       |  ROUND(CAST((a.a0 = r.m0)::INT + (a.a1 = r.m1)::INT +
+       |    (a.a2 = r.m2)::INT + (a.a3 = r.m3)::INT AS DOUBLE) / 4, 6)
+       |    AS est_jaccard
+       |FROM ma a JOIN mr r
+       |  ON (a.a0 = r.m0 AND a.a1 = r.m1) OR (a.a2 = r.m2 AND a.a3 = r.m3)
+       |ORDER BY doc_id, neighbor_id""".stripMargin
+  }
+
   /** [[streamSemanticQ]]'s oracle: both sides assigned via the same
     * literal-centroid first-max-wins argmax as [[dedupSemanticSqlFor]],
     * joined on cell, 6-dp cosine ≥ 0.99. */
@@ -4496,6 +4565,7 @@ object ExtQueries {
     "q_stream_window" -> streamWindow,
     "q_stream_contamination" -> streamContaminationQ,
     "q_stream_semantic" -> streamSemanticQ,
+    "q_stream_neardup" -> streamNeardupQ,
     "q_stream_join" -> streamJoin,
     "q_sessionize" -> sessionizeQ,
     "q_sessionize_timers" -> sessionizeTimersQ,
@@ -4594,6 +4664,7 @@ object ExtQueries {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stream_window" -> streamWindowSql,
     "q_stream_contamination" -> streamContaminationSql,
+    "q_stream_neardup" -> streamNeardupSql,
     "q_stream_join" -> streamJoinSql,
     "q_sessionize" -> sessionizeSql,
     "q_sessionize_timers" -> sessionizeTimersSql,

@@ -530,6 +530,38 @@ class StreamingSpec extends AnyFunSuite {
       .map(i => (i + 900000L, i.toLong, 1.0)).toSet, batch.toString)
   }
 
+  test("streaming minhash near-dup gate: stream == batch, exact-once, copies at 1.0") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val arrivals = docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") >= 5 && col("doc_id") < 10)
+        .select((col("doc_id") + 720000).as("doc_id"),
+          reverse(col("text")).as("text")))
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val batch = grab(graft.ext.Dedup.minhashMatches(
+      arrivals, docs, "doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("ndp_arr").toString
+    arrivals.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(arrivals.schema).parquet(dir)
+    val q = graft.ext.Dedup.minhashMatches(stream, docs, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndp_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = grab(spark.table("ndp_out"))
+    assert(streamed.sorted == batch.sorted,
+      s"stream=${streamed.sorted} batch=${batch.sorted}")
+    // exact copies agree on BOTH bands yet surface exactly once, at 1.0
+    (0 until 5).foreach { i =>
+      assert(batch.count(t => t._1 == i + 700000L && t._2 == i.toLong) == 1)
+      assert(batch.contains((i + 700000L, i.toLong, 1.0)))
+    }
+    // every emitted (id, neighbor) pair is unique — the first-band rule
+    assert(batch.map(t => (t._1, t._2)).distinct.size == batch.size)
+  }
+
   test("model-based quality monitor: keep rates match batch; raw source collapses") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
