@@ -397,6 +397,39 @@ object TextStats extends Serializable {
       .drop("__bl_lower")
   }
 
+  /** Filter-funnel audit — the operational observability report a
+    * curation run is judged by: how many documents survive each
+    * successive filter stage (raw → Gopher hygiene → C4 line/page
+    * rules → blocklist → exact-unique). Stages are CUMULATIVE (a doc
+    * counts at stage k only if it passed stages 1..k), so consecutive
+    * rows read directly as "this filter removed n_{k-1} − n_k docs" —
+    * the number a pipeline owner actually watches.
+    *
+    * Scale shape: all flag columns are narrow codegen over one corpus
+    * scan, and every stage count rides ONE aggregate pass (conditional
+    * counts share the partial aggregate; the unique stage is a
+    * count-distinct over the conditional md5, the same Expand shape as
+    * the datasheet's exact-median). Output: 5 rows whatever the
+    * corpus. */
+  def filterFunnel(df: DataFrame, textCol: String,
+                   blocklist: Seq[String]): DataFrame = {
+    val staged = withBlocklistFlags(
+      withC4Flags(withGopherFlags(df, textCol), textCol), textCol, blocklist)
+    val g = col("pass_gopher")
+    val c = g && col("pass_c4")
+    val b = c && col("pass_blocklist")
+    staged.agg(
+        count(lit(1)).as("n_raw"),
+        count(when(g, 1)).as("n_gopher"),
+        count(when(c, 1)).as("n_c4"),
+        count(when(b, 1)).as("n_blocklist"),
+        countDistinct(when(b, md5(col(textCol)))).as("n_unique"))
+      .select(expr(
+        "stack(5, 0, 'raw', n_raw, 1, 'gopher', n_gopher, " +
+          "2, 'c4', n_c4, 3, 'blocklist', n_blocklist, " +
+          "4, 'unique', n_unique) AS (stage_idx, stage, n_docs)"))
+  }
+
   /** Fraction of repeated (non-distinct) n-grams in a pre-computed
     * gram array — the Gopher-style repetition quality signal. Callers
     * should pass an ATTRIBUTE (stage the gram expression under its own
@@ -580,6 +613,53 @@ object TextStats extends Serializable {
     piiPatterns.foldLeft(text) { case (c, (p, r)) =>
       regexp_replace(c, p, r)
     }
+
+  /** The tag/block strip passes of [[extractHtmlText]], applied in
+    * order. Patterns live in the Java∩RE2 subset (like
+    * [[piiPatterns]]) so the DuckDB oracle replays them verbatim:
+    * inline `(?is)` flags, lazy `.*?`, `\b` — all shared. */
+  val htmlStripPatterns: Seq[(String, String)] = Seq(
+    ("(?s)<!--.*?-->", " "),              // comments (incl. multi-line)
+    ("(?is)<script\\b.*?</script>", " "), // script blocks, content too
+    ("(?is)<style\\b.*?</style>", " "),   // style blocks, content too
+    ("<[^>]+>", " "))                     // any remaining tag
+
+  /** HTML entity decodes, applied AFTER tag removal. `&amp;` is
+    * deliberately LAST: decoding it first would turn `&amp;lt;` into
+    * `&lt;` and then a phantom `<` — the classic double-decode bug. */
+  val htmlEntityDecodes: Seq[(String, String)] = Seq(
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"))
+
+  /** Extract visible text from crawled HTML — the front door of a
+    * web-corpus pipeline (everything downstream of this module
+    * assumes text, and a real crawl arrives as markup). Deliberately
+    * a REGEX chain, not a parser (the trafilatura-lite trade):
+    * comments, script/style blocks (content included), then every
+    * remaining tag become spaces; the six dominant entities decode;
+    * whitespace collapses. Tags are replaced by spaces, not deleted,
+    * so `</p><p>` never glues two words together. Known limits,
+    * documented rather than hidden: an UNCLOSED `<script>` leaks its
+    * body as text (the block regex needs the closing tag; the tag
+    * itself still strips), numeric entities other than `&#39;` pass
+    * through, and CDATA is treated as text. Pure narrow codegen —
+    * one pass per pattern, no shuffle, linear per document. */
+  def extractHtmlText(text: Column): Column = {
+    val stripped = htmlStripPatterns.foldLeft(text) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    val decoded = htmlEntityDecodes.foldLeft(stripped) {
+      case (c, (f, t)) => replace(c, lit(f), lit(t))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Frame form of [[extractHtmlText]]: adds `text_html` (the
+    * extracted text) and `had_markup` (did the raw text contain a
+    * tag opener — the cheap "was this actually HTML" audit bit). */
+  def withHtmlText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("text_html", extractHtmlText(col(textCol)))
+      .withColumn("had_markup", col(textCol).contains("<"))
 
   /** Order-insensitive content fingerprint: md5 of the sorted token
     * bag. Identical bags (e.g. shuffled near-duplicates) collide.

@@ -2995,6 +2995,166 @@ object ExtQueries {
        |  n_blocked_words = 0 AND n_blocked_phrases = 0 AS pass_blocklist
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** HTML text extraction ([[TextStats.extractHtmlText]]) over the
+    * corpus plus ten planted full HTML pages wrapping organic text:
+    * comments (multi-line), script/style blocks with entity and
+    * brace content, every major entity, and collapse are exercised;
+    * organic plain-text docs pass through unchanged. The oracle
+    * replays the identical Java∩RE2 strip chain. */
+  val textHtmlQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val planted = docs.where(col("doc_id") < 10).select(
+      (col("doc_id") + 800000).as("doc_id"),
+      concat(
+        lit("<html><head><title>Title</title><style type=\"text/css\">" +
+          "body { color: red; }</style></head><body><!-- hidden\n" +
+          "comment --><h1>"),
+        col("text"),
+        lit("</h1><script>var x = 1 &amp;&amp; 2;</script>" +
+          "<p>Tom &amp; Jerry say &quot;hi&#39; &lt;3&nbsp;ok</p>" +
+          "</body></html>")).as("text"))
+    TextStats.withHtmlText(docs.unionAll(planted), "text")
+      .select("doc_id", "text_html", "had_markup")
+      .orderBy("doc_id")
+  }
+
+  val textHtmlSql = {
+    val strips = TextStats.htmlStripPatterns.foldLeft("text") {
+      case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    val decoded = TextStats.htmlEntityDecodes.foldLeft(strips) {
+      case (acc, (f, t)) =>
+        val tq = if (t == "'") "chr(39)" else s"'$t'"
+        s"replace($acc, '$f', $tq)"
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 800000,
+       |    '<html><head><title>Title</title><style type="text/css">' ||
+       |    'body { color: red; }</style></head><body><!-- hidden' ||
+       |    chr(10) || 'comment --><h1>' || text ||
+       |    '</h1><script>var x = 1 &amp;&amp; 2;</script>' ||
+       |    '<p>Tom &amp; Jerry say &quot;hi&#39; &lt;3&nbsp;ok</p>' ||
+       |    '</body></html>'
+       |  FROM documents WHERE doc_id < 10)
+       |SELECT doc_id,
+       |  trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS text_html,
+       |  contains(text, '<') AS had_markup
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  /** Filter-funnel report ([[TextStats.filterFunnel]]) over the
+    * corpus plus planted pages that differentiate every stage: ten
+    * DISTINCT well-formed pages and ten IDENTICAL copies of one page
+    * (all pass Gopher+C4+blocklist; the copies collapse at the
+    * unique stage) plus five well-formed pages carrying the blocked
+    * word (die exactly at the blocklist stage). Organic word-salad
+    * docs pass Gopher variously and all fail C4's sentence floor, so
+    * each consecutive count drops for a different reason. One agg
+    * pass; oracled against the full composed rule mirror. */
+  val filterFunnelQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val sent = "the quick brown fox and the lazy dog move with care."
+    val goodBase = Array.fill(4)(sent).mkString("\n")
+    val planted = docs.where(col("doc_id") < 10).select(
+        (col("doc_id") + 910000).as("doc_id"),
+        concat(lit(goodBase + "\nthe good ship item"),
+          col("doc_id").cast("string"),
+          lit(" sails gently home to port tonight.")).as("text"))
+      .unionAll(docs.where(col("doc_id") < 10).select(
+        (col("doc_id") + 915000).as("doc_id"),
+        lit(goodBase + "\n" + sent).as("text")))
+      .unionAll(docs.where(col("doc_id") < 5).select(
+        (col("doc_id") + 920000).as("doc_id"),
+        lit(goodBase +
+          "\nthe contraband cargo sails down the misty river tonight.")
+          .as("text")))
+    TextStats.filterFunnel(docs.unionAll(planted), "text",
+        Seq("contraband"))
+      .orderBy("stage_idx")
+  }
+
+  val filterFunnelSql = {
+    val meanLen =
+      """ROUND(CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks, tk -> CAST(len(tk) AS BIGINT))),
+        |      (acc, v) -> acc + v) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |    ELSE 0.0 END, 6)""".stripMargin
+    val symRatio =
+      """CASE WHEN len(toks) > 0 THEN ROUND(
+        |    CAST(len(text) - len(replace(text, '#', '')) +
+        |      (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END""".stripMargin
+    val alphaRatio =
+      """CASE WHEN len(toks) > 0 THEN ROUND(
+        |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))
+        |      AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+        |    ELSE 0.0 END""".stripMargin
+    val stopList = TextStats.gopherStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH gs AS (
+       |  SELECT 'the quick brown fox and the lazy dog move with care.' AS s),
+       |base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 910000,
+       |    g.s || chr(10) || g.s || chr(10) || g.s || chr(10) || g.s ||
+       |    chr(10) || 'the good ship item' || doc_id ||
+       |    ' sails gently home to port tonight.'
+       |  FROM documents, gs g WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 915000,
+       |    g.s || chr(10) || g.s || chr(10) || g.s || chr(10) || g.s ||
+       |    chr(10) || g.s
+       |  FROM documents, gs g WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 920000,
+       |    g.s || chr(10) || g.s || chr(10) || g.s || chr(10) || g.s ||
+       |    chr(10) || 'the contraband cargo sails down the misty river tonight.'
+       |  FROM documents, gs g WHERE doc_id < 5),
+       |t AS (SELECT doc_id, text, $toksSql AS toks,
+       |  list_transform(string_split_regex(text, '\\r?\\n'),
+       |    l -> regexp_replace(l, '\\r+$$', '')) AS lines
+       |  FROM base),
+       |f AS (SELECT doc_id, text, toks, lines,
+       |  list_filter(lines, l ->
+       |    regexp_matches(trim(l), '[.!?"'']$$')
+       |    AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+       |          w -> len(w) > 0)) >= 5
+       |    AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM t),
+       |fl AS (SELECT doc_id, text, toks, lines, kept,
+       |  COALESCE(array_to_string(kept, chr(10)), '') AS text_c4 FROM f),
+       |flags AS (SELECT doc_id, text,
+       |  (len(toks) >= 50 AND len(toks) <= 100000
+       |    AND $meanLen >= 3.0E0 AND $meanLen <= 10.0E0
+       |    AND $symRatio <= 0.1E0
+       |    AND $alphaRatio >= 0.8E0
+       |    AND len(list_filter(toks, tk -> list_contains($stopList, lower(tk))))
+       |      >= 2) AS pg,
+       |  (NOT contains(lower(text), 'lorem ipsum')
+       |    AND NOT contains(text, '{') AND NOT contains(text, '}')
+       |    AND len(regexp_extract_all(text_c4, '[.!?]')) >= 3
+       |    AND len(kept) >= 1) AS pc,
+       |  (len(list_filter(toks, tk -> lower(tk) = 'contraband')) = 0) AS pb
+       |FROM fl)
+       |SELECT 0 AS stage_idx, 'raw' AS stage, COUNT(*) AS n_docs FROM flags
+       |UNION ALL
+       |SELECT 1, 'gopher', COUNT(CASE WHEN pg THEN 1 END) FROM flags
+       |UNION ALL
+       |SELECT 2, 'c4', COUNT(CASE WHEN pg AND pc THEN 1 END) FROM flags
+       |UNION ALL
+       |SELECT 3, 'blocklist',
+       |  COUNT(CASE WHEN pg AND pc AND pb THEN 1 END) FROM flags
+       |UNION ALL
+       |SELECT 4, 'unique',
+       |  COUNT(DISTINCT CASE WHEN pg AND pc AND pb THEN md5(text) END)
+       |FROM flags
+       |ORDER BY stage_idx""".stripMargin
+  }
+
   /** Gopher repetition rules (§A1.2) over the corpus plus planted
     * pathological documents: five docs duplicated line-wise
     * (text + '\n' + text → dup-line fraction 0.5) and one phrase-spam
@@ -4600,6 +4760,8 @@ object ExtQueries {
     "q_bm25_topk" -> bm25TopKQ,
     "q_quality_gopher" -> qualityGopher,
     "q_quality_blocklist" -> qualityBlocklistQ,
+    "q_text_html" -> textHtmlQ,
+    "q_filter_funnel" -> filterFunnelQ,
     "q_quality_repetition" -> qualityRepetitionQ,
     "q_select_weighted" -> selectWeightedQ,
     "q_dsir_weights" -> dsirWeightsQ,
@@ -4696,6 +4858,8 @@ object ExtQueries {
     "q_bm25_topk" -> bm25TopKSql,
     "q_quality_gopher" -> qualityGopherSql,
     "q_quality_blocklist" -> qualityBlocklistSql,
+    "q_text_html" -> textHtmlSql,
+    "q_filter_funnel" -> filterFunnelSql,
     "q_quality_repetition" -> qualityRepetitionSql,
     "q_select_weighted" -> selectWeightedSql,
     "q_dsir_weights" -> dsirWeightsSql,

@@ -1064,6 +1064,51 @@ class ExtSpec extends AnyFunSuite {
     assert(f(4L).getAs[Boolean]("rule_words")) // 50 words is in range
   }
 
+  test("filterFunnel: cumulative stages, each filter bites exactly its victims") {
+    import spark.implicits._
+    val sent = "the quick brown fox and the lazy dog move with care."
+    val good = Array.fill(5)(sent).mkString("\n")
+    val rows = Seq(
+      (1L, good),                        // passes all
+      (2L, good),                        // exact copy of 1: dies at unique
+      (3L, good.replace("move", "xx")),  // distinct survivor
+      (4L, good + "\nthe contraband cargo sails down the misty river tonight."),
+      (5L, "short doc"),                 // dies at gopher
+      (6L, (1 to 20).map(_ => "the word and").mkString(" "))) // gopher ok, no sentences
+      .toDF("doc_id", "text")
+    val got = TextStats.filterFunnel(rows, "text", Seq("contraband"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got("raw") == 6L)
+    assert(got("gopher") == 5L)     // doc 5 out
+    assert(got("c4") == 4L)         // doc 6 out (no terminal punctuation)
+    assert(got("blocklist") == 3L)  // doc 4 out
+    assert(got("unique") == 2L)     // docs {1,2} collapse, 3 distinct
+  }
+
+  test("HTML extraction: blocks stripped, entities decoded, words never glued") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<p>alpha</p><p>beta</p>"),            // tags become spaces
+      (2L, "<script>var a = 1 < 2;</script>keep"), // block content removed
+      (3L, "<style>b { x } </style>kept &amp;lt; stays"), // no double decode
+      (4L, "<!-- multi\nline -->visible"),
+      (5L, "a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"),
+      (6L, "plain text unchanged"),
+      (7L, "<script src=x>leaks</p>"))             // unclosed: tag strips, body leaks
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextStats.withHtmlText(rows, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("text_html") == "alpha beta")
+    assert(got(2L).getAs[String]("text_html") == "keep")
+    assert(got(3L).getAs[String]("text_html") == "kept &lt; stays")
+    assert(got(4L).getAs[String]("text_html") == "visible")
+    assert(got(5L).getAs[String]("text_html") == "a <tag> \"q\" 's' end")
+    assert(got(6L).getAs[String]("text_html") == "plain text unchanged")
+    assert(!got(6L).getAs[Boolean]("had_markup"))
+    assert(got(7L).getAs[String]("text_html") == "leaks")
+    assert(got(7L).getAs[Boolean]("had_markup"))
+  }
+
   test("diverseSelect: farthest-point greedy picks spread, not proximity") {
     import spark.implicits._
     val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
