@@ -528,6 +528,114 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Per-subspace PQ codebooks trained on RESIDUALS `v − cent(cell)`
+    * — the codebook half of IVFADC ([[ivfPqResidualTopK]]). Residuals
+    * concentrate around the origin once the coarse quantizer has
+    * explained the cell structure, so the same ksub codes spend their
+    * resolution on the LOCAL geometry instead of re-describing cell
+    * positions — the reason FAISS's IVFPQ encodes residuals by
+    * default. One narrow residual projection (per-row centroid from
+    * one nested literal lookup), then the same distributed
+    * sub-k-means as [[pqCodebooks]]. */
+  def pqResidualBooks(corpus: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[Array[Double]], m: Int, ksub: Int,
+                      iters: Int = 1): Array[Array[Array[Double]]] = {
+    val dim = cents(0).length
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val withResid = assignCells(corpus, vecCol, cents)
+      .withColumn("__resid", zip_with(asDouble(col(vecCol)),
+        element_at(centsLit, col("cell") + 1), (x, c) => x - c))
+    pqCodebooks(withResid, idCol, "__resid", dim, m, ksub, iters)
+  }
+
+  /** IVFADC proper (Jégou et al. §III): IVF cells prune, PQ codes on
+    * the RESIDUAL `v − cent(cell)` score. Versus [[ivfPqTopK]] (which
+    * quantizes raw vectors), the stored code only has to describe the
+    * within-cell offset, so the same (m, ksub) budget reconstructs
+    * tighter and the probed-cell recall ceiling lifts — the exact
+    * lever the raw-code variant lacks.
+    *
+    * Estimated inner product decomposes as
+    * `⟨q, v⟩ ≈ ⟨q, cent(cell)⟩ + Σₛ lutₛ[codeₛ]` — the first term is
+    * one per (query, probed cell), the LUTs are cell-independent
+    * (dot of query sub-slices against the residual sub-centroids,
+    * m·ksub doubles per query). The reconstruction norm
+    * `|cent + r̂| = √(|cent|² + 2⟨cent, r̂⟩ + |r̂|²)` is assembled
+    * per-row from three LITERAL tables (|cent|² per cell; the
+    * ⟨cent-slice, sub-centroid⟩ cross table, nCells·ksub doubles per
+    * subspace; |sub-centroid|² per code) — computed once on the
+    * driver, never shuffled. Index rows are `(cell, m codes, norm)`;
+    * raw vectors are consumed at encode time and never move. Same
+    * rounding/tie-breaks as [[pqTopK]]. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        cents: Array[Array[Double]], nprobe: Int,
+                        books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = corpus.sparkSession
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val dim = cents(0).length
+    require(m * dsub == dim,
+      s"books cover ${m * dsub} dims, centroids have $dim")
+    val rn2 = books.map(_.map(c => c.map(x => x * x).sum))
+    val cnorm2 = cents.map(c => c.map(x => x * x).sum)
+    // crTable(s)(cell·ksub + j) = ⟨cent(cell) sub-slice s, books(s)(j)⟩
+    val crTable: Array[Array[Double]] = Array.tabulate(m) { sub =>
+      val out = new Array[Double](cents.length * ksub)
+      for (c <- cents.indices; j <- 0 until ksub) {
+        var acc = 0.0
+        var t = 0
+        while (t < dsub) {
+          acc += cents(c)(sub * dsub + t) * books(sub)(j)(t)
+          t += 1
+        }
+        out(c * ksub + j) = acc
+      }
+      out
+    }
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val codeCols = (0 until m).map(i => s"code_$i")
+    val indexed = pqEncode(
+        assignCells(corpus, vecCol, cents)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            col("cell"))
+          .withColumn("__resid", zip_with(asDouble(col("cv")),
+            element_at(centsLit, col("cell") + 1), (x, c) => x - c)),
+        "__resid", books)
+      .withColumn("__cr", (0 until m).map(i =>
+        element_at(lit(crTable(i)),
+          col("cell") * ksub + col(s"code_$i") + 1)).reduce(_ + _))
+      .withColumn("__rn2", (0 until m).map(i =>
+        element_at(lit(rn2(i)), col(s"code_$i") + 1)).reduce(_ + _))
+      .withColumn("__cxn", sqrt(
+        element_at(lit(cnorm2), col("cell") + 1) +
+          lit(2.0) * col("__cr") + col("__rn2")))
+      .select((Seq("neighbor_id", "cell") ++ codeCols :+ "__cxn").map(col): _*)
+    val probed = withProbeCells(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "qv", cents, nprobe)
+      .withColumn("__qn", sqrt(nDot(s, col("qv"), col("qv"))))
+      .withColumn("__qc",
+        nDot(s, col("qv"), element_at(centsLit, col("cell") + 1)))
+    val withLuts = (0 until m).foldLeft(probed) { (acc, i) =>
+      acc.withColumn(s"__lut$i", array((0 until ksub).map(j =>
+        nDot(s, slice(col("qv"), i * dsub + 1, dsub), lit(books(i)(j)))): _*))
+    }.drop("qv")
+    val adot = (0 until m).map(i =>
+      element_at(col(s"__lut$i"), col(s"code_$i") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    indexed.join(broadcast(withLuts), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", when(col("__qn") * col("__cxn") > 0,
+        round((col("__qc") + adot) / (col("__qn") * col("__cxn")), 6))
+        .otherwise(0.0))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** [[ivfTopK]] against caller-held centroids — lets a caller build
     * the index once (or persist centroids) and share them across
     * queries and oracle generation. */

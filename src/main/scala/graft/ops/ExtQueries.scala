@@ -856,6 +856,160 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Residual PQ codebooks (IVFADC): trained on `v − cent(cell)`
+    * against the memoized IVF centroids; memoized for the same
+    * query-and-oracle-share-the-doubles reason as [[pqBooks]]. */
+  private val rpqBooksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def rpqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    rpqBooksCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+      Similarity.pqResidualBooks(embeddings(s, dir), "vec_id", "embedding",
+        ivfCents(s, dir), m = 4, ksub = 8, iters = 1))
+
+  /** IVFADC top-5 ([[Similarity.ivfPqResidualTopK]]): same cells,
+    * same (m, ksub) code budget as [[simIvfPq]], but the codes
+    * describe residuals — the recall-per-byte upgrade FAISS ships by
+    * default. Oracled by the residual mirror. */
+  val simIvfPqResidual: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.ivfPqResidualTopK(emb.where(col("vec_id") < 10), emb,
+      "vec_id", "embedding", 5, ivfCents(s, dir), nprobe = 4,
+      books = rpqBooks(s, dir))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The IVFADC query mirrored in SQL: [[simIvfPqSqlFor]] with the
+    * encode stage running on the in-SQL residual `cv − cent(cell)`
+    * and the reconstruction norm assembled from the same three
+    * literal tables the Spark plan reads (|cent|² per cell, the
+    * ⟨cent-slice, sub-centroid⟩ cross table, |sub-centroid|² per
+    * code). */
+  def simIvfPqResidualSqlFor(cents: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]],
+                             k: Int = 5): String = {
+    val kc = cents.length
+    val centsLit = cents.map(_.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def simExpr(i: Int): String =
+      if (cnorms(i) == 0) "CAST(0.0 AS DOUBLE)"
+      else {
+        val fold = foldSumSql(
+          s"list_transform(range(1, len(cv)+1), j -> cv[j] * cents[${i + 1}][j])")
+        s"(CASE WHEN vn > 0 THEN $fold / (vn * ${dlit(cnorms(i))}) ELSE 0.0 END)"
+      }
+    val sims = (0 until kc).map(i => s"  ${simExpr(i)} AS s_$i").mkString(",\n")
+    val best = s"greatest(${(0 until kc).map("s_" + _).mkString(", ")})"
+    val cellCase = (0 until kc - 1).map(i => s"WHEN s_$i = best THEN $i")
+      .mkString("\n    ") + s"\n    ELSE ${kc - 1}"
+    val probeStructs = (0 until kc).map(i => s"{'s': s_$i, 'cell': $i}")
+      .mkString("[", ", ", "]")
+    val vnFold = foldSumSql("list_transform(range(1, len(cv)+1), j -> cv[j] * cv[j])")
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val booksLit = books.map(_.map(_.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n     ", "]")).mkString("[", ",\n    ", "]")
+    val half = books.map(_.map(c => c.map(x => x * x).sum / 2))
+    val rn2 = books.map(_.map(c => c.map(x => x * x).sum))
+    val cn2cell = cents.map(c => c.map(x => x * x).sum)
+    val crTable: Array[Array[Double]] = Array.tabulate(m) { sub =>
+      val out = new Array[Double](kc * ksub)
+      for (c <- 0 until kc; j <- 0 until ksub) {
+        var acc = 0.0
+        var t = 0
+        while (t < dsub) {
+          acc += cents(c)(sub * dsub + t) * books(sub)(j)(t)
+          t += 1
+        }
+        out(c * ksub + j) = acc
+      }
+      out
+    }
+    def scoreExpr(s: Int, j: Int): String = {
+      val fold = foldSumSql(
+        s"list_transform(range(1, $dsub+1), t -> rv[${s * dsub}+t] * books[${s + 1}][${j + 1}][t])")
+      s"($fold - ${dlit(half(s)(j))})"
+    }
+    val scores = (0 until m).flatMap(s => (0 until ksub).map(j =>
+      s"  ${scoreExpr(s, j)} AS p_${s}_$j")).mkString(",\n")
+    val bests = (0 until m).map(s =>
+      s"  greatest(${(0 until ksub).map(j => s"p_${s}_$j").mkString(", ")}) AS b_$s")
+      .mkString(",\n")
+    val codes = (0 until m).map { s =>
+      val cases = (0 until ksub - 1)
+        .map(j => s"WHEN p_${s}_$j = b_$s THEN $j").mkString(" ")
+      s"  CAST(CASE $cases ELSE ${ksub - 1} END AS INTEGER) AS code_$s"
+    }.mkString(",\n")
+    val crSum = (0 until m).map(s =>
+      s"(${crTable(s).map(dlit).mkString("[", ", ", "]")})[cell * $ksub + code_$s + 1]")
+      .mkString(" + ")
+    val rnSum = (0 until m).map(s =>
+      s"(${rn2(s).map(dlit).mkString("[", ", ", "]")})[code_$s + 1]")
+      .mkString(" + ")
+    val cxn =
+      s"sqrt((${cn2cell.map(dlit).mkString("[", ", ", "]")})[cell + 1]" +
+        s" + 2.0 * ($crSum) + ($rnSum))"
+    val luts = (0 until m).map { s =>
+      val entries = (0 until ksub).map { j =>
+        foldSumSql(
+          s"list_transform(range(1, $dsub+1), t -> qv[${s * dsub}+t] * books[${s + 1}][${j + 1}][t])")
+      }.mkString("[", ",\n     ", "]")
+      s"  $entries AS lut_$s"
+    }.mkString(",\n")
+    val qcFold = foldSumSql(
+      "list_transform(range(1, len(qv)+1), j -> qv[j] * cents[cell + 1][j])")
+    val adot = (0 until m).map(s => s"lut_$s[code_$s + 1]").mkString(" + ")
+    val codeList = (0 until m).map(s => s"code_$s").mkString(", ")
+    s"""WITH ct AS (SELECT $centsLit AS cents),
+       |bk AS (SELECT $booksLit AS books),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |n AS (SELECT vec_id, cv, sqrt($vnFold) AS vn FROM e),
+       |s AS (SELECT vec_id, cv, vn,
+       |$sims
+       |FROM n, ct),
+       |mm AS (SELECT *, $best AS best FROM s),
+       |a AS (SELECT vec_id, cv, vn,
+       |  CAST(CASE $cellCase END AS INTEGER) AS cell FROM mm),
+       |rsd AS (SELECT vec_id, cell,
+       |    list_transform(range(1, len(cv)+1),
+       |      j -> cv[j] - cents[cell + 1][j]) AS rv
+       |  FROM a, ct),
+       |sc AS (SELECT vec_id, cell,
+       |$scores
+       |FROM rsd, bk),
+       |bm AS (SELECT *,
+       |$bests
+       |FROM sc),
+       |cd AS (SELECT vec_id, cell,
+       |$codes
+       |FROM bm),
+       |enc AS (SELECT vec_id AS neighbor_id, cell,
+       |    $codeList, $cxn AS cxn
+       |  FROM cd),
+       |p0 AS (SELECT vec_id AS query_id, cv AS qv, vn AS qn,
+       |    unnest($probeStructs) AS pc
+       |  FROM mm WHERE vec_id < 10),
+       |pr AS (SELECT query_id, qv, qn, pc.cell AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY pc.s DESC, pc.cell) AS prk
+       |  FROM p0),
+       |ql AS (SELECT query_id, qn, cell,
+       |  $qcFold AS qc,
+       |$luts
+       |FROM pr, bk, ct WHERE prk <= 4),
+       |j AS (SELECT query_id, neighbor_id,
+       |    CASE WHEN qn * cxn > 0
+       |         THEN ROUND((qc + $adot) / (qn * cxn), 6) ELSE 0.0 END AS cosine
+       |  FROM ql JOIN enc ON ql.cell = enc.cell
+       |  WHERE ql.query_id <> enc.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM j) t
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The IVFPQ query mirrored in SQL: the IVF oracle's cell
     * assignment + probe ranking CTEs composed with the PQ oracle's
     * code/lut CTEs, joined on cell instead of the PQ cross join. */
@@ -1035,6 +1189,12 @@ object ExtQueries {
             ivfCentsCache.values.iterator.next(),
             pqBooksCache.values.iterator.next()))
       else Map.empty[String, String]
+    val rpq =
+      if (ivfCentsCache.size == 1 && rpqBooksCache.size == 1)
+        Map("q_sim_ivfpq_residual" -> simIvfPqResidualSqlFor(
+          ivfCentsCache.values.iterator.next(),
+          rpqBooksCache.values.iterator.next()))
+      else Map.empty[String, String]
     val bpe =
       if (bpeMergesCache.size == 1)
         Map("q_bpe_apply" -> bpeApplySqlFor(
@@ -1047,7 +1207,7 @@ object ExtQueries {
           "q_tokenizer_fertility" -> tokenizerFertilitySqlFor(
             bpeByteMergesCache.values.iterator.next()))
       else Map.empty[String, String]
-    ivf ++ pq ++ ivfpq ++ bpe ++ bpeBytes
+    ivf ++ pq ++ ivfpq ++ rpq ++ bpe ++ bpeBytes
   }
 
   /** Embedding near-dup pairs via 16-bit sign-bucket LSH with
@@ -4752,6 +4912,7 @@ object ExtQueries {
     "q_dedup_canonical" -> dedupCanonicalQ,
     "q_batch_by_length" -> batchByLengthQ,
     "q_sim_ivfpq" -> simIvfPq,
+    "q_sim_ivfpq_residual" -> simIvfPqResidual,
     "q_sim_ivfpq_rerank" -> simIvfPqRerank,
     "q_join_dpp" -> joinDppQ,
     "q_join_runtime_filter" -> joinRuntimeFilterQ,

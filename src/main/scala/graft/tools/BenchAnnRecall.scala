@@ -69,6 +69,8 @@ object BenchAnnRecall {
     val cents = S.kmeansCentroids(emb, "vec_id", "embedding", 16, iters = 2)
     val books = S.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
       m = 8, ksub = 32, iters = 2)
+    val rbooks = S.pqResidualBooks(emb, "vec_id", "embedding", cents,
+      m = 8, ksub = 32, iters = 2)
     val (mins, steps) = S.sqBounds(emb, "embedding", dim = 64)
     val (tBrute, exact) = timed {
       val d = S.bruteTopK(queries, emb, "vec_id", "embedding", k)
@@ -90,6 +92,9 @@ object BenchAnnRecall {
         S.sqTopK(queries, emb, "vec_id", "embedding", k, mins, steps)),
       "ivfpq_nprobe4" -> (() =>
         S.ivfPqTopK(queries, emb, "vec_id", "embedding", k, cents, 4, books)),
+      "ivfadc_nprobe4" -> (() =>
+        S.ivfPqResidualTopK(queries, emb, "vec_id", "embedding", k,
+          cents, 4, rbooks)),
       "matryoshka_d16_s50" -> (() =>
         S.matryoshkaTopK(queries, emb, "vec_id", "embedding", k,
           dims = 16, shortlist = 50)),
@@ -100,6 +105,9 @@ object BenchAnnRecall {
       s"ivfpq_rerank_s$shortlist" -> (() => rerank(
         S.ivfPqTopK(queries, emb, "vec_id", "embedding", shortlist,
           cents, 4, books))),
+      s"ivfadc_rerank_s$shortlist" -> (() => rerank(
+        S.ivfPqResidualTopK(queries, emb, "vec_id", "embedding", shortlist,
+          cents, 4, rbooks))),
       s"ivf_rerank_np4_s$shortlist" -> (() => rerank(
         S.ivfTopKWith(queries, emb, "vec_id", "embedding", shortlist,
           cents, 4))),

