@@ -1006,4 +1006,136 @@ object Dedup {
       .where(col("est_jaccard") >= minJaccard)
       .select(col(idCol), col("neighbor_id"), col("est_jaccard"))
   }
+
+  // ---- stored band index: dedup as a MAINTAINED artifact ----
+  //
+  // [[minhashMatches]] re-shingles the reference corpus every run; at
+  // 100 TB the signatures are computed ONCE at ingest and stored, and
+  // the question becomes index MAINTENANCE: an appended/updated/
+  // deleted document must fix up its band rows without re-reading the
+  // history — the same CDC contract as
+  // [[graft.ext.Similarity.updateIvfIndex]] for vectors.
+
+  /** Materialize the MinHash band index of a corpus: one row per
+    * (doc, band) carrying the full signature lanes, partitioned by a
+    * short `band_key` PREFIX (16^prefixChars dirs — the key space is
+    * md5-uniform, so dirs balance). Serving prunes at the SCAN via
+    * partition filters; maintenance rewrites only touched prefix
+    * dirs. Bodies never enter the index — it is (id, lanes, band)
+    * rows only. */
+  def writeBandIndex(corpus: DataFrame, textCol: String, idCol: String,
+                     outDir: String, numHashes: Int = 4, bands: Int = 2,
+                     prefixChars: Int = 1): Unit =
+    bandIndexRows(corpus, textCol, idCol, numHashes, bands, prefixChars)
+      .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
+
+  private def bandIndexRows(corpus: DataFrame, textCol: String,
+                            idCol: String, numHashes: Int, bands: Int,
+                            prefixChars: Int): DataFrame =
+    minhashSignatures(corpus, textCol, idCol, numHashes)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => col(s"m$i")) :+
+        posexplode(bandKeysFromColumns(numHashes, bands))
+          .as(Seq("band_idx", "band_key")): _*)
+      .withColumn("pfx", substring(col("band_key"), 1, prefixChars))
+
+  /** [[minhashMatches]] served from a [[writeBandIndex]] layout: the
+    * arrival batch's distinct band-key prefixes (at most
+    * 16^prefixChars values — driver-bounded) push into the scan as a
+    * partition filter, so only the index slice the batch can touch is
+    * read; everything after is the same first-band exact-once join.
+    * Result identical to [[minhashMatches]] over the corpus the index
+    * was built from (spec-pinned). */
+  def minhashMatchesIndexed(indexDir: String, arrivals: DataFrame,
+                            idCol: String, textCol: String,
+                            numHashes: Int = 4, bands: Int = 2,
+                            minJaccard: Double = 0.0): DataFrame = {
+    val s = arrivals.sparkSession
+    val rows = numHashes / bands
+    val arr = arrivals
+      .select(col(idCol), Featurize.tokensCol(col(textCol)).as("__t"))
+      .select(col(idCol), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__asig", minhashSignature(col("__sh"), numHashes))
+      .select(col(idCol), col("__asig"),
+        posexplode(bandKeys(col("__asig"), bands, rows))
+          .as(Seq("band_idx", "band_key")))
+    val stored = s.read.parquet(indexDir)
+    require(stored.columns.contains("pfx"),
+      s"$indexDir is not a writeBandIndex layout (no pfx partition)")
+    val prefixLen = stored.select(max(length(col("pfx")))).head().getInt(0)
+    val probePfx = arr.select(
+        substring(col("band_key"), 1, prefixLen).as("pfx"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val idx = stored
+      .where(col("pfx").isin(probePfx.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
+      .withColumn("__rsig",
+        array((0 until numHashes).map(i => col(s"m$i")): _*))
+      .select(col(idCol).as("neighbor_id"), col("__rsig"),
+        col("band_idx"), col("band_key"))
+    val firstMatch = array_min(filter(
+      sequence(lit(0), lit(bands - 1)),
+      b => slice(col("__asig"), b * rows + 1, lit(rows)) ===
+        slice(col("__rsig"), b * rows + 1, lit(rows))))
+    arr.join(idx, Seq("band_idx", "band_key"))
+      .where(col("band_idx") === firstMatch)
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("__asig"), col("__rsig"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes, 6))
+      .where(col("est_jaccard") >= minJaccard)
+      .select(col(idCol), col("neighbor_id"), col("est_jaccard"))
+  }
+
+  /** Apply a CDC change batch to a [[writeBandIndex]] layout IN
+    * PLACE, rewriting ONLY the prefix dirs the changed documents'
+    * band rows live in (old rows and new rows both count — an update
+    * whose text moves its band keys touches both homes). Same
+    * crash-safety shape as [[graft.ext.Similarity.updateIvfIndex]]:
+    * the temp layout fully materializes before any live dir moves, a
+    * prefix emptied by deletes stays deleted. Returns the touched
+    * prefixes (bounded at 16^prefixChars). */
+  def updateBandIndex(indexDir: String, changes: DataFrame,
+                      textCol: String, idCol: String,
+                      numHashes: Int = 4, bands: Int = 2,
+                      prefixChars: Int = 1,
+                      seqCol: String = "seq",
+                      opCol: String = "op"): Array[String] = {
+    val s = changes.sparkSession
+    val latest = graft.etl.Merge.latestChanges(changes, idCol, seqCol)
+    val touchedIds = latest.select(col(idCol)).distinct()
+    val oldPfx = s.read.parquet(indexDir)
+      .select(col(idCol), col("pfx"))
+      .join(broadcast(touchedIds), Seq(idCol))
+      .select("pfx").distinct().collect().map(_.getString(0))
+    val upserts = latest.where(col(opCol) =!= lit("d"))
+      .select(col(idCol), col(textCol))
+    val newRows = bandIndexRows(upserts, textCol, idCol, numHashes,
+      bands, prefixChars)
+    val newPfx = newRows.select("pfx").distinct()
+      .collect().map(_.getString(0))
+    val touched = (oldPfx ++ newPfx).distinct.sorted
+    if (touched.isEmpty) return touched
+    val touchedAny = touched.toIndexedSeq.map(_.asInstanceOf[Any])
+    val survivors = s.read.parquet(indexDir)
+      .where(col("pfx").isin(touchedAny: _*))
+      .join(broadcast(touchedIds), Seq(idCol), "left_anti")
+    val tmpDir = s"$indexDir.upd-${java.util.UUID.randomUUID().toString.take(8)}"
+    survivors.unionByName(newRows.select(survivors.columns.map(col): _*))
+      .write.mode("overwrite").partitionBy("pfx").parquet(tmpDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmpDir), s.sparkContext.hadoopConfiguration)
+    try {
+      touched.foreach { p =>
+        val live = new org.apache.hadoop.fs.Path(s"$indexDir/pfx=$p")
+        val fresh = new org.apache.hadoop.fs.Path(s"$tmpDir/pfx=$p")
+        if (fs.exists(live)) fs.delete(live, true)
+        if (fs.exists(fresh)) fs.rename(fresh, live)
+        ()
+      }
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      ()
+    }
+    touched
+  }
 }

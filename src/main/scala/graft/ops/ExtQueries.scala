@@ -4192,6 +4192,112 @@ object ExtQueries {
        |ORDER BY doc_id, neighbor_id""".stripMargin
   }
 
+  /** md5 of every file under each `pfx=` dir of a band-index layout —
+    * the byte-identity evidence for the update gate (the string-key
+    * twin of [[cellChecksums]]). */
+  private def pfxChecksums(indexDir: String): Map[String, Map[String, String]] = {
+    val root = new java.io.File(indexDir)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pfx="))
+      .map { d =>
+        val pfx = d.getName.stripPrefix("pfx=")
+        val files = d.listFiles().filter(_.isFile).map { f =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> digest.map("%02x".format(_)).mkString
+        }.toMap
+        pfx -> files
+      }.toMap
+  }
+
+  private def bandUpdateChanges(docs: DataFrame): DataFrame = {
+    val del = docs.where(col("doc_id").isin(37L, 74L, 111L))
+      .select(col("doc_id"), col("text"),
+        lit(1L).as("seq"), lit("d").as("op"))
+    val upd = docs.where(col("doc_id").isin(41L, 82L))
+      .select(col("doc_id"),
+        concat(col("text"), lit(" revised edition")).as("text"),
+        lit(1L).as("seq"), lit("u").as("op"))
+    val ins = docs.where(col("doc_id") < 3)
+      .select((col("doc_id") + 840000).as("doc_id"),
+        concat(col("text"), lit(" brand new page")).as("text"),
+        lit(1L).as("seq"), lit("u").as("op"))
+    del.unionByName(upd).unionByName(ins)
+  }
+
+  /** Incremental MinHash band-index maintenance under CDC
+    * ([[Dedup.writeBandIndex]]/[[Dedup.updateBandIndex]] — the text
+    * twin of q_sim_ivf_update): build the index, apply a
+    * delete/update/insert batch IN PLACE, then gate (a) untouched
+    * prefix dirs byte-identical (md5 per file), (b) the updated index
+    * serves EXACTLY what a from-scratch [[Dedup.minhashMatches]] over
+    * the post-CDC corpus computes. Output: matches of planted exact
+    * copies (originals, updated docs, inserts) against the updated
+    * index, oracled statically over the post-CDC corpus. */
+  val dedupIndexUpdateQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val idir = scratchDir("bandidx", dir)
+    Dedup.writeBandIndex(docs, "text", "doc_id", idir)
+    val before = pfxChecksums(idir)
+    val touched = Dedup.updateBandIndex(idir, bandUpdateChanges(docs),
+      "text", "doc_id")
+    val after = pfxChecksums(idir)
+    val untouched = before.keySet.filterNot(touched.contains)
+    require(touched.nonEmpty && untouched.nonEmpty,
+      s"band update gate is vacuous: touched=${touched.length} " +
+        s"of ${before.size} prefixes")
+    untouched.foreach { p =>
+      require(before(p) == after.getOrElse(p, Map.empty),
+        s"untouched prefix $p was rewritten")
+    }
+    val post = graft.etl.Merge.applyCdc(docs, bandUpdateChanges(docs),
+      "doc_id")
+    val probeIds = Seq(0L, 1L, 2L, 3L, 4L, 41L, 82L,
+      840000L, 840001L, 840002L)
+    val arrivals = post.where(col("doc_id").isin(probeIds: _*))
+      .select((col("doc_id") + 850000).as("doc_id"), col("text"))
+    val served = Dedup.minhashMatchesIndexed(idir, arrivals,
+      "doc_id", "text")
+    val fresh = Dedup.minhashMatches(arrivals, post, "doc_id", "text")
+    val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    require(key(served) == key(fresh),
+      "updated index diverged from a from-scratch rebuild")
+    served.orderBy("doc_id", "neighbor_id")
+  }
+
+  val dedupIndexUpdateSql = {
+    def lanes(pfx: String) = (0 until 4).map(i =>
+      s"  list_min(list_transform(sh, x -> substr(md5(x), ${i * 8 + 1}, 8))) AS $pfx$i")
+      .mkString(",\n")
+    s"""WITH post AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id IN (41, 82) THEN text || ' revised edition'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id NOT IN (37, 74, 111)
+       |  UNION ALL
+       |  SELECT doc_id + 840000, text || ' brand new page'
+       |  FROM documents WHERE doc_id < 3),
+       |arr0 AS (SELECT doc_id + 850000 AS id, text FROM post
+       |  WHERE doc_id IN (0, 1, 2, 3, 4, 41, 82, 840000, 840001, 840002)),
+       |ta AS (SELECT id, $toksSql AS toks FROM arr0),
+       |sa AS (SELECT id, $shinglesSql AS sh FROM ta),
+       |ma AS (SELECT id,
+       |${lanes("a")}
+       |FROM sa WHERE len(sh) > 0),
+       |tr AS (SELECT doc_id AS neighbor_id, $toksSql AS toks FROM post),
+       |sr AS (SELECT neighbor_id, $shinglesSql AS sh FROM tr),
+       |mr AS (SELECT neighbor_id,
+       |${lanes("m")}
+       |FROM sr WHERE len(sh) > 0)
+       |SELECT a.id AS doc_id, r.neighbor_id,
+       |  ROUND(CAST((a.a0 = r.m0)::INT + (a.a1 = r.m1)::INT +
+       |    (a.a2 = r.m2)::INT + (a.a3 = r.m3)::INT AS DOUBLE) / 4, 6)
+       |    AS est_jaccard
+       |FROM ma a JOIN mr r
+       |  ON (a.a0 = r.m0 AND a.a1 = r.m1) OR (a.a2 = r.m2 AND a.a3 = r.m3)
+       |ORDER BY doc_id, neighbor_id""".stripMargin
+  }
+
   /** [[streamSemanticQ]]'s oracle: both sides assigned via the same
     * literal-centroid first-max-wins argmax as [[dedupSemanticSqlFor]],
     * joined on cell, 6-dp cosine ≥ 0.99. */
@@ -4895,6 +5001,7 @@ object ExtQueries {
     "q_stream_enrich" -> streamEnrichQ,
     "q_dedup_minhash_grouped" -> dedupMinhashGrouped,
     "q_dedup_incremental" -> dedupIncremental,
+    "q_dedup_index_update" -> dedupIndexUpdateQ,
     "q_text_normalize" -> textNormalize,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_apply" -> bpeApplyQ,
@@ -4997,6 +5104,7 @@ object ExtQueries {
     "q_stream_enrich" -> streamEnrichSql,
     "q_dedup_minhash_grouped" -> dedupMinhashGroupedSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_index_update" -> dedupIndexUpdateSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_vocab_coverage" -> vocabCoverageSql,

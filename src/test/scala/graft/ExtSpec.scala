@@ -1064,6 +1064,42 @@ class ExtSpec extends AnyFunSuite {
     assert(f(4L).getAs[Boolean]("rule_words")) // 50 words is in range
   }
 
+  test("band index: serves == ad-hoc; CDC update fixes exactly the changed docs") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text").limit(50).cache()
+    val idir = java.nio.file.Files.createTempDirectory("bandidx").toString + "/idx"
+    graft.ext.Dedup.writeBandIndex(corpus, "text", "doc_id", idir)
+    val arrivals = corpus.where(col("doc_id") < 5)
+      .select((col("doc_id") + 90000).as("doc_id"), col("text"))
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val adHoc = grab(graft.ext.Dedup.minhashMatches(
+      arrivals, corpus, "doc_id", "text"))
+    val served = grab(graft.ext.Dedup.minhashMatchesIndexed(
+      idir, arrivals, "doc_id", "text"))
+    assert(served == adHoc)
+    assert((0 until 5).forall(i => served.contains((i + 90000L, i.toLong, 1.0))))
+    // CDC: delete doc 0, insert a copy of doc 1 under a new id
+    val changes = corpus.where(col("doc_id") === 0L)
+      .select(col("doc_id"), col("text"), lit(1L).as("seq"), lit("d").as("op"))
+      .unionByName(corpus.where(col("doc_id") === 1L)
+        .select(lit(777L).as("doc_id"), col("text"),
+          lit(1L).as("seq"), lit("u").as("op")))
+    val touched = graft.ext.Dedup.updateBandIndex(
+      idir, changes, "text", "doc_id")
+    assert(touched.nonEmpty)
+    val after = grab(graft.ext.Dedup.minhashMatchesIndexed(
+      idir, arrivals, "doc_id", "text"))
+    assert(!after.exists(_._2 == 0L))             // deleted doc gone
+    assert(after.contains((90001L, 777L, 1.0)))   // insert now matches
+    assert(after.contains((90001L, 1L, 1.0)))     // original still there
+    intercept[IllegalArgumentException] {
+      val plain = java.nio.file.Files.createTempDirectory("noidx").toString + "/p"
+      corpus.write.parquet(plain)
+      graft.ext.Dedup.minhashMatchesIndexed(plain, arrivals, "doc_id", "text")
+    }
+  }
+
   test("ivfadc: residual codes lift recall over raw-code ivfpq on clustered data") {
     import spark.implicits._
     // deterministic 8-center Gaussian mixture — the regime where the
