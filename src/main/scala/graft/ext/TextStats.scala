@@ -661,6 +661,52 @@ object TextStats extends Serializable {
     df.withColumn("text_html", extractHtmlText(col(textCol)))
       .withColumn("had_markup", col(textCol).contains("<"))
 
+  /** URL canonicalization — the dedup key a crawl pipeline joins on
+    * (the same page arrives as `HTTP://WWW.Site.com:80/a?utm_x=1#f`
+    * and `http://site.com/a`; byte-equality dedup without
+    * canonicalization under-merges badly). Deliberately a staged
+    * expression chain, not a URI parser, so the DuckDB oracle replays
+    * it verbatim; every pattern is Java∩RE2:
+    *
+    *  1. fragment dropped (`#...`);
+    *  2. tracking params dropped (`utm_*`, `gclid`, `fbclid`, `ref`)
+    *     with the query-start repaired when the first param went
+    *     (`p&keep=1` → `p?keep=1`) and a dangling `?`/`&` trimmed;
+    *  3. default ports dropped (`:80` for http, `:443` for https);
+    *  4. scheme + authority lowercased IN PLACE (extract the prefix
+    *     up to the path, lowercase it, re-attach the untouched rest —
+    *     paths stay case-sensitive, as the URL spec requires);
+    *  5. a leading `www.` is NOT dropped here — that is a site-level
+    *     equivalence, offered separately by [[urlDomain]].
+    *
+    * Pure narrow codegen; null/empty pass through unchanged. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "[?&](utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&]*", "")
+    // repair the query start: the FIRST '&' reached with no '?' (or
+    // earlier '&') before it means the original first param was
+    // stripped — promote it ([^?&]* keeps the match at that first '&';
+    // a greedy [^?]* would promote the LAST one)
+    val fixedQ = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    val trimmed = regexp_replace(fixedQ, "[?&]$", "")
+    val noPort = regexp_replace(
+      regexp_replace(trimmed, "^(?i)(https://[^/:?#]+):443(/|\\?|$)", "$1$2"),
+      "^(?i)(http://[^/:?#]+):80(/|\\?|$)", "$1$2")
+    val head = regexp_extract(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    concat(lower(head), substring(noPort, length(head) + 1, lit(1 << 30)))
+  }
+
+  /** Registrable-site key of a URL: lowercased host, port and
+    * leading `www.` dropped — the per-domain grouping key behind
+    * domain mixtures, per-site caps, and domain blocklists. Null when
+    * the input has no authority. */
+  def urlDomain(url: Column): Column = {
+    val host = regexp_extract(lower(url),
+      "^[a-z][a-z0-9+.-]*://(?:www\\.)?([^/:?#]+)", 1)
+    when(length(host) > 0, host)
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted token
     * bag. Identical bags (e.g. shuffled near-duplicates) collide.
     * Token-array form so several fingerprints can share one staged

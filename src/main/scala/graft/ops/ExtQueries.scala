@@ -3204,6 +3204,74 @@ object ExtQueries {
        |FROM base ORDER BY doc_id""".stripMargin
   }
 
+  /** URL canonicalization + site key ([[TextStats.normalizeUrl]] /
+    * [[TextStats.urlDomain]]) over synthetic crawl URLs built from
+    * every document (mixed-case scheme/host, default port, tracking
+    * params, fragment) plus planted shapes for the other rule
+    * directions: https:443, query-start repair (`?ref=` stripped from
+    * a bare `/?ref=` query), and a non-URL that must pass through
+    * untouched with a null domain. The oracle replays the identical
+    * staged regex chain. */
+  val textUrlsQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "source")
+    val base = docs.select(col("doc_id"),
+      concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/Path/"),
+        col("doc_id").cast("string"),
+        lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+        lit("&fbclid=xyz#frag")).as("url"))
+    val planted = docs.where(col("doc_id") < 10).select(
+        (col("doc_id") + 860000).as("doc_id"),
+        lit("HTTPS://Site.org:443/A/B?x=1&utm_campaign=z#y").as("url"))
+      .unionAll(docs.where(col("doc_id") < 10).select(
+        (col("doc_id") + 861000).as("doc_id"),
+        lit("not a url at all").as("url")))
+      .unionAll(docs.where(col("doc_id") < 10).select(
+        (col("doc_id") + 862000).as("doc_id"),
+        lit("http://Host.com/?ref=abc").as("url")))
+    base.unionAll(planted)
+      .select(col("doc_id"), col("url"),
+        TextStats.normalizeUrl(col("url")).as("url_norm"),
+        TextStats.urlDomain(col("url")).as("domain"))
+      .orderBy("doc_id")
+  }
+
+  val textUrlsSql =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    'HTTP://WWW.' || source || '.Example.COM:80/Path/' || doc_id ||
+       |    '?utm_source=feed&id=' || doc_id || '&fbclid=xyz#frag' AS url
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 860000, 'HTTPS://Site.org:443/A/B?x=1&utm_campaign=z#y'
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 861000, 'not a url at all'
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 862000, 'http://Host.com/?ref=abc'
+       |  FROM documents WHERE doc_id < 10),
+       |s1 AS (SELECT doc_id, url,
+       |  regexp_replace(url, '#.*', '', 'g') AS u FROM base),
+       |s2 AS (SELECT doc_id, url, regexp_replace(u,
+       |  '[?&](utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&]*', '', 'g') AS u
+       |  FROM s1),
+       |s3 AS (SELECT doc_id, url,
+       |  regexp_replace(u, '^([^?&]*)&', '\\1?') AS u FROM s2),
+       |s4 AS (SELECT doc_id, url,
+       |  regexp_replace(u, '[?&]$$', '') AS u FROM s3),
+       |s5 AS (SELECT doc_id, url,
+       |  regexp_replace(regexp_replace(u,
+       |    '^(?i)(https://[^/:?#]+):443(/|\\?|$$)', '\\1\\2'),
+       |    '^(?i)(http://[^/:?#]+):80(/|\\?|$$)', '\\1\\2') AS u FROM s4),
+       |s6 AS (SELECT doc_id, url, u,
+       |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS head
+       |  FROM s5)
+       |SELECT doc_id, url,
+       |  lower(head) || substr(u, len(head) + 1) AS url_norm,
+       |  NULLIF(regexp_extract(lower(url),
+       |    '^[a-z][a-z0-9+.-]*://(?:www\\.)?([^/:?#]+)', 1), '') AS domain
+       |FROM s6 ORDER BY doc_id""".stripMargin
+
   /** Filter-funnel report ([[TextStats.filterFunnel]]) over the
     * corpus plus planted pages that differentiate every stage: ten
     * DISTINCT well-formed pages and ten IDENTICAL copies of one page
@@ -5030,6 +5098,7 @@ object ExtQueries {
     "q_quality_blocklist" -> qualityBlocklistQ,
     "q_text_html" -> textHtmlQ,
     "q_filter_funnel" -> filterFunnelQ,
+    "q_text_urls" -> textUrlsQ,
     "q_quality_repetition" -> qualityRepetitionQ,
     "q_select_weighted" -> selectWeightedQ,
     "q_dsir_weights" -> dsirWeightsQ,
@@ -5129,6 +5198,7 @@ object ExtQueries {
     "q_quality_blocklist" -> qualityBlocklistSql,
     "q_text_html" -> textHtmlSql,
     "q_filter_funnel" -> filterFunnelSql,
+    "q_text_urls" -> textUrlsSql,
     "q_quality_repetition" -> qualityRepetitionSql,
     "q_select_weighted" -> selectWeightedSql,
     "q_dsir_weights" -> dsirWeightsSql,

@@ -1064,6 +1064,31 @@ class ExtSpec extends AnyFunSuite {
     assert(f(4L).getAs[Boolean]("rule_words")) // 50 words is in range
   }
 
+  test("URL canonicalization: exact rule-by-rule expectations") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "HTTP://WWW.Site.COM:80/Path/X?utm_source=a&id=7&fbclid=z#frag"),
+      (2L, "HTTPS://Host.org:443/a"),
+      (3L, "http://h.com/p?a=1&utm_x=2&b=3"), // middle param out, rest intact
+      (4L, "http://h.com/p?utm_x=2"),         // whole query gone, no dangling ?
+      (5L, "http://h.com:8080/p"),            // non-default port KEPT
+      (6L, "not a url"),
+      (7L, "http://CaSe.com/KeepCase/PATH"))  // path case preserved
+      .toDF("doc_id", "url")
+    val got = rows.select(col("doc_id"),
+        graft.ext.TextStats.normalizeUrl(col("url")).as("n"),
+        graft.ext.TextStats.urlDomain(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L)._1 == "http://www.site.com/Path/X?id=7")
+    assert(got(1L)._2 == "site.com") // www. dropped in the site key
+    assert(got(2L)._1 == "https://host.org/a")
+    assert(got(3L)._1 == "http://h.com/p?a=1&b=3")
+    assert(got(4L)._1 == "http://h.com/p")
+    assert(got(5L)._1 == "http://h.com:8080/p")
+    assert(got(6L)._1 == "not a url" && got(6L)._2 == null)
+    assert(got(7L)._1 == "http://case.com/KeepCase/PATH")
+  }
+
   test("band index: serves == ad-hoc; CDC update fixes exactly the changed docs") {
     import spark.implicits._
     val corpus = docs.select("doc_id", "text").limit(50).cache()

@@ -530,6 +530,35 @@ class StreamingSpec extends AnyFunSuite {
       .map(i => (i + 900000L, i.toLong, 1.0)).toSet, batch.toString)
   }
 
+  test("stateless text-quality ops apply unchanged on streams: blocklist + html == batch") {
+    val rows = Seq(
+      (1L, "<p>clean prose here</p>"),
+      (2L, "a MERGE mention and a <script>var x;</script> hash join phrase"),
+      (3L, "nothing blocked &amp; nothing tagged"))
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text")
+    def shape(d: org.apache.spark.sql.DataFrame) =
+      graft.ext.TextStats.withBlocklistFlags(
+          graft.ext.TextStats.withHtmlText(d, "text"),
+          "text_html", Seq("merge", "hash join"))
+        .select("doc_id", "text_html", "n_blocked_words",
+          "n_blocked_phrases", "pass_blocklist")
+    val batch = shape(df).collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("bl_arr").toString
+    df.write.mode("overwrite").parquet(dir)
+    val q = shape(spark.readStream.schema(df.schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bl_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bl_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // the blocked word survives HTML extraction and fires post-extraction
+    val byId = batch.map(s => s.head -> s).toMap
+    assert(byId(2L)(2) == 1 && byId(2L)(3) == 1)
+    assert(byId(1L)(4) == true && byId(3L)(4) == true)
+  }
+
   test("streaming minhash near-dup gate: stream == batch, exact-once, copies at 1.0") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
