@@ -201,6 +201,31 @@ object Sampling {
     df.where(membershipBucket(col(keyCol), modulus) <
       least(greatest(round(weight * scale, 6), lit(0.0)), lit(1.0)) * modulus)
 
+  /** Per-key volume cap (RefinedWeb's pages-per-domain limit, the
+    * anti-SEO-farm guard): keep at most `cap` rows per `keyCol`
+    * group, chosen either best-by-`scoreCol` or by the deterministic
+    * `(md5(id), id)` sample order — the string-key generalization of
+    * [[graft.ext.Selection.clusterBalance]]'s per-cell cap, usable on
+    * any grouping ([[graft.ext.TextStats.urlDomain]] site keys,
+    * source labels, licence buckets).
+    *
+    * Scale shape: ONE exchange on the key; the cap plans as
+    * WindowGroupLimit (no group fully sorts) and groups under the cap
+    * pass through complete. Output ≤ |keys|·cap rows. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int,
+                scoreCol: Option[String] = None): DataFrame = {
+    require(cap >= 1, s"cap=$cap")
+    import org.apache.spark.sql.expressions.Window
+    val ord: Seq[Column] = (scoreCol match {
+      case Some(sc) => Seq(col(sc).desc)
+      case None => Seq.empty
+    }) ++ Seq(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__cap_rank", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(ord: _*)))
+      .where(col("__cap_rank") <= cap)
+      .drop("__cap_rank")
+  }
+
   /** Deterministic variant of the floored/overshoot training-file
     * sampler (`utils/fasttext_utils.py:44-56`). */
   def sampleForTrainingFile(df: DataFrame, labelCol: String, keyCol: String,

@@ -3272,6 +3272,35 @@ object ExtQueries {
        |    '^[a-z][a-z0-9+.-]*://(?:www\\.)?([^/:?#]+)', 1), '') AS domain
        |FROM s6 ORDER BY doc_id""".stripMargin
 
+  /** Per-domain page cap ([[graft.etl.Sampling.capPerKey]] over
+    * [[TextStats.urlDomain]] site keys — the RefinedWeb
+    * pages-per-domain guard): synthetic crawl URLs give each source
+    * a ~25-page domain at sf0.01, capped at 10 by the deterministic
+    * md5 sample order. */
+  val domainCapQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "source")
+    val withUrl = docs.select(col("doc_id"),
+      concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/Path/"),
+        col("doc_id").cast("string")).as("url"))
+    val keyed = withUrl.select(col("doc_id"),
+      TextStats.urlDomain(col("url")).as("domain"))
+    graft.etl.Sampling.capPerKey(keyed, "domain", "doc_id", cap = 10)
+      .orderBy("domain", "doc_id")
+  }
+
+  val domainCapSql =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    'HTTP://WWW.' || source || '.Example.COM:80/Path/' || doc_id AS url
+       |  FROM documents),
+       |d AS (SELECT doc_id, NULLIF(regexp_extract(lower(url),
+       |    '^[a-z][a-z0-9+.-]*://(?:www\\.)?([^/:?#]+)', 1), '') AS domain
+       |  FROM base),
+       |r AS (SELECT doc_id, domain, ROW_NUMBER() OVER (PARTITION BY domain
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d)
+       |SELECT doc_id, domain FROM r WHERE rk <= 10
+       |ORDER BY domain, doc_id""".stripMargin
+
   /** Filter-funnel report ([[TextStats.filterFunnel]]) over the
     * corpus plus planted pages that differentiate every stage: ten
     * DISTINCT well-formed pages and ten IDENTICAL copies of one page
@@ -5099,6 +5128,7 @@ object ExtQueries {
     "q_text_html" -> textHtmlQ,
     "q_filter_funnel" -> filterFunnelQ,
     "q_text_urls" -> textUrlsQ,
+    "q_domain_cap" -> domainCapQ,
     "q_quality_repetition" -> qualityRepetitionQ,
     "q_select_weighted" -> selectWeightedQ,
     "q_dsir_weights" -> dsirWeightsQ,
@@ -5199,6 +5229,7 @@ object ExtQueries {
     "q_text_html" -> textHtmlSql,
     "q_filter_funnel" -> filterFunnelSql,
     "q_text_urls" -> textUrlsSql,
+    "q_domain_cap" -> domainCapSql,
     "q_quality_repetition" -> qualityRepetitionSql,
     "q_select_weighted" -> selectWeightedSql,
     "q_dsir_weights" -> dsirWeightsSql,

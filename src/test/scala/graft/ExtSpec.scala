@@ -1064,6 +1064,25 @@ class ExtSpec extends AnyFunSuite {
     assert(f(4L).getAs[Boolean]("rule_words")) // 50 words is in range
   }
 
+  test("capPerKey: cap binds per key, score mode keeps best, under-cap passes whole") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 0.1), ("a", 2L, 0.9), ("a", 3L, 0.5),
+      ("b", 7L, 0.2))
+      .toDF("dom", "id", "score")
+    val md5Kept = graft.etl.Sampling.capPerKey(rows, "dom", "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(md5Kept.count(_._1 == "a") == 2)
+    assert(md5Kept.count(_._1 == "b") == 1) // under cap: intact
+    val best = graft.etl.Sampling.capPerKey(rows, "dom", "id", 2,
+        scoreCol = Some("score"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(best == Set(("a", 2L), ("a", 3L), ("b", 7L))) // top scores kept
+    intercept[IllegalArgumentException] {
+      graft.etl.Sampling.capPerKey(rows, "dom", "id", 0)
+    }
+  }
+
   test("URL canonicalization: exact rule-by-rule expectations") {
     import spark.implicits._
     val rows = Seq(
