@@ -344,6 +344,42 @@ object TextStats extends Serializable {
       .drop("__c4lines", "__c4kept")
   }
 
+  /** Sentence list of `text`: each sentence is a maximal run of
+    * non-terminal characters plus its trailing terminal run (greedy,
+    * so "!?…" clusters attach to the sentence they close); a trailing
+    * fragment with no terminator is kept as a final sentence; pieces
+    * that trim to empty (inter-sentence whitespace) are dropped.
+    * `sentenceChars` is the un-bracketed terminal set — extend with
+    * fullwidth 。！？ for CJK. The alternation pattern
+    * `[^T]+[T]+|[^T]+$` is valid and equivalent in Java regex AND RE2
+    * (no lookbehind — RE2 has none), so DuckDB oracles share it
+    * verbatim. */
+  def sentencesCol(text: Column, sentenceChars: String = ".!?"): Column = {
+    val pat = s"[^$sentenceChars]+[$sentenceChars]+|[^$sentenceChars]+$$"
+    filter(
+      transform(regexp_extract_all(text, lit(pat), lit(0)), s => trim(s)),
+      s => length(s) > 0)
+  }
+
+  /** Sentence segmentation: one output row per sentence —
+    * `(id, sent_idx, sentence, n_words)` — the unit most quality
+    * filters (C4's sentence floor), dedup passes, and chunkers want
+    * below line granularity.
+    *
+    * Scale shape: a single narrow projection + `posexplode` over the
+    * scan — no shuffle anywhere; output order within a document is the
+    * array order, `sent_idx` makes it explicit. Row growth is the
+    * sentence count, the same fan-out class as the chunker. */
+  def splitSentences(df: DataFrame, textCol: String, idCol: String,
+                     sentenceChars: String = ".!?"): DataFrame =
+    df.select(col(idCol),
+        sentencesCol(col(textCol), sentenceChars).as("__sents"))
+      .where(size(col("__sents")) > 0)
+      .select(col(idCol), posexplode(col("__sents")))
+      .select(col(idCol), col("pos").cast("int").as("sent_idx"),
+        col("col").as("sentence"),
+        tokenCount(col("col")).cast("int").as("n_words"))
+
   /** Blocklist (bad-word-list) page filter — the one C4 §2.2 rule
     * [[withC4Flags]] leaves to the caller because it needs an external
     * list (Raffel et al., arXiv:1910.10683: "any page that contained

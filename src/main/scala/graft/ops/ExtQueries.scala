@@ -5040,6 +5040,78 @@ object ExtQueries {
        |$tail""".stripMargin.replace("FROM base),\nt AS", "FROM base2),\nt AS")
   }
 
+  // ---- sentence segmentation ----
+
+  /** Sentence segmentation ([[TextStats.splitSentences]]) over the
+    * corpus plus planted punctuated pages: organic docs carry no
+    * terminal punctuation and must come back as ONE fragment
+    * sentence; doc_id<10 pages are re-punctuated every five tokens
+    * (the regexp_replace is shared verbatim with the oracle, global
+    * in both engines); doc_id<5 pages exercise the "!?" terminal
+    * cluster and a trailing unterminated fragment. */
+  val textSentencesQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val punctuated = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 640000).as("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1. ").as("text"))
+    val clustered = docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 650000).as("doc_id"),
+        concat(lit("did we read page "), col("doc_id").cast("string"),
+          lit("!? yes we did. trailing fragment without an end")).as("text"))
+    TextStats.splitSentences(docs.unionAll(punctuated).unionAll(clustered),
+        "text", "doc_id")
+      .orderBy("doc_id", "sent_idx")
+  }
+
+  private val sentencePiecesSql =
+    """list_filter(list_transform(
+      |      regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
+      |      x -> trim(x)), x -> len(x) > 0)""".stripMargin
+
+  val textSentencesSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 640000,
+       |    regexp_replace(text, '((?:\\S+ ){4}\\S+) ', '\\1. ', 'g')
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 650000,
+       |    'did we read page ' || doc_id ||
+       |    '!? yes we did. trailing fragment without an end'
+       |  FROM documents WHERE doc_id < 5),
+       |s AS (SELECT doc_id, $sentencePiecesSql AS sents FROM base),
+       |e AS (SELECT doc_id, unnest(range(0, len(sents))) AS sent_idx, sents
+       |      FROM s WHERE len(sents) > 0)
+       |SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx,
+       |  sents[sent_idx + 1] AS sentence,
+       |  CAST(len(list_filter(string_split_regex(trim(sents[sent_idx + 1]),
+       |    '\\s+'), w -> len(w) > 0)) AS INTEGER) AS n_words
+       |FROM e ORDER BY doc_id, sent_idx""".stripMargin
+
+  /** CJK/multilingual sentence segmentation: the unicode corpus split
+    * with fullwidth 。！？ joining the terminal set — the zh/ja docs
+    * must segment on 。 with zero whitespace words per sentence
+    * (n_words documents the whitespace-token count, ~1 for CJK). */
+  val unicodeSentencesQ: Q = (s, dir) =>
+    TextStats.splitSentences(unicodeBase(s, dir).select("doc_id", "text"),
+        "text", "doc_id", sentenceChars = ".!?。！？")
+      .orderBy("doc_id", "sent_idx")
+
+  val unicodeSentencesSql = {
+    val pieces = sentencePiecesSql
+      .replace("[^.!?]", "[^.!?。！？]").replace("[.!?]", "[.!?。！？]")
+    s"""WITH $unicodeBaseSql,
+       |s AS (SELECT doc_id, $pieces AS sents FROM base),
+       |e AS (SELECT doc_id, unnest(range(0, len(sents))) AS sent_idx, sents
+       |      FROM s WHERE len(sents) > 0)
+       |SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx,
+       |  sents[sent_idx + 1] AS sentence,
+       |  CAST(len(list_filter(string_split_regex(trim(sents[sent_idx + 1]),
+       |    '\\s+'), w -> len(w) > 0)) AS INTEGER) AS n_words
+       |FROM e ORDER BY doc_id, sent_idx""".stripMargin
+  }
+
   // ---- registry ----
 
   val all: Map[String, Q] = Map(
@@ -5058,6 +5130,8 @@ object ExtQueries {
     "q_sim_ivf_update" -> simIvfUpdateQ,
     "q_sim_pq" -> simPq,
     "q_sim_sq8" -> simSq8,
+    "q_text_sentences" -> textSentencesQ,
+    "q_unicode_sentences" -> unicodeSentencesQ,
     "q_text_langid" -> textLangid,
     "q_text_quality" -> textQuality,
     "q_text_tokens" -> textTokens,
@@ -5166,6 +5240,8 @@ object ExtQueries {
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_sim_topk" -> simTopKSql,
     "q_sim_sq8" -> simSq8Sql,
+    "q_text_sentences" -> textSentencesSql,
+    "q_unicode_sentences" -> unicodeSentencesSql,
     "q_text_langid" -> textLangidSql,
     "q_text_quality" -> textQualitySql,
     "q_text_tokens" -> textTokensSql,

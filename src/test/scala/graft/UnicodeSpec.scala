@@ -189,6 +189,33 @@ class UnicodeSpec extends AnyFunSuite {
       .select(g(col("s"))).head().isNullAt(0))
   }
 
+  test("splitSentences: terminal clusters, trailing fragment, CJK fullwidth") {
+    // ASCII default set: "!?"-cluster attaches to its sentence; the
+    // unterminated tail survives as a final fragment sentence
+    val ascii = TextStats.splitSentences(
+      Seq((1L, "did we read it!? yes. trailing tail with no end"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+      .orderBy("sent_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(ascii.toSeq == Seq(
+      (0, "did we read it!?", 4), (1, "yes.", 1),
+      (2, "trailing tail with no end", 5)), ascii.mkString("|"))
+    // CJK: 。！？ in the terminal set segments whitespace-free text;
+    // n_words documents the whitespace-token count (1 per sentence)
+    val cjk = TextStats.splitSentences(
+      Seq((2L, "这是第一句。第二句！最后一句？")).toDF("doc_id", "text"),
+      "text", "doc_id", sentenceChars = ".!?。！？")
+      .orderBy("sent_idx").collect()
+      .map(r => (r.getString(2), r.getInt(3)))
+    assert(cjk.toSeq == Seq(("这是第一句。", 1), ("第二句！", 1),
+      ("最后一句？", 1)), cjk.mkString("|"))
+    // pure whitespace between sentences never yields an empty sentence
+    val ws = TextStats.splitSentences(
+      Seq((3L, "one.   two.   ")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()
+    assert(ws.length == 2 && ws.forall(_.getString(2).nonEmpty))
+  }
+
   test("md5 hashes UTF-8 bytes (reference value)") {
     // md5('中文') over UTF-8 bytes — fixed reference value, so a
     // charset regression (e.g. platform-default encoding) fails loudly
