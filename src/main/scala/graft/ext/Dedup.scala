@@ -760,13 +760,21 @@ object Dedup {
     * `pos >= maxLinesPerDoc` — loud, never silently wrong.
     *
     * Output contract: every document with at least one non-empty line
-    * comes back as the `'\n'`-join of its surviving non-empty lines
+    * comes back as the `joinSep`-join of its surviving non-empty lines
     * (empty lines are dropped uniformly, dedup or not — same
     * normalization across all rows); documents with no non-empty
-    * lines pass through unchanged. Schema-preserving. */
+    * lines pass through unchanged. Schema-preserving.
+    *
+    * The dedup UNIT is parameterized: `splitPattern` (a Java∩RE2
+    * regex) cuts the text, `joinSep` reassembles survivors, and
+    * `trimUnits` space-trims each unit before hashing AND rebuild —
+    * the line defaults reproduce the historical behavior; see
+    * [[paragraphDedup]] for the blank-line-separated variant. */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
                 keepFirst: Boolean = true, maxOccurrences: Long = 1,
-                maxLinesPerDoc: Long = 1L << 20): DataFrame = {
+                maxLinesPerDoc: Long = 1L << 20,
+                splitPattern: String = "\n", joinSep: String = "\n",
+                trimUnits: Boolean = false): DataFrame = {
     require(maxLinesPerDoc > 0, s"maxLinesPerDoc=$maxLinesPerDoc")
     require(maxOccurrences >= 1, s"maxOccurrences=$maxOccurrences")
     val idLimit = Long.MaxValue / maxLinesPerDoc
@@ -786,8 +794,11 @@ object Dedup {
           pos.cast("string"),
           lit(s" >= maxLinesPerDoc=$maxLinesPerDoc — raise maxLinesPerDoc"))))
         .otherwise(id.cast("long") * maxLinesPerDoc + pos)
-    def linesCol(text: Column): Column =
-      filter(split(text, "\n"), l => length(l) > 0)
+    def linesCol(text: Column): Column = {
+      val raw = split(text, splitPattern)
+      val units = if (trimUnits) transform(raw, u => trim(u)) else raw
+      filter(units, l => length(l) > 0)
+    }
     val lines = df
       .select(col(idCol), linesCol(col(textCol)).as("__ls"))
       .where(size(col("__ls")) > 0)
@@ -808,7 +819,7 @@ object Dedup {
         array_join(
           filter(col("__ls"),
             (l, i) => not(coalesce(array_contains(col("__drop"), i), lit(false)))),
-          "\n"))
+          joinSep))
     df.withColumn("__ls", linesCol(col(textCol)))
       .join(drops, Seq(idCol), "left")
       .select(df.columns.map {
@@ -816,6 +827,23 @@ object Dedup {
         case c => col(s"`$c`")
       }.toSeq: _*)
   }
+
+  /** Paragraph-level corpus dedup — [[lineDedup]] at blank-line
+    * granularity, the unit RefinedWeb/Dolma actually strip repeated
+    * boilerplate at (Penedo et al., arXiv:2306.01116 §3.2: exact
+    * "paragraph" = text between two `\n`): paragraphs split on runs of
+    * 2+ newlines (single newlines stay INSIDE a paragraph), each unit
+    * space-trimmed before hashing so indentation noise around the
+    * blank-line separator can't defeat the exact match, survivors
+    * rejoined with `"\n\n"`. Same two modes (keep-first / strip-over-
+    * `maxOccurrences`), same packed-key winner agg, same scale shape —
+    * paragraph bodies never ride the shuffle. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+                     keepFirst: Boolean = true, maxOccurrences: Long = 1,
+                     maxParasPerDoc: Long = 1L << 20): DataFrame =
+    lineDedup(df, textCol, idCol, keepFirst, maxOccurrences,
+      maxParasPerDoc, splitPattern = "\n{2,}", joinSep = "\n\n",
+      trimUnits = true)
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup over an
     * EMBEDDING column — k-means-cluster the vectors, then drop every

@@ -2016,6 +2016,51 @@ object ExtQueries {
       |  COALESCE(r.text, CASE WHEN n.nl = 0 THEN n.text ELSE '' END) AS text
       |FROM n LEFT JOIN r USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
+  /** Paragraph-level corpus dedup ([[Dedup.paragraphDedup]],
+    * keep-first): organic docs are single-paragraph (no blank line),
+    * so they dedup like `q_dedup_exact` text winners; planted pages
+    * re-break every 8 tokens into a paragraph and append a shared
+    * boilerplate footer paragraph wrapped in stray spaces — the
+    * space-trim normalization must unify the footer hash so it
+    * survives ONLY in the lowest planted id. */
+  val dedupParagraphsQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val planted = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 660000).as("doc_id"),
+        concat(
+          regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n\n"),
+          lit("\n\n  copyright example corp all rights reserved  ")).as("text"))
+    Dedup.paragraphDedup(docs.unionAll(planted), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dedupParagraphsSql =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 660000,
+      |    regexp_replace(text, '((?:\S+ ){7}\S+) ',
+      |      '\1' || chr(10) || chr(10), 'g')
+      |    || chr(10) || chr(10)
+      |    || '  copyright example corp all rights reserved  '
+      |  FROM documents WHERE doc_id < 10),
+      |t AS (SELECT doc_id, text,
+      |  list_filter(list_transform(string_split_regex(text, '\n{2,}'),
+      |    u -> trim(u)), l -> len(l) > 0) AS units
+      |  FROM base),
+      |n AS (SELECT doc_id, text, units, len(units) AS nl FROM t),
+      |h AS (SELECT doc_id, unnest(range(0, nl)) AS pos, units
+      |      FROM n WHERE nl > 0),
+      |p AS (SELECT doc_id, pos, units[pos + 1] AS unit,
+      |        doc_id * 1048576 + pos AS packed FROM h),
+      |w AS (SELECT doc_id, pos, unit, packed,
+      |        min(packed) OVER (PARTITION BY md5(unit)) AS win FROM p),
+      |r AS (SELECT doc_id, string_agg(unit, chr(10) || chr(10) ORDER BY pos) AS text
+      |      FROM w WHERE packed = win GROUP BY 1)
+      |SELECT n.doc_id,
+      |  COALESCE(r.text, CASE WHEN n.nl = 0 THEN n.text ELSE '' END) AS text
+      |FROM n LEFT JOIN r USING (doc_id) ORDER BY n.doc_id""".stripMargin
+
   /** Sequence packing ([[TextStats.packSequences]]): documents →
     * fixed token-budget training sequences, packed within salted
     * partitions so no global order (and no single-partition window)
@@ -5187,6 +5232,7 @@ object ExtQueries {
     "q_chunk_docs" -> chunkDocsQ,
     "q_dedup_spans" -> dedupSpansQ,
     "q_dedup_lines" -> dedupLinesQ,
+    "q_dedup_paragraphs" -> dedupParagraphsQ,
     "q_dedup_canonical" -> dedupCanonicalQ,
     "q_batch_by_length" -> batchByLengthQ,
     "q_sim_ivfpq" -> simIvfPq,
@@ -5293,6 +5339,7 @@ object ExtQueries {
     "q_chunk_docs" -> chunkDocsSql,
     "q_dedup_spans" -> dedupSpansSql,
     "q_dedup_lines" -> dedupLinesSql,
+    "q_dedup_paragraphs" -> dedupParagraphsSql,
     "q_dedup_canonical" -> dedupCanonicalSql,
     "q_batch_by_length" -> batchByLengthSql,
     "q_join_dpp" -> joinDppSql,

@@ -928,6 +928,29 @@ class ExtSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("integral"), bad.getMessage)
   }
 
+  test("paragraph dedup: blank-line units, single \\n stays inside, trim unifies") {
+    val df = Seq(
+      // single \n is NOT a paragraph break — doc 1 is ONE unit
+      (1L, "line a\nline b"),
+      // footer paragraph with stray spaces around it: trim must unify
+      // its hash with doc 3's clean copy
+      (2L, "body two\n\n  shared footer  "),
+      (3L, "body three\n\nshared footer"),
+      // 3+ newlines are one separator; leading blank lines drop
+      (4L, "\n\n\nbody four\n\n\n\nbody four tail"))
+      .toDF("doc_id", "text")
+    val first = Dedup.paragraphDedup(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first(1L) == "line a\nline b")
+    assert(first(2L) == "body two\n\nshared footer") // first occurrence kept
+    assert(first(3L) == "body three")                // later copy cut
+    assert(first(4L) == "body four\n\nbody four tail")
+    // boilerplate mode: the footer vanishes everywhere
+    val strip = Dedup.paragraphDedup(df, "text", "doc_id", keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strip(2L) == "body two" && strip(3L) == "body three")
+  }
+
   test("span dedup normalizes whitespace uniformly across touched and untouched rows") {
     val df = Seq(
       (1L, "  w1  w2\tw3 w4  u1 u2 u3 u4 "),  // messy, no dropped blocks
