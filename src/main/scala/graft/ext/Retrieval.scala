@@ -124,6 +124,47 @@ object Retrieval {
       .select("query_id", "doc_id", "score", "rank")
   }
 
+  /** TF-IDF keyword extraction: the `k` highest `tf·idf` terms per
+    * document — the corpus-contrastive summarizer behind datasheet
+    * topic columns, dedup explainers, and cheap doc tags. Uses the
+    * smoothed idf `ln((N+1)/(df+1)) + 1` (the sklearn `smooth_idf`
+    * form — never negative, defined even for df = N); scores round to
+    * 6 dp BEFORE ranking and ties break on the term string, so the
+    * ranking is FP-noise-proof and cross-engine deterministic.
+    * `minDf` prunes the long hapax tail at the document-frequency agg
+    * (a term in fewer than `minDf` docs never reaches the join).
+    *
+    * Scale shape: ONE tokenize pass (the [[buildBm25Index]] postings
+    * explode, map-side combined to distinct `(doc, term)` rows); df
+    * is one fixed-width agg over postings; the postings⇄df join
+    * shuffles on `__term` — both sides term-partitioned, never
+    * broadcast (vocabulary scales with the corpus); the collection
+    * size rides a broadcast 1-row cross join; top-k is a per-doc
+    * window over that document's distinct terms only. Output:
+    * `(id, term, tf, df, score, rank)`, rank 1..k. */
+  def tfIdfKeywords(corpus: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, minDf: Long = 1): DataFrame = {
+    require(k > 0, s"k=$k")
+    require(minDf >= 1, s"minDf=$minDf")
+    val idx = buildBm25Index(corpus, idCol, textCol)
+    val stats = idx.docLens.agg(count(lit(1)).cast("double").as("__n"))
+    val dfreq = idx.postings.groupBy("__term")
+      .agg(count(lit(1)).cast("double").as("__df"))
+      .where(col("__df") >= minDf.toDouble)
+    val idf = log((col("__n") + 1.0) / (col("__df") + 1.0)) + 1.0
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    idx.postings
+      .join(dfreq, Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select(col("__did").as(idCol), col("__term").as("term"),
+        col("__tf").cast("long").as("tf"),
+        col("__df").cast("long").as("df"),
+        round(col("__tf") * idf, 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion of two ranked candidate lists (the
     * standard hybrid-search combiner, Cormack et al.):
     * `rrf = Σ 1/(c + rank)` over the lists an item appears in.

@@ -2707,6 +2707,33 @@ object ExtQueries {
        |    ORDER BY score DESC, doc_id) AS rank FROM scored) r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** TF-IDF keyword extraction ([[graft.ext.Retrieval.tfIdfKeywords]]):
+    * top-5 terms per document under smoothed idf, hapax pruned at
+    * `minDf = 2` — scores 6-dp-rounded before ranking, term-string
+    * tie-break, so the ranking is exact cross-engine. */
+  val tfidfKeywordsQ: Q = (s, dir) =>
+    graft.ext.Retrieval.tfIdfKeywords(
+        documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", k = 5, minDf = 2)
+      .orderBy("doc_id", "rank")
+
+  val tfidfKeywordsSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM e GROUP BY 1, 2),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tf
+       |        GROUP BY 1 HAVING COUNT(*) >= 2),
+       |n AS (SELECT COUNT(*) AS n FROM t),
+       |sc AS (SELECT doc_id, term, tf, df,
+       |    ROUND(CAST(tf AS DOUBLE) *
+       |      (ln((CAST(n AS DOUBLE) + 1.0E0) / (CAST(df AS DOUBLE) + 1.0E0))
+       |       + 1.0E0), 6) AS score
+       |  FROM tf JOIN dfq USING (term), n),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS rank FROM sc)
+       |SELECT doc_id, term, tf, df, score, rank
+       |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   /** Hard-negative mining ([[graft.ext.Retrieval.hardNegatives]], the
     * DPR BM25-negatives recipe): top-20 retrieval per query, the two
     * known positives per query (self + successor) anti-joined away,
@@ -5243,6 +5270,7 @@ object ExtQueries {
     "q_join_skew_aqe" -> joinSkewAqeQ,
     "q_join_bucketed" -> joinBucketedQ,
     "q_bm25_topk" -> bm25TopKQ,
+    "q_tfidf_keywords" -> tfidfKeywordsQ,
     "q_quality_gopher" -> qualityGopher,
     "q_quality_blocklist" -> qualityBlocklistQ,
     "q_text_html" -> textHtmlQ,
@@ -5347,6 +5375,7 @@ object ExtQueries {
     "q_join_skew_aqe" -> joinSkewAqeSql,
     "q_join_bucketed" -> joinBucketedSql,
     "q_bm25_topk" -> bm25TopKSql,
+    "q_tfidf_keywords" -> tfidfKeywordsSql,
     "q_quality_gopher" -> qualityGopherSql,
     "q_quality_blocklist" -> qualityBlocklistSql,
     "q_text_html" -> textHtmlSql,

@@ -1065,6 +1065,35 @@ class ExtSpec extends AnyFunSuite {
       < 1e-9, s"score=${rankOf(4L)} expected=$expected")
   }
 
+  test("tfIdfKeywords: smoothed idf, minDf pruning, rank cap, term tie-break") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "apple apple banana"),
+      (1L, "apple cherry cherry"),
+      (2L, "banana cherry date")).toDF("doc_id", "text")
+    // minDf = 2 prunes "date" (df 1); N = 3
+    val res = Retrieval.tfIdfKeywords(corpus, "doc_id", "text",
+      k = 2, minDf = 2).collect()
+    assert(!res.map(_.getString(1)).contains("date"))
+    assert(res.groupBy(_.getLong(0)).values.forall(_.length <= 2))
+    // doc 0: apple tf=2 df=2 score=2·(ln(4/3)+1); banana tf=1 df=2
+    val d0 = res.filter(_.getLong(0) == 0L).sortBy(_.getInt(5))
+    assert(d0.map(_.getString(1)).toSeq == Seq("apple", "banana"))
+    val expected = BigDecimal(2.0 * (math.log(4.0 / 3.0) + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d0(0).getDouble(4) == expected, d0(0).toString)
+    // doc 2: banana and cherry tie (tf=1, df=2) → term asc breaks it
+    val d2 = res.filter(_.getLong(0) == 2L).sortBy(_.getInt(5))
+    assert(d2.map(_.getString(1)).toSeq == Seq("banana", "cherry"))
+    // guards
+    intercept[IllegalArgumentException] {
+      Retrieval.tfIdfKeywords(corpus, "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.tfIdfKeywords(corpus, "doc_id", "text", k = 1, minDf = 0)
+    }
+  }
+
   test("gopher rule flags fire on the documented boundaries") {
     import spark.implicits._
     val fifty = (1 to 50).map(_ => "the").mkString(" ")
