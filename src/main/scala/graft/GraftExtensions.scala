@@ -58,8 +58,18 @@ object GraftFunctions {
         graft.functions.GraphemeCount(children.head)
       })
 
+  val deflateLength: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("deflate_length"),
+      new ExpressionInfo(classOf[graft.functions.DeflateLength].getName,
+        "deflate_length"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"deflate_length takes 1 argument, got ${children.length}")
+        graft.functions.DeflateLength(children.head)
+      })
+
   private val all = Seq(dotProduct, bloomMightContain, sortedCountIn,
-    nfcNormalize, graphemeCount)
+    nfcNormalize, graphemeCount, deflateLength)
 
   /** Imperative registration for sessions built without
     * `spark.sql.extensions` (idempotent — re-registering replaces the
@@ -85,5 +95,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.sortedCountIn)
     ext.injectFunction(GraftFunctions.nfcNormalize)
     ext.injectFunction(GraftFunctions.graphemeCount)
+    ext.injectFunction(GraftFunctions.deflateLength)
   }
 }

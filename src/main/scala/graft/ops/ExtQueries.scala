@@ -2061,6 +2061,48 @@ object ExtQueries {
       |  COALESCE(r.text, CASE WHEN n.nl = 0 THEN n.text ELSE '' END) AS text
       |FROM n LEFT JOIN r USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
+  /** Compression-ratio quality signal
+    * ([[TextStats.withCompressionRatio]]): per-language ratio profile
+    * over the corpus plus planted template-spam and empty pages.
+    * Rows-only BY DESIGN — no SQL engine replays zlib — so the
+    * quality claims are gated in-query instead: planted spam must
+    * compress below 0.1 AND below every organic document, organic
+    * ratios must sit in the sane (0.05, 1.2] band, and empty text
+    * must yield a null ratio, else the query THROWS. */
+  val textCompressionQ: Q = (s, dir) => {
+    import s.implicits._
+    val docs = documents(s, dir).select("doc_id", "lang", "text")
+    val planted = Seq(
+      (900001L, "spam", "buy now " * 512),
+      (900002L, "spam", Seq.fill(256)("click here win prize").mkString(" ")),
+      (900003L, "blank", ""))
+      .toDF("doc_id", "lang", "text")
+    val rated = TextStats.withCompressionRatio(docs.unionAll(planted), "text")
+    val g = rated.agg(
+      max(when(col("doc_id").isin(900001L, 900002L),
+        col("compression_ratio"))).as("spam_max"),
+      min(when(col("doc_id") < 900000L, col("compression_ratio"))).as("org_min"),
+      max(when(col("doc_id") < 900000L, col("compression_ratio"))).as("org_max"),
+      sum(when(col("doc_id") === 900003L && col("compression_ratio").isNull,
+        1L).otherwise(0L)).as("null_ok")).head()
+    val (spamMax, orgMin, orgMax) =
+      (g.getDouble(0), g.getDouble(1), g.getDouble(2))
+    require(spamMax < 0.1,
+      f"planted template spam compresses to $spamMax%.4f >= 0.1")
+    require(spamMax < orgMin,
+      f"spam ratio $spamMax%.4f not below organic min $orgMin%.4f " +
+        "— the entropy signal failed to separate")
+    require(orgMin > 0.05 && orgMax <= 1.2,
+      f"organic ratios [$orgMin%.4f, $orgMax%.4f] outside the sane band")
+    require(g.getLong(3) == 1L, "empty text must yield a null ratio")
+    rated.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        min("compression_ratio").as("min_ratio"),
+        round(avg("compression_ratio"), 6).as("mean_ratio"),
+        max("compression_ratio").as("max_ratio"))
+      .orderBy("lang")
+  }
+
   /** Sequence packing ([[TextStats.packSequences]]): documents →
     * fixed token-budget training sequences, packed within salted
     * partitions so no global order (and no single-partition window)
@@ -5260,6 +5302,7 @@ object ExtQueries {
     "q_dedup_spans" -> dedupSpansQ,
     "q_dedup_lines" -> dedupLinesQ,
     "q_dedup_paragraphs" -> dedupParagraphsQ,
+    "q_text_compression" -> textCompressionQ,
     "q_dedup_canonical" -> dedupCanonicalQ,
     "q_batch_by_length" -> batchByLengthQ,
     "q_sim_ivfpq" -> simIvfPq,

@@ -159,4 +159,46 @@ class FunctionsSpec extends AnyFunSuite {
       assert(starProject.findFirstIn(plan).isDefined, plan)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("deflate_length: entropy ordering, determinism, null/empty contract") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def dl(s: String): Int =
+      Seq(Tuple1(s)).toDF("t")
+        .select(call_function("deflate_length", col("t"))).head().getInt(0)
+    // repetitive text compresses far below high-entropy text of the
+    // same byte length (the signal the quality rule rides on)
+    val rep = "spam " * 200
+    val rnd = new scala.util.Random(7)
+    val noise = Seq.fill(rep.length)((rnd.nextInt(94) + 33).toChar).mkString
+    assert(rep.length == noise.length)
+    assert(dl(rep) * 5 < dl(noise), s"rep=${dl(rep)} noise=${dl(noise)}")
+    // deterministic across calls; positive even for tiny inputs
+    assert(dl("abc") == dl("abc") && dl("abc") > 0)
+    // unicode goes through UTF-8 bytes: CJK string deflates to more
+    // bytes than its codepoint count suggests
+    assert(dl("中文中文") > 4)
+    // null in -> null out; empty string still produces a final block
+    val r = Seq((null: String, "")).toDF("a", "b")
+      .select(call_function("deflate_length", col("a")),
+        call_function("deflate_length", col("b"))).head()
+    assert(r.isNullAt(0) && r.getInt(1) > 0)
+    // codegen placement: a * Project over the scan, no fallback
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val q = docs.select(call_function("deflate_length", col("text")).as("d"))
+        .agg(max("d"))
+      assert(q.head().getInt(0) > 0)
+      val plan = q.queryExecution.executedPlan.toString
+      val starProject = "\\*\\(\\d+\\) Project \\[deflate_length".r
+      assert(starProject.findFirstIn(plan).isDefined, plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the ratio wrapper: spam below organic, empty -> null
+    val rated = graft.ext.TextStats.withCompressionRatio(
+      Seq((1L, rep), (2L, noise), (3L, "")).toDF("doc_id", "text"), "text")
+      .collect().map(r2 => r2.getLong(0) ->
+        (if (r2.isNullAt(4)) None else Some(r2.getDouble(4)))).toMap
+    assert(rated(1L).get < rated(2L).get && rated(3L).isEmpty)
+  }
 }
