@@ -4083,6 +4083,64 @@ object ExtQueries {
        |FROM d JOIN tp ON d.lang = tp.lang JOIN q ON d.lang = q.lang
        |ORDER BY d.lang""".stripMargin
 
+  /** Stored Count-Min point-frequency sketches
+    * ([[graft.functions.CountMinAgg]] / `CountMinMergeAgg`): per-shard
+    * `(lang, half)` CMS grids built once and WRITTEN, then corpus-wide
+    * token-frequency estimates re-merged from STORAGE by element-wise
+    * sum — the linearity property; appending a shard never re-scans
+    * history. In-query gates (the sketch claims SQL can't replay):
+    * for every probe token (top-3 per lang, exact), the merged
+    * estimate is `>= exact` (CMS never underestimates) and
+    * `<= exact + 2·N/width` — THROWS on violation. Oracled output:
+    * the exact probe table only. Driver traffic is bounded by
+    * construction: |langs| fixed 32 KiB grids + |langs|·3 probes. */
+  val sketchCmsQ: Q = (s, dir) => {
+    val base = scratchDir("skcms", dir)
+    val depth = 4
+    val width = 1024
+    val docs = documents(s, dir).select(col("lang"),
+      pmod(col("doc_id"), lit(2)).as("half"), col("text"))
+    val toks = docs.select(col("lang"), col("half"),
+      explode(Featurize.tokensCol(col("text"))).as("token"))
+    val cmsAgg = udaf(new graft.functions.CountMinAgg(depth, width))
+    toks.groupBy("lang", "half")
+      .agg(cmsAgg(col("token")).as("cms"), count(lit(1)).as("n_tokens"))
+      .write.mode("overwrite").parquet(s"$base/sketches")
+    val stored = s.read.parquet(s"$base/sketches")
+    val cmsMerge = udaf(new graft.functions.CountMinMergeAgg(depth, width))
+    val merged = stored.groupBy("lang")
+      .agg(cmsMerge(col("cms")).as("cms"), sum("n_tokens").as("n_tok"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val exact = toks.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val wTop = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("token"))
+    val top = exact.withColumn("r", row_number().over(wTop))
+      .where(col("r") <= 3)
+      .select(col("lang"), col("token"), col("cnt"), col("r").cast("int"))
+    val probes = top.collect()
+    require(probes.nonEmpty, "no probe tokens — empty corpus?")
+    probes.foreach { p =>
+      val (lang, token, cnt) = (p.getString(0), p.getString(1), p.getLong(2))
+      val (sketch, nTok) = merged(lang)
+      val est = graft.functions.CountMin.estimate(sketch, token, depth, width)
+      require(est >= cnt,
+        s"CMS underestimated '$token'@$lang: est=$est < exact=$cnt")
+      require(est <= cnt + 2L * nTok / width,
+        s"CMS overshoot on '$token'@$lang: est=$est exact=$cnt N=$nTok")
+    }
+    top.orderBy("lang", "r")
+  }
+
+  val sketchCmsSql =
+    s"""WITH t AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+       |c AS (SELECT lang, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+       |r AS (SELECT lang, token, cnt, CAST(ROW_NUMBER() OVER (
+       |        PARTITION BY lang ORDER BY cnt DESC, token) AS INTEGER) AS r
+       |      FROM c)
+       |SELECT lang, token, cnt, r FROM r WHERE r <= 3
+       |ORDER BY lang, r""".stripMargin
+
   /** The curation PIPELINE as one oracled query — the composition the
     * E2E specs walk through, but value-exact against DuckDB: Gopher
     * quality gate → exact dedup (earliest id per text) → hashed-bigram
@@ -5342,6 +5400,7 @@ object ExtQueries {
     "q_datasheet_approx" -> datasheetApproxQ,
     "q_sketch_column" -> sketchColumnQ,
     "q_sketch_profile" -> sketchProfileQ,
+    "q_sketch_cms" -> sketchCmsQ,
     "q_assembly_pipeline" -> assemblyPipelineQ,
   )
 
@@ -5444,6 +5503,7 @@ object ExtQueries {
     "q_datasheet_approx" -> corpusDatasheetSql,
     "q_sketch_column" -> sketchColumnSql,
     "q_sketch_profile" -> sketchProfileSql,
+    "q_sketch_cms" -> sketchCmsSql,
     "q_assembly_pipeline" -> assemblyPipelineSql,
   )
 }

@@ -114,4 +114,47 @@ class SketchSpec extends AnyFunSuite {
     assertMgBounds(sk, exact, rows.size.toLong, cap)
     assert(sk.contains("hot"), "stored-merge lost the majority item")
   }
+
+  test("Count-Min: never underestimates, linear merge == single build") {
+    import spark.implicits._
+    import graft.functions.{CountMin, CountMinAgg, CountMinMergeAgg}
+    val (depth, width) = (4, 64)
+    val rows = (1 to 300).map(i =>
+      (i % 2, if (i % 3 == 0) "hot" else s"w${i % 50}"))
+    val df = rows.toDF("shard", "token")
+    val cms = udaf(new CountMinAgg(depth, width))
+    // single build over everything
+    val whole = df.agg(cms(col("token"))).head().getSeq[Long](0)
+    // per-shard build -> stored -> merged: LINEARITY means the merged
+    // grid is IDENTICAL to the single-build grid, counter for counter
+    val shards = df.groupBy("shard").agg(cms(col("token")).as("cms"))
+    val mergeAgg = udaf(new CountMinMergeAgg(depth, width))
+    val merged = shards.agg(mergeAgg(col("cms"))).head().getSeq[Long](0)
+    assert(merged == whole, "merged grid != single-build grid")
+    // every key: estimate >= exact; total mass conserved per row
+    val exact = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    exact.foreach { case (k, n) =>
+      val est = CountMin.estimate(merged, k, depth, width)
+      assert(est >= n, s"underestimate on $k: $est < $n")
+      assert(est <= n + 2L * rows.size / width, s"overshoot on $k: $est vs $n")
+    }
+    (0 until depth).foreach { r =>
+      val mass = (0 until width).map(i => merged(r * width + i)).sum
+      assert(mass == rows.size, s"row $r mass $mass != ${rows.size}")
+    }
+    // absent key estimates only collision mass (and a majority item
+    // dominates it); nulls are ignored, not counted
+    assert(CountMin.estimate(merged, "never-seen-token", depth, width)
+      < exact("hot"))
+    val withNulls = df.union(Seq((9, null: String)).toDF("shard", "token"))
+    val wn = withNulls.agg(cms(col("token"))).head().getSeq[Long](0)
+    assert(wn == whole, "null input must not perturb the grid")
+    // grid-shape mismatch throws loudly, never merges garbage
+    val badMerge = udaf(new CountMinMergeAgg(depth, width + 1))
+    val bad = intercept[Exception] {
+      shards.agg(badMerge(col("cms"))).head()
+    }
+    assert((bad.getMessage + Option(bad.getCause).map(_.getMessage).mkString)
+      .contains("counters"), bad.getMessage)
+  }
 }
