@@ -4425,6 +4425,50 @@ object ExtQueries {
       .orderBy("doc_id", "neighbor_id")
   }
 
+  /** Streaming per-domain quota gate
+    * ([[graft.streaming.ScoreStream.domainQuotaGate]]): two REAL
+    * streaming runs over a file source sharing one checkpoint — the
+    * quota state must SURVIVE the restart and span both batches.
+    * 4 synthetic domains × 10 pages per batch at cap = 15: batch 1
+    * admits all 10 per domain, batch 2 admits only the 5 lowest
+    * doc_ids per domain (ranks 11–15) and drops the rest — the
+    * cross-restart carry-over is exactly what the oracle's
+    * (batch, doc_id) row_number replays. */
+  val streamQuotaQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("squota", dir)
+    val docs = documents(s, dir).select(col("doc_id"),
+      concat(lit("site"), pmod(col("doc_id"), lit(4))).as("domain"))
+    def runOnce(schema: org.apache.spark.sql.types.StructType): Unit = {
+      val stream = s.readStream.schema(schema).parquet(s"$base/src")
+      val gated = graft.streaming.ScoreStream.domainQuotaGate(
+        stream, "domain", "doc_id", cap = 15)
+      graft.streaming.ScoreStream.idempotentParquetSink(
+        gated, s"$base/out", s"$base/chk").awaitTermination()
+    }
+    val b1 = docs.where(col("doc_id") < 40)
+    b1.write.mode("overwrite").parquet(s"$base/src")
+    runOnce(b1.schema)
+    docs.where(col("doc_id") >= 40 && col("doc_id") < 80)
+      .write.mode("append").parquet(s"$base/src")
+    runOnce(b1.schema)
+    s.read.parquet(s"$base/out")
+      .select("domain", "doc_id", "quota_rank")
+      .orderBy("domain", "doc_id")
+  }
+
+  val streamQuotaSql =
+    """WITH a AS (
+      |  SELECT 'site' || (doc_id % 4) AS domain, doc_id, 1 AS b
+      |  FROM documents WHERE doc_id < 40
+      |  UNION ALL
+      |  SELECT 'site' || (doc_id % 4), doc_id, 2
+      |  FROM documents WHERE doc_id >= 40 AND doc_id < 80),
+      |r AS (SELECT domain, doc_id, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY domain ORDER BY b, doc_id) AS INTEGER)
+      |        AS quota_rank FROM a)
+      |SELECT domain, doc_id, quota_rank FROM r WHERE quota_rank <= 15
+      |ORDER BY domain, doc_id""".stripMargin
+
   /** [[streamNeardupQ]]'s oracle: the same 4-lane MinHash on both
     * sides (the [[dedupMinhashSigSql]] lane arithmetic), candidate
     * iff band (m0,m1) or band (m2,m3) agrees, estimate = agreeing
@@ -5335,6 +5379,7 @@ object ExtQueries {
     "q_stream_contamination" -> streamContaminationQ,
     "q_stream_semantic" -> streamSemanticQ,
     "q_stream_neardup" -> streamNeardupQ,
+    "q_stream_quota" -> streamQuotaQ,
     "q_stream_join" -> streamJoin,
     "q_sessionize" -> sessionizeQ,
     "q_sessionize_timers" -> sessionizeTimersQ,
@@ -5446,6 +5491,7 @@ object ExtQueries {
     "q_stream_window" -> streamWindowSql,
     "q_stream_contamination" -> streamContaminationSql,
     "q_stream_neardup" -> streamNeardupSql,
+    "q_stream_quota" -> streamQuotaSql,
     "q_stream_join" -> streamJoinSql,
     "q_sessionize" -> sessionizeSql,
     "q_sessionize_timers" -> sessionizeTimersSql,

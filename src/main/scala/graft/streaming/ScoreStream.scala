@@ -269,6 +269,44 @@ object ScoreStream {
     windowedCounts(scored, tsCol, "pr_label")
   }
 
+  /** Streaming per-domain quota gate — the online face of the batch
+    * `Sampling.capPerKey` pages-per-domain guard: admit at most `cap`
+    * rows per key over the STREAM LIFETIME, emitting each admitted
+    * row with its 1-based `quota_rank`; everything past the quota is
+    * silently dropped. State is ONE long (admitted-so-far) per key —
+    * bounded by |domains|, checkpointed, so the quota survives
+    * restarts and spans batches.
+    *
+    * Determinism contract: within a micro-batch a key's rows are
+    * admitted in ascending `idCol` order (the group iterator's
+    * arrival order is partition-nondeterministic, so the gate sorts —
+    * a batch's worth of one domain's rows, not the corpus); across
+    * batches, arrival order governs, exactly like a production crawl
+    * frontier. Output: `(keyCol, idCol, quota_rank)` of ADMITTED rows
+    * only — semi-join back for payloads (bodies never enter state). */
+  def domainQuotaGate(docs: DataFrame, keyCol: String, idCol: String,
+                      cap: Int): DataFrame = {
+    require(cap > 0, s"cap=$cap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs.select(col(keyCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+    def gate(key: String, rows: Iterator[(String, Long)],
+             state: GroupState[Long]): Iterator[(String, Long, Int)] = {
+      val admitted = state.getOption.getOrElse(0L)
+      val room = math.max(cap - admitted, 0L).toInt
+      val picked = rows.map(_._2).toArray.sorted.take(room)
+      if (picked.nonEmpty) state.update(admitted + picked.length)
+      picked.iterator.zipWithIndex.map { case (id, i) =>
+        (key, id, (admitted + i + 1).toInt)
+      }
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(gate)
+      .toDF(keyCol, idCol, "quota_rank")
+  }
+
   /** Streaming exact dedup: drop rows whose `idCols` repeat within the
     * watermark horizon — the streaming face of the dedup surface, for
     * at-least-once sources. State is bounded by the watermark (keys

@@ -734,4 +734,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("latin") == ((1L, 29L, 0L)), out.toString)
     assert(out("und") == ((1L, 3L, 3L)), out.toString)
   }
+
+  test("domain quota gate: lifetime cap spans batches, in-batch doc_id order") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(String, Long)]
+    val gated = ScoreStream.domainQuotaGate(
+      source.toDS().toDF("domain", "doc_id"), "domain", "doc_id", cap = 3)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("quota_out").start()
+    // batch 1: domain a sends 4 (out of id order), b sends 1
+    source.addData(("a", 7L), ("a", 2L), ("a", 9L), ("a", 5L), ("b", 1L))
+    q.processAllAvailable()
+    // batch 2: a is already full after 3 — everything dropped; b fills
+    source.addData(("a", 1L), ("b", 8L), ("b", 3L), ("b", 4L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("quota_out")
+      .as[(String, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    // in-batch admission is ascending doc_id: 2,5,7 admitted, 9 dropped
+    assert(out.filter(_._1 == "a").toSeq ==
+      Seq(("a", 2L, 1), ("a", 5L, 2), ("a", 7L, 3)), out.mkString("|"))
+    // b: rank 1 from batch 1 carries into batch 2's ranks 2..3 (3,4 by
+    // id order; 8 over quota)
+    assert(out.filter(_._1 == "b").toSeq ==
+      Seq(("b", 1L, 1), ("b", 3L, 2), ("b", 4L, 3)), out.mkString("|"))
+    intercept[IllegalArgumentException] {
+      ScoreStream.domainQuotaGate(
+        Seq(("a", 1L)).toDF("domain", "doc_id"), "domain", "doc_id", cap = 0)
+    }
+  }
 }
