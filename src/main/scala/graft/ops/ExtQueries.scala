@@ -4795,7 +4795,12 @@ object ExtQueries {
         TextStats.nonAsciiCount(col("text")).as("__na"),
         md5(col("text")).as("text_md5"))
       .select(col("doc_id"), col("n_chars"), col("n_bytes"), col("n_tokens"),
-        when(col("doc_id") < 700000L || col("__na") > 0, col("__na"))
+        // the decay pin binds to the PLANTED ZOO id band only
+        // ([700000, 701000)): scale replicas shift corpus ids by
+        // k·10^7, which lands ordinary ASCII rows above 700000 — they
+        // must pass through, not trip the fixture guard
+        when(col("doc_id") < 700000L || col("doc_id") >= 701000L ||
+            col("__na") > 0, col("__na"))
           .otherwise(raise_error(concat(lit("ASCII-only unicode fixture row "),
             col("doc_id").cast("string")))).as("n_nonascii"),
         col("text_md5"))
