@@ -4909,7 +4909,10 @@ object ExtQueries {
        |        min(packed) OVER (PARTITION BY md5(line)) AS win FROM p),
        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
        |      FROM w WHERE packed = win GROUP BY 1)
-       |SELECT doc_id, md5(text) AS text_md5 FROM r ORDER BY doc_id""".stripMargin
+       |SELECT n.doc_id,
+       |  md5(COALESCE(r.text, CASE WHEN n.nl = 0 THEN n.text ELSE '' END))
+       |    AS text_md5
+       |FROM n LEFT JOIN r USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
   /** Whitespace/BPE-ish token counts and mean token length (in
     * CODEPOINTS) over unicode text: a CJK doc is one giant ws-token
