@@ -175,6 +175,10 @@ object TextStats extends Serializable {
     * ratio as a score column, not a join key. */
   def withCompressionRatio(df: DataFrame, textCol: String,
                            out: String = "compression_ratio"): DataFrame = {
+    val clash = Seq("n_bytes", "deflate_bytes", out).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withCompressionRatio writes fixed columns (n_bytes, deflate_bytes, $out) " +
+        s"but the input already has: ${clash.mkString(", ")} — rename or drop them first")
     val nBytes = octet_length(col(textCol))
     df.withColumn("n_bytes", nBytes)
       .withColumn("deflate_bytes",
@@ -380,18 +384,30 @@ object TextStats extends Serializable {
     * non-terminal characters plus its trailing terminal run (greedy,
     * so "!?…" clusters attach to the sentence they close); a trailing
     * fragment with no terminator is kept as a final sentence; pieces
-    * that trim to empty (inter-sentence whitespace) are dropped.
+    * are stripped of leading/trailing ASCII whitespace (space, tab,
+    * CR, LF, FF — so a trailing "\n" after the last terminal never
+    * yields a phantom empty sentence) and dropped when empty.
     * `sentenceChars` is the un-bracketed terminal set — extend with
-    * fullwidth 。！？ for CJK. The alternation pattern
-    * `[^T]+[T]+|[^T]+$` is valid and equivalent in Java regex AND RE2
-    * (no lookbehind — RE2 has none), so DuckDB oracles share it
-    * verbatim. */
+    * fullwidth 。！？ for CJK; characters with character-class
+    * syntax (`] \ ^ - &`) are rejected because the set is spliced
+    * into a `[...]` class shared verbatim with DuckDB oracles. The
+    * alternation pattern `[^T]+[T]+|[^T]+$` is valid and equivalent
+    * in Java regex AND RE2 (no lookbehind — RE2 has none). */
   def sentencesCol(text: Column, sentenceChars: String = ".!?"): Column = {
+    require(sentenceChars.nonEmpty && !sentenceChars.exists("]\\^-&".contains(_)),
+      s"sentenceChars must be non-empty and free of character-class " +
+        s"syntax (] \\ ^ - &): '$sentenceChars'")
     val pat = s"[^$sentenceChars]+[$sentenceChars]+|[^$sentenceChars]+$$"
     filter(
-      transform(regexp_extract_all(text, lit(pat), lit(0)), s => trim(s)),
+      transform(regexp_extract_all(text, lit(pat), lit(0)),
+        s => regexp_replace(s, AsciiWsTrim, "")),
       s => length(s) > 0)
   }
+
+  /** Leading/trailing ASCII-whitespace trim pattern — an explicit
+    * class (not `\s`, whose membership differs between Java regex
+    * and RE2 on `\x0B`) so Spark and DuckDB strip identically. */
+  val AsciiWsTrim = "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$"
 
   /** Sentence segmentation: one output row per sentence —
     * `(id, sent_idx, sentence, n_words)` — the unit most quality

@@ -1933,11 +1933,11 @@ object ExtQueries {
        |  FROM base),
        |g AS (SELECT lang,
        |  COUNT(*) AS n_docs,
-       |  SUM(CAST(len($toksSql) AS BIGINT)) AS total_words,
-       |  SUM(CAST(len(bpe_symbols) AS BIGINT)) AS total_symbols,
-       |  SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
-       |  SUM(CAST(len(list_filter(bpe_symbols,
-       |    sy -> NOT contains(sy, '${TextStats.BpeJoiner}'))) AS BIGINT))
+       |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_words,
+       |  CAST(SUM(len(bpe_symbols)) AS BIGINT) AS total_symbols,
+       |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(len(list_filter(bpe_symbols,
+       |    sy -> NOT contains(sy, '${TextStats.BpeJoiner}')))) AS BIGINT)
        |    AS base_symbols
        |FROM a GROUP BY 1)
        |SELECT lang, n_docs, total_words, total_symbols, total_bytes,
@@ -4126,8 +4126,19 @@ object ExtQueries {
       val est = graft.functions.CountMin.estimate(sketch, token, depth, width)
       require(est >= cnt,
         s"CMS underestimated '$token'@$lang: est=$est < exact=$cnt")
-      require(est <= cnt + 2L * nTok / width,
-        s"CMS overshoot on '$token'@$lang: est=$est exact=$cnt N=$nTok")
+      // Overshoot: the formal CM guarantee is est ≤ exact + e·N/width
+      // with probability ≥ 1 − e^−depth PER probe — with deterministic
+      // seeded hashes a new fixture/replica can legitimately land a
+      // collision above any tighter ad-hoc bound (2N/width fails with
+      // probability up to 1/2 per Markov). Hard-gate only the formal
+      // bound; log tighter overshoots instead of failing the query.
+      val formal = cnt + math.ceil(math.E * nTok / width).toLong
+      require(est <= formal,
+        s"CMS overshoot beyond the e·N/width guarantee on '$token'@$lang: " +
+          s"est=$est exact=$cnt N=$nTok depth=$depth width=$width")
+      if (est > cnt + 2L * nTok / width)
+        System.err.println(s"[q_sketch_cms] overshoot within formal bound: " +
+          s"'$token'@$lang est=$est exact=$cnt N=$nTok")
     }
     top.orderBy("lang", "r")
   }
@@ -5290,7 +5301,8 @@ object ExtQueries {
   private val sentencePiecesSql =
     """list_filter(list_transform(
       |      regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
-      |      x -> trim(x)), x -> len(x) > 0)""".stripMargin
+      |      x -> regexp_replace(x, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')),
+      |      x -> len(x) > 0)""".stripMargin
 
   val textSentencesSql =
     s"""WITH base AS (

@@ -279,11 +279,17 @@ object ScoreStream {
     *
     * Determinism contract: within a micro-batch a key's rows are
     * admitted in ascending `idCol` order (the group iterator's
-    * arrival order is partition-nondeterministic, so the gate sorts —
-    * a batch's worth of one domain's rows, not the corpus); across
-    * batches, arrival order governs, exactly like a production crawl
-    * frontier. Output: `(keyCol, idCol, quota_rank)` of ADMITTED rows
-    * only — semi-join back for payloads (bodies never enter state). */
+    * arrival order is partition-nondeterministic, so the gate picks
+    * the `room` smallest ids); across batches, arrival order governs,
+    * exactly like a production crawl frontier. Output:
+    * `(keyCol, idCol, quota_rank)` of ADMITTED rows only — semi-join
+    * back for payloads (bodies never enter state).
+    *
+    * Memory contract: the gate streams each (key, micro-batch) group
+    * through a max-heap capped at the key's remaining `room` (≤ cap)
+    * — per-group working memory is O(cap) ids however hot the domain
+    * or large the micro-batch, and a key already at quota consumes
+    * the iterator without buffering anything. */
   def domainQuotaGate(docs: DataFrame, keyCol: String, idCol: String,
                       cap: Int): DataFrame = {
     require(cap > 0, s"cap=$cap")
@@ -295,7 +301,18 @@ object ScoreStream {
              state: GroupState[Long]): Iterator[(String, Long, Int)] = {
       val admitted = state.getOption.getOrElse(0L)
       val room = math.max(cap - admitted, 0L).toInt
-      val picked = rows.map(_._2).toArray.sorted.take(room)
+      if (room == 0) { rows.foreach(_ => ()); return Iterator.empty }
+      // room smallest ids via a bounded max-heap: O(room) memory,
+      // O(n·log room) time — never the full group in memory at once
+      val heap = new java.util.PriorityQueue[java.lang.Long](
+        room, java.util.Comparator.reverseOrder[java.lang.Long]())
+      rows.foreach { case (_, id) =>
+        if (heap.size < room) heap.add(id)
+        else if (id < heap.peek) { heap.poll(); heap.add(id) }
+      }
+      val picked = new Array[Long](heap.size)
+      var j = picked.length - 1
+      while (j >= 0) { picked(j) = heap.poll(); j -= 1 }
       if (picked.nonEmpty) state.update(admitted + picked.length)
       picked.iterator.zipWithIndex.map { case (id, i) =>
         (key, id, (admitted + i + 1).toInt)

@@ -214,6 +214,21 @@ class UnicodeSpec extends AnyFunSuite {
       Seq((3L, "one.   two.   ")).toDF("doc_id", "text"), "text", "doc_id")
       .collect()
     assert(ws.length == 2 && ws.forall(_.getString(2).nonEmpty))
+    // \n / \t whitespace fragments are dropped too (trailing newline
+    // after the last terminal used to survive as an n_words=0 row)
+    val nl = TextStats.splitSentences(
+      Seq((4L, "one. two.\n"), (5L, "a.\t\n \tb.\t")).toDF("doc_id", "text"),
+      "text", "doc_id")
+      .orderBy("doc_id", "sent_idx").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(nl.toSeq == Seq((4L, "one."), (4L, "two."),
+      (5L, "a."), (5L, "b.")), nl.mkString("|"))
+    // terminal sets carrying character-class syntax are rejected, not
+    // silently miscompiled (the set is spliced into a [...] class)
+    for (badSet <- Seq("", ".!]", "a-z", ".\\", "^.", ".&&!"))
+      intercept[IllegalArgumentException] {
+        TextStats.sentencesCol(lit("x"), badSet)
+      }
   }
 
   test("md5 hashes UTF-8 bytes (reference value)") {

@@ -66,7 +66,17 @@ def main():
         bad = []
         for c in got.columns:
             g, e = got[c], exp[c]
-            if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
+            gf, ef = pd.api.types.is_float_dtype(g), pd.api.types.is_float_dtype(e)
+            # Driver-strict: the driver hashes canonical string renderings, so
+            # an int64 column on one side vs float64 on the other (e.g. DuckDB
+            # SUM(BIGINT) -> HUGEINT -> float64 rendering 15.0 vs Spark's 15)
+            # is a mismatch even when numerically equal. Do NOT coerce across
+            # the int/float boundary — fail it, like the driver would.
+            if gf != ef:
+                bad.append(f"{c}: DTYPE spark={g.dtype} oracle={e.dtype} "
+                           f"(int-vs-float renders differently under the driver hash)")
+                continue
+            if gf and ef:
                 ga = pd.to_numeric(g, errors="coerce").astype(float)
                 ea = pd.to_numeric(e, errors="coerce").astype(float)
                 eq = (ga.values == ea.values) | (pd.isna(ga.values) & pd.isna(ea.values))
