@@ -56,6 +56,73 @@ object Featurize {
   def allGramsCol(tokens: Column, maxN: Int): Column =
     (2 to maxN).foldLeft(tokens)((acc, n) => concat(acc, ngramsCol(tokens, n)))
 
+  /** Character-gram canonical form for language ID: lowercase,
+    * whitespace runs collapsed to `_` (a word-boundary marker the
+    * grams can see, fastText-langid style), wrapped in leading and
+    * trailing `_`, capped at `prefixLen` characters — language is
+    * decidable from a prefix, so featurization cost per document is
+    * bounded by the cap, not the document length. Null-safe (null →
+    * "__"). Mirrored exactly by [[charPrepLocal]] for the driver-side
+    * single-row path. */
+  def charPrepCol(text: Column, prefixLen: Int): Column =
+    concat(lit("_"),
+      substring(regexp_replace(lower(coalesce(text, lit(""))), "\\s+", "_"),
+        1, prefixLen),
+      lit("_"))
+
+  /** JVM mirror of [[charPrepCol]] (Latin-script BMP text — where
+    * model langid applies — lowercases and slices identically in
+    * UTF8String and java.lang.String). */
+  def charPrepLocal(text: String, prefixLen: Int): String =
+    "_" + "\\s+".r.replaceAllIn(Option(text).getOrElse("").toLowerCase, "_")
+      .take(prefixLen) + "_"
+
+  /** All char n-grams of the canonical form for each n in `ns`, as one
+    * concatenated array. The canonical text must already be staged as
+    * an ATTRIBUTE (`prepCol` is a column NAME) — the per-position
+    * lambda then only re-reads a row field, not a regex chain.
+    * `sequence(1, length-n+1)` is guarded by a `when`: Spark's
+    * sequence DESCENDS when stop < start, which would fabricate
+    * grams for too-short texts. */
+  def charGramsCol(prepCol: String, ns: Seq[Int]): Column = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"char n-gram sizes: $ns")
+    val grams = ns.map { n =>
+      when(length(col(prepCol)) >= n,
+        expr(s"transform(sequence(1, length($prepCol) - ${n - 1}), " +
+          s"i -> substring($prepCol, i, $n))"))
+        .otherwise(array().cast("array<string>"))
+    }
+    if (grams.size == 1) grams.head else concat(grams: _*)
+  }
+
+  /** Add `featuresCol` hashed from CHARACTER n-grams — the language-ID
+    * featurization (word grams carry no signal across languages that
+    * share vocabulary-free orthography; char grams are the standard
+    * fastText-langid / langid.py representation). Same narrow
+    * no-shuffle shape as the word path. */
+  def addCharFeatures(df: DataFrame, textCol: String, featuresCol: String,
+                      charNgrams: Seq[Int], numFeatures: Int,
+                      prefixLen: Int): DataFrame = {
+    val t = s"__ct_$featuresCol"
+    val g = s"__cg_$featuresCol"
+    val withGrams = df
+      .withColumn(t, charPrepCol(col(textCol), prefixLen))
+      .withColumn(g, charGramsCol(t, charNgrams))
+    val tf = new HashingTF()
+      .setInputCol(g).setOutputCol(featuresCol).setNumFeatures(numFeatures)
+    tf.transform(withGrams).drop(t, g)
+  }
+
+  /** Featurize per the model's params: char-gram mode when
+    * `charNgrams` is set, else the word-gram fastText shape. */
+  def addFeatures(df: DataFrame, textCol: String, featuresCol: String,
+                  params: Trainer.Params): DataFrame =
+    if (params.charNgrams.nonEmpty)
+      addCharFeatures(df, textCol, featuresCol, params.charNgrams,
+        params.numFeatures, params.charPrefixLen)
+    else addFeatures(df, textCol, featuresCol, params.wordNgrams,
+      params.numFeatures)
+
   /** Add `featuresCol` (sparse TF vector over hashed grams) to `df`.
     * Tokens are staged as their own column so the n-gram expansion
     * references an attribute, not `wordNgrams`-many copies of the

@@ -24,12 +24,19 @@ object Trainer {
       wordNgrams: Int = 5,        // 02_merchcat_ml.py:76
       numFeatures: Int = 1 << 18, // fastText bucket=2e6, pow2 for hashing
       regParam: Double = 1e-6,
-      label: String = "__label__") {
+      label: String = "__label__",
+      // char-gram mode (language ID): non-empty switches featurization
+      // from word n-grams to character n-grams of these sizes over the
+      // canonical form capped at charPrefixLen chars
+      charNgrams: Seq[Int] = Nil,
+      charPrefixLen: Int = 400) {
     def asMap: Map[String, String] = Map(
       "lr" -> lr.toString, "epoch" -> epoch.toString,
       "wordNgrams" -> wordNgrams.toString,
       "numFeatures" -> numFeatures.toString,
-      "regParam" -> regParam.toString)
+      "regParam" -> regParam.toString,
+      "charNgrams" -> charNgrams.mkString(","),
+      "charPrefixLen" -> charPrefixLen.toString)
   }
 
   def train(trainIn: DataFrame, labelCol: String, textCol: String,
@@ -59,8 +66,7 @@ object Trainer {
       trainParts,
       train.sparkSession.sparkContext.defaultParallelism / 4))
     val featurized = Featurize.addFeatures(
-      indexer.transform(train), textCol, "__features",
-      params.wordNgrams, params.numFeatures)
+      indexer.transform(train), textCol, "__features", params)
       .coalesce(nPart)
       .persist()
     val lr = new LogisticRegression()
@@ -92,7 +98,10 @@ object Trainer {
       epoch = field("epoch", "5").toInt,
       wordNgrams = field("wordNgrams", "5").toInt,
       numFeatures = field("numFeatures", s"${1 << 18}").toInt,
-      regParam = field("regParam", "1e-6").toDouble)
+      regParam = field("regParam", "1e-6").toDouble,
+      charNgrams = field("charNgrams", "").split(",").toSeq
+        .filter(_.nonEmpty).map(_.toInt),
+      charPrefixLen = field("charPrefixLen", "400").toInt)
     new Model(lrModel, indexer, p)
   }
 }
@@ -111,8 +120,7 @@ class Model(
     * string (the `pr_merchant` path, `02_merchcat_ml.py:512`). */
   def predict(df: DataFrame, textCol: String,
               outputCol: String = "pr_label"): DataFrame = {
-    val featurized = Featurize.addFeatures(df, textCol, "__features",
-      params.wordNgrams, params.numFeatures)
+    val featurized = Featurize.addFeatures(df, textCol, "__features", params)
     val scored = lrModel
       .setFeaturesCol("__features")
       .setPredictionCol("__prediction")
@@ -136,8 +144,7 @@ class Model(
     require(idx >= 0,
       s"label '$labelValue' not in model labels " +
         s"${indexer.labelsArray.head.mkString("[", ",", "]")}")
-    val featurized = Featurize.addFeatures(df, textCol, "__features",
-      params.wordNgrams, params.numFeatures)
+    val featurized = Featurize.addFeatures(df, textCol, "__features", params)
     val scored = lrModel
       .setFeaturesCol("__features")
       .setPredictionCol("__prediction")
@@ -156,8 +163,13 @@ class Model(
   def predictOne(text: String): String = {
     val toks = Option(text).map(_.trim.split("\\s+").filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    val grams = toks ++ (2 to params.wordNgrams).flatMap(n => toks.sliding(n)
-      .filter(_.size == n).map(_.mkString(" ")))
+    val grams =
+      if (params.charNgrams.nonEmpty) {
+        val t = Featurize.charPrepLocal(text, params.charPrefixLen)
+        params.charNgrams.flatMap(n =>
+          if (t.length >= n) t.sliding(n).toSeq else Seq.empty)
+      } else toks ++ (2 to params.wordNgrams).flatMap(n => toks.sliding(n)
+        .filter(_.size == n).map(_.mkString(" ")))
     val htf = new org.apache.spark.ml.feature.HashingTF()
       .setNumFeatures(params.numFeatures)
     val counts = scala.collection.mutable.HashMap.empty[Int, Double]
