@@ -922,6 +922,60 @@ object TextStats extends Serializable {
       merges, checkpointEvery)
   }
 
+  /** GPT-2-style pretokenizer: category-run split applied BEFORE
+    * byte-level BPE so merges never cross letter/number/punctuation
+    * boundaries — without it, learned vocabularies diverge from what
+    * any production tokenizer (GPT-2 encoder, SentencePiece) would
+    * produce (punctuation glued to words, digit-letter chimeras).
+    * Alternatives, first match wins: a letter run, a number run, or
+    * an other-run — each with an optional single leading space (the
+    * GPT-2 Ġ convention: a word carries its preceding space) — else
+    * a whitespace run.
+    *
+    * Java∩RE2 compatibility (the oracle replays the split verbatim):
+    * no lookahead (RE2 has none — GPT-2's own `\s+(?!\S)` tail is
+    * therefore NOT reproduced: a multi-space run keeps ALL its
+    * spaces rather than donating the last one to the next word), no
+    * contraction alternatives (`'s|'t|…` is English-specific), and an
+    * EXPLICIT whitespace class — Java's `\s` includes `\x0B` where
+    * RE2's does not, so `\s` itself would segment differently across
+    * engines. `\p{L}`/`\p{N}` are Unicode in both. Every character
+    * falls in exactly one alternative, so the matches partition the
+    * input — concatenating pieces reproduces the text byte-for-byte
+    * (property-tested), which is what keeps decode∘apply ≡ identity
+    * through the pretokenized path. */
+  val BpePretokPattern: String =
+    " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\x0B\\p{L}\\p{N}]+|[ \\t\\n\\r\\f\\x0B]+"
+
+  /** Pretokenizer pieces of `text` (lossless partition, see
+    * [[BpePretokPattern]]); null-safe (null → empty array). */
+  def bpePiecesCol(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(BpePretokPattern), lit(0))
+
+  /** [[bpeTrainBytes]] with the [[BpePretokPattern]] boundary rule:
+    * the corpus explodes into pretokenizer pieces and each piece
+    * seeds its own byte-symbol stream — a pair spanning two pieces
+    * simply never appears in any row, so the trained vocabulary can
+    * only contain within-category merges (the production contract).
+    * Same greedy loop, determinism and scale shape; the explode
+    * multiplies rows, not bytes (total symbol volume is unchanged). */
+  def bpeTrainBytesPretok(df: DataFrame, textCol: String, merges: Int,
+                          sampleFraction: Double = 1.0,
+                          checkpointEvery: Int = 16): Seq[(String, String, Long)] = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction=$sampleFraction must be in (0, 1]")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+    val modulus = 1 << 20
+    val base =
+      if (sampleFraction >= 1.0) df
+      else df.where(graft.etl.Sampling.membershipBucket(col(textCol), modulus)
+        < lit(sampleFraction * modulus))
+    bpeTrainLoop(base
+      .select(explode(bpePiecesCol(col(textCol))).as("__p"))
+      .select(byteSymbolStream(col("__p")).as("__t")),
+      merges, checkpointEvery)
+  }
+
   /** The shared greedy merge loop over a pre-seeded symbol stream
     * column `__t` (space-separated symbols; see [[bpeTrain]] /
     * [[bpeTrainBytes]] for the two seeders). */
@@ -1523,6 +1577,25 @@ object TextStats extends Serializable {
     df.withColumn(outCol, filter(split(stream, " "), t => length(t) > 0))
   }
 
+  /** [[bpeApplyBytes]] with the [[BpePretokPattern]] boundary rule —
+    * the apply side of [[bpeTrainBytesPretok]]: pieces are merged
+    * independently (the merge fold runs inside a `transform` lambda
+    * per piece, so a pair can never span a boundary) and the
+    * per-piece symbol lists flatten back in order. Because the
+    * pieces partition the text, [[bpeDecodeBytes]] inverts this
+    * exactly as it does the unpretokenized path. Still one narrow
+    * codegen'd projection — no explode, no shuffle. */
+  def bpeApplyBytesPretok(df: DataFrame, textCol: String,
+                          merges: Seq[(String, String)],
+                          outCol: String = "bpe_symbols"): DataFrame =
+    df.withColumn(outCol,
+      flatten(transform(bpePiecesCol(col(textCol)), p => {
+        val stream = merges.foldLeft(byteSymbolStream(p)) {
+          case (acc, (l, r)) => mergePair(acc, l, r)
+        }
+        filter(split(stream, " "), t => length(t) > 0)
+      })))
+
   private val hexPairs: Array[String] =
     Array.tabulate(256)(b => f"$b%02X")
 
@@ -1558,6 +1631,42 @@ object TextStats extends Serializable {
     }(Encoders.row(outSchema))
   }
 
+  /** [[bpeApplyBytesPretok]] for LARGE vocabularies — the
+    * `mapPartitions` form ([[bpeApplyLargeBytes]] rationale): pieces
+    * come from the SAME [[BpePretokPattern]] compiled once per
+    * partition, each piece byte-seeds and merges in-place
+    * ([[mergeOnce]]), outputs concatenate in piece order.
+    * Bit-identical to [[bpeApplyBytesPretok]] (spec-pinned). */
+  def bpeApplyLargeBytesPretok(df: DataFrame, textCol: String,
+                               merges: Seq[(String, String)],
+                               outCol: String = "bpe_symbols"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val outSchema = df.schema.add(outCol, ArrayType(StringType, false))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val bc = df.sparkSession.sparkContext.broadcast(merges.toArray)
+    df.mapPartitions { rows =>
+      val ms = bc.value
+      val pretok = java.util.regex.Pattern.compile(BpePretokPattern)
+      rows.map { row =>
+        val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
+        val out = Seq.newBuilder[String]
+        val m = pretok.matcher(text)
+        while (m.find()) {
+          val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var toks = Array.tabulate(bytes.length)(i => hexPairs(bytes(i) & 0xFF))
+          var i = 0
+          while (i < ms.length) {
+            toks = mergeOnce(toks, ms(i)._1, ms(i)._2)
+            i += 1
+          }
+          out ++= toks
+        }
+        Row.fromSeq(row.toSeq :+ out.result())
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Exact inverse of [[bpeApplyBytes]]: strip joiners, concatenate
     * the hex pairs, unhex, decode UTF-8 — `bpeDecodeBytes ∘
     * bpeApplyBytes == identity` on ANY string (property-tested), the
@@ -1588,8 +1697,11 @@ object TextStats extends Serializable {
     * denominators (a group with no whitespace words reports no
     * fertility rather than a fake number). */
   def tokenizerFertility(df: DataFrame, textCol: String, groupCol: String,
-                         merges: Seq[(String, String)]): DataFrame = {
-    val applied = bpeApplyBytes(df, textCol, merges, outCol = "__tf_syms")
+                         merges: Seq[(String, String)],
+                         pretok: Boolean = false): DataFrame = {
+    val applied =
+      if (pretok) bpeApplyBytesPretok(df, textCol, merges, outCol = "__tf_syms")
+      else bpeApplyBytes(df, textCol, merges, outCol = "__tf_syms")
     val syms = col("__tf_syms")
     applied
       .withColumn("__tf_words", size(Featurize.tokensCol(col(textCol))))

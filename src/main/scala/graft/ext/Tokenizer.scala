@@ -63,10 +63,18 @@ object Tokenizer {
   /** Tokenizer modes: `words` seeds from whitespace tokens
     * ([[TextStats.bpeTrain]]); `bytes` seeds from UTF-8 hex-pair
     * symbols ([[TextStats.bpeTrainBytes]] — closed vocabulary over
-    * arbitrary input). A consumer MUST apply the matching seeder, so
-    * the mode rides in the artifact (v3) rather than in folklore. */
+    * arbitrary input); `bytes-pretok` is byte seeding BEHIND the
+    * [[TextStats.BpePretokPattern]] category-run pretokenizer
+    * ([[TextStats.bpeTrainBytesPretok]] /
+    * [[TextStats.bpeApplyBytesPretok]]) — the boundary rule is part
+    * of the tokenizer's identity (the same merge list tokenizes
+    * differently with and without it), so it rides in the mode field
+    * like the seeder does. A consumer MUST apply the matching
+    * seeder+pretokenizer; the mode rides in the artifact (v3) rather
+    * than in folklore. */
   val ModeWords = "words"
   val ModeBytes = "bytes"
+  val ModeBytesPretok = "bytes-pretok"
 
   /** The conventional special-token table (role → literal). */
   val DefaultSpecials: Seq[(String, String)] = Seq(
@@ -78,7 +86,7 @@ object Tokenizer {
   case class BpeArtifact(merges: Seq[(String, String, Long)],
                          specials: Seq[(String, String)],
                          mode: String = ModeWords) {
-    require(mode == ModeWords || mode == ModeBytes,
+    require(mode == ModeWords || mode == ModeBytes || mode == ModeBytesPretok,
       s"unknown tokenizer mode '$mode'")
     specials.foreach { case (role, tok) =>
       require(role.matches("[a-z_]+"), s"special role '$role'")

@@ -1208,7 +1208,14 @@ object ExtQueries {
           "q_tokenizer_fertility" -> tokenizerFertilitySqlFor(
             bpeByteMergesCache.values.iterator.next()))
       else Map.empty[String, String]
-    ivf ++ pq ++ ivfpq ++ rpq ++ bpe ++ bpeBytes
+    val bpePretok =
+      if (bpePretokMergesCache.size == 1)
+        Map("q_bpe_apply_pretok" -> bpeApplyPretokSqlFor(
+            bpePretokMergesCache.values.iterator.next()),
+          "q_tokenizer_fertility_pretok" -> tokenizerFertilityPretokSqlFor(
+            bpePretokMergesCache.values.iterator.next()))
+      else Map.empty[String, String]
+    ivf ++ pq ++ ivfpq ++ rpq ++ bpe ++ bpeBytes ++ bpePretok
   }
 
   /** Embedding near-dup pairs via 16-bit sign-bucket LSH with
@@ -1930,6 +1937,117 @@ object ExtQueries {
     s"""WITH $unicodeBaseSql,
        |a AS (SELECT doc_id, lang, text,
        |    list_filter(string_split($chain, ' '), t -> len(t) > 0)
+       |      AS bpe_symbols
+       |  FROM base),
+       |g AS (SELECT lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_words,
+       |  CAST(SUM(len(bpe_symbols)) AS BIGINT) AS total_symbols,
+       |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(len(list_filter(bpe_symbols,
+       |    sy -> NOT contains(sy, '${TextStats.BpeJoiner}')))) AS BIGINT)
+       |    AS base_symbols
+       |FROM a GROUP BY 1)
+       |SELECT lang, n_docs, total_words, total_symbols, total_bytes,
+       |  base_symbols,
+       |  CASE WHEN total_words > 0 THEN ROUND(CAST(total_symbols AS DOUBLE)
+       |    / CAST(total_words AS DOUBLE), 6) END AS fertility,
+       |  CASE WHEN total_symbols > 0 THEN ROUND(CAST(total_bytes AS DOUBLE)
+       |    / CAST(total_symbols AS DOUBLE), 6) END AS bytes_per_symbol,
+       |  CASE WHEN total_symbols > 0 THEN ROUND(CAST(base_symbols AS DOUBLE)
+       |    / CAST(total_symbols AS DOUBLE), 6) END AS unmerged_frac
+       |FROM g ORDER BY lang""".stripMargin
+  }
+
+  private val bpePretokMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def bpePretokMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpePretokMergesCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+      TextStats.bpeTrainBytesPretok(
+          documents(s, dir).where(col("doc_id") % 10 === 0).select("text"),
+          "text", merges = 8)
+        .map(m => (m._1, m._2)))
+
+  /** Byte BPE behind the GPT-2-style category-run pretokenizer
+    * ([[TextStats.bpeApplyBytesPretok]]): vocabulary trained with the
+    * boundary rule ([[TextStats.bpeTrainBytesPretok]] — merges can
+    * never cross letter/number/punctuation runs, the production
+    * contract GPT-2/SentencePiece ship), applied to documents ∪ the
+    * unicode zoo with the same decode∘apply round-trip gate as
+    * [[bpeApplyBytesQ]] (the pretokenizer pieces partition the text,
+    * so the inverse is unchanged). Oracle replays the SAME
+    * [[TextStats.BpePretokPattern]] split in RE2 and the merge chain
+    * per piece. */
+  val bpeApplyPretokQ: Q = (s, dir) => {
+    val merges = bpePretokMergesFor(s, dir)
+    TextStats.bpeApplyBytesPretok(unicodeBase(s, dir), "text", merges)
+      .select(col("doc_id"),
+        array_join(col("bpe_symbols"), " ").as("bpe_text"),
+        size(col("bpe_symbols")).as("n_symbols"),
+        when(TextStats.bpeDecodeBytes(col("bpe_symbols")) === col("text"),
+            lit(true))
+          .otherwise(raise_error(concat(
+            lit("pretok byte-BPE round trip failed for doc "),
+            col("doc_id").cast("string")))).as("rt_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** The pretokenized byte-merge replay in DuckDB: pieces via the
+    * shared Java∩RE2 [[TextStats.BpePretokPattern]], then the
+    * space-doubling literal-replace chain PER PIECE inside a
+    * list_transform, flattened in piece order. */
+  def bpeApplyPretokSqlFor(merges: Seq[(String, String)]): String = {
+    def q(str: String) = str.replace("'", "''")
+    val seed = """trim(regexp_replace(hex(encode(pc)), '(..)', '\1 ', 'g'))"""
+    val chain = merges.foldLeft(seed) {
+      case (acc, (l, r)) =>
+        val from = "' " + q(l) + "  " + q(r) + " '"
+        val to = "' " + q(l) + TextStats.BpeJoiner + q(r) + " '"
+        s"trim(replace(replace(' ' || replace($acc, ' ', '  ') || ' ', $from, $to), '  ', ' '))"
+    }
+    s"""WITH $unicodeBaseSql,
+       |a AS (SELECT doc_id, flatten(list_transform(
+       |    regexp_extract_all(text, '${TextStats.BpePretokPattern}'),
+       |    pc -> list_filter(string_split($chain, ' '), t -> len(t) > 0)))
+       |      AS bpe_symbols
+       |  FROM base)
+       |SELECT doc_id, array_to_string(bpe_symbols, ' ') AS bpe_text,
+       |  CAST(len(bpe_symbols) AS INTEGER) AS n_symbols,
+       |  true AS rt_ok
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  /** Fertility re-measured with the pretokenizer on
+    * ([[TextStats.tokenizerFertility]] `pretok = true`) — the audit
+    * the un-pretokenized fertility query cannot stand in for: without
+    * the boundary rule the vocabulary is non-standard, so its
+    * fertility describes a tokenizer no production stack would ship.
+    * Same output shape and grouping as [[tokenizerFertilityQ]]. */
+  val tokenizerFertilityPretokQ: Q = (s, dir) => {
+    val merges = bpePretokMergesFor(s, dir)
+    TextStats.tokenizerFertility(unicodeBase(s, dir), "text", "lang", merges,
+        pretok = true)
+      .select("lang", "n_docs", "total_words", "total_symbols",
+        "total_bytes", "base_symbols", "fertility", "bytes_per_symbol",
+        "unmerged_frac")
+      .orderBy("lang")
+  }
+
+  /** Per-group fertility mirror over the pretokenized apply. */
+  def tokenizerFertilityPretokSqlFor(merges: Seq[(String, String)]): String = {
+    def q(str: String) = str.replace("'", "''")
+    val seed = """trim(regexp_replace(hex(encode(pc)), '(..)', '\1 ', 'g'))"""
+    val chain = merges.foldLeft(seed) {
+      case (acc, (l, r)) =>
+        val from = "' " + q(l) + "  " + q(r) + " '"
+        val to = "' " + q(l) + TextStats.BpeJoiner + q(r) + " '"
+        s"trim(replace(replace(' ' || replace($acc, ' ', '  ') || ' ', $from, $to), '  ', ' '))"
+    }
+    s"""WITH $unicodeBaseSql,
+       |a AS (SELECT doc_id, lang, text, flatten(list_transform(
+       |    regexp_extract_all(text, '${TextStats.BpePretokPattern}'),
+       |    pc -> list_filter(string_split($chain, ' '), t -> len(t) > 0)))
        |      AS bpe_symbols
        |  FROM base),
        |g AS (SELECT lang,
@@ -5489,6 +5607,8 @@ object ExtQueries {
     "q_tokenizer_fertility" -> tokenizerFertilityQ,
     "q_text_langid_model" -> textLangidModelQ,
     "q_langid_mixture" -> langidMixtureQ,
+    "q_bpe_apply_pretok" -> bpeApplyPretokQ,
+    "q_tokenizer_fertility_pretok" -> tokenizerFertilityPretokQ,
     "q_multimodal_meta" -> multimodalMeta,
     "q_stream_window" -> streamWindow,
     "q_stream_contamination" -> streamContaminationQ,

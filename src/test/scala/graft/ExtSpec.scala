@@ -1950,5 +1950,18 @@ class ExtSpec extends AnyFunSuite {
     val (l0, r0, _) = merges.head
     intercept[IllegalArgumentException](Tokenizer.BpeArtifact(
       merges, Seq("bos" -> (l0 + J + r0))).vocabIds) // special == product
+
+    // ---- v3: bytes-pretok mode records the boundary rule ----
+    val preMerges = TextStats.bpeTrainBytesPretok(corpus, "text", merges = 4)
+    val pArt = Tokenizer.BpeArtifact(preMerges, Tokenizer.DefaultSpecials,
+      Tokenizer.ModeBytesPretok)
+    val vPre = s"$dir/tokenizer.pretok.tsv"
+    Tokenizer.saveArtifact(pArt, vPre)
+    val loadedP = Tokenizer.loadArtifact(vPre)
+    assert(loadedP == pArt && loadedP.mode == Tokenizer.ModeBytesPretok)
+    val headP = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(vPre)).get(0)
+    assert(headP ==
+      s"graft-bpe\tv3\t${preMerges.size}\t4\tbytes-pretok", headP)
   }
 }

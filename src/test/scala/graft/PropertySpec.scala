@@ -438,4 +438,65 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pretokenizer pieces partition arbitrary UTF-8; pretok round trip") {
+    import spark.implicits._
+    val texts = sample(Gen.listOfN(300, uniString), 11L).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // lossless partition: concatenating the pieces reproduces the text
+    val pieces = df.select(col("id"), col("text"),
+        concat_ws("", TextStats.bpePiecesCol(col("text"))).as("rejoined"))
+      .collect()
+    pieces.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"pieces lost bytes at id ${r.getLong(0)}"))
+    val merges = TextStats.bpeTrainBytesPretok(df, "text", merges = 12)
+      .map(m => (m._1, m._2))
+    assert(merges.nonEmpty)
+    val out = TextStats.bpeApplyBytesPretok(df, "text", merges)
+      .select(col("id"), col("text"),
+        TextStats.bpeDecodeBytes(col("bpe_symbols")).as("rt"),
+        col("bpe_symbols"))
+      .collect()
+    val viaLarge = TextStats.bpeApplyLargeBytesPretok(df, "text", merges)
+      .select(col("id"), col("bpe_symbols")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out.foreach { r =>
+      assert(viaLarge(r.getLong(0)) == r.getSeq[String](3),
+        s"large/regex divergence at id ${r.getLong(0)}")
+      assert(r.getString(1) == r.getString(2),
+        s"pretok round trip failed for id ${r.getLong(0)}")
+    }
+  }
+
+  test("pretokenizer boundary: merges never cross category runs") {
+    import spark.implicits._
+    // "a1" adjacency is frequent, but letter|digit sit in different
+    // pieces — a pretok-trained vocabulary must never adopt the
+    // ("61","31") merge the unpretokenized trainer happily learns
+    val df = Seq.tabulate(50)(i => (i.toLong, "a1 a1 a1")).toDF("id", "text")
+    val plain = TextStats.bpeTrainBytes(df, "text", merges = 1)
+    assert(plain.head._1 == "61" && plain.head._2 == "31", plain)
+    val pre = TextStats.bpeTrainBytesPretok(df, "text", merges = 8)
+    pre.foreach { case (l, r, _) =>
+      val prod = (l + r).replace(TextStats.BpeJoiner, "")
+      val bytes = prod.grouped(2).map(Integer.parseInt(_, 16)).toSeq
+      val cats = bytes.map {
+        case b if b >= 'a' && b <= 'z' => 'L'
+        case b if b >= '0' && b <= '9' => 'N'
+        case 0x20 => 'S'
+        case _ => '?'
+      }
+      // a space may prefix a letter run (the Ġ convention), but letter
+      // and digit bytes never co-occur in one product
+      assert(!(cats.contains('L') && cats.contains('N')),
+        s"cross-category merge product $prod ($cats)")
+    }
+    // and the apply side leaves the boundary untouched even when
+    // handed a cross-boundary merge from a foreign vocabulary
+    val applied = TextStats.bpeApplyBytesPretok(
+        Seq((1L, "a1")).toDF("id", "text"), "text", Seq(("61", "31")))
+      .select("bpe_symbols").head().getSeq[String](0)
+    assert(applied == Seq("61", "31"), applied)
+  }
 }
