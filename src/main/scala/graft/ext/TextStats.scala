@@ -1081,12 +1081,18 @@ object TextStats extends Serializable {
     * RDD object graph before task serialization overflows the stack
     * (the [[bpeTrain]] discipline).
     *
-    * The adopted sequence is IDENTICAL to [[bpeTrain]]'s
-    * (spec-enforced at 512 merges): same greedy left-to-right
-    * non-overlap merge rule ([[mergeOnce]] == [[mergePair]], the
-    * bpeApplyLarge equivalence), same (count DESC, l, r) total order,
-    * and the certification logic never ACCEPTS a step it cannot
-    * prove.
+    * The adopted sequence is IDENTICAL to the matching batch
+    * trainer's — [[bpeTrain]] for `seedMode = words` (spec-enforced
+    * at 512 merges), [[bpeTrainBytes]] for `bytes`,
+    * [[bpeTrainBytesPretok]] for `bytes-pretok` (both spec-enforced)
+    * — same greedy left-to-right non-overlap merge rule
+    * ([[mergeOnce]] == [[mergePair]], the bpeApplyLarge equivalence),
+    * same (count DESC, l, r) total order, and the certification
+    * logic never ACCEPTS a step it cannot prove. Byte seeding is
+    * what makes PRODUCTION-scale vocabularies trainable here: a
+    * 32k–50k-merge byte-level vocabulary (the GPT-2 shape) needs the
+    * flat per-merge cost, and the word-mode-only seeding previously
+    * forced byte vocabularies onto the O(merges) rescan path.
     *
     * Per-merge cost stays FLAT to 32k+ merges via two levers (see the
     * in-loop comment): once the distinct-pair table fits
@@ -1096,6 +1102,33 @@ object TextStats extends Serializable {
     * up to `maxBatch` so corpus passes amortize; a corpus whose pair
     * table never fits stays distributed with an adaptively widening
     * window. */
+  /** Seeding modes for [[bpeTrainIncremental]] — mirror the three
+    * batch trainers ([[bpeTrain]], [[bpeTrainBytes]],
+    * [[bpeTrainBytesPretok]]) and the artifact mode field. */
+  val SeedWords = "words"
+  val SeedBytes = "bytes"
+  val SeedBytesPretok = "bytes-pretok"
+
+  /** One symbol-array row per merge unit for the chosen seeding:
+    * `words` — the document's whitespace tokens (pairs may span the
+    * whole document); `bytes` — the document's UTF-8 hex-pair
+    * symbols; `bytes-pretok` — one ROW PER PRETOKENIZER PIECE of
+    * hex-pair symbols, so cross-boundary pairs never exist, exactly
+    * like the batch trainer's explode seeding. */
+  private def seedSymbolRows(df: DataFrame, textCol: String,
+                             seedMode: String): DataFrame = seedMode match {
+    case SeedWords => df.select(Featurize.tokensCol(col(textCol)).as("__t"))
+    case SeedBytes => df.select(
+      filter(split(byteSymbolStream(col(textCol)), " "),
+        t => length(t) > 0).as("__t"))
+    case SeedBytesPretok => df
+      .select(explode(bpePiecesCol(col(textCol))).as("__p"))
+      .select(filter(split(byteSymbolStream(col("__p")), " "),
+        t => length(t) > 0).as("__t"))
+    case other => throw new IllegalArgumentException(
+      s"unknown seedMode '$other' (want $SeedWords | $SeedBytes | $SeedBytesPretok)")
+  }
+
   def bpeTrainIncremental(df: DataFrame, textCol: String, merges: Int,
                           sampleFraction: Double = 1.0,
                           numPartitions: Int = 8,
@@ -1103,7 +1136,8 @@ object TextStats extends Serializable {
                           batch: Int = 64,
                           driverTableMaxPairs: Int = 500000,
                           maxBatch: Int = 1024,
-                          driverCorpusMaxSymbols: Long = 2000000L)
+                          driverCorpusMaxSymbols: Long = 2000000L,
+                          seedMode: String = SeedWords)
       : Seq[(String, String, Long)] = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction=$sampleFraction must be in (0, 1]")
@@ -1190,8 +1224,7 @@ object TextStats extends Serializable {
       case ((l, r), n) => (-n, l, r)
     }
     val pairOrd = Ordering.Tuple2[String, String]
-    val docs0: Docs = base
-      .select(Featurize.tokensCol(col(textCol)).as("__t"))
+    val docs0: Docs = seedSymbolRows(base, textCol, seedMode)
       .rdd.map(r =>
         (r.getSeq[String](0).toArray, null: Array[((Int, Pair), Long)]))
       // one balancing shuffle, paid once — every later pass is narrow

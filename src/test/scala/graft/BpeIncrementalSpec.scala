@@ -51,6 +51,28 @@ class BpeIncrementalSpec extends AnyFunSuite {
     assert(inc == res, s"fixture divergence: ${inc.zip(res).indexWhere(t => t._1 != t._2)}")
   }
 
+  test("byte and byte-pretok seeding equal their batch trainers") {
+    // the unicode zoo ∪ a fixture slice: multi-byte UTF-8, emoji,
+    // RTL — the regime where byte seeding earns its keep
+    val fx = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("doc_id") < 100)
+      .select("doc_id", "text")
+      .unionByName(graft.ext.UnicodeFixture.df(spark)
+        .select("doc_id", "text"))
+    val incB = TextStats.bpeTrainIncremental(fx, "text", 128,
+      seedMode = TextStats.SeedBytes)
+    val resB = TextStats.bpeTrainBytes(fx, "text", 128)
+    assert(incB == resB,
+      s"bytes divergence at ${incB.zip(resB).indexWhere(t => t._1 != t._2)}")
+    val incP = TextStats.bpeTrainIncremental(fx, "text", 96,
+      seedMode = TextStats.SeedBytesPretok)
+    val resP = TextStats.bpeTrainBytesPretok(fx, "text", 96)
+    assert(incP == resP,
+      s"pretok divergence at ${incP.zip(resP).indexWhere(t => t._1 != t._2)}")
+    intercept[IllegalArgumentException](
+      TextStats.bpeTrainIncremental(fx, "text", 1, seedMode = "hexish"))
+  }
+
   test("degenerate inputs: zero merges, exhausted corpus, empty corpus") {
     import spark.implicits._
     assert(TextStats.bpeTrainIncremental(synth, "text", 0) == Seq.empty)
