@@ -56,26 +56,47 @@ object Featurize {
   def allGramsCol(tokens: Column, maxN: Int): Column =
     (2 to maxN).foldLeft(tokens)((acc, n) => concat(acc, ngramsCol(tokens, n)))
 
-  /** Character-gram canonical form for language ID: lowercase,
-    * whitespace runs collapsed to `_` (a word-boundary marker the
-    * grams can see, fastText-langid style), wrapped in leading and
-    * trailing `_`, capped at `prefixLen` characters — language is
-    * decidable from a prefix, so featurization cost per document is
-    * bounded by the cap, not the document length. Null-safe (null →
+  /** Character-gram canonical form for language ID: the raw text is
+    * first pre-truncated to `2 * prefixLen` code points (part of the
+    * DEFINED canonical form, so the whole prep — lowercase and the
+    * whitespace regex included, not just the gram expansion — is
+    * bounded by the cap whatever the document length), then
+    * lowercased, whitespace runs collapsed to `_` (a word-boundary
+    * marker the grams can see, fastText-langid style), wrapped in
+    * leading and trailing `_`, capped at `prefixLen` characters.
+    * The 2x slop absorbs whitespace-run collapse for ordinary text;
+    * a document whose first `2*prefixLen` chars are mostly whitespace
+    * canonicalizes to a shorter prefix, by spec. Null-safe (null →
     * "__"). Mirrored exactly by [[charPrepLocal]] for the driver-side
     * single-row path. */
   def charPrepCol(text: Column, prefixLen: Int): Column =
     concat(lit("_"),
-      substring(regexp_replace(lower(coalesce(text, lit(""))), "\\s+", "_"),
+      substring(
+        regexp_replace(
+          lower(substring(coalesce(text, lit("")), 1, prefixLen * 2)),
+          "\\s+", "_"),
         1, prefixLen),
       lit("_"))
 
-  /** JVM mirror of [[charPrepCol]] (Latin-script BMP text — where
-    * model langid applies — lowercases and slices identically in
-    * UTF8String and java.lang.String). */
-  def charPrepLocal(text: String, prefixLen: Int): String =
-    "_" + "\\s+".r.replaceAllIn(Option(text).getOrElse("").toLowerCase, "_")
-      .take(prefixLen) + "_"
+  /** Code-point prefix — Spark's `substring` counts code points, not
+    * UTF-16 units, so the JVM mirror must too (String.take would split
+    * differently on non-BMP text, e.g. emoji). */
+  private def cpTake(s: String, n: Int): String =
+    if (s.codePointCount(0, s.length) <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+
+  /** JVM mirror of [[charPrepCol]]: same pre-truncation (by CODE
+    * POINTS, matching Spark substring), locale-pinned lowercase
+    * (Locale.ROOT — Spark's `lower()` is locale-independent; the JVM
+    * default locale would diverge under e.g. tr_TR where I → ı), same
+    * whitespace collapse (java.util.regex both sides), same final
+    * code-point cap. */
+  def charPrepLocal(text: String, prefixLen: Int): String = {
+    val pre = cpTake(Option(text).getOrElse(""), prefixLen * 2)
+    val collapsed = "\\s+".r
+      .replaceAllIn(pre.toLowerCase(java.util.Locale.ROOT), "_")
+    "_" + cpTake(collapsed, prefixLen) + "_"
+  }
 
   /** All char n-grams of the canonical form for each n in `ns`, as one
     * concatenated array. The canonical text must already be staged as

@@ -5549,10 +5549,22 @@ object ExtQueries {
           "must never reach the Latin model")
       }
     val weights = Map(
-      "en" -> 0.25, "fr" -> 0.15, "de" -> 0.15, "es" -> 0.10, "pt" -> 0.10,
-      "script:han" -> 0.10, "script:hangul" -> 0.05, "script:arabic" -> 0.05,
-      "script:cyrillic" -> 0.05)
+      "en" -> 0.22, "fr" -> 0.13, "de" -> 0.13, "es" -> 0.09, "pt" -> 0.09,
+      "script:han" -> 0.08, "script:hangul" -> 0.04, "script:arabic" -> 0.04,
+      "script:cyrillic" -> 0.04, "script:hiragana" -> 0.03,
+      "script:katakana" -> 0.03, "script:thai" -> 0.03,
+      "script:devanagari" -> 0.02, "script:hebrew" -> 0.02,
+      "script:greek" -> 0.01)
     require(math.abs(weights.values.sum - 1.0) < 1e-9, "weights sum")
+    // mixtureRates' inner join EXCLUDES unweighted domains by contract;
+    // here the mixture is meant to cover the whole routed corpus, so an
+    // omission must be loud, not a silent under-representation.
+    val routedLabels = routed.select("lang_routed").distinct()
+      .collect().map(_.getString(0)).toSet // ≤ |langs|+|scripts| rows
+    val unweighted = routedLabels -- weights.keySet
+    require(unweighted.isEmpty,
+      s"routed labels with no mixture weight (would be silently " +
+        s"dropped): ${unweighted.toSeq.sorted.mkString(", ")}")
     graft.etl.Sampling.mixtureRates(routed, "lang_routed",
         graft.ext.TextStats.tokenCount(col("text")), weights,
         budgetTokens = 500L)

@@ -21,6 +21,9 @@ object VerifyQuick {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // extra args override the smoke list — a targeted dev-loop smoke
+    // of specific queries: runMain graft.tools.VerifyQuick <dir> q_a q_b
+    val names = if (args.length > 1) args.drop(1).toSeq else smokeQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,13 +37,13 @@ object VerifyQuick {
     require(drift.isEmpty,
       s"fixture drift:\n${drift.mkString("  ", "\n  ", "")}")
     println(s"[verifyQuick] fixture schemas OK ($sfDir)")
-    smokeQueries.foreach { name =>
+    names.foreach { name =>
       val t = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       require(n > 0, s"$name returned 0 rows")
       println(f"[verifyQuick] $name%-18s rows=$n%-7d ${(System.nanoTime() - t) / 1e9}%5.2f s")
     }
-    println(f"[verifyQuick] OK — ${smokeQueries.size} queries green in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    println(f"[verifyQuick] OK — ${names.size} queries green in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
