@@ -1166,4 +1166,133 @@ object Dedup {
     }
     touched
   }
+
+  /** Cross-document EXACT substring dedup — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) semantics, as opposed to [[spanDedup]]'s
+    * block-quantized approximation: every token that lies inside a
+    * verbatim cross-document repeat of at least `minTokens` tokens is
+    * removed from every occurrence except the globally first one (the
+    * minimum `(id, pos)` in packed order). Alignment does not matter:
+    * a licence block pasted mid-paragraph is caught wherever it
+    * starts, which is exactly what block quantization misses.
+    *
+    * Formulation — position marking, NOT pair extension. The paper's
+    * suffix-array pipeline (anchor index → candidate pairs → greedy
+    * extension) is a single-machine design; re-expressed for Spark the
+    * same semantics collapse to two fixed-width hash aggregates and
+    * one join, with NO candidate pairs at any point:
+    *
+    *   1. slide a `minTokens`-token window (stride 1) over every
+    *      document; hash each window INSIDE the projection lambda so
+    *      only the 32-char md5 — never the window text — materializes;
+    *   2. per window hash, one fixed-width agg picks the winner
+    *      (`min(packed id*maxWindowsPerDoc+pos)`) and gates scope to
+    *      CROSS-document hashes (`min(id) != max(id)`) — partial
+    *      (map-side) aggregation absorbs even a boilerplate window
+    *      occurring a billion times;
+    *   3. every losing occurrence of a cross-document hash marks its
+    *      `minTokens` covered positions; the union of losing windows
+    *      IS the maximal duplicated region, so the paper's greedy
+    *      extension is implicit — a shared substring of length
+    *      `M >= minTokens` has all its `M - minTokens + 1` windows
+    *      duplicated, hence all `M` tokens covered. Exact, not
+    *      approximate: no anchor df caps, no recall tradeoff.
+    *
+    * Scale shape: the winner shuffle carries `(md5, packed)` tuples
+    * (≈40 B/token-position) — window BODIES never move; hashing costs
+    * `minTokens ×` the corpus bytes through md5, embarrassingly
+    * parallel (a Rabin-Karp rolling hash would cut that constant but
+    * is not portably replayable in the DuckDB oracle). The loser join
+    * is an equi-join on the hash against the (small, duplicate-only)
+    * winner set — AQE broadcasts it at production dup rates and splits
+    * it if one boilerplate hash skews. Removal ships only losing
+    * window STARTS per document (`collect_set`, bounded by the doc's
+    * own window count); the covered-position expansion and the
+    * `array_except` rebuild run in the final narrow pass, O(minTokens
+    * × losing windows) transient per row. The corpus never shuffles
+    * on anything wider than its id.
+    *
+    * Scope: only hashes seen in ≥2 DISTINCT documents trigger removal
+    * (within-document repetition is the repetition filter's domain —
+    * [[graft.ext.TextStats]] Gopher gates); all occurrences of a
+    * cross-document hash except the global winner lose, including
+    * extra occurrences inside the winner document itself.
+    *
+    * Output contract (same as [[spanDedup]]): every non-empty document
+    * comes back as the single-space join of its surviving tokens —
+    * uniform normalization whether or not anything was removed, and
+    * identical to the DuckDB oracle's `string_agg` rebuild; documents
+    * with no tokens pass through unchanged. Removed-bytes accounting
+    * is derivable by diffing `length(array_join(tokens, ' '))` before
+    * against `length(text)` after. The packed winner key enforces the
+    * same loud-failure invariants as [[spanDedup]]: integral id in
+    * `[0, Long.MaxValue / maxWindowsPerDoc)`, window position below
+    * `maxWindowsPerDoc` — never a silently wrong winner. */
+  def substringDedup(df: DataFrame, textCol: String, idCol: String,
+                     minTokens: Int = 50,
+                     maxWindowsPerDoc: Long = 1L << 20): DataFrame = {
+    require(minTokens > 0, s"minTokens=$minTokens")
+    require(maxWindowsPerDoc > 0, s"maxWindowsPerDoc=$maxWindowsPerDoc")
+    val idLimit = Long.MaxValue / maxWindowsPerDoc
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"substringDedup: id column '$idCol' must be an integral type for the " +
+          s"packed winner key (got $other — a non-numeric id would cast to null " +
+          "and silently collapse all winners)")
+    }
+    def packedKey(id: Column, pos: Column): Column =
+      when(id < 0 || id >= idLimit, raise_error(concat(
+          lit(s"substringDedup: id must be in [0, $idLimit) for the packed winner key, got "),
+          id.cast("string"))))
+        .when(pos >= maxWindowsPerDoc, raise_error(concat(
+          lit("substringDedup: document "), id.cast("string"), lit(" has window pos "),
+          pos.cast("string"),
+          lit(s" >= maxWindowsPerDoc=$maxWindowsPerDoc — raise maxWindowsPerDoc"))))
+        .otherwise(id.cast("long") * maxWindowsPerDoc + pos)
+    val toks = Featurize.tokensCol(col(textCol))
+    // (id, pos, hash, packed) for every stride-1 window — md5 applied
+    // inside the transform so only hex digests materialize per doc
+    val windows = df
+      .select(col(idCol), toks.as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .where(col("__n") >= minTokens)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), col("__n") - minTokens),
+          i => md5(array_join(slice(col("__t"), i + 1, lit(minTokens)), " ")))))
+      .select(col(idCol), col("pos"),
+        col("col").as("__h"),
+        packedKey(col(idCol), col("pos")).as("__packed"))
+    // one fixed-width agg: winner + cross-document gate
+    val winners = windows
+      .groupBy(col("__h"))
+      .agg(min(col("__packed")).as("__win"),
+        min(col(idCol)).as("__idlo"), max(col(idCol)).as("__idhi"))
+      .where(col("__idlo") =!= col("__idhi"))
+      .select("__h", "__win")
+    // losing window STARTS per document (only starts shuffle; the
+    // minTokens-wide coverage expansion happens in the rebuild pass)
+    val rmStarts = windows.join(winners, Seq("__h"))
+      .where(col("__packed") =!= col("__win"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("__rms"))
+    val emptyInts = array().cast("array<int>")
+    val removedPos = array_distinct(flatten(transform(
+      coalesce(col("__rms"), emptyInts),
+      s => sequence(s, s + (minTokens - 1)))))
+    val keepPos = array_except(sequence(lit(0), col("__n") - 1), removedPos)
+    val rebuilt =
+      when(col("__n") <= 0, col(textCol)).otherwise(
+        array_join(
+          transform(keepPos, p => element_at(col("__t"), p + 1)), " "))
+    df.withColumn("__t", toks)
+      .withColumn("__n", size(col("__t")))
+      .join(rmStarts, Seq(idCol), "left")
+      .select(df.columns.map {
+        case c if c == textCol => rebuilt.as(textCol)
+        case c => col(s"`$c`")
+      }.toSeq: _*)
+  }
 }

@@ -2097,6 +2097,82 @@ object ExtQueries {
        |  COALESCE(r.text, CASE WHEN n.nb = 0 THEN n.text ELSE '' END) AS text
        |FROM n LEFT JOIN r USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
+  /** Cross-document EXACT substring dedup ([[Dedup.substringDedup]],
+    * Lee et al. 2021 semantics — see the operator doc for the
+    * position-marking formulation that makes it exact with no
+    * candidate pairs): the corpus plus ten planted pages that embed an
+    * UNALIGNED 25-token mid-slice of an organic document between
+    * wrapper tokens. The slice (≥ the 12-token window) must be cut
+    * from each planted page exactly — wrappers intact, the organic
+    * original (global winner) untouched — and any natural ≥12-token
+    * cross-document repeats dedup identically in both engines. Output
+    * carries the removed-token and removed-byte accounting per
+    * document. */
+  val dedupSubstringsQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val planted = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 800000).as("doc_id"),
+        concat(lit("begin wrapper section "),
+          array_join(slice(graft.ml.Featurize.tokensCol(col("text")), 4, 25), " "),
+          lit(" end wrapper section")).as("text"))
+    val corpus = docs.unionAll(planted)
+      .withColumn("n_tokens",
+        size(graft.ml.Featurize.tokensCol(col("text"))).cast("long"))
+      .withColumn("chars_norm",
+        length(array_join(graft.ml.Featurize.tokensCol(col("text")), " "))
+          .cast("long"))
+    Dedup.substringDedup(corpus, "text", "doc_id", minTokens = 12)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") -
+          size(graft.ml.Featurize.tokensCol(col("text"))).cast("long"))
+          .as("n_removed"),
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(col("chars_norm") - length(col("text")).cast("long"))
+          .as("chars_removed"),
+        col("text"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringsSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 800000,
+       |    'begin wrapper section ' ||
+       |    array_to_string(($toksSql)[4:28], ' ') ||
+       |    ' end wrapper section'
+       |  FROM documents WHERE doc_id < 10),
+       |t AS (SELECT doc_id, text, $toksSql AS toks FROM base),
+       |n AS (SELECT doc_id, text, toks, len(toks) AS n FROM t),
+       |w AS (SELECT doc_id, unnest(range(0, n - 11)) AS pos, toks
+       |      FROM n WHERE n >= 12),
+       |h AS (SELECT doc_id, pos,
+       |        md5(array_to_string(toks[pos + 1 : pos + 12], ' ')) AS h,
+       |        doc_id * 1048576 + pos AS packed FROM w),
+       |win AS (SELECT h, min(packed) AS win FROM h GROUP BY h
+       |        HAVING min(doc_id) <> max(doc_id)),
+       |lose AS (SELECT h.doc_id, h.pos FROM h JOIN win USING (h)
+       |         WHERE h.packed <> win.win),
+       |rm AS (SELECT DISTINCT doc_id, pos + ofs AS p
+       |       FROM lose CROSS JOIN (SELECT unnest(range(0, 12)) AS ofs)),
+       |pos AS (SELECT doc_id, unnest(range(0, n)) AS p, toks
+       |        FROM n WHERE n > 0),
+       |keep AS (SELECT pos.doc_id, p, toks[p + 1] AS tok FROM pos
+       |         WHERE NOT EXISTS (SELECT 1 FROM rm
+       |           WHERE rm.doc_id = pos.doc_id AND rm.p = pos.p)),
+       |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+       |               count(*) AS n_after FROM keep GROUP BY doc_id)
+       |SELECT n.doc_id,
+       |  CAST(n.n AS BIGINT) AS n_tokens,
+       |  CAST(n.n - COALESCE(reb.n_after, 0) AS BIGINT) AS n_removed,
+       |  CAST(CASE WHEN n.n = 0 THEN 0
+       |    ELSE len(array_to_string(n.toks, ' ')) -
+       |         len(COALESCE(reb.text, '')) END AS BIGINT) AS chars_removed,
+       |  CASE WHEN n.n = 0 THEN n.text
+       |       ELSE COALESCE(reb.text, '') END AS text
+       |FROM n LEFT JOIN reb USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+
   /** Line-level corpus dedup ([[Dedup.lineDedup]], keep-first mode)
     * over the corpus plus ten planted pages that append a shared
     * boilerplate footer line: the footer must survive ONLY in the
@@ -5650,6 +5726,7 @@ object ExtQueries {
     "q_pack_spans" -> packSpansQ,
     "q_chunk_docs" -> chunkDocsQ,
     "q_dedup_spans" -> dedupSpansQ,
+    "q_dedup_substrings" -> dedupSubstringsQ,
     "q_dedup_lines" -> dedupLinesQ,
     "q_dedup_paragraphs" -> dedupParagraphsQ,
     "q_text_compression" -> textCompressionQ,
@@ -5761,6 +5838,7 @@ object ExtQueries {
     "q_pack_spans" -> packSpansSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_dedup_spans" -> dedupSpansSql,
+    "q_dedup_substrings" -> dedupSubstringsSql,
     "q_dedup_lines" -> dedupLinesSql,
     "q_dedup_paragraphs" -> dedupParagraphsSql,
     "q_dedup_canonical" -> dedupCanonicalSql,

@@ -964,6 +964,54 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L) == "v1 v2 v3 v4", out.toString)
   }
 
+  test("substring dedup: exact Lee-et-al semantics — unaligned removal, maximal extension, cross-doc scope") {
+    val df = Seq(
+      (1L, "p1 p2 s1 s2 s3 s4 s5 q1 q2"), // first occurrence of the s-run: winner, intact
+      (2L, "z1 s1 s2 s3 s4 s5 z2 z3"),    // UNALIGNED repeat (offset 1 vs 2) -> s-run cut, z's kept
+      (3L, "a1 s1 s2 a2"),                // shares only 2 tokens < minTokens -> untouched
+      (4L, "r1 r2 r3 x1 r1 r2 r3"),       // WITHIN-doc repeat only -> out of scope, untouched
+      (5L, ""),                           // empty -> passes through
+      (6L, "t1  t2"),                     // unique, messy spacing -> normalized rebuild
+      (7L, "s1 s2 s3"))                   // exactly minTokens, all shared -> emptied
+      .toDF("doc_id", "text")
+    val deduped = Dedup.substringDedup(
+      df.withColumn("lang", lit("en")), "text", "doc_id", minTokens = 3)
+    // schema-preserving: extra columns pass through, text rebuilt in place
+    assert(deduped.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val out = deduped.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "p1 p2 s1 s2 s3 s4 s5 q1 q2", out.toString) // winner keeps ALL
+    // maximal extension is implicit: the whole 5-token shared run goes,
+    // not just one 3-token window — and removal is position-exact
+    assert(out(2L) == "z1 z2 z3", out.toString)
+    assert(out(3L) == "a1 s1 s2 a2", out.toString)
+    assert(out(4L) == "r1 r2 r3 x1 r1 r2 r3", out.toString)
+    assert(out(5L) == "", out.toString)
+    assert(out(6L) == "t1 t2", out.toString)
+    assert(out(7L) == "", out.toString)
+    assert(out.size == 7)
+  }
+
+  test("substring dedup packed key: loud failure, never silent corruption") {
+    import spark.implicits._
+    val neg = intercept[Throwable] {
+      Dedup.substringDedup(Seq((-1L, "a b c")).toDF("doc_id", "text"),
+        "text", "doc_id", minTokens = 2).collect()
+    }
+    assert(allMessages(neg).contains("packed winner key"), allMessages(neg))
+    val typ = intercept[IllegalArgumentException] {
+      Dedup.substringDedup(Seq(("x", "a b c")).toDF("doc_id", "text"),
+        "text", "doc_id", minTokens = 2)
+    }
+    assert(typ.getMessage.contains("integral"), typ.getMessage)
+    // window position past the cap -> raise_error, not a wrong winner
+    val past = intercept[Throwable] {
+      Dedup.substringDedup(Seq(
+          (0L, "a b c d e f"), (1L, "a b c d e f")).toDF("doc_id", "text"),
+        "text", "doc_id", minTokens = 2, maxWindowsPerDoc = 3).collect()
+    }
+    assert(allMessages(past).contains("maxWindowsPerDoc"), allMessages(past))
+  }
+
   test("sequence packing: loud failure when a partition exceeds maxSeqsPerPart") {
     val docs3 = Seq((0L, "t"), (1L, "t"), (2L, "t")).toDF("doc_id", "text")
     // 3 one-token docs, budget 1, one partition: seq indices 0, 1, 2

@@ -132,6 +132,29 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("substring dedup exchanges hashes, ids and positions only — never window or doc bodies") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = ext.Dedup.substringDedup(
+          spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          "text", "doc_id", minTokens = 12)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty, plan.toString)
+      // winner agg, loser join and start-set fold all exchange — but
+      // never the text column, the staged token array, or a window
+      // string (windows are hashed inside the projection lambda)
+      shuffles.foreach { s =>
+        s.output.foreach { a =>
+          assert(a.name != "text" && a.name != "__t" && a.name != "col",
+            s"exchange carries bodies ($a):\n$s")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("BPE pair counting plans TakeOrdered top-k over a two-phase count") {
     val plan = planOf(ops.ExtQueries.bpePairs)
     // per-partition heads + driver merge of k rows — never a global
