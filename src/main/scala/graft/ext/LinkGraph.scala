@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph domain authority — the Common-Crawl-curation quality
+  * feature that needs the corpus's OWN structure rather than per-page
+  * content: pages on well-linked domains are worth more training
+  * tokens than pages nothing points at. Anchor hrefs are extracted
+  * from raw crawled HTML, canonicalized to domains
+  * ([[TextStats.urlDomain]]), aggregated to a (src_domain, dst_domain)
+  * edge set, and ranked with a fixed-K PageRank (damping 0.85,
+  * uniform teleport, dangling mass redistributed uniformly). The
+  * authority score then joins back into the quality funnel by domain.
+  *
+  * Spark-first shape: everything is DataFrame join-aggs — no GraphX,
+  * no RDDs, no driver-side adjacency. Each PageRank iteration is ONE
+  * shuffle of the ranks table on the edge destination (plus two
+  * scalar broadcasts: |nodes| and the dangling mass); the ranks table
+  * is |domains|, not |docs| — a 100 TB crawl has maybe 10^8 domains,
+  * which a ranks shuffle handles trivially while the page bodies are
+  * touched exactly once during edge extraction. Fixed K keeps the
+  * plan static and oracle-replayable (K unrolled CTE iterations in
+  * DuckDB); for large K callers can cut lineage with
+  * `checkpointEvery` (plan size grows linearly with K otherwise —
+  * at the default K=5 the unrolled plan is fine).
+  *
+  * Cross-engine determinism: per-edge contributions are rounded to
+  * integer micro-units (×10^12) and summed as BIGINT — an
+  * order-independent exact sum, the [[graft.ops.Tables.dsum]] idea —
+  * so partial-aggregation order can never flip a low bit; every other
+  * step is IEEE double arithmetic applied in the same literal order
+  * in both engines. By induction every iteration's rank vector is
+  * bit-identical across engines.
+  */
+object LinkGraph {
+
+  /** All anchor hrefs in raw HTML, in document order. Java∩RE2
+    * pattern (no lookahead/backrefs) so the DuckDB oracle replays it
+    * verbatim: either quote style, capture up to the closing
+    * quote/tag. Must run on RAW html — [[TextStats.extractHtmlText]]
+    * strips the tags this reads. */
+  val hrefPattern = "<a\\s[^>]*href=[\"']([^\"'>]+)"
+
+  def anchorHrefs(html: Column): Column =
+    regexp_extract_all(html, lit(hrefPattern), lit(1))
+
+  /** Distinct (src_domain, dst_domain) edges from a crawled-page
+    * frame: source domain from the page's own URL, destination
+    * domains from its anchor hrefs, both canonicalized by
+    * [[TextStats.urlDomain]] (scheme-insensitive, `www.`/port/path
+    * stripped). Unparseable URLs on either side drop out (null
+    * domain). One narrow pass over the pages plus one explode; only
+    * (src, dst) string pairs ever shuffle — never page bodies. */
+  def domainEdges(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    pages
+      .select(TextStats.urlDomain(col(urlCol)).as("src"),
+        explode(anchorHrefs(col(htmlCol))).as("__href"))
+      .select(col("src"), TextStats.urlDomain(col("__href")).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+
+  /** Fixed-K PageRank over a (src, dst) edge frame → `(domain,
+    * authority)`, one row per node (any domain appearing as source or
+    * destination). `rank_0 = 1/N`; each iteration
+    *
+    *   rank(v) = (1-d)/N + d · (Σ_{(u,v)∈E} rank(u)/outdeg(u)
+    *                            + dangling/N)
+    *
+    * with `dangling` the summed rank of nodes without out-edges
+    * (uniformly redistributed, the standard correction — without it
+    * dangling mass silently evaporates and ranks no longer sum to 1).
+    * All contributions are summed in integer micro-units (see object
+    * doc) for cross-engine exactness. The returned `authority` is the
+    * raw double; callers round for display. */
+  def domainAuthority(edges: DataFrame, iterations: Int = 5,
+                      damping: Double = 0.85,
+                      checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations")
+    require(damping > 0 && damping < 1, s"damping=$damping")
+    val scale = 1e12
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("domain"))
+      .union(e.select(col("dst").as("domain"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    // |nodes| as a broadcast scalar, kept lazy so the whole K-step
+    // computation stays one declarative plan
+    val nDf = nodes.agg(count(lit(1)).as("__N"))
+    var r: DataFrame = nodes.crossJoin(broadcast(nDf))
+      .select(col("domain"), (lit(1.0) / col("__N")).as("rank"))
+    for (i <- 1 to iterations) {
+      val contrib = e.join(outdeg, Seq("src"))
+        .join(r.select(col("domain").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("domain"),
+          (col("rank") / col("__outdeg")).as("__term"))
+        .groupBy(col("domain"))
+        .agg(sum(round(col("__term") * scale, 0).cast("long")).as("__ci"))
+      val dangling = r
+        .join(outdeg.select(col("src").as("domain")), Seq("domain"), "left_anti")
+        .agg(coalesce(sum(round(col("rank") * scale, 0).cast("long")), lit(0L))
+          .as("__di"))
+      r = nodes.join(contrib, Seq("domain"), "left")
+        .crossJoin(broadcast(nDf))
+        .crossJoin(broadcast(dangling))
+        .select(col("domain"),
+          (lit(1.0 - damping) / col("__N") + lit(damping) *
+            (coalesce(col("__ci"), lit(0L)) / lit(scale) +
+              (col("__di") / lit(scale)) / col("__N"))).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        r = r.localCheckpoint()
+    }
+    r.select(col("domain"), col("rank").as("authority"))
+  }
+}

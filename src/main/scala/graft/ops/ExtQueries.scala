@@ -3581,6 +3581,95 @@ object ExtQueries {
        |    '^[a-z][a-z0-9+.-]*://(?:www\\.)?([^/:?#]+)', 1), '') AS domain
        |FROM s6 ORDER BY doc_id""".stripMargin
 
+  /** Link-graph domain authority joined into the quality funnel
+    * ([[graft.ext.LinkGraph]]): every document becomes a crawled page
+    * on domain `d(doc_id % 40).example.com` whose HTML carries one
+    * anchor to domain `d((7·id+1) % 40)` (messy URL — caps, `www.`,
+    * `:80`, tracking param — so edge extraction exercises the full
+    * canonicalization) and, targets restricted to the LOWER half of
+    * the domain space, a second anchor to `d((3·id+11) % 20)` — a
+    * deliberately irregular in-degree distribution (lower-half
+    * domains earn double in-links) so the 5-iteration PageRank
+    * separates above- from below-uniform authority. Output: one row
+    * per document with its domain's authority and the funnel flag.
+    * The oracle replays href extraction, domain canonicalization and
+    * all five iterations as unrolled CTEs with the same
+    * integer-micro-unit contribution sums — bit-identical by
+    * induction. */
+  val qualityAuthorityQ: Q = (s, dir) => {
+    val pages = documents(s, dir).select(col("doc_id"),
+      concat(lit("http://d"), (col("doc_id") % 40).cast("string"),
+        lit(".example.com/p"), col("doc_id").cast("string")).as("url"),
+      concat(lit("<html><body><p>"), col("text"),
+        lit(" see <a class=\"x\" href=\"HTTP://WWW.D"),
+        ((col("doc_id") * 7 + 1) % 40).cast("string"),
+        lit(".Example.COM:80/path?utm_source=z\">one</a> and "),
+        lit("<a href='https://d"),
+        ((col("doc_id") * 3 + 11) % 20).cast("string"),
+        lit(".example.com/q'>two</a></p></body></html>")).as("html"))
+    val auth = graft.ext.LinkGraph.domainAuthority(
+      graft.ext.LinkGraph.domainEdges(pages, "url", "html"),
+      iterations = 5, damping = 0.85)
+    val nDf = auth.agg(count(lit(1)).as("__N"))
+    pages
+      .select(col("doc_id"),
+        graft.ext.TextStats.urlDomain(col("url")).as("domain"))
+      .join(auth, Seq("domain"))
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("domain"),
+        round(col("authority"), 8).as("authority"),
+        (col("authority") * col("__N") >= lit(1.0)).as("above_uniform"))
+      .orderBy("doc_id")
+  }
+
+  val qualityAuthoritySql = {
+    val domOf = (c: String) => "NULLIF(regexp_extract(lower(" + c +
+      "), '^[a-z][a-z0-9+.-]*://(?:www\\.)?([^/:?#]+)', 1), '')"
+    val iters = (1 to 5).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS domain,
+         |  SUM(CAST(round($p.rank / od.outdeg * 1.0E12, 0) AS BIGINT)) AS ci
+         |  FROM e JOIN od USING (src) JOIN $p ON $p.domain = e.src
+         |  GROUP BY e.dst),
+         |dg$i AS (SELECT COALESCE(SUM(CAST(round(rank * 1.0E12, 0) AS BIGINT)), 0) AS di
+         |  FROM $p WHERE domain NOT IN (SELECT src FROM od)),
+         |r$i AS (SELECT nodes.domain,
+         |  (1.0E0 - 0.85E0) / nn.n + 0.85E0 *
+         |    (COALESCE(c$i.ci, 0) / 1.0E12 + (dg$i.di / 1.0E12) / nn.n) AS rank
+         |  FROM nodes LEFT JOIN c$i USING (domain)
+         |  CROSS JOIN nn CROSS JOIN dg$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pages AS (
+       |  SELECT doc_id,
+       |    'http://d' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/p' ||
+       |      CAST(doc_id AS VARCHAR) AS url,
+       |    '<html><body><p>' || text ||
+       |    ' see <a class="x" href="HTTP://WWW.D' ||
+       |      CAST((doc_id * 7 + 1) % 40 AS VARCHAR) ||
+       |    '.Example.COM:80/path?utm_source=z">one</a> and ' ||
+       |    '<a href=''https://d' || CAST((doc_id * 3 + 11) % 20 AS VARCHAR) ||
+       |    '.example.com/q''>two</a></p></body></html>' AS html
+       |  FROM documents),
+       |href AS (SELECT doc_id, url,
+       |  unnest(regexp_extract_all(html, '<a\\s[^>]*href=["'']([^"''>]+)', 1))
+       |    AS href FROM pages),
+       |e AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT ${domOf("url")} AS src, ${domOf("href")} AS dst FROM href)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |nodes AS (SELECT src AS domain FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT domain, 1.0E0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT p.doc_id, ${domOf("p.url")} AS domain,
+       |  round(r5.rank, 8) AS authority,
+       |  r5.rank * nn.n >= 1.0E0 AS above_uniform
+       |FROM pages p
+       |JOIN r5 ON r5.domain = ${domOf("p.url")}
+       |CROSS JOIN nn
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   /** Per-domain page cap ([[graft.etl.Sampling.capPerKey]] over
     * [[TextStats.urlDomain]] site keys — the RefinedWeb
     * pages-per-domain guard): synthetic crawl URLs give each source
@@ -5745,6 +5834,7 @@ object ExtQueries {
     "q_quality_blocklist" -> qualityBlocklistQ,
     "q_text_html" -> textHtmlQ,
     "q_filter_funnel" -> filterFunnelQ,
+    "q_quality_authority" -> qualityAuthorityQ,
     "q_text_urls" -> textUrlsQ,
     "q_domain_cap" -> domainCapQ,
     "q_quality_repetition" -> qualityRepetitionQ,
@@ -5852,6 +5942,7 @@ object ExtQueries {
     "q_quality_gopher" -> qualityGopherSql,
     "q_quality_blocklist" -> qualityBlocklistSql,
     "q_text_html" -> textHtmlSql,
+    "q_quality_authority" -> qualityAuthoritySql,
     "q_filter_funnel" -> filterFunnelSql,
     "q_text_urls" -> textUrlsSql,
     "q_domain_cap" -> domainCapSql,

@@ -1012,6 +1012,37 @@ class ExtSpec extends AnyFunSuite {
     assert(allMessages(past).contains("maxWindowsPerDoc"), allMessages(past))
   }
 
+  test("link graph: anchor hrefs extract both quote styles; edges canonicalize domains") {
+    val pages = Seq((
+      "HTTP://WWW.Src.COM:80/home",
+      """<p><a class="k" href="https://A.com/x">1</a> text
+        |<a href='http://www.b.org:80/y?utm_source=z'>2</a>
+        |<img src="http://not-an-anchor.com/z"> <a name="no-href">3</a></p>"""
+        .stripMargin))
+      .toDF("url", "html")
+    val edges = LinkGraph.domainEdges(pages, "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(("src.com", "a.com"), ("src.com", "b.org")), edges)
+  }
+
+  test("link graph: PageRank redistributes dangling mass — ranks sum to 1, hand values match") {
+    // a -> {b, c}, b -> a, c dangling. After one iteration:
+    //   contrib(a)=1/3, contrib(b)=contrib(c)=1/6, dangling=1/3 -> 1/9 each
+    //   rank = 0.15/3 + 0.85*(contrib + 1/9)
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
+    val r1 = LinkGraph.domainAuthority(e, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def exp(contrib: Double) = 0.15 / 3 + 0.85 * (contrib + 1.0 / 9)
+    assert(math.abs(r1("a") - exp(1.0 / 3)) < 1e-9, r1.toString)
+    assert(math.abs(r1("b") - exp(1.0 / 6)) < 1e-9, r1.toString)
+    assert(math.abs(r1("c") - exp(1.0 / 6)) < 1e-9, r1.toString)
+    assert(math.abs(r1.values.sum - 1.0) < 1e-9, r1.toString)
+    // mass conservation holds through deeper iterations too
+    val r5 = LinkGraph.domainAuthority(e, iterations = 5)
+      .collect().map(_.getDouble(1)).sum
+    assert(math.abs(r5 - 1.0) < 1e-9, r5.toString)
+  }
+
   test("sequence packing: loud failure when a partition exceeds maxSeqsPerPart") {
     val docs3 = Seq((0L, "t"), (1L, "t"), (2L, "t")).toDF("doc_id", "text")
     // 3 one-token docs, budget 1, one partition: seq indices 0, 1, 2
