@@ -1700,6 +1700,96 @@ object TextStats extends Serializable {
     }(Encoders.row(outSchema))
   }
 
+  /** [[bpeApplyBytesPretok]] at PRODUCTION vocabulary depth — the
+    * HF-tokenizers-shaped RANKED apply, whose per-document cost is
+    * independent of vocabulary size: instead of replaying all
+    * `|merges|` passes over every piece (the [[bpeApplyLargeBytesPretok]]
+    * shape, O(merges × bytes) per document — 32k merges × a 100 TB
+    * corpus is 3×10^18 symbol visits), each piece repeatedly merges
+    * its lowest-RANK adjacent pair until none of its pairs is in the
+    * broadcast rank table — O(piece_len) hash probes per round,
+    * ≤ piece_len rounds, so per-document cost is O(bytes × piece_len)
+    * with pretok pieces a few symbols long, whatever the vocabulary.
+    *
+    * Output is BIT-IDENTICAL to the sequential per-merge replay
+    * (spec-enforced) for any TRAINER-PRODUCED merge list, by the
+    * standard BPE equivalence: a merge consuming a product symbol is
+    * always learned — hence ranked — after the merge that produces
+    * it, so processing pairs in rank order visits the same merges in
+    * the same order the sequential replay does, and both apply each
+    * pair with the same greedy left-to-right non-overlap rule
+    * ([[mergeOnce]] is shared). That precondition is VALIDATED, not
+    * assumed: a merge list whose part references a product no earlier
+    * merge created (a hand-shuffled list) fails loudly up front.
+    * `mapPartitions` is justified as in [[bpeApplyLarge]] (case (d)):
+    * the ordered-replay semantics cannot ride in Catalyst without
+    * vocab-deep plan trees. */
+  def bpeApplyRankedBytesPretok(df: DataFrame, textCol: String,
+                                merges: Seq[(String, String)],
+                                outCol: String = "bpe_symbols"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // Trainer-order validation: any joiner-bearing part must be the
+    // product of an EARLIER merge, else ranked order ≠ replay order.
+    // Product strings must also be UNIQUE — two merges whose products
+    // collide as strings (e.g. (a, b▁c) and (a▁b, c)) would let a
+    // later merge re-materialize an earlier pair that the sequential
+    // replay's one-pass-per-merge would never revisit.
+    val seen = scala.collection.mutable.HashSet[String]()
+    merges.zipWithIndex.foreach { case ((l, r), k) =>
+      Seq(l, r).filter(_.contains(BpeJoiner)).foreach { part =>
+        require(seen.contains(part),
+          s"bpeApplyRankedBytesPretok: merge #$k ($l, $r) consumes product " +
+            s"'$part' that no earlier merge produced — not a trainer-ordered " +
+            "merge list; ranked apply would diverge from sequential replay")
+      }
+      val product = l + BpeJoiner + r
+      require(seen.add(product),
+        s"bpeApplyRankedBytesPretok: merge #$k ($l, $r) re-produces " +
+          s"'$product' — ambiguous product strings break the ranked/replay " +
+          "equivalence")
+      ()
+    }
+    val outSchema = df.schema.add(outCol, ArrayType(StringType, false))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val bc = df.sparkSession.sparkContext.broadcast(merges.toArray)
+    df.mapPartitions { rows =>
+      val ms = bc.value
+      val rank = new java.util.HashMap[String, Integer](ms.length * 2)
+      var k = 0
+      while (k < ms.length) {
+        // symbols are whitespace-free (hex pairs + joiner products),
+        // so "l r" is collision-free as a pair key
+        rank.putIfAbsent(ms(k)._1 + " " + ms(k)._2, Integer.valueOf(k))
+        k += 1
+      }
+      val pretok = java.util.regex.Pattern.compile(BpePretokPattern)
+      rows.map { row =>
+        val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
+        val out = Seq.newBuilder[String]
+        val m = pretok.matcher(text)
+        while (m.find()) {
+          val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var toks = Array.tabulate(bytes.length)(i => hexPairs(bytes(i) & 0xFF))
+          var done = false
+          while (!done && toks.length >= 2) {
+            var best = Int.MaxValue
+            var i = 0
+            while (i < toks.length - 1) {
+              val r = rank.get(toks(i) + " " + toks(i + 1))
+              if (r != null && r.intValue() < best) best = r.intValue()
+              i += 1
+            }
+            if (best == Int.MaxValue) done = true
+            else toks = mergeOnce(toks, ms(best)._1, ms(best)._2)
+          }
+          out ++= toks
+        }
+        Row.fromSeq(row.toSeq :+ out.result())
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Exact inverse of [[bpeApplyBytes]]: strip joiners, concatenate
     * the hex pairs, unhex, decode UTF-8 — `bpeDecodeBytes ∘
     * bpeApplyBytes == identity` on ANY string (property-tested), the

@@ -1012,6 +1012,37 @@ class ExtSpec extends AnyFunSuite {
     assert(allMessages(past).contains("maxWindowsPerDoc"), allMessages(past))
   }
 
+  test("ranked BPE apply equals the sequential replay at depth; invalid merge lists fail loudly") {
+    val T = TextStats
+    val corpus = docs.select("doc_id", "text")
+    // a real trainer-produced vocabulary deep enough to chain products
+    val vocab = T.bpeTrainBytesPretok(corpus, "text", merges = 96)
+      .map(m => (m._1, m._2))
+    assert(vocab.size == 96, vocab.size)
+    val seq = T.bpeApplyBytesPretok(corpus, "text", vocab)
+      .select("doc_id", "bpe_symbols").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ranked = T.bpeApplyRankedBytesPretok(corpus, "text", vocab)
+      .select("doc_id", "bpe_symbols").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(ranked == seq)
+    // a merge consuming a product nothing earlier created -> loud
+    val shuffled = intercept[IllegalArgumentException] {
+      T.bpeApplyRankedBytesPretok(corpus, "text",
+        Seq(("61", "62" + T.BpeJoiner + "63"), ("62", "63")))
+    }
+    assert(shuffled.getMessage.contains("no earlier merge produced"),
+      shuffled.getMessage)
+    // ambiguous product strings -> loud (ranked/replay equivalence breaks)
+    val ambiguous = intercept[IllegalArgumentException] {
+      T.bpeApplyRankedBytesPretok(corpus, "text",
+        Seq(("61", "62"), ("62", "63"),
+          ("61", "62" + T.BpeJoiner + "63"),
+          ("61" + T.BpeJoiner + "62", "63")))
+    }
+    assert(ambiguous.getMessage.contains("ambiguous"), ambiguous.getMessage)
+  }
+
   test("link graph: anchor hrefs extract both quote styles; edges canonicalize domains") {
     val pages = Seq((
       "HTTP://WWW.Src.COM:80/home",

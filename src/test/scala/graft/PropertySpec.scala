@@ -461,9 +461,16 @@ class PropertySpec extends AnyFunSuite {
     val viaLarge = TextStats.bpeApplyLargeBytesPretok(df, "text", merges)
       .select(col("id"), col("bpe_symbols")).collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // the vocab-size-independent RANKED apply must agree bit-for-bit
+    // with the sequential replay on arbitrary UTF-8 too
+    val viaRanked = TextStats.bpeApplyRankedBytesPretok(df, "text", merges)
+      .select(col("id"), col("bpe_symbols")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     out.foreach { r =>
       assert(viaLarge(r.getLong(0)) == r.getSeq[String](3),
         s"large/regex divergence at id ${r.getLong(0)}")
+      assert(viaRanked(r.getLong(0)) == r.getSeq[String](3),
+        s"ranked/regex divergence at id ${r.getLong(0)}")
       assert(r.getString(1) == r.getString(2),
         s"pretok round trip failed for id ${r.getLong(0)}")
     }
