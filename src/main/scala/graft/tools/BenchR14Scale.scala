@@ -74,13 +74,14 @@ object BenchR14Scale {
 
     // production-depth vocabulary: 512 byte-pretok merges from the
     // flat-cost incremental trainer. The raw fixture's ~40-word
-    // vocabulary exhausts adoptable pairs near 127 merges, so the
-    // trainer sees the doc_id%10 sample of the x10 replica (per-copy
-    // word suffixes multiply the distinct-word space) — depth 512 is
-    // reachable and the vocabulary still tokenizes every replica.
+    // vocabulary exhausts adoptable pairs near 127 merges (x10
+    // replicas near 219), so the trainer samples ACROSS the x100
+    // replica space — the per-copy word suffixes w1..w99 multiply the
+    // distinct-word space enough for true 512-merge depth while the
+    // vocabulary still tokenizes every replica.
     val (tTrain, vocab512) = timed {
       T.bpeTrainIncremental(
-        docReplicas(docs0, 10).where(col("doc_id") % 10 === 0)
+        docReplicas(docs0, 100).where(col("doc_id") % 100 === 0)
           .select("text"), "text",
         merges = 512, seedMode = T.SeedBytesPretok)
         .map(m => (m._1, m._2))
