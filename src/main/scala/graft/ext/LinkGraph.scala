@@ -75,11 +75,20 @@ object LinkGraph {
     * raw double; callers round for display. */
   def domainAuthority(edges: DataFrame, iterations: Int = 5,
                       damping: Double = 0.85,
-                      checkpointEvery: Int = 0): DataFrame = {
+                      checkpointEvery: Int = 0,
+                      materialize: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations")
     require(damping > 0 && damping < 1, s"damping=$damping")
     val scale = 1e12
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // The edge set is referenced by every iteration's contribution
+    // join plus outdeg/nodes/|N|/dangling — ~2K+2 subtree references.
+    // Left lazy, Spark re-derives the whole upstream extraction each
+    // time (measured 7 s vs 1.5 s at sf0.1 for the K=5 query); edges
+    // are |domain-pairs| — tiny next to the corpus — so persisting
+    // them once is the production shape. `materialize = false` keeps
+    // the pure single-plan form for plan audits.
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val e = if (materialize) e0.persist() else e0
     val nodes = e.select(col("src").as("domain"))
       .union(e.select(col("dst").as("domain"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
