@@ -156,6 +156,42 @@ object Sampling {
           .as("keep_rate"))
   }
 
+  /** [[mixtureRates]] with COMPUTED weights — a `(domain, weight)`
+    * frame instead of a literal map, the form a data-driven mixture
+    * needs (e.g. [[graft.ext.LinkGraph.domainAuthority]] scores
+    * driving token budgets: link-respected domains earn more of the
+    * training budget). Unlike the Map version, weights here ARE
+    * normalized (`w_d / ΣW`): a computed weight column is only ever
+    * proportional, so requiring the caller to pre-normalize doubles
+    * would just push a nondeterministic float sum onto them. The
+    * normalizer is made cross-engine-exact the usual way: weights
+    * round to integer micro-units (×10^12) and sum as BIGINT — an
+    * order-independent total — then every downstream step is plain
+    * IEEE division. ΣW rides as a lazy broadcast scalar, so the whole
+    * computation stays one declarative plan; domains without a weight
+    * row are excluded (inner join), same contract as the Map form.
+    * Output: `(domain, n_docs, n_tokens, keep_rate)`, one row per
+    * weighted domain. */
+  def mixtureRatesFrom(df: DataFrame, domainCol: String, tokenCount: Column,
+                       weights: DataFrame, weightCol: String,
+                       budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens")
+    val wTot = weights.agg(
+      (sum(round(col(weightCol) * 1e12, 0).cast("long")).cast("double") / 1e12)
+        .as("__wt"))
+    df.select(col(domainCol), tokenCount.cast("long").as("__tok"))
+      .groupBy(domainCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+      .join(weights.select(col(domainCol), col(weightCol).as("__w")),
+        Seq(domainCol))
+      .crossJoin(broadcast(wTot))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        least(lit(1.0),
+          lit(budgetTokens.toDouble) * (col("__w") / col("__wt")) /
+            col("n_tokens").cast("double"))
+          .as("keep_rate"))
+  }
+
   /** Apply [[mixtureRates]] as the deterministic membership filter:
     * the sampled corpus for the specified token mixture. Domains
     * without a weight drop out (inner rates join). */

@@ -3596,8 +3596,12 @@ object ExtQueries {
     * all five iterations as unrolled CTEs with the same
     * integer-micro-unit contribution sums — bit-identical by
     * induction. */
-  val qualityAuthorityQ: Q = (s, dir) => {
-    val pages = documents(s, dir).select(col("doc_id"),
+  /** The synthetic crawl shared by the authority queries: every
+    * document becomes a page (deterministic domain + two anchors,
+    * see [[qualityAuthorityQ]]) carrying its original text for
+    * downstream token budgeting. */
+  private def authorityPages(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"), col("text"),
       concat(lit("http://d"), (col("doc_id") % 40).cast("string"),
         lit(".example.com/p"), col("doc_id").cast("string")).as("url"),
       concat(lit("<html><body><p>"), col("text"),
@@ -3607,11 +3611,24 @@ object ExtQueries {
         lit("<a href='https://d"),
         ((col("doc_id") * 3 + 11) % 20).cast("string"),
         lit(".example.com/q'>two</a></p></body></html>")).as("html"))
-    val auth = graft.ext.LinkGraph.domainAuthority(
-      graft.ext.LinkGraph.domainEdges(pages, "url", "html"),
-      iterations = 5, damping = 0.85)
+
+  /** Memoized per (session, dir): both authority queries share one
+    * PageRank run (the model-fixture memoization pattern). */
+  private val authorityCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def domainAuthorityOf(s: SparkSession, dir: String): DataFrame =
+    authorityCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+      val pages = authorityPages(s, dir)
+      graft.ext.LinkGraph.domainAuthority(
+        graft.ext.LinkGraph.domainEdges(pages, "url", "html"),
+        iterations = 5, damping = 0.85)
+    })
+
+  val qualityAuthorityQ: Q = (s, dir) => {
+    val auth = domainAuthorityOf(s, dir)
     val nDf = auth.agg(count(lit(1)).as("__N"))
-    pages
+    authorityPages(s, dir)
       .select(col("doc_id"),
         graft.ext.TextStats.urlDomain(col("url")).as("domain"))
       .join(auth, Seq("domain"))
@@ -3622,9 +3639,36 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
-  val qualityAuthoritySql = {
-    val domOf = (c: String) => "NULLIF(regexp_extract(lower(" + c +
-      "), '^[a-z][a-z0-9+.-]*://(?:www\\.)?([^/:?#]+)', 1), '')"
+  /** Authority-WEIGHTED mixture budgeting — the composition the two
+    * halves exist for: [[graft.ext.LinkGraph.domainAuthority]] scores
+    * become the weight frame of
+    * [[graft.etl.Sampling.mixtureRatesFrom]], so link-respected
+    * domains earn proportionally more of the token budget (the
+    * quality-weighted sampling recipe of web-corpus curation). At the
+    * 20k-token budget the top domains cap at keep_rate 1 while
+    * low-authority domains get fractional rates — both regimes
+    * exercised. The oracle replays PageRank AND the micro-unit
+    * weight normalization in one statement. */
+  val mixtureAuthorityQ: Q = (s, dir) => {
+    val auth = domainAuthorityOf(s, dir)
+    val keyed = authorityPages(s, dir).select(
+      graft.ext.TextStats.urlDomain(col("url")).as("domain"), col("text"))
+    graft.etl.Sampling.mixtureRatesFrom(keyed, "domain",
+        size(graft.ml.Featurize.tokensCol(col("text"))),
+        auth, "authority", budgetTokens = 20000L)
+      .join(auth, Seq("domain"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("authority"), 8).as("authority"), col("keep_rate"))
+      .orderBy("domain")
+  }
+
+  private val authDomOf = (c: String) => "NULLIF(regexp_extract(lower(" + c +
+    "), '^[a-z][a-z0-9+.-]*://(?:www\\.)?([^/:?#]+)', 1), '')"
+
+  /** Shared oracle CTE chain for the authority queries: pages (with
+    * text), href extraction, canonicalized edges, and the 5 unrolled
+    * PageRank iterations ending at `r5`. */
+  private val authorityCtes: String = {
     val iters = (1 to 5).map { i =>
       val p = s"r${i - 1}"
       s"""c$i AS (SELECT e.dst AS domain,
@@ -3640,7 +3684,7 @@ object ExtQueries {
          |  CROSS JOIN nn CROSS JOIN dg$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH pages AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, text,
        |    'http://d' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/p' ||
        |      CAST(doc_id AS VARCHAR) AS url,
        |    '<html><body><p>' || text ||
@@ -3654,21 +3698,44 @@ object ExtQueries {
        |  unnest(regexp_extract_all(html, '<a\\s[^>]*href=["'']([^"''>]+)', 1))
        |    AS href FROM pages),
        |e AS (SELECT DISTINCT src, dst FROM (
-       |  SELECT ${domOf("url")} AS src, ${domOf("href")} AS dst FROM href)
+       |  SELECT ${authDomOf("url")} AS src, ${authDomOf("href")} AS dst FROM href)
        |  WHERE src IS NOT NULL AND dst IS NOT NULL),
        |nodes AS (SELECT src AS domain FROM e UNION SELECT dst FROM e),
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |r0 AS (SELECT domain, 1.0E0 / nn.n AS rank FROM nodes CROSS JOIN nn),
-       |$iters
-       |SELECT p.doc_id, ${domOf("p.url")} AS domain,
+       |$iters""".stripMargin
+  }
+
+  val qualityAuthoritySql =
+    s"""$authorityCtes
+       |SELECT p.doc_id, ${authDomOf("p.url")} AS domain,
        |  round(r5.rank, 8) AS authority,
        |  r5.rank * nn.n >= 1.0E0 AS above_uniform
        |FROM pages p
-       |JOIN r5 ON r5.domain = ${domOf("p.url")}
+       |JOIN r5 ON r5.domain = ${authDomOf("p.url")}
        |CROSS JOIN nn
        |ORDER BY p.doc_id""".stripMargin
-  }
+
+  val mixtureAuthoritySql =
+    s"""$authorityCtes,
+       |tk AS (SELECT ${authDomOf("url")} AS domain,
+       |  len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    t -> len(t) > 0)) AS tok
+       |  FROM pages),
+       |agg AS (SELECT domain, COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+       |wt AS (SELECT
+       |  CAST(CAST(SUM(CAST(round(rank * 1.0E12, 0) AS BIGINT)) AS BIGINT)
+       |    AS DOUBLE) / 1.0E12 AS wt FROM r5)
+       |SELECT agg.domain, agg.n_docs, agg.n_tokens,
+       |  round(r5.rank, 8) AS authority,
+       |  least(1.0E0,
+       |    20000.0E0 * (r5.rank / wt.wt) / CAST(agg.n_tokens AS DOUBLE))
+       |    AS keep_rate
+       |FROM agg JOIN r5 ON r5.domain = agg.domain
+       |CROSS JOIN wt
+       |ORDER BY agg.domain""".stripMargin
 
   /** Per-domain page cap ([[graft.etl.Sampling.capPerKey]] over
     * [[TextStats.urlDomain]] site keys — the RefinedWeb
@@ -5835,6 +5902,7 @@ object ExtQueries {
     "q_text_html" -> textHtmlQ,
     "q_filter_funnel" -> filterFunnelQ,
     "q_quality_authority" -> qualityAuthorityQ,
+    "q_mixture_authority" -> mixtureAuthorityQ,
     "q_text_urls" -> textUrlsQ,
     "q_domain_cap" -> domainCapQ,
     "q_quality_repetition" -> qualityRepetitionQ,
@@ -5943,6 +6011,7 @@ object ExtQueries {
     "q_quality_blocklist" -> qualityBlocklistSql,
     "q_text_html" -> textHtmlSql,
     "q_quality_authority" -> qualityAuthoritySql,
+    "q_mixture_authority" -> mixtureAuthoritySql,
     "q_filter_funnel" -> filterFunnelSql,
     "q_text_urls" -> textUrlsSql,
     "q_domain_cap" -> domainCapSql,

@@ -130,6 +130,30 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture from a weight FRAME: proportional normalization, cap, unweighted drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = docs.select(col("source"), col("text"))
+    val tokens = size(graft.ml.Featurize.tokensCol(col("text")))
+    // un-normalized computed weights (3:1) — the frame form normalizes
+    val w = Seq(("src0", 0.6), ("src1", 0.2)).toDF("source", "weight")
+    val rates = Sampling.mixtureRatesFrom(d, "source", tokens, w, "weight",
+        budgetTokens = 400)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(rates.keySet == Set("src0", "src1")) // src2 had no weight row
+    val wt = (math.round(0.6 * 1e12) + math.round(0.2 * 1e12)) / 1e12
+    rates.foreach { case (s, (nTok, rate)) =>
+      val share = (if (s == "src0") 0.6 else 0.2) / wt
+      val expect = math.min(1.0, 400.0 * share / nTok)
+      assert(rate == expect, s"$s: $rate vs $expect")
+    }
+    // budget above corpus size takes every weighted domain whole
+    val full = Sampling.mixtureRatesFrom(d, "source", tokens, w, "weight",
+      budgetTokens = 100000000L).collect().map(_.getDouble(3))
+    assert(full.forall(_ == 1.0))
+  }
+
   test("weighted selection: clamped probabilities, incremental subset stability") {
     import org.apache.spark.sql.functions._
     val d = docs.select(col("doc_id"), (col("doc_id") % 10).cast("double")

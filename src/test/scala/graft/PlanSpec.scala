@@ -233,14 +233,18 @@ class PlanSpec extends AnyFunSuite {
         s"$name contains a Python node")
       // Checkpoint-by-design queries are exempt from the RDD-scan
       // rule: connected-components cuts lineage per round via
-      // localCheckpoint (the plan would otherwise grow 3^rounds), and
-      // the near-dup operators eagerly checkpoint their verified-pairs
+      // localCheckpoint (the plan would otherwise grow 3^rounds), the
+      // near-dup operators eagerly checkpoint their verified-pairs
       // output so the big shingle caches can be released before
-      // returning. In both cases the materialized RDD is the SMALL
-      // result — everything upstream of it planned with full pushdown
-      // — and the rule still guards every scan-shaped query.
+      // returning, and the PageRank iteration checkpoints its
+      // |domains|-row ranks table per step (r_i embeds r_{i-1} three
+      // times — ~2^K subtrees otherwise). In every case the
+      // materialized RDD is the SMALL result — everything upstream of
+      // it planned with full pushdown — and the rule still guards
+      // every scan-shaped query.
       if (!Set("q_dedup_components", "q_dedup_apply",
-          "q_dedup_neardup", "q_dedup_incremental").contains(name))
+          "q_dedup_neardup", "q_dedup_incremental",
+          "q_quality_authority", "q_mixture_authority").contains(name))
         assert(!plan.contains("ExistingRDD"),
           s"$name plans an opaque RDD scan (breaks pushdown/codegen)")
       // min/max over var-length types silently falls back to
