@@ -194,6 +194,7 @@ object ExtQueries {
     componentsCache.clear()
     ivfCentsCache.clear()
     langIdCache.clear()
+    authorityCache.clear()
   }
 
   private def plantedNearDupPairs(s: SparkSession, dir: String): DataFrame =
