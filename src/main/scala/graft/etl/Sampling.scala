@@ -176,9 +176,33 @@ object Sampling {
                        weights: DataFrame, weightCol: String,
                        budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens=$budgetTokens")
+    // Weight-frame validation rides IN the plan (the frame is lazy and
+    // possibly corpus-derived — a driver-side count here would force an
+    // extra action): duplicate/null domain rows would silently duplicate
+    // output rows AND double-count the normalizer, and a weight total
+    // that rounds to <= 0 micro-units (all weights below 5e-13, negatives
+    // cancelling) would divide keep rates by zero — both fail loudly
+    // instead, matching the Map form's requires.
     val wTot = weights.agg(
-      (sum(round(col(weightCol) * 1e12, 0).cast("long")).cast("double") / 1e12)
-        .as("__wt"))
+        count(lit(1)).as("__wn"),
+        count_distinct(col(domainCol)).as("__wd"),
+        min(col(weightCol)).as("__wmin"),
+        sum(round(col(weightCol) * 1e12, 0).cast("long")).as("__wi"))
+      .select(
+        when(col("__wn") =!= col("__wd"), raise_error(concat(
+            lit(s"mixtureRatesFrom: weight frame has duplicate or null '$domainCol' rows ("),
+            col("__wn").cast("string"), lit(" rows, "),
+            col("__wd").cast("string"),
+            lit(" distinct non-null domains) — each domain must weigh in exactly once"))))
+          .when(col("__wmin") < 0, raise_error(concat(
+            lit("mixtureRatesFrom: negative weight "),
+            col("__wmin").cast("string"), lit(" — weights must be >= 0"))))
+          .when(col("__wi").isNull || col("__wi") <= 0L, raise_error(concat(
+            lit("mixtureRatesFrom: weight total rounds to "),
+            coalesce(col("__wi"), lit(0L)).cast("string"),
+            lit(" micro-units — the normalizer needs a strictly positive total"))))
+          .otherwise(col("__wi").cast("double") / 1e12)
+          .as("__wt"))
     df.select(col(domainCol), tokenCount.cast("long").as("__tok"))
       .groupBy(domainCol)
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))

@@ -602,6 +602,84 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate pairs over a 64-bit HASH column (simhash, dHash —
+    * any fingerprint whose similarity is hamming distance): candidates
+    * from band-equality LSH, verified with the exact popcount.
+    *
+    * Banding is the pigeonhole guarantee, not a heuristic: a 64-bit
+    * hash split into `bands` contiguous segments means two hashes
+    * within hamming `bands - 1` MUST agree on at least one whole
+    * segment — so recall is EXACT for `maxHamming <= bands - 1` (the
+    * default 3 with 4 bands). A `maxHamming >= bands` asks for pairs
+    * the band join can miss; that is rejected loudly rather than
+    * silently under-reporting (raise `bands` instead — more bands =
+    * more probe rows per hash but smaller, more selective buckets).
+    *
+    * Scale shape: each row explodes to `bands` probe rows of
+    * `(band_idx, band_val, id, hash)` — a few dozen bytes; the
+    * self-equi-join on `(band_idx, band_val)` bounds pairwise work by
+    * Σ|bucket|² exactly like [[embeddingNearDups]]'s sign buckets
+    * (pseudo-random 16-bit segments put ~n/65536 rows in a bucket);
+    * verification is one `bit_count(xor)` per candidate — codegen,
+    * no bodies, no vectors. Null hashes (undecodable payloads
+    * upstream) are excluded from pairing. Output: `(id_a, id_b,
+    * hamming)`, each qualifying pair exactly once. */
+  def hashNearDups(df: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands=$bands must divide 64 (and be >= 2)")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the pigeonhole guarantee of " +
+        s"bands - 1 = ${bands - 1}: the band join could silently miss " +
+        "qualifying pairs — raise bands instead")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val hashes = df
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__hash"))
+      .where(col("__hash").isNotNull)
+    val probes = hashes.select(col("__id"), col("__hash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__hash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "__bi").withColumnRenamed("col", "__bv")
+    val right = probes.select(col("__id").as("__rid"),
+      col("__hash").as("__rhash"), col("__bi"), col("__bv"))
+    probes.join(right, Seq("__bi", "__bv"))
+      .where(col("__id") < col("__rid"))
+      .withColumn("hamming",
+        bit_count(col("__hash").bitwiseXOR(col("__rhash"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("__id").as("id_a"), col("__rid").as("id_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** Perceptual near-duplicate IMAGE pairs — the multimodal member of
+    * the dedup family (every production multimodal corpus runs one):
+    * [[graft.ext.Multimodal.imageDHashes]] turns each binary payload
+    * into a 64-bit dHash (real `javax.imageio` decode, executor-side
+    * batches), then [[hashNearDups]] pairs hashes within `maxHamming`
+    * bits — catching re-encodes, block upscales, and small pixel
+    * edits that byte-level dedup can never see. Payloads no reader
+    * accepts hash to null and drop out of pairing (a placeholder hash
+    * would fabricate duplicates between unrelated non-images).
+    *
+    * Scale shape: payloads are touched exactly once, ENFORCED — the
+    * `(id, dhash)` frame is localCheckpointed (16 B/row, trivial next
+    * to the payloads) before the pairing self-join, because both join
+    * sides reference the hash scan and would otherwise re-run the
+    * image decode over the whole corpus a second time; everything
+    * that shuffles afterwards is `(id, long)`. The checkpoint RDD is
+    * released by the ContextCleaner once the returned frame goes out
+    * of scope. Callers who already store hashes use [[hashNearDups]]
+    * directly and skip the decode entirely. */
+  def imageNearDups(df: DataFrame, idCol: String, payloadCol: String,
+                    maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    hashNearDups(
+      Multimodal.imageDHashes(df.select(col(idCol), col(payloadCol)),
+          payloadCol)
+        .select(col(idCol), col("dhash"))
+        .localCheckpoint(),
+      idCol, "dhash", maxHamming, bands)
+
   /** Exact span dedup, block-quantized — the distributed analog of
     * suffix-array substring dedup (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better", which removes repeated
@@ -627,8 +705,11 @@ object Dedup {
     * positions fold to one small `(id, drop_ps)` row per affected
     * document, which joins back (AQE promotes it to broadcast at
     * production dup rates) into a second narrow pass that rebuilds the
-    * text by filtering the block array in place — the corpus itself
-    * never shuffles.
+    * text by filtering the block array in place. The block/winner
+    * shuffles never carry text; the rebuild join is broadcast while
+    * the drop set fits (AQE decides at runtime) and otherwise falls
+    * back to ONE corpus shuffle on the id — the only point in the
+    * operator where bodies can move, and they move exactly once.
     *
     * Output contract: every non-empty document's text is rebuilt from
     * its surviving blocks as a single-space-joined token stream (the
@@ -1210,14 +1291,32 @@ object Dedup {
     * window STARTS per document (`collect_set`, bounded by the doc's
     * own window count); the covered-position expansion and the
     * `array_except` rebuild run in the final narrow pass, O(minTokens
-    * × losing windows) transient per row. The corpus never shuffles
-    * on anything wider than its id.
+    * × losing windows) transient per row. The window/winner shuffles
+    * never carry text; the rebuild join broadcasts the starts frame
+    * while it fits (AQE decides at runtime) and otherwise falls back
+    * to ONE corpus shuffle on the id — the only point in the operator
+    * where bodies can move, and they move exactly once.
     *
     * Scope: only hashes seen in ≥2 DISTINCT documents trigger removal
     * (within-document repetition is the repetition filter's domain —
-    * [[graft.ext.TextStats]] Gopher gates); all occurrences of a
-    * cross-document hash except the global winner lose, including
-    * extra occurrences inside the winner document itself.
+    * [[graft.ext.TextStats]] Gopher gates). `scope` picks the winner
+    * rule:
+    *  - `"global"` (default, the Lee et al. semantics): all
+    *    occurrences of a cross-document hash except the single global
+    *    winner lose, including extra occurrences inside the winner
+    *    document itself — the corpus retains exactly one copy;
+    *  - `"per-doc"`: EVERY document keeps its own first occurrence of
+    *    the repeated material and loses only its self-repeats of it —
+    *    the variant for corpora where cutting a quote out of a losing
+    *    document would destroy its coherence, while still collapsing
+    *    boilerplate that repeats inside a page. A document retaining
+    *    a cross-document repeat keeps exactly one occurrence.
+    *
+    * Ids must be UNIQUE per row (the same invariant every packed-key
+    * operator here assumes): two rows sharing an id would have one
+    * row's removal starts applied to both. Null ids raise loudly (a
+    * null would otherwise skip both range guards, null the packed key,
+    * and silently drop the row from dedup entirely).
     *
     * Output contract (same as [[spanDedup]]): every non-empty document
     * comes back as the single-space join of its surviving tokens —
@@ -1231,9 +1330,12 @@ object Dedup {
     * `maxWindowsPerDoc` — never a silently wrong winner. */
   def substringDedup(df: DataFrame, textCol: String, idCol: String,
                      minTokens: Int = 50,
-                     maxWindowsPerDoc: Long = 1L << 20): DataFrame = {
+                     maxWindowsPerDoc: Long = 1L << 20,
+                     scope: String = "global"): DataFrame = {
     require(minTokens > 0, s"minTokens=$minTokens")
     require(maxWindowsPerDoc > 0, s"maxWindowsPerDoc=$maxWindowsPerDoc")
+    require(scope == "global" || scope == "per-doc",
+      s"substringDedup: scope must be 'global' or 'per-doc', got '$scope'")
     val idLimit = Long.MaxValue / maxWindowsPerDoc
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
@@ -1244,7 +1346,10 @@ object Dedup {
           "and silently collapse all winners)")
     }
     def packedKey(id: Column, pos: Column): Column =
-      when(id < 0 || id >= idLimit, raise_error(concat(
+      when(id.isNull, raise_error(lit(
+          s"substringDedup: null id in '$idCol' — a null would skip the range " +
+            "guards, null the packed key, and silently exclude the row from dedup")))
+        .when(id < 0 || id >= idLimit, raise_error(concat(
           lit(s"substringDedup: id must be in [0, $idLimit) for the packed winner key, got "),
           id.cast("string"))))
         .when(pos >= maxWindowsPerDoc, raise_error(concat(
@@ -1265,17 +1370,36 @@ object Dedup {
       .select(col(idCol), col("pos"),
         col("col").as("__h"),
         packedKey(col(idCol), col("pos")).as("__packed"))
-    // one fixed-width agg: winner + cross-document gate
-    val winners = windows
-      .groupBy(col("__h"))
-      .agg(min(col("__packed")).as("__win"),
-        min(col(idCol)).as("__idlo"), max(col(idCol)).as("__idhi"))
-      .where(col("__idlo") =!= col("__idhi"))
-      .select("__h", "__win")
     // losing window STARTS per document (only starts shuffle; the
     // minTokens-wide coverage expansion happens in the rebuild pass)
-    val rmStarts = windows.join(winners, Seq("__h"))
-      .where(col("__packed") =!= col("__win"))
+    val losers = scope match {
+      case "global" =>
+        // one fixed-width agg: global winner + cross-document gate
+        val winners = windows
+          .groupBy(col("__h"))
+          .agg(min(col("__packed")).as("__win"),
+            min(col(idCol)).as("__idlo"), max(col(idCol)).as("__idhi"))
+          .where(col("__idlo") =!= col("__idhi"))
+          .select("__h", "__win")
+        windows.join(winners, Seq("__h"))
+          .where(col("__packed") =!= col("__win"))
+      case "per-doc" =>
+        // two-level agg: per-(hash, doc) winner, then the cross-doc
+        // gate over the per-doc partials (a tiny second shuffle of
+        // |distinct (hash, doc)| rows — both levels partial-agg
+        // map-side, so a billion-occurrence boilerplate window still
+        // costs a long per partition)
+        val perDoc = windows.groupBy(col("__h"), col(idCol))
+          .agg(min(col("__packed")).as("__dwin"))
+        val crossDoc = perDoc.groupBy(col("__h"))
+          .agg(min(col(idCol)).as("__idlo"), max(col(idCol)).as("__idhi"))
+          .where(col("__idlo") =!= col("__idhi"))
+          .select("__h")
+        windows
+          .join(perDoc.join(crossDoc, Seq("__h")), Seq("__h", idCol))
+          .where(col("__packed") =!= col("__dwin"))
+    }
+    val rmStarts = losers
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("pos"))).as("__rms"))
     val emptyInts = array().cast("array<int>")

@@ -85,8 +85,11 @@ object LinkGraph {
     // Left lazy, Spark re-derives the whole upstream extraction each
     // time (measured 7 s vs 1.5 s at sf0.1 for the K=5 query); edges
     // are |domain-pairs| — tiny next to the corpus — so persisting
-    // them once is the production shape. `materialize = false` keeps
-    // the pure single-plan form for plan audits.
+    // them once is the production shape. The persist lives only for
+    // the duration of this call: the final iteration checkpoints and
+    // the handle unpersists before returning (no caller-side leak).
+    // `materialize = false` keeps the pure single-plan form for plan
+    // audits.
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val e = if (materialize) e0.persist() else e0
     val nodes = e.select(col("src").as("domain"))
@@ -123,9 +126,17 @@ object LinkGraph {
       // sf0.1). The checkpoint is one |domains|-rows job per step.
       // checkpointEvery=0 (with materialize=false) keeps the pure
       // single-plan form for plan audits and the oracle-shape tests.
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+      // The FINAL iteration checkpoints whenever the edge set was
+      // persisted: the returned frame then references only its own
+      // checkpoint RDD, so the edge persist can be released HERE
+      // instead of leaking through every caller's memoization (a
+      // long-lived session would otherwise accumulate one pinned
+      // |domain-pairs| edge cache per (session, dir) forever).
+      val cut = checkpointEvery > 0 && i % checkpointEvery == 0
+      if ((cut && i < iterations) || (i == iterations && materialize))
         r = r.localCheckpoint()
     }
+    if (materialize) { e.unpersist(); () }
     r.select(col("domain"), col("rank").as("authority"))
   }
 }

@@ -200,6 +200,69 @@ object Multimodal {
         }
       } catch { case _: Exception => fallback(payload, dim) }
 
+    /** Difference hash (dHash) — the standard perceptual image
+      * fingerprint for near-duplicate detection (Krawetz's dHash: a
+      * 9×8 luminance grid, one bit per horizontal neighbor compare):
+      * robust to re-encoding, small pixel noise, and resizing, because
+      * it keys on luminance GRADIENTS over a fixed coarse grid rather
+      * than exact bytes. Returns None for payloads no reader accepts
+      * and for over-budget decompression bombs — a perceptual hash of
+      * a placeholder would manufacture false "duplicates" between
+      * unrelated non-image payloads.
+      *
+      * Exactness: everything is integer arithmetic — per-cell
+      * luminance sums (299r + 587g + 114b per pixel) compared as
+      * rationals (`sumA·cntB > sumB·cntA`), so the hash is identical
+      * across JVMs/platforms (no float rounding), and for an exactly
+      * 9×8 input the grid is the pixels themselves (what the planted
+      * oracle fixtures replay in SQL). Grid cells partition the image
+      * by `gx = x·9/w`, `gy = y·8/h` (integer division) — an area
+      * average, so an image upscaled by integer block replication
+      * hashes IDENTICALLY to its original (spec-pinned). */
+    def dHash64(payload: Array[Byte],
+                maxPixels: Long = MaxPixels): Option[Long] =
+      try {
+        guardedRead(payload, maxPixels) match {
+          case Right(img) if img != null => Some(dHashOf(img))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+
+    private[ext] def dHashOf(img: java.awt.image.BufferedImage): Long = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * 9 / w, 8)
+          val rgb = img.getRGB(x, y)
+          val lum = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+            114L * (rgb & 0xFF)
+          sums(gy)(gx) += lum
+          cnts(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      // per-cell sum ≤ cells-worth of 64 MPix × 255000 ≈ 2.3e11 and
+      // count ≤ ~9e5, so the cross products stay inside a Long
+      var hash = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (sums(gy)(gx + 1) * cnts(gy)(gx) > sums(gy)(gx) * cnts(gy)(gx + 1))
+            hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
+
     /** Real image resize: decode, scale to (w, h) with bilinear
       * interpolation, re-encode as PNG. Non-image payloads (and
       * over-budget bombs) fall back to byte truncation/padding to w
@@ -349,6 +412,119 @@ object Multimodal {
         val (w, h, f) = Codec.decode(r.payload, dim)
         MediaFeatures(r.id, w, h, f)
       }
+    }
+  }
+
+  /** Batch perceptual hashing: appends a nullable `dhash` LONG column
+    * from [[Codec.dHash64]] over the binary `payloadCol` — null for
+    * payloads no reader accepts and for over-budget bombs (excluded
+    * from near-dup pairing rather than fabricating matches). Same
+    * executor-side `mapPartitions` batch shape as [[decodeFeatures]]:
+    * payloads never pass the driver, the output per row is one long —
+    * at 100 TB the corpus scans once and only `(id, dhash)` ever needs
+    * to move again. */
+  def imageDHashes(df: DataFrame, payloadCol: String,
+                   outCol: String = "dhash",
+                   maxPixels: Long = Codec.MaxPixels): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val outSchema = df.schema.add(outCol, LongType, nullable = true)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload =
+          if (row.isNullAt(payloadIdx)) Array.empty[Byte]
+          else row.getAs[Array[Byte]](payloadIdx)
+        val h = Codec.dHash64(payload, maxPixels)
+        Row.fromSeq(row.toSeq :+ h.map(Long.box).orNull)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic planted-pixel image fixtures — the multimodal
+    * analog of the unicode zoo: 9×8 grayscale PNGs whose pixel
+    * luminances derive from md5 (`lum(seed, x, y)` = hex pair `x` of
+    * `md5("seed:y")`, mod-256 after perturbation), so a DuckDB oracle
+    * can replay the exact [[Codec.dHash64]] value of every fixture in
+    * SQL while the Spark side REALLY encodes and decodes PNG bytes
+    * through `javax.imageio`. The perturbation bumps two pixels —
+    * (0,0) and (4,3) — by +64 mod 256: a near-duplicate whose dHash
+    * differs in at most 3 bits ({0, 27, 28} — the only comparisons
+    * those pixels participate in), inside the default pairing budget,
+    * with enough movement that most planted pairs land at hamming
+    * 1-2 rather than 0. */
+  object ImageFixture {
+    val GridW = 9
+    val GridH = 8
+
+    /** Luminance grid (GridH rows × GridW cols), values 0..255. */
+    def pixels(seed: Long, perturbed: Boolean): Array[Array[Int]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(GridH) { y =>
+        val dig = md.digest(s"$seed:$y".getBytes("UTF-8"))
+        md.reset()
+        Array.tabulate(GridW) { x =>
+          val base = dig(x) & 0xFF
+          val bump =
+            if (perturbed && ((x == 0 && y == 0) || (x == 4 && y == 3))) 64
+            else 0
+          (base + bump) % 256
+        }
+      }
+    }
+
+    /** PNG-encode a luminance grid as a real grayscale RGB image. */
+    def png(lums: Array[Array[Int]]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        GridW, GridH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < GridH) {
+        var x = 0
+        while (x < GridW) {
+          val v = lums(y)(x)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** The dHash the formula implies — what the SQL oracle computes;
+      * [[Codec.dHash64]] of [[png]] must equal it (spec-pinned). */
+    def expectedDHash(lums: Array[Array[Int]]): Long = {
+      var hash = 0L
+      var gy = 0
+      while (gy < GridH) {
+        var gx = 0
+        while (gx < GridW - 1) {
+          if (lums(gy)(gx + 1) > lums(gy)(gx)) hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
+
+    /** Attach fixture PNG payloads to an id frame: each row's image
+      * seeds from `seedCol`, perturbed where `pertCol` is true.
+      * Executor-side batch encode (payload bytes never pass the
+      * driver), mirroring [[imageDHashes]]. */
+    def withPayloads(df: DataFrame, seedCol: String,
+                     pertCol: String): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.BinaryType
+      val outSchema = df.schema.add("payload", BinaryType, nullable = false)
+      val seedIdx = df.schema.fieldIndex(seedCol)
+      val pertIdx = df.schema.fieldIndex(pertCol)
+      df.mapPartitions { rows =>
+        rows.map { row =>
+          val payload = png(pixels(row.getLong(seedIdx), row.getBoolean(pertIdx)))
+          Row.fromSeq(row.toSeq :+ payload)
+        }
+      }(Encoders.row(outSchema))
     }
   }
 }

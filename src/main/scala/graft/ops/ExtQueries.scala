@@ -2174,6 +2174,78 @@ object ExtQueries {
        |FROM n LEFT JOIN reb USING (doc_id)
        |ORDER BY n.doc_id""".stripMargin
 
+  /** PER-DOCUMENT scope variant of [[Dedup.substringDedup]] (`scope =
+    * "per-doc"`): every document keeps its own FIRST occurrence of
+    * cross-document-repeated material and loses only its self-repeats
+    * of it — the "don't gut the losing document" policy. Fixture: ten
+    * planted pages embed the same 25-token mid-slice of an organic
+    * document TWICE (wrapper, slice, mid filler, slice, end wrapper).
+    * Per-doc scope must cut exactly the SECOND embedded copy from each
+    * planted page — the first copy, the wrappers, and the organic
+    * original all survive — while under global scope (q_dedup_
+    * substrings' rule) both copies would lose to the organic winner. */
+  val dedupSubstringsPerdocQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val slice25 = array_join(
+      slice(graft.ml.Featurize.tokensCol(col("text")), 4, 25), " ")
+    val planted = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        concat(lit("begin wrapper section "), slice25,
+          lit(" mid span filler "), slice25,
+          lit(" end wrapper section")).as("text"))
+    val corpus = docs.unionAll(planted)
+      .withColumn("n_tokens",
+        size(graft.ml.Featurize.tokensCol(col("text"))).cast("long"))
+    Dedup.substringDedup(corpus, "text", "doc_id", minTokens = 12,
+        scope = "per-doc")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") -
+          size(graft.ml.Featurize.tokensCol(col("text"))).cast("long"))
+          .as("n_removed"),
+        col("text"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringsPerdocSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 900000,
+       |    'begin wrapper section ' ||
+       |    array_to_string(($toksSql)[4:28], ' ') ||
+       |    ' mid span filler ' ||
+       |    array_to_string(($toksSql)[4:28], ' ') ||
+       |    ' end wrapper section'
+       |  FROM documents WHERE doc_id < 10),
+       |t AS (SELECT doc_id, text, $toksSql AS toks FROM base),
+       |n AS (SELECT doc_id, text, toks, len(toks) AS n FROM t),
+       |w AS (SELECT doc_id, unnest(range(0, n - 11)) AS pos, toks
+       |      FROM n WHERE n >= 12),
+       |h AS (SELECT doc_id, pos,
+       |        md5(array_to_string(toks[pos + 1 : pos + 12], ' ')) AS h,
+       |        doc_id * 1048576 + pos AS packed FROM w),
+       |dwin AS (SELECT h, doc_id, min(packed) AS dwin FROM h GROUP BY h, doc_id),
+       |gate AS (SELECT h FROM h GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+       |lose AS (SELECT h.doc_id, h.pos FROM h
+       |         JOIN dwin USING (h, doc_id) JOIN gate USING (h)
+       |         WHERE h.packed <> dwin.dwin),
+       |rm AS (SELECT DISTINCT doc_id, pos + ofs AS p
+       |       FROM lose CROSS JOIN (SELECT unnest(range(0, 12)) AS ofs)),
+       |pos AS (SELECT doc_id, unnest(range(0, n)) AS p, toks
+       |        FROM n WHERE n > 0),
+       |keep AS (SELECT pos.doc_id, p, toks[p + 1] AS tok FROM pos
+       |         WHERE NOT EXISTS (SELECT 1 FROM rm
+       |           WHERE rm.doc_id = pos.doc_id AND rm.p = pos.p)),
+       |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+       |               count(*) AS n_after FROM keep GROUP BY doc_id)
+       |SELECT n.doc_id,
+       |  CAST(n.n AS BIGINT) AS n_tokens,
+       |  CAST(n.n - COALESCE(reb.n_after, 0) AS BIGINT) AS n_removed,
+       |  CASE WHEN n.n = 0 THEN n.text
+       |       ELSE COALESCE(reb.text, '') END AS text
+       |FROM n LEFT JOIN reb USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+
   /** Line-level corpus dedup ([[Dedup.lineDedup]], keep-first mode)
     * over the corpus plus ten planted pages that append a shared
     * boilerplate footer line: the footer must survive ONLY in the
@@ -2498,6 +2570,71 @@ object ExtQueries {
       |  octet_length(encode(text)) AS n_bytes,
       |  sha256(text) AS sha256
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Perceptual IMAGE near-dup dedup ([[Dedup.imageNearDups]]): every
+    * document becomes a real 9×8 grayscale PNG whose pixels derive
+    * from md5 ([[Multimodal.ImageFixture]]), plus ten perturbed
+    * variants (+64 mod 256 on two pixels — a ≤3-bit dHash change).
+    * The Spark side REALLY round-trips `javax.imageio` — encode on
+    * executors, decode + dHash in [[Multimodal.imageDHashes]], pair
+    * with the 4-band/16-bit pigeonhole join — while the oracle
+    * replays the pixel formula, the dHash bit packing, the banding,
+    * and the popcount verification entirely in SQL. Each planted
+    * variant must pair with its original within hamming 3; organic
+    * images pair only if their md5-derived hashes genuinely collide
+    * within 3 bits (both engines see the identical set). */
+  val dedupImageQ: Q = (s, dir) => {
+    val ids = documents(s, dir).select(col("doc_id"))
+    val base = ids.select(col("doc_id"), col("doc_id").as("__seed"),
+      lit(false).as("__pert"))
+    val variants = ids.where(col("doc_id") < 10)
+      .select((col("doc_id") + 950000).as("doc_id"),
+        col("doc_id").as("__seed"), lit(true).as("__pert"))
+    val corpus = Multimodal.ImageFixture.withPayloads(
+      base.unionAll(variants), "__seed", "__pert")
+      .select("doc_id", "payload")
+    Dedup.imageNearDups(corpus, "doc_id", "payload",
+        maxHamming = 3, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupImageSql = {
+    // hex pair x (0-based) of md5("seed:y"), as an int 0..255
+    def hv(p: String) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(pid AS VARCHAR) || ':' || CAST(gy AS VARCHAR)), $p, 1)) - 1)"
+    def lumAt(x: String) =
+      s"""((${hv(s"2*($x)+1")} * 16 + ${hv(s"2*($x)+2")} +
+         |      CASE WHEN pert AND (($x) = 0 AND gy = 0 OR ($x) = 4 AND gy = 3)
+         |           THEN 64 ELSE 0 END) % 256)""".stripMargin
+    s"""WITH src AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 950000, doc_id, TRUE FROM documents WHERE doc_id < 10),
+       |cell AS (
+       |  SELECT id, pid, pert, gy, gx FROM src
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gy)
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gx)),
+       |bits AS (
+       |  SELECT id,
+       |    CASE WHEN ${lumAt("gx + 1")} > ${lumAt("gx")}
+       |         THEN CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+       |                   ELSE (1::BIGINT << (gy * 8 + gx)) END
+       |         ELSE 0 END AS b
+       |  FROM cell),
+       |hash AS (SELECT id, bit_or(b) AS dhash FROM bits GROUP BY id),
+       |band AS (
+       |  SELECT id, dhash, bi, (dhash >> (16 * bi)) & 65535 AS bv
+       |  FROM hash CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    a.dhash AS ha, b.dhash AS hb
+       |  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv
+       |  WHERE a.id < b.id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Custom Aggregator (UDAF surface): per-language MinHash signature
     * merged across all documents of the group — map-side partial
@@ -5855,6 +5992,7 @@ object ExtQueries {
     "q_bpe_apply_pretok" -> bpeApplyPretokQ,
     "q_tokenizer_fertility_pretok" -> tokenizerFertilityPretokQ,
     "q_multimodal_meta" -> multimodalMeta,
+    "q_dedup_image" -> dedupImageQ,
     "q_stream_window" -> streamWindow,
     "q_stream_contamination" -> streamContaminationQ,
     "q_stream_semantic" -> streamSemanticQ,
@@ -5884,6 +6022,7 @@ object ExtQueries {
     "q_chunk_docs" -> chunkDocsQ,
     "q_dedup_spans" -> dedupSpansQ,
     "q_dedup_substrings" -> dedupSubstringsQ,
+    "q_dedup_substrings_perdoc" -> dedupSubstringsPerdocQ,
     "q_dedup_lines" -> dedupLinesQ,
     "q_dedup_paragraphs" -> dedupParagraphsQ,
     "q_text_compression" -> textCompressionQ,
@@ -5971,6 +6110,7 @@ object ExtQueries {
     "q_stream_script" -> streamScriptSql,
     "q_retrieval_metrics" -> retrievalMetricsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
+    "q_dedup_image" -> dedupImageSql,
     "q_stream_window" -> streamWindowSql,
     "q_stream_contamination" -> streamContaminationSql,
     "q_stream_neardup" -> streamNeardupSql,
@@ -5998,6 +6138,7 @@ object ExtQueries {
     "q_chunk_docs" -> chunkDocsSql,
     "q_dedup_spans" -> dedupSpansSql,
     "q_dedup_substrings" -> dedupSubstringsSql,
+    "q_dedup_substrings_perdoc" -> dedupSubstringsPerdocSql,
     "q_dedup_lines" -> dedupLinesSql,
     "q_dedup_paragraphs" -> dedupParagraphsSql,
     "q_dedup_canonical" -> dedupCanonicalSql,

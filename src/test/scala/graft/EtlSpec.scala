@@ -154,6 +154,38 @@ class EtlSpec extends AnyFunSuite {
     assert(full.forall(_ == 1.0))
   }
 
+  test("mixture weight frame validation: duplicates, negatives, zero totals all fail loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = docs.select(col("source"), col("text"))
+    val tokens = size(graft.ml.Featurize.tokensCol(col("text")))
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // duplicate domain rows would double-count the normalizer AND
+    // duplicate output rows — loud, not silent
+    val dup = intercept[Throwable] {
+      Sampling.mixtureRatesFrom(d, "source", tokens,
+        Seq(("src0", 0.6), ("src0", 0.2)).toDF("source", "weight"),
+        "weight", budgetTokens = 400).collect()
+    }
+    assert(msgs(dup).contains("duplicate"), msgs(dup))
+    // a negative weight is rejected (matching the Map form's require)
+    val neg = intercept[Throwable] {
+      Sampling.mixtureRatesFrom(d, "source", tokens,
+        Seq(("src0", 0.6), ("src1", -0.2)).toDF("source", "weight"),
+        "weight", budgetTokens = 400).collect()
+    }
+    assert(msgs(neg).contains("negative weight"), msgs(neg))
+    // weights that all round to 0 micro-units -> division by zero rates
+    val zero = intercept[Throwable] {
+      Sampling.mixtureRatesFrom(d, "source", tokens,
+        Seq(("src0", 1e-13), ("src1", 2e-13)).toDF("source", "weight"),
+        "weight", budgetTokens = 400).collect()
+    }
+    assert(msgs(zero).contains("strictly positive"), msgs(zero))
+  }
+
   test("weighted selection: clamped probabilities, incremental subset stability") {
     import org.apache.spark.sql.functions._
     val d = docs.select(col("doc_id"), (col("doc_id") % 10).cast("double")

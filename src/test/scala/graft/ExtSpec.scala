@@ -593,6 +593,89 @@ class ExtSpec extends AnyFunSuite {
     assert((sw, sh) == ((2, 2)))
   }
 
+  test("dHash: PNG round trip equals the pixel formula; block upscale is hash-invariant; non-images hash to None") {
+    val F = Multimodal.ImageFixture
+    (0L to 5L).foreach { seed =>
+      val lums = F.pixels(seed, perturbed = false)
+      // the REAL javax.imageio decode path reproduces the formula hash
+      assert(Multimodal.Codec.dHash64(F.png(lums)) ==
+        Some(F.expectedDHash(lums)), s"seed=$seed")
+      // integer block replication (each pixel -> 4x4) averages back to
+      // the exact original grid: the dHash must be IDENTICAL
+      val big = new java.awt.image.BufferedImage(
+        F.GridW * 4, F.GridH * 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until F.GridH * 4; x <- 0 until F.GridW * 4) {
+        val v = lums(y / 4)(x / 4)
+        big.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(big, "png", bos)
+      assert(Multimodal.Codec.dHash64(bos.toByteArray) ==
+        Some(F.expectedDHash(lums)), s"upscaled seed=$seed")
+      ()
+    }
+    // the planted perturbation moves at most bits {0, 27, 28}
+    (0L to 9L).foreach { seed =>
+      val a = F.expectedDHash(F.pixels(seed, perturbed = false))
+      val b = F.expectedDHash(F.pixels(seed, perturbed = true))
+      val moved = a ^ b
+      assert((moved & ~((1L << 0) | (1L << 27) | (1L << 28))) == 0L,
+        s"seed=$seed moved=${java.lang.Long.toBinaryString(moved)}")
+      ()
+    }
+    // non-image payloads and bombs hash to None, never a fake hash
+    assert(Multimodal.Codec.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.Codec.dHash64(
+      Multimodal.PngHeader.prefix(30000, 30000)).isEmpty)
+  }
+
+  test("hash near-dups: pigeonhole recall, hamming filter, loud bounds, null exclusion") {
+    import spark.implicits._
+    // hamming(1,2)=2 bits apart in band 0; hamming(1,3)=1 (band 0);
+    // 4 and 5 differ from everything by ~32 bits; 6 is null (undecodable)
+    val rows = Seq(
+      (1L, java.lang.Long.valueOf(0x00000000000000FFL)),
+      (2L, java.lang.Long.valueOf(0x00000000000000FCL)),
+      (3L, java.lang.Long.valueOf(0x00000000000000FEL)),
+      (4L, java.lang.Long.valueOf(0x5555555555555555L)),
+      (5L, java.lang.Long.valueOf(0xAAAAAAAAAAAAAAAAL)),
+      (6L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "h")
+    val pairs = Dedup.hashNearDups(rows, "id", "h", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 2, (1L, 3L) -> 1, (2L, 3L) -> 1), pairs)
+    // a hash pair crossing the sign bit still verifies exactly
+    val signPair = Dedup.hashNearDups(Seq(
+        (1L, java.lang.Long.valueOf(Long.MinValue)),
+        (2L, java.lang.Long.valueOf(Long.MinValue | 1L)))
+        .toDF("id", "h"), "id", "h", maxHamming = 3, bands = 4)
+      .collect()
+    assert(signPair.length == 1 && signPair(0).getInt(2) == 1)
+    // maxHamming past the pigeonhole guarantee is rejected, not silent
+    intercept[IllegalArgumentException] {
+      Dedup.hashNearDups(rows, "id", "h", maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hashNearDups(rows, "id", "h", maxHamming = 3, bands = 5)
+    }
+    ()
+  }
+
+  test("image near-dups end to end: perturbed PNG caught, distant and non-image payloads kept apart") {
+    import spark.implicits._
+    val F = Multimodal.ImageFixture
+    val base = Seq(
+      (1L, 7L, false), (2L, 7L, true),  // near-dup pair (same seed, one perturbed)
+      (3L, 8L, false), (4L, 9L, false)) // distant organics
+      .toDF("id", "seed", "pert")
+    val imgs = F.withPayloads(base, "seed", "pert").select("id", "payload")
+    val text = Seq((5L, "not an image at all".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val pairs = Dedup.imageNearDups(imgs.unionAll(text), "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), pairs.mkString(","))
+  }
+
   test("scratch-dir wipe deletes symlinks without following them") {
     val fixture = java.nio.file.Files.createTempDirectory("graft_fix")
     val precious = fixture.resolve("part-0000.parquet")
@@ -991,6 +1074,33 @@ class ExtSpec extends AnyFunSuite {
     assert(out.size == 7)
   }
 
+  test("substring dedup per-doc scope: each document keeps its first occurrence, loses only self-repeats") {
+    val df = Seq(
+      (1L, "p1 p2 s1 s2 s3 s4 s5 q1 q2"),             // organic original
+      (2L, "w1 s1 s2 s3 s4 s5 m1 s1 s2 s3 s4 s5 w2"), // embeds the run TWICE
+      (3L, "z1 s1 s2 s3 s4 s5 z2"),                   // single copy -> kept whole
+      (4L, "r1 r2 r3 x1 r1 r2 r3"))                   // self-repeat only, NOT cross-doc -> untouched
+      .toDF("doc_id", "text")
+    val perDoc = Dedup.substringDedup(df, "text", "doc_id",
+        minTokens = 3, scope = "per-doc")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(perDoc(1L) == "p1 p2 s1 s2 s3 s4 s5 q1 q2", perDoc.toString)
+    // doc 2 keeps its FIRST embedded copy; only the second is cut
+    assert(perDoc(2L) == "w1 s1 s2 s3 s4 s5 m1 w2", perDoc.toString)
+    // doc 3's single copy survives per-doc scope (global would cut it)
+    assert(perDoc(3L) == "z1 s1 s2 s3 s4 s5 z2", perDoc.toString)
+    assert(perDoc(4L) == "r1 r2 r3 x1 r1 r2 r3", perDoc.toString)
+    val global = Dedup.substringDedup(df, "text", "doc_id", minTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(global(2L) == "w1 m1 w2", global.toString)
+    assert(global(3L) == "z1 z2", global.toString)
+    // unknown scope rejected up front
+    intercept[IllegalArgumentException] {
+      Dedup.substringDedup(df, "text", "doc_id", minTokens = 3, scope = "doc")
+    }
+    ()
+  }
+
   test("substring dedup packed key: loud failure, never silent corruption") {
     import spark.implicits._
     val neg = intercept[Throwable] {
@@ -998,6 +1108,15 @@ class ExtSpec extends AnyFunSuite {
         "text", "doc_id", minTokens = 2).collect()
     }
     assert(allMessages(neg).contains("packed winner key"), allMessages(neg))
+    // a NULL id would skip both range guards and silently drop the row
+    val nul = intercept[Throwable] {
+      Dedup.substringDedup(
+        Seq((java.lang.Long.valueOf(1L), "a b c d"),
+            (null.asInstanceOf[java.lang.Long], "a b c d"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", minTokens = 2).collect()
+    }
+    assert(allMessages(nul).contains("null id"), allMessages(nul))
     val typ = intercept[IllegalArgumentException] {
       Dedup.substringDedup(Seq(("x", "a b c")).toDF("doc_id", "text"),
         "text", "doc_id", minTokens = 2)
@@ -1072,6 +1191,25 @@ class ExtSpec extends AnyFunSuite {
     val r5 = LinkGraph.domainAuthority(e, iterations = 5)
       .collect().map(_.getDouble(1)).sum
     assert(math.abs(r5 - 1.0) < 1e-9, r5.toString)
+  }
+
+  test("link graph: the edge persist is released before domainAuthority returns") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
+    val iters = 4
+    val ranks = LinkGraph.domainAuthority(e, iterations = iters)
+    // New persistent RDDs are ONLY the per-iteration localCheckpoints
+    // (≤ iters of them; ContextCleaner may already have dropped
+    // superseded ones) — the edge cache must NOT be among them: before
+    // the fix this set held iters + 1 entries with the edge frame
+    // pinned by the returned plan, unreleasable by any caller.
+    val fresh = sc.getPersistentRDDs.keySet.filterNot(before)
+    assert(fresh.size <= iters, s"expected <= $iters new persistent RDDs " +
+      s"(checkpoints only), got ${fresh.size} — an input persist leaked")
+    // and the returned frame still collects after the edge unpersist
+    assert(math.abs(ranks.collect().map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    fresh.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist()))
   }
 
   test("sequence packing: loud failure when a partition exceeds maxSeqsPerPart") {
