@@ -1724,32 +1724,63 @@ object TextStats extends Serializable {
     * `mapPartitions` is justified as in [[bpeApplyLarge]] (case (d)):
     * the ordered-replay semantics cannot ride in Catalyst without
     * vocab-deep plan trees. */
-  def bpeApplyRankedBytesPretok(df: DataFrame, textCol: String,
-                                merges: Seq[(String, String)],
-                                outCol: String = "bpe_symbols"): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{ArrayType, StringType}
-    // Trainer-order validation: any joiner-bearing part must be the
-    // product of an EARLIER merge, else ranked order ≠ replay order.
-    // Product strings must also be UNIQUE — two merges whose products
-    // collide as strings (e.g. (a, b▁c) and (a▁b, c)) would let a
-    // later merge re-materialize an earlier pair that the sequential
-    // replay's one-pass-per-merge would never revisit.
+  /** Trainer-order validation for rank-based apply: any joiner-bearing
+    * part must be the product of an EARLIER merge, else ranked order ≠
+    * replay order; product strings must also be UNIQUE — two merges
+    * whose products collide as strings (e.g. (a, b▁c) and (a▁b, c))
+    * would let a later merge re-materialize an earlier pair that the
+    * sequential replay's one-pass-per-merge would never revisit. Run
+    * once at artifact SAVE time for v4 ranked artifacts (the loader
+    * then verifies the recorded ranks instead of re-deriving). */
+  private[ext] def requireTrainerOrdered(merges: Seq[(String, String)],
+                                         context: String): Unit = {
     val seen = scala.collection.mutable.HashSet[String]()
     merges.zipWithIndex.foreach { case ((l, r), k) =>
       Seq(l, r).filter(_.contains(BpeJoiner)).foreach { part =>
         require(seen.contains(part),
-          s"bpeApplyRankedBytesPretok: merge #$k ($l, $r) consumes product " +
+          s"$context: merge #$k ($l, $r) consumes product " +
             s"'$part' that no earlier merge produced — not a trainer-ordered " +
             "merge list; ranked apply would diverge from sequential replay")
       }
       val product = l + BpeJoiner + r
       require(seen.add(product),
-        s"bpeApplyRankedBytesPretok: merge #$k ($l, $r) re-produces " +
+        s"$context: merge #$k ($l, $r) re-produces " +
           s"'$product' — ambiguous product strings break the ranked/replay " +
           "equivalence")
       ()
     }
+  }
+
+  /** [[bpeApplyRankedBytesPretok]] from a loaded ARTIFACT: a v4 ranked
+    * artifact skips the trainer-order re-validation (proven at save
+    * time, rank column verified at load — serving never replays or
+    * re-derives anything); a v3 bytes-pretok artifact validates here
+    * exactly like the merge-list form. Loudly rejects artifacts of any
+    * other mode — the boundary rule is part of the tokenizer identity. */
+  def bpeApplyRankedBytesPretok(df: DataFrame, textCol: String,
+                                artifact: Tokenizer.BpeArtifact,
+                                outCol: String): DataFrame = {
+    require(artifact.mode == Tokenizer.ModeBytesPretok,
+      s"bpeApplyRankedBytesPretok: artifact mode '${artifact.mode}' — this " +
+        s"apply implements '${Tokenizer.ModeBytesPretok}' semantics only")
+    val merges = artifact.merges.map(m => (m._1, m._2))
+    if (!artifact.ranked)
+      requireTrainerOrdered(merges, "bpeApplyRankedBytesPretok")
+    applyRankedBytesPretokValidated(df, textCol, merges, outCol)
+  }
+
+  def bpeApplyRankedBytesPretok(df: DataFrame, textCol: String,
+                                merges: Seq[(String, String)],
+                                outCol: String = "bpe_symbols"): DataFrame = {
+    requireTrainerOrdered(merges, "bpeApplyRankedBytesPretok")
+    applyRankedBytesPretokValidated(df, textCol, merges, outCol)
+  }
+
+  private def applyRankedBytesPretokValidated(
+      df: DataFrame, textCol: String, merges: Seq[(String, String)],
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
     val outSchema = df.schema.add(outCol, ArrayType(StringType, false))
     val textIdx = df.schema.fieldIndex(textCol)
     val bc = df.sparkSession.sparkContext.broadcast(merges.toArray)
@@ -1796,6 +1827,118 @@ object TextStats extends Serializable {
     * round-trip guarantee word-level BPE cannot make. */
   def bpeDecodeBytes(symbols: Column): Column =
     decode(unhex(translate(concat_ws("", symbols), BpeJoiner, "")), "UTF-8")
+
+  /** The SentencePiece word-boundary marker (U+2581 LOWER ONE EIGHTH
+    * BLOCK): [[unigramApply]] prepends it to every whitespace token, so
+    * a flat symbol stream decodes unambiguously back to words. */
+  val UnigramMarker = "▁"
+
+  /** Unigram-LM tokenization APPLY — the other production tokenizer
+    * family next to BPE (Kudo, arXiv:1804.10959; SentencePiece's
+    * default model): given a FROZEN vocabulary of (piece, logprob)
+    * rows, segment each whitespace word (marker-prefixed, SentencePiece
+    * convention) into the piece sequence maximizing the summed logprob,
+    * by Viterbi DP over code points. Training the vocabulary (EM over
+    * segmentation lattices) is out of scope; apply-under-a-frozen-table
+    * is the serving-path operator a corpus pipeline runs.
+    *
+    * Cross-engine exactness, the usual discipline: logprobs round to
+    * integer MICRO-units (×10^6) up front, the DP maximizes integer
+    * sums, and ties break deterministically — higher score first, then
+    * the LONGER final piece (so "greedily prefer fewer, longer pieces"
+    * among equal-score paths; by induction over positions the chosen
+    * path is unique). A single code point absent from the vocabulary
+    * falls back to itself at `unkLogProb` (the byte-fallback analog),
+    * so segmentation is TOTAL — decode identity holds on any input:
+    * concatenating the output symbols and turning markers back into
+    * spaces reproduces the whitespace-normalized text (spec-pinned).
+    *
+    * `mapPartitions` is justified as for [[bpeApplyRankedBytesPretok]]
+    * (case (d)): the per-word DP is an ordered recurrence that cannot
+    * ride Catalyst without word-length-deep plan trees; the vocab
+    * broadcasts once (bounded driver data, same class as merge lists).
+    * No shuffle, no skew surface — a narrow pass over the scan at any
+    * corpus size. Output: `outCol` = flat piece array in word order. */
+  def unigramApply(df: DataFrame, textCol: String,
+                   vocab: Seq[(String, Double)],
+                   unkLogProb: Double = -20.0,
+                   outCol: String = "unigram_symbols"): DataFrame = {
+    require(vocab.nonEmpty, "unigramApply: empty vocabulary")
+    vocab.foreach { case (p, lp) =>
+      require(p.nonEmpty && !p.exists(_.isWhitespace),
+        s"unigramApply: unencodable piece '$p'")
+      require(lp.isFinite, s"unigramApply: non-finite logprob for '$p'")
+    }
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "unigramApply: duplicate pieces in vocabulary")
+    require(unkLogProb.isFinite, s"unkLogProb=$unkLogProb")
+    val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
+    require(maxLen <= 63, s"unigramApply: max piece length $maxLen > 63")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val outSchema = df.schema.add(outCol, ArrayType(StringType, false))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val micro: Array[(String, Long)] =
+      vocab.map { case (p, lp) => (p, math.round(lp * 1e6)) }.toArray
+    val unkMicro = math.round(unkLogProb * 1e6)
+    val bc = df.sparkSession.sparkContext.broadcast(micro)
+    df.mapPartitions { rows =>
+      val table = new java.util.HashMap[String, java.lang.Long](bc.value.length * 2)
+      bc.value.foreach { case (p, m) => table.put(p, m); () }
+      rows.map { row =>
+        val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
+        val out = Seq.newBuilder[String]
+        text.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          val cps = (UnigramMarker + tok).codePoints.toArray
+            .map(cp => new String(Character.toChars(cp)))
+          val n = cps.length
+          val best = new Array[Long](n + 1)
+          val bp = new Array[Int](n + 1)
+          var i = 1
+          while (i <= n) {
+            var bestSc = Long.MinValue
+            var bestJ = 0
+            var j = 1
+            val jMax = math.min(maxLen, i)
+            while (j <= jMax) {
+              val piece = cps.slice(i - j, i).mkString
+              val sc = table.get(piece)
+              val scV: Long =
+                if (sc != null) sc.longValue()
+                else if (j == 1) unkMicro
+                else Long.MinValue
+              if (scV != Long.MinValue) {
+                val cand = best(i - j) + scV
+                // higher score wins; equal score -> longer piece wins
+                if (cand > bestSc || (cand == bestSc && j > bestJ)) {
+                  bestSc = cand; bestJ = j
+                }
+              }
+              j += 1
+            }
+            best(i) = bestSc; bp(i) = bestJ
+            i += 1
+          }
+          var pos = n
+          var rev: List[String] = Nil
+          while (pos > 0) {
+            val j = bp(pos)
+            rev = cps.slice(pos - j, pos).mkString :: rev
+            pos -= j
+          }
+          out ++= rev
+        }
+        Row.fromSeq(row.toSeq :+ out.result())
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Exact inverse of [[unigramApply]]: concatenate the pieces and
+    * turn each word marker back into a space — `unigramDecode ∘
+    * unigramApply == whitespace normalization` on any input
+    * (spec-pinned), the identity a serving path round-trips on. */
+  def unigramDecode(symbols: Column): Column =
+    ltrim(translate(concat_ws("", symbols), UnigramMarker, " "))
 
   /** Tokenizer fertility audit — the per-group efficiency report a
     * vocabulary decision is made on (HuggingFace "fertility" = subword

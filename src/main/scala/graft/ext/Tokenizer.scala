@@ -43,6 +43,21 @@ import scala.jdk.CollectionConverters._
   * ...same sections as v2...
   * }}}
   *
+  * Format (`graft-bpe v4` — RANKED serving artifacts for
+  * [[TextStats.bpeApplyRankedBytesPretok]]: each merge line carries
+  * its explicit rank, and the save runs the trainer-order validation
+  * ONCE — a consumer loads the pair→rank table directly and never
+  * replays the merge list nor re-derives ranks from line order; the
+  * loader verifies rank == line index, so a reordered or spliced
+  * artifact fails loudly instead of mis-ranking silently):
+  * {{{
+  * graft-bpe\tv4\t<n_merges>\t<n_special>\t<mode>\tranked
+  * #special\t<role>\t<token>             (× n_special)
+  * <left>\t<right>\t<pair_count>\t<rank> (× n_merges; rank = merge index)
+  * }}}
+  * v1-v3 readers are unchanged: words artifacts still write v2 and
+  * bytes artifacts v3 unless the caller asks for a ranked artifact.
+  *
   * Symbols come from whitespace-split tokens, so neither side can
   * contain a tab or newline — the separator is unambiguous by
   * construction. Line order IS merge order (BPE apply is
@@ -58,6 +73,8 @@ object Tokenizer {
   private val Version = "v1"
   private val Version2 = "v2"
   private val Version3 = "v3"
+  private val Version4 = "v4"
+  private val RankedTag = "ranked"
   private val SpecialTag = "#special"
 
   /** Tokenizer modes: `words` seeds from whitespace tokens
@@ -82,10 +99,14 @@ object Tokenizer {
 
   /** A trainer-consumable tokenizer: ordered merges + ordered special
     * tokens. Id assignment is positional and therefore deterministic
-    * (see the v2 format note). */
+    * (see the v2 format note). `ranked = true` marks a v4 artifact:
+    * the merge list passed trainer-order validation at save time and
+    * carried explicit verified ranks through the load, so rank-based
+    * apply may consume it without re-validating. */
   case class BpeArtifact(merges: Seq[(String, String, Long)],
                          specials: Seq[(String, String)],
-                         mode: String = ModeWords) {
+                         mode: String = ModeWords,
+                         ranked: Boolean = false) {
     require(mode == ModeWords || mode == ModeBytes || mode == ModeBytesPretok,
       s"unknown tokenizer mode '$mode'")
     specials.foreach { case (role, tok) =>
@@ -145,37 +166,54 @@ object Tokenizer {
       merges.map { case (l, r, n) => s"$l\t$r\t$n" })
   }
 
-  /** Atomically write a full v2 artifact (specials + merges). */
+  /** Atomically write a full artifact: v2 for words, v3 for the byte
+    * modes, v4 when the artifact is RANKED (explicit rank column,
+    * trainer-order validated here so serving loads skip it). */
   def saveArtifact(artifact: BpeArtifact, path: String): Unit = {
     requireEncodable(artifact.merges)
+    if (artifact.ranked)
+      TextStats.requireTrainerOrdered(
+        artifact.merges.map(m => (m._1, m._2)), "saveArtifact(ranked)")
     // words-mode artifacts stay v2 byte-for-byte (every existing v2
     // reader keeps working); only a bytes-mode artifact needs the v3
     // header that records the seeder
     val header =
-      if (artifact.mode == ModeWords)
+      if (artifact.ranked)
+        s"$Magic\t$Version4\t${artifact.merges.size}\t${artifact.specials.size}\t${artifact.mode}\t$RankedTag"
+      else if (artifact.mode == ModeWords)
         s"$Magic\t$Version2\t${artifact.merges.size}\t${artifact.specials.size}"
       else
         s"$Magic\t$Version3\t${artifact.merges.size}\t${artifact.specials.size}\t${artifact.mode}"
+    val mergeLines =
+      if (artifact.ranked)
+        artifact.merges.zipWithIndex.map { case ((l, r, n), k) => s"$l\t$r\t$n\t$k" }
+      else artifact.merges.map { case (l, r, n) => s"$l\t$r\t$n" }
     writeAtomic(path,
       header +:
         (artifact.specials.map { case (role, tok) =>
-          s"$SpecialTag\t$role\t$tok" } ++
-          artifact.merges.map { case (l, r, n) => s"$l\t$r\t$n" }))
+          s"$SpecialTag\t$role\t$tok" } ++ mergeLines))
   }
 
-  /** Load a v1 OR v2 artifact. A v1 file loads with an empty specials
-    * table. Fails loudly on a foreign file, an unknown version, or
+  /** Load a v1-v4 artifact. A v1 file loads with an empty specials
+    * table. Fails loudly on a foreign file, an unknown version,
     * section counts that do not match the header (a torn or
-    * concatenated artifact). */
+    * concatenated artifact), or a v4 rank column that disagrees with
+    * line order (a reordered/spliced ranked artifact would silently
+    * mis-rank every downstream corpus). */
   def loadArtifact(path: String): BpeArtifact = {
     val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
       .asScala.toSeq
     val header = lines.headOption.getOrElse(
       throw new IllegalStateException(s"empty tokenizer artifact $path"))
-    def parseMerges(ls: Seq[String], n: Int): Seq[(String, String, Long)] = {
-      val merges = ls.map { ln =>
-        ln.split("\t", -1) match {
-          case Array(l, r, c) => (l, r, c.toLong)
+    def parseMerges(ls: Seq[String], n: Int,
+                    ranked: Boolean = false): Seq[(String, String, Long)] = {
+      val merges = ls.zipWithIndex.map { case (ln, k) =>
+        (ln.split("\t", -1), ranked) match {
+          case (Array(l, r, c), false) => (l, r, c.toLong)
+          case (Array(l, r, c, rank), true) =>
+            if (rank.toInt != k) throw new IllegalStateException(
+              s"reordered ranked artifact $path: line $k carries rank $rank")
+            (l, r, c.toLong)
           case _ => throw new IllegalStateException(
             s"malformed merge line in $path: '$ln'")
         }
@@ -184,7 +222,8 @@ object Tokenizer {
         s"torn artifact $path: header says $n merges, found ${merges.size}")
       merges
     }
-    def parseSectioned(n: Int, s: Int, mode: String): BpeArtifact = {
+    def parseSectioned(n: Int, s: Int, mode: String,
+                       ranked: Boolean = false): BpeArtifact = {
       // Section boundary comes from the HEADER count, not a prefix
       // scan: span(startsWith("#special\t")) would absorb a
       // legitimate merge whose left symbol is literally "#special"
@@ -203,11 +242,13 @@ object Tokenizer {
             s"malformed special line in $path: '$ln'")
         }
       }
-      BpeArtifact(parseMerges(mergeLines, n), specials, mode)
+      BpeArtifact(parseMerges(mergeLines, n, ranked), specials, mode, ranked)
     }
     header.split("\t", -1) match {
       case Array(Magic, Version, n) =>
         BpeArtifact(parseMerges(lines.tail, n.toInt), Nil)
+      case Array(Magic, Version4, n, s, mode, RankedTag) =>
+        parseSectioned(n.toInt, s.toInt, mode, ranked = true)
       case Array(Magic, Version3, n, s, mode) =>
         parseSectioned(n.toInt, s.toInt, mode)
       case Array(Magic, Version2, n, s) =>

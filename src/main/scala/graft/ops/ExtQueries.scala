@@ -2071,6 +2071,163 @@ object ExtQueries {
        |FROM g ORDER BY lang""".stripMargin
   }
 
+  // ---- unigram-LM (SentencePiece-style) tokenization ----
+
+  /** The frozen unigram vocabulary both unigram queries apply: marker
+    * -prefixed whole words for the corpus's common tokens, a few
+    * sub-word pieces, and all single letters — every logprob exact at
+    * 6 dp so the micro-unit DP is engine-portable. */
+  private[graft] val unigramVocab: Seq[(String, Double)] = Seq(
+    "▁the" -> -2.5, "▁join" -> -3.0, "▁sort" -> -3.125, "▁table" -> -3.25,
+    "▁scan" -> -3.375, "▁data" -> -3.5, "▁row" -> -3.625, "▁fast" -> -3.75,
+    "▁key" -> -3.875, "▁batch" -> -4.0, "▁merge" -> -4.125,
+    "▁window" -> -4.25,
+    "▁s" -> -5.0, "▁b" -> -5.125, "▁f" -> -5.25, "▁" -> -6.0,
+    "er" -> -5.5, "in" -> -5.625, "ow" -> -5.75, "ta" -> -5.875,
+    "ble" -> -6.125, "or" -> -6.25, "der" -> -6.375, "at" -> -6.5,
+    "ch" -> -6.625, "lu" -> -6.75, "ue" -> -6.875) ++
+    "abcdefghijklmnopqrstuvwxyz".zipWithIndex.map { case (c, i) =>
+      c.toString -> (-7.0 - i * 0.03125)
+    }
+
+  private val unigramUnk = -20.0
+
+  /** The shared oracle CTE chain replaying [[TextStats.unigramApply]]'s
+    * Viterbi DP in SQL over a `base(doc_id, text, ...)` CTE: candidate
+    * piece scores pre-joined per (word, position, length), then one
+    * recursive CTE carries the integer-micro best-score list forward
+    * (ties broken score-first then longest-piece, exactly the
+    * operator's rule) and a second walks the backpointers into the
+    * piece list. Ends at `docseg(doc_id, syms)`. */
+  private def unigramCtes(maxLen: Int): String = {
+    val unkMicro = math.round(unigramUnk * 1e6)
+    val vocabVals = unigramVocab.map { case (p, lp) =>
+      s"('${p.replace("'", "''")}', ${math.round(lp * 1e6)})"
+    }.mkString(", ")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM base),
+       |wd AS (SELECT doc_id, unnest(range(0, len(toks))) AS wpos, toks FROM t),
+       |w AS (SELECT doc_id, wpos, '▁' || toks[wpos + 1] AS word,
+       |        CAST(length('▁' || toks[wpos + 1]) AS INTEGER) AS n FROM wd),
+       |vocab AS (SELECT * FROM (VALUES $vocabVals) v(piece, psc)),
+       |wi AS (SELECT doc_id, wpos, word, n,
+       |         CAST(unnest(range(1, n + 1)) AS INTEGER) AS i FROM w),
+       |pc AS (SELECT doc_id, wpos, word, n, i,
+       |         CAST(unnest(range(1, least(i, $maxLen) + 1)) AS INTEGER) AS j
+       |       FROM wi),
+       |sc AS (SELECT pc.doc_id, pc.wpos, pc.i, pc.j,
+       |         COALESCE(v.psc, CASE WHEN pc.j = 1 THEN $unkMicro END) AS sc
+       |       FROM (SELECT *, substr(word, i - j + 1, j) AS piece FROM pc) pc
+       |       LEFT JOIN vocab v USING (piece)
+       |       WHERE v.psc IS NOT NULL OR pc.j = 1),
+       |byi AS (SELECT doc_id, wpos, i,
+       |          list(struct_pack(j := j, sc := sc) ORDER BY j) AS cands
+       |        FROM sc GROUP BY 1, 2, 3),
+       |wl AS (SELECT w.doc_id, w.wpos, w.word, w.n,
+       |         list(b.cands ORDER BY b.i) AS byi
+       |       FROM w JOIN byi b USING (doc_id, wpos) GROUP BY 1, 2, 3, 4),
+       |rec AS (
+       |  SELECT doc_id, wpos, word, n, byi, 0 AS i,
+       |         [CAST(0 AS BIGINT)] AS best, CAST([] AS INTEGER[]) AS bps
+       |  FROM wl
+       |  UNION ALL
+       |  SELECT doc_id, wpos, word, n, byi, i + 1,
+       |    list_append(best,
+       |      list_max(list_transform(byi[i + 1], c -> best[i + 2 - c.j] + c.sc))),
+       |    list_append(bps, CAST(list_max(list_transform(byi[i + 1],
+       |      c -> CASE WHEN best[i + 2 - c.j] + c.sc =
+       |            list_max(list_transform(byi[i + 1],
+       |              c2 -> best[i + 2 - c2.j] + c2.sc))
+       |           THEN c.j ELSE 0 END)) AS INTEGER))
+       |  FROM rec WHERE i < n),
+       |fin AS (SELECT doc_id, wpos, word, n, bps FROM rec WHERE i = n),
+       |bt AS (
+       |  SELECT doc_id, wpos, word, bps, n AS pos,
+       |         CAST([] AS VARCHAR[]) AS pieces FROM fin
+       |  UNION ALL
+       |  SELECT doc_id, wpos, word, bps, pos - bps[pos],
+       |    list_prepend(substr(word, pos - bps[pos] + 1, bps[pos]), pieces)
+       |  FROM bt WHERE pos > 0),
+       |seg AS (SELECT doc_id, wpos, pieces FROM bt WHERE pos = 0),
+       |docseg AS (SELECT doc_id, flatten(list(pieces ORDER BY wpos)) AS syms
+       |           FROM seg GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Unigram-LM tokenization apply ([[TextStats.unigramApply]] —
+    * SentencePiece's default model family, the production tokenizer
+    * BPE does not cover): Viterbi segmentation of every marker-prefixed
+    * word under the frozen [[unigramVocab]], integer-micro scores,
+    * score-then-longest-piece tie-break. Five planted pages prepend
+    * digit/accent words the vocabulary lacks, pinning the single-char
+    * unk fallback. The oracle replays the WHOLE DP (forward recurrence
+    * + backpointer walk) in recursive SQL — segmentations, not just
+    * counts, must agree. */
+  val unigramApplyQ: Q = (s, dir) => {
+    val maxLen = unigramVocab.map(p =>
+      p._1.codePointCount(0, p._1.length)).max
+    val docs = documents(s, dir).select("doc_id", "text")
+    val planted = docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 970000).as("doc_id"),
+        concat(lit("q9 zz97 naïve café "), col("text")).as("text"))
+    TextStats.unigramApply(docs.unionAll(planted), "text",
+        unigramVocab, unkLogProb = unigramUnk)
+      .select(col("doc_id"),
+        size(col("unigram_symbols")).as("n_symbols"),
+        concat_ws(" ", col("unigram_symbols")).as("symbols"))
+      .orderBy("doc_id")
+  }
+
+  val unigramApplySql = {
+    val maxLen = unigramVocab.map(p =>
+      p._1.codePointCount(0, p._1.length)).max
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 970000, 'q9 zz97 naïve café ' || text
+       |  FROM documents WHERE doc_id < 5),
+       |${unigramCtes(maxLen)}
+       |SELECT b.doc_id,
+       |  CAST(COALESCE(len(s.syms), 0) AS INTEGER) AS n_symbols,
+       |  COALESCE(array_to_string(s.syms, ' '), '') AS symbols
+       |FROM base b LEFT JOIN docseg s USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** Per-language fertility of the unigram tokenizer — the comparison
+    * row against [[tokenizerFertilityQ]]'s BPE numbers a vocabulary
+    * decision reads side by side (same metric: pieces per whitespace
+    * word). Oracle: the same recursive DP chain, aggregated. */
+  val unigramFertilityQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "lang", "text")
+    TextStats.unigramApply(docs, "text", unigramVocab,
+        unkLogProb = unigramUnk)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.ml.Featurize.tokensCol(col("text"))).cast("long"))
+          .as("total_words"),
+        sum(size(col("unigram_symbols")).cast("long")).as("total_symbols"))
+      .withColumn("fertility",
+        when(col("total_words") > 0,
+          round(col("total_symbols").cast("double") /
+            col("total_words").cast("double"), 6)))
+      .orderBy("lang")
+  }
+
+  val unigramFertilitySql = {
+    val maxLen = unigramVocab.map(p =>
+      p._1.codePointCount(0, p._1.length)).max
+    s"""WITH RECURSIVE base AS (SELECT doc_id, lang, text FROM documents),
+       |${unigramCtes(maxLen)}
+       |SELECT b.lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_words,
+       |  CAST(SUM(COALESCE(len(s.syms), 0)) AS BIGINT) AS total_symbols,
+       |  CASE WHEN SUM(len($toksSql)) > 0
+       |       THEN ROUND(CAST(SUM(COALESCE(len(s.syms), 0)) AS DOUBLE)
+       |         / CAST(SUM(len($toksSql)) AS DOUBLE), 6) END AS fertility
+       |FROM base b LEFT JOIN docseg s USING (doc_id)
+       |GROUP BY b.lang ORDER BY b.lang""".stripMargin
+  }
+
   /** Block-quantized exact span dedup ([[Dedup.spanDedup]]): every
     * verbatim re-occurrence of an 8-token block is cut from the
     * rebuilt text, first occurrence in (id, pos) order kept. The
@@ -5991,6 +6148,8 @@ object ExtQueries {
     "q_langid_mixture" -> langidMixtureQ,
     "q_bpe_apply_pretok" -> bpeApplyPretokQ,
     "q_tokenizer_fertility_pretok" -> tokenizerFertilityPretokQ,
+    "q_unigram_apply" -> unigramApplyQ,
+    "q_unigram_fertility" -> unigramFertilityQ,
     "q_multimodal_meta" -> multimodalMeta,
     "q_dedup_image" -> dedupImageQ,
     "q_stream_window" -> streamWindow,
@@ -6111,6 +6270,8 @@ object ExtQueries {
     "q_retrieval_metrics" -> retrievalMetricsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_dedup_image" -> dedupImageSql,
+    "q_unigram_apply" -> unigramApplySql,
+    "q_unigram_fertility" -> unigramFertilitySql,
     "q_stream_window" -> streamWindowSql,
     "q_stream_contamination" -> streamContaminationSql,
     "q_stream_neardup" -> streamNeardupSql,

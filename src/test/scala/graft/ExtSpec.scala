@@ -1131,6 +1131,49 @@ class ExtSpec extends AnyFunSuite {
     assert(allMessages(past).contains("maxWindowsPerDoc"), allMessages(past))
   }
 
+  test("unigram apply: Viterbi picks max-score paths, longest piece on ties, unk fallback; decode is identity") {
+    val T = TextStats
+    import spark.implicits._
+    val vocab = Seq("▁" -> -1.0, "a" -> -2.0, "b" -> -2.0, "ab" -> -4.0,
+      "▁the" -> -1.5, "t" -> -3.0, "h" -> -3.0, "e" -> -3.0)
+    val df = Seq(
+      (1L, "ab"),        // tie: ▁ a b == ▁ ab at -5.0 -> LONGER piece wins
+      (2L, "the"),       // whole-word piece beats chars (-1.5 vs -10)
+      (3L, "th9"),       // 9 not in vocab -> unk single-char fallback
+      (4L, "  a \t b "), // messy whitespace normalizes
+      (5L, ""))          // empty passes through empty
+      .toDF("doc_id", "text")
+    val out = T.unigramApply(df, "text", vocab, unkLogProb = -20.0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(out(1L) == Seq("▁", "ab"), out(1L).toString)
+    assert(out(2L) == Seq("▁the"), out(2L).toString)
+    assert(out(3L) == Seq("▁", "t", "h", "9"), out(3L).toString)
+    assert(out(4L) == Seq("▁", "a", "▁", "b"), out(4L).toString)
+    assert(out(5L) == Seq(), out(5L).toString)
+    // decode identity: markers back to spaces == whitespace-normalized
+    // text, for EVERY input including unknown unicode
+    val messy = Seq((1L, "café  9züm\tnaïve"), (2L, " ab the th9 "),
+      (3L, "🎈 balloon"))
+      .toDF("doc_id", "text")
+    val dec = T.unigramApply(messy, "text", vocab)
+      .select(col("doc_id"), T.unigramDecode(col("unigram_symbols")).as("d"),
+        concat_ws(" ", graft.ml.Featurize.tokensCol(col("text"))).as("norm"))
+      .collect()
+    dec.foreach(r => assert(r.getString(1) == r.getString(2), r.toString))
+    // invalid vocabularies fail loudly up front
+    intercept[IllegalArgumentException] { T.unigramApply(df, "text", Nil) }
+    intercept[IllegalArgumentException] {
+      T.unigramApply(df, "text", Seq("a" -> -1.0, "a" -> -2.0))
+    }
+    intercept[IllegalArgumentException] {
+      T.unigramApply(df, "text", Seq("a b" -> -1.0))
+    }
+    intercept[IllegalArgumentException] {
+      T.unigramApply(df, "text", Seq(("x" * 64) -> -1.0))
+    }
+    ()
+  }
+
   test("ranked BPE apply equals the sequential replay at depth; invalid merge lists fail loudly") {
     val T = TextStats
     val corpus = docs.select("doc_id", "text")
@@ -2211,5 +2254,48 @@ class ExtSpec extends AnyFunSuite {
       java.nio.file.Paths.get(vPre)).get(0)
     assert(headP ==
       s"graft-bpe\tv3\t${preMerges.size}\t4\tbytes-pretok", headP)
+
+    // ---- v4: ranked serving artifact ----
+    val rArt = Tokenizer.BpeArtifact(preMerges, Tokenizer.DefaultSpecials,
+      Tokenizer.ModeBytesPretok, ranked = true)
+    val v4path = s"$dir/tokenizer.v4.tsv"
+    Tokenizer.saveArtifact(rArt, v4path)
+    val loaded4 = Tokenizer.loadArtifact(v4path)
+    assert(loaded4 == rArt && loaded4.ranked) // bit-exact round trip
+    val head4 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(v4path)).get(0)
+    assert(head4 ==
+      s"graft-bpe\tv4\t${preMerges.size}\t4\tbytes-pretok\tranked", head4)
+    // the artifact-consuming ranked apply == the merge-list path,
+    // with NO re-validation or replay at serving time
+    val applied = TextStats.bpeApplyRankedBytesPretok(
+        corpus, "text", loaded4, "bpe_symbols")
+      .select("bpe_symbols").collect().map(_.getSeq[String](0)).toSeq
+    val expected = TextStats.bpeApplyRankedBytesPretok(
+        corpus, "text", preMerges.map(m => (m._1, m._2)))
+      .select("bpe_symbols").collect().map(_.getSeq[String](0)).toSeq
+    assert(applied == expected)
+    // a reordered ranked artifact (rank column vs line order) refuses
+    import scala.jdk.CollectionConverters._
+    val lines4 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(v4path)).asScala.toSeq
+    val swapped = lines4.take(5) ++ Seq(lines4(6), lines4(5)) ++ lines4.drop(7)
+    val reordered = s"$dir/reordered.v4.tsv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(reordered),
+      swapped.asJava)
+    assert(intercept[IllegalStateException](
+      Tokenizer.loadArtifact(reordered)).getMessage.contains("reordered"))
+    // saving a NON-trainer-ordered list as ranked fails at save time
+    intercept[IllegalArgumentException] {
+      Tokenizer.saveArtifact(Tokenizer.BpeArtifact(
+        Seq(("61", "62" + J + "63", 1L), ("62", "63", 1L)), Nil,
+        Tokenizer.ModeBytesPretok, ranked = true), s"$dir/bad.v4.tsv")
+    }
+    // the ranked apply rejects artifacts of any other mode
+    intercept[IllegalArgumentException] {
+      TextStats.bpeApplyRankedBytesPretok(corpus, "text", bArt, "s")
+    }
+    // v1-era merge consumer reads the v4 merge section unchanged
+    assert(Tokenizer.loadMerges(v4path) == preMerges)
   }
 }

@@ -704,6 +704,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch(1L) == List(s"new${J}york${J}city", "limits"), batch(1L))
   }
 
+  test("ranked v4 artifact drives the streaming tokenizer identically to batch") {
+    import spark.implicits._
+    val T = graft.ext.TextStats
+    val Tok = graft.ext.Tokenizer
+    // train a bytes-pretok vocabulary, ship it as a RANKED v4 artifact
+    // (trainer-order proven at save, ranks verified at load), and run
+    // the rank-based apply — the serving path never replays merges —
+    // on a stream; stateless, so append mode with no watermark
+    val corpus = Seq(
+      "new york city", "new york times", "new york",
+      "san francisco bay", "san francisco").toDF("text")
+    val merges = T.bpeTrainBytesPretok(corpus, "text", merges = 24)
+    val art = java.nio.file.Files.createTempDirectory("bpe_v4_stream")
+      .resolve("tokenizer.v4.tsv").toString
+    Tok.saveArtifact(Tok.BpeArtifact(merges, Tok.DefaultSpecials,
+      Tok.ModeBytesPretok, ranked = true), art)
+    val loaded = Tok.loadArtifact(art)
+    assert(loaded.ranked && loaded.mode == Tok.ModeBytesPretok)
+    val docs = Seq((1L, "new york city limits"), (2L, "san francisco fog"),
+      (3L, "unrelated words entirely")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_v4_src").toString
+    docs.write.mode("overwrite").parquet(dir)
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val batch = grab(T.bpeApplyRankedBytesPretok(docs, "text", loaded,
+      "bpe_symbols").select("doc_id", "bpe_symbols"))
+    // the ranked path must equal the sequential replay on the stream's
+    // input too (the spec-pinned equivalence, here through the artifact)
+    assert(batch == grab(T.bpeApplyBytesPretok(docs, "text",
+      merges.map(m => (m._1, m._2))).select("doc_id", "bpe_symbols")))
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = T.bpeApplyRankedBytesPretok(stream, "text", loaded, "bpe_symbols")
+      .select("doc_id", "bpe_symbols")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_v4_out").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(grab(spark.table("bpe_v4_out")) == batch)
+  }
+
   test("streaming script-mix monitor matches batch exactly") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
