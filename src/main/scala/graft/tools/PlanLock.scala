@@ -20,10 +20,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Headline set: pure-plan queries covering every pillar — scan
   * pushdown, both join shapes, two-phase agg, window top-k and
   * percentile, sampling, cleaning, labeling, exact/minhash/span/
-  * substring dedup, brute ANN, text stats, mixture budgeting. Queries
-  * whose CONSTRUCTION runs jobs (model training, index builds,
-  * streams) or reads memoized persisted intermediates are excluded:
-  * their plan shape depends on session history, not source. */
+  * substring dedup, brute ANN, text stats, mixture budgeting.
+  *
+  * Heavy set: the COST-HEAD queries whose construction runs jobs or
+  * reads memoized intermediates (PageRank builds, k-means centroid
+  * fits, index writes, model training). Their final plans are still
+  * deterministic given a cold memo — `compute` clears the cross-query
+  * memos first — and they are exactly the plans worth locking hardest:
+  * an extra exchange in q_curation_pipeline costs more at 100 TB than
+  * in every cheap query combined. Their fingerprints carry the
+  * `rddscan` count (localCheckpoint/persisted-intermediate scans are
+  * BY DESIGN here — a checkpoint silently disappearing, which would
+  * re-derive the whole construction per consumer, drifts the count
+  * just like an appearing exchange). */
 object PlanLock {
 
   val headline: Seq[String] = Seq(
@@ -34,22 +43,31 @@ object PlanLock {
     "q_dedup_exact", "q_dedup_minhash_sig", "q_dedup_spans",
     "q_dedup_substrings", "q_sim_topk", "q_text_tokens", "q_text_quality")
 
+  val heavy: Seq[String] = Seq(
+    "q_mixture_authority", "q_dedup_index_update", "q_curation_pipeline",
+    "q_bm25_topk", "q_langid_mixture", "q_sim_ivfpq_rerank")
+
+  /** Every locked query, in lock-file order. */
+  val all: Seq[String] = headline ++ heavy
+
   /** One plan's shape: node counts that matter at 100 TB. */
   case class Fingerprint(exchanges: Int, broadcasts: Int, bhj: Int,
-                         smj: Int, bnlj: Int, wscg: Int, python: Int) {
-    def tsv: String = s"$exchanges\t$broadcasts\t$bhj\t$smj\t$bnlj\t$wscg\t$python"
+                         smj: Int, bnlj: Int, wscg: Int, python: Int,
+                         rddscan: Int) {
+    def tsv: String =
+      s"$exchanges\t$broadcasts\t$bhj\t$smj\t$bnlj\t$wscg\t$python\t$rddscan"
   }
 
   object Fingerprint {
     def parse(fields: Array[String]): Fingerprint = Fingerprint(
       fields(0).toInt, fields(1).toInt, fields(2).toInt, fields(3).toInt,
-      fields(4).toInt, fields(5).toInt, fields(6).toInt)
+      fields(4).toInt, fields(5).toInt, fields(6).toInt, fields(7).toInt)
   }
 
   def fingerprint(df: DataFrame): Fingerprint = {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
-    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.{RDDScanExec, WholeStageCodegenExec}
     val plan = df.queryExecution.executedPlan
     Fingerprint(
       exchanges = plan.collect { case e: ShuffleExchangeExec => e }.size,
@@ -60,15 +78,21 @@ object PlanLock {
       wscg = plan.collect { case w: WholeStageCodegenExec => w }.size,
       python = plan.collect {
         case p if p.nodeName.toLowerCase.contains("python") => p
-      }.size)
+      }.size,
+      rddscan = plan.collect { case r: RDDScanExec => r }.size)
   }
 
-  /** Fingerprints of every headline query, AQE off (runtime re-plans
-    * would make node counts depend on data volume, not source). */
+  /** Fingerprints of every locked query, AQE off (runtime re-plans
+    * would make node counts depend on data volume, not source). The
+    * cross-query memos are cleared first so the heavy constructions
+    * fingerprint from a COLD state — session history (which suite or
+    * bench warmed a memo) must never change a recorded shape. */
   def compute(spark: SparkSession, dir: String): Seq[(String, Fingerprint)] = {
+    graft.ops.Queries.clearMemo()
+    graft.ops.ExtQueries.clearMemo()
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try headline.map { name =>
+    try all.map { name =>
       name -> fingerprint(graft.SparkEntry.queries(name)(spark, dir))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
@@ -85,8 +109,8 @@ object PlanLock {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val lines = compute(spark, dir).map { case (n, fp) => s"$n\t${fp.tsv}" }
-    val header = "# query\texchanges\tbroadcasts\tbhj\tsmj\tbnlj\twscg\tpython" +
-      "\n# recorded by: sbt \"runMain graft.tools.PlanLock\" (AQE off, sf0.001)"
+    val header = "# query\texchanges\tbroadcasts\tbhj\tsmj\tbnlj\twscg\tpython\trddscan" +
+      "\n# recorded by: sbt \"runMain graft.tools.PlanLock\" (AQE off, cold memos, sf0.001)"
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(lockPath).getParent)
     java.nio.file.Files.writeString(

@@ -38,13 +38,13 @@ class PlanLockSpec extends AnyFunSuite {
       }.toMap
   }
 
-  test("every headline query is locked and no headline plan drifts") {
-    assert(locked.keySet == PlanLock.headline.toSet,
-      s"lock file out of sync with PlanLock.headline — re-record. " +
-        s"missing=${PlanLock.headline.toSet -- locked.keySet} " +
-        s"stale=${locked.keySet -- PlanLock.headline.toSet}")
+  test("every locked query (headline + cost-head) is locked and no plan drifts") {
+    assert(locked.keySet == PlanLock.all.toSet,
+      s"lock file out of sync with PlanLock.all — re-record. " +
+        s"missing=${PlanLock.all.toSet -- locked.keySet} " +
+        s"stale=${locked.keySet -- PlanLock.all.toSet}")
     val current = PlanLock.compute(spark, dir).toMap
-    val drifted = PlanLock.headline.flatMap { name =>
+    val drifted = PlanLock.all.flatMap { name =>
       val (want, got) = (locked(name), current(name))
       if (got == want) None
       else {
@@ -53,12 +53,15 @@ class PlanLockSpec extends AnyFunSuite {
           else if (got.exchanges > want.exchanges) "REGRESSION: plan grew an Exchange"
           else if (got.bhj < want.bhj) "REGRESSION: lost a BroadcastHashJoin"
           else if (got.smj > want.smj) "REGRESSION: plan grew a SortMergeJoin"
+          else if (got.rddscan < want.rddscan)
+            "REGRESSION: a checkpoint/memoized-intermediate scan disappeared " +
+              "(the construction would re-derive per consumer)"
           else "drift (possibly an improvement) — review, then re-record"
         Some(s"$name: $verdict\n  locked : $want\n  current: $got")
       }
     }
     assert(drifted.isEmpty,
-      "headline plan shapes drifted from the committed lock " +
+      "locked plan shapes drifted from the committed lock " +
         "(re-record ONLY after reviewing: sbt \"runMain graft.tools.PlanLock\"):\n" +
         drifted.mkString("\n"))
   }
