@@ -1858,7 +1858,12 @@ object TextStats extends Serializable {
     * ride Catalyst without word-length-deep plan trees; the vocab
     * broadcasts once (bounded driver data, same class as merge lists).
     * No shuffle, no skew surface — a narrow pass over the scan at any
-    * corpus size. Output: `outCol` = flat piece array in word order. */
+    * corpus size. Segmentation is a pure function of the WORD, so each
+    * partition memoizes word → pieces (capped — natural corpora are
+    * Zipfian, so the hot heads hit constantly; SentencePiece serves
+    * with the same cache); the DuckDB oracle exploits the same
+    * identity by running the DP over DISTINCT words only. Output:
+    * `outCol` = flat piece array in word order. */
   def unigramApply(df: DataFrame, textCol: String,
                    vocab: Seq[(String, Double)],
                    unkLogProb: Double = -20.0,
@@ -1885,49 +1890,60 @@ object TextStats extends Serializable {
     df.mapPartitions { rows =>
       val table = new java.util.HashMap[String, java.lang.Long](bc.value.length * 2)
       bc.value.foreach { case (p, m) => table.put(p, m); () }
+      // word -> pieces memo: segmentation is a pure function of the
+      // word, and corpora are Zipfian — the cap only bounds memory on
+      // adversarial all-unique streams (those just recompute)
+      val memo = new java.util.HashMap[String, Array[String]](1 << 12)
+      val memoCap = 1 << 16
+      def segment(tok: String): Array[String] = {
+        val hit = memo.get(tok)
+        if (hit != null) return hit
+        val cps = (UnigramMarker + tok).codePoints.toArray
+          .map(cp => new String(Character.toChars(cp)))
+        val n = cps.length
+        val best = new Array[Long](n + 1)
+        val bp = new Array[Int](n + 1)
+        var i = 1
+        while (i <= n) {
+          var bestSc = Long.MinValue
+          var bestJ = 0
+          var j = 1
+          val jMax = math.min(maxLen, i)
+          while (j <= jMax) {
+            val piece = cps.slice(i - j, i).mkString
+            val sc = table.get(piece)
+            val scV: Long =
+              if (sc != null) sc.longValue()
+              else if (j == 1) unkMicro
+              else Long.MinValue
+            if (scV != Long.MinValue) {
+              val cand = best(i - j) + scV
+              // higher score wins; equal score -> longer piece wins
+              if (cand > bestSc || (cand == bestSc && j > bestJ)) {
+                bestSc = cand; bestJ = j
+              }
+            }
+            j += 1
+          }
+          best(i) = bestSc; bp(i) = bestJ
+          i += 1
+        }
+        var pos = n
+        var rev: List[String] = Nil
+        while (pos > 0) {
+          val j = bp(pos)
+          rev = cps.slice(pos - j, pos).mkString :: rev
+          pos -= j
+        }
+        val res = rev.toArray
+        if (memo.size < memoCap) { memo.put(tok, res); () }
+        res
+      }
       rows.map { row =>
         val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
         val out = Seq.newBuilder[String]
-        text.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
-          val cps = (UnigramMarker + tok).codePoints.toArray
-            .map(cp => new String(Character.toChars(cp)))
-          val n = cps.length
-          val best = new Array[Long](n + 1)
-          val bp = new Array[Int](n + 1)
-          var i = 1
-          while (i <= n) {
-            var bestSc = Long.MinValue
-            var bestJ = 0
-            var j = 1
-            val jMax = math.min(maxLen, i)
-            while (j <= jMax) {
-              val piece = cps.slice(i - j, i).mkString
-              val sc = table.get(piece)
-              val scV: Long =
-                if (sc != null) sc.longValue()
-                else if (j == 1) unkMicro
-                else Long.MinValue
-              if (scV != Long.MinValue) {
-                val cand = best(i - j) + scV
-                // higher score wins; equal score -> longer piece wins
-                if (cand > bestSc || (cand == bestSc && j > bestJ)) {
-                  bestSc = cand; bestJ = j
-                }
-              }
-              j += 1
-            }
-            best(i) = bestSc; bp(i) = bestJ
-            i += 1
-          }
-          var pos = n
-          var rev: List[String] = Nil
-          while (pos > 0) {
-            val j = bp(pos)
-            rev = cps.slice(pos - j, pos).mkString :: rev
-            pos -= j
-          }
-          out ++= rev
-        }
+        text.trim.split("\\s+").filter(_.nonEmpty)
+          .foreach(tok => out ++= segment(tok))
         Row.fromSeq(row.toSeq :+ out.result())
       }
     }(Encoders.row(outSchema))

@@ -2093,44 +2093,47 @@ object ExtQueries {
   private val unigramUnk = -20.0
 
   /** The shared oracle CTE chain replaying [[TextStats.unigramApply]]'s
-    * Viterbi DP in SQL over a `base(doc_id, text, ...)` CTE: candidate
-    * piece scores pre-joined per (word, position, length), then one
-    * recursive CTE carries the integer-micro best-score list forward
-    * (ties broken score-first then longest-piece, exactly the
-    * operator's rule) and a second walks the backpointers into the
-    * piece list. Ends at `docseg(doc_id, syms)`. */
+    * Viterbi DP in SQL over a `base(doc_id, text, ...)` CTE. The DP is
+    * a pure function of the WORD, so it runs over DISTINCT words only
+    * (the same identity the operator's per-partition memo exploits) —
+    * at 100×/1000× replicas the recursion is over a few hundred rows
+    * while only the final occurrence join touches corpus-sized data.
+    * Per distinct word: candidate piece scores pre-joined per
+    * (position, length), one recursive CTE carries the integer-micro
+    * best-score list forward (ties broken score-first then
+    * longest-piece, exactly the operator's rule), a second walks the
+    * backpointers into the piece list. Ends at `docseg(doc_id, syms)`. */
   private def unigramCtes(maxLen: Int): String = {
     val unkMicro = math.round(unigramUnk * 1e6)
     val vocabVals = unigramVocab.map { case (p, lp) =>
       s"('${p.replace("'", "''")}', ${math.round(lp * 1e6)})"
     }.mkString(", ")
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM base),
-       |wd AS (SELECT doc_id, unnest(range(0, len(toks))) AS wpos, toks FROM t),
-       |w AS (SELECT doc_id, wpos, '▁' || toks[wpos + 1] AS word,
-       |        CAST(length('▁' || toks[wpos + 1]) AS INTEGER) AS n FROM wd),
+       |occ AS (SELECT doc_id, unnest(range(0, len(toks))) AS wpos, toks FROM t),
+       |o2 AS (SELECT doc_id, wpos, '▁' || toks[wpos + 1] AS word FROM occ),
+       |w AS (SELECT DISTINCT word, CAST(length(word) AS INTEGER) AS n FROM o2),
        |vocab AS (SELECT * FROM (VALUES $vocabVals) v(piece, psc)),
-       |wi AS (SELECT doc_id, wpos, word, n,
+       |wi AS (SELECT word, n,
        |         CAST(unnest(range(1, n + 1)) AS INTEGER) AS i FROM w),
-       |pc AS (SELECT doc_id, wpos, word, n, i,
+       |pc AS (SELECT word, n, i,
        |         CAST(unnest(range(1, least(i, $maxLen) + 1)) AS INTEGER) AS j
        |       FROM wi),
-       |sc AS (SELECT pc.doc_id, pc.wpos, pc.i, pc.j,
+       |sc AS (SELECT pc.word, pc.i, pc.j,
        |         COALESCE(v.psc, CASE WHEN pc.j = 1 THEN $unkMicro END) AS sc
        |       FROM (SELECT *, substr(word, i - j + 1, j) AS piece FROM pc) pc
        |       LEFT JOIN vocab v USING (piece)
        |       WHERE v.psc IS NOT NULL OR pc.j = 1),
-       |byi AS (SELECT doc_id, wpos, i,
+       |byi AS (SELECT word, i,
        |          list(struct_pack(j := j, sc := sc) ORDER BY j) AS cands
-       |        FROM sc GROUP BY 1, 2, 3),
-       |wl AS (SELECT w.doc_id, w.wpos, w.word, w.n,
-       |         list(b.cands ORDER BY b.i) AS byi
-       |       FROM w JOIN byi b USING (doc_id, wpos) GROUP BY 1, 2, 3, 4),
+       |        FROM sc GROUP BY 1, 2),
+       |wl AS (SELECT w.word, w.n, list(b.cands ORDER BY b.i) AS byi
+       |       FROM w JOIN byi b USING (word) GROUP BY 1, 2),
        |rec AS (
-       |  SELECT doc_id, wpos, word, n, byi, 0 AS i,
+       |  SELECT word, n, byi, 0 AS i,
        |         [CAST(0 AS BIGINT)] AS best, CAST([] AS INTEGER[]) AS bps
        |  FROM wl
        |  UNION ALL
-       |  SELECT doc_id, wpos, word, n, byi, i + 1,
+       |  SELECT word, n, byi, i + 1,
        |    list_append(best,
        |      list_max(list_transform(byi[i + 1], c -> best[i + 2 - c.j] + c.sc))),
        |    list_append(bps, CAST(list_max(list_transform(byi[i + 1],
@@ -2139,17 +2142,17 @@ object ExtQueries {
        |              c2 -> best[i + 2 - c2.j] + c2.sc))
        |           THEN c.j ELSE 0 END)) AS INTEGER))
        |  FROM rec WHERE i < n),
-       |fin AS (SELECT doc_id, wpos, word, n, bps FROM rec WHERE i = n),
+       |fin AS (SELECT word, n, bps FROM rec WHERE i = n),
        |bt AS (
-       |  SELECT doc_id, wpos, word, bps, n AS pos,
+       |  SELECT word, bps, n AS pos,
        |         CAST([] AS VARCHAR[]) AS pieces FROM fin
        |  UNION ALL
-       |  SELECT doc_id, wpos, word, bps, pos - bps[pos],
+       |  SELECT word, bps, pos - bps[pos],
        |    list_prepend(substr(word, pos - bps[pos] + 1, bps[pos]), pieces)
        |  FROM bt WHERE pos > 0),
-       |seg AS (SELECT doc_id, wpos, pieces FROM bt WHERE pos = 0),
+       |seg AS (SELECT word, pieces FROM bt WHERE pos = 0),
        |docseg AS (SELECT doc_id, flatten(list(pieces ORDER BY wpos)) AS syms
-       |           FROM seg GROUP BY doc_id)""".stripMargin
+       |           FROM o2 JOIN seg USING (word) GROUP BY doc_id)""".stripMargin
   }
 
   /** Unigram-LM tokenization apply ([[TextStats.unigramApply]] —
