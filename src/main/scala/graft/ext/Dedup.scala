@@ -680,6 +680,23 @@ object Dedup {
         .localCheckpoint(),
       idCol, "dhash", maxHamming, bands)
 
+  /** Perceptual near-duplicate AUDIO pairs — [[imageNearDups]]'s
+    * sibling over [[graft.ext.Multimodal.audioEnergyHashes]] (energy-
+    * envelope fingerprint from real `javax.sound` PCM decode) and the
+    * same [[hashNearDups]] banded-hamming pairing. Catches re-encodes
+    * and small sample noise; undecodable and non-16-bit payloads hash
+    * to null and drop out of pairing. Same enforced scan-once shape as
+    * the image form: the `(id, ahash)` frame checkpoints before the
+    * self-join, so audio bytes are decoded exactly once. */
+  def audioNearDups(df: DataFrame, idCol: String, payloadCol: String,
+                    maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    hashNearDups(
+      Multimodal.audioEnergyHashes(df.select(col(idCol), col(payloadCol)),
+          payloadCol)
+        .select(col(idCol), col("ahash"))
+        .localCheckpoint(),
+      idCol, "ahash", maxHamming, bands)
+
   /** Exact span dedup, block-quantized — the distributed analog of
     * suffix-array substring dedup (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better", which removes repeated

@@ -389,6 +389,81 @@ object Multimodal {
       } catch { case _: Exception => fallback(id, payload) }
   }
 
+  /** Perceptual audio hashing; entry points are [[audioEnergyHashes]]
+    * (frame form) and [[AudioHash.energyHash64]] (per payload). */
+  object AudioHash {
+    /** Number of energy windows; 64 neighbor comparisons = 64 bits. */
+    val Windows = 65
+
+    /** Perceptual audio fingerprint — the dHash idea transposed to
+      * audio (a coarse energy-envelope shape hash, the first stage of
+      * chromaprint-style matchers): decode PCM, split the sample
+      * stream into [[Windows]] equal spans, one bit per neighboring
+      * ENERGY comparison. Keys on the loudness envelope, so it
+      * survives re-encoding and small sample noise. None for payloads
+      * no reader accepts, non-16-bit formats, and clips shorter than
+      * [[Windows]] samples — a placeholder hash would fabricate
+      * matches between unrelated non-audio payloads.
+      *
+      * Exactness: integer sums of squared samples compared as
+      * rationals (`sumA·cntB > sumB·cntA`, BigInt cross products — a
+      * budget-length 16-bit clip overflows a Long there), so the hash
+      * is bit-identical across platforms; for clips whose length the
+      * window count divides (the oracle fixtures), counts are equal
+      * and the compare degenerates to the plain integer sum compare
+      * the SQL replays. */
+    def energyHash64(payload: Array[Byte],
+                     maxFrames: Long = AudioCodec.MaxFrames): Option[Long] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+        try {
+          val fmt = in.getFormat
+          val declared = in.getFrameLength
+          val bytesPerFrame = math.max(fmt.getFrameSize, 1)
+          val maxBytes = 64L << 20
+          if (declared <= 0 || fmt.getSampleSizeInBits != 16 ||
+              bytesPerFrame > maxBytes) None
+          else {
+            val frames = math.min(math.min(declared, maxFrames),
+              math.max(maxBytes / bytesPerFrame, 1L))
+            val buf = new Array[Byte]((frames * bytesPerFrame).toInt)
+            var off = 0
+            var r = 0
+            while (off < buf.length &&
+                   { r = in.read(buf, off, buf.length - off); r > 0 })
+              off += r
+            val big = fmt.isBigEndian
+            val n = off / 2
+            if (n < Windows) None
+            else {
+              val sums = new Array[Long](Windows)
+              val cnts = new Array[Long](Windows)
+              var i = 0
+              while (i < n) {
+                val lo = buf(if (big) 2 * i + 1 else 2 * i) & 0xff
+                val hi = buf(if (big) 2 * i else 2 * i + 1)
+                val s = ((hi << 8) | lo).toShort.toLong
+                val w = math.min(i.toLong * Windows / n, (Windows - 1).toLong).toInt
+                sums(w) += s * s
+                cnts(w) += 1
+                i += 1
+              }
+              var hash = 0L
+              var w = 0
+              while (w < Windows - 1) {
+                if (BigInt(sums(w + 1)) * cnts(w) > BigInt(sums(w)) * cnts(w + 1))
+                  hash |= 1L << w
+                w += 1
+              }
+              Some(hash)
+            }
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
   /** Batch audio decode — same executor-side `mapPartitions` batch
     * shape as [[decodeFeatures]]; payloads never pass the driver. */
   def decodeAudioFeatures(ds: Dataset[AudioRow],
@@ -397,6 +472,116 @@ object Multimodal {
     import spark.implicits._
     ds.mapPartitions(rows =>
       rows.map(r => AudioCodec.decode(r.id, r.payload, maxFrames)))
+  }
+
+  /** Batch audio perceptual hashing — the audio sibling of
+    * [[imageDHashes]]: appends a nullable `ahash` LONG column from
+    * [[AudioHash.energyHash64]]; null for payloads no reader decodes,
+    * for non-16-bit formats, and for clips too short to window. */
+  def audioEnergyHashes(df: DataFrame, payloadCol: String,
+                        outCol: String = "ahash",
+                        maxFrames: Long = AudioCodec.MaxFrames): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val outSchema = df.schema.add(outCol, LongType, nullable = true)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload =
+          if (row.isNullAt(payloadIdx)) Array.empty[Byte]
+          else row.getAs[Array[Byte]](payloadIdx)
+        val h = AudioHash.energyHash64(payload, maxFrames)
+        Row.fromSeq(row.toSeq :+ h.map(Long.box).orNull)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic planted-sample WAV fixtures — the audio analog of
+    * [[ImageFixture]]: 65 windows × 8 samples of 16-bit mono PCM whose
+    * byte values derive from md5 (`byte k of md5("seed:w")`, sample =
+    * `(byte − 128) · 256`), written as REAL RIFF/WAVE through
+    * `javax.sound`, so a DuckDB oracle replays the exact
+    * [[AudioHash.energyHash64]] of every fixture in SQL while the
+    * Spark side genuinely encodes and decodes audio bytes. The
+    * perturbation bumps two bytes of window 10 by +128 mod 256: a
+    * near-duplicate whose energy hash differs in at most 2 bits
+    * ({9, 10} — the only comparisons window 10 participates in). */
+  object AudioFixture {
+    val Windows = 65
+    val SamplesPerWindow = 8
+
+    /** 16-bit sample values (Windows × SamplesPerWindow, in order). */
+    def samples(seed: Long, perturbed: Boolean): Array[Short] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until Windows).flatMap { w =>
+        val dig = md.digest(s"$seed:$w".getBytes("UTF-8"))
+        md.reset()
+        (0 until SamplesPerWindow).map { k =>
+          val base = dig(k) & 0xFF
+          val bumped =
+            if (perturbed && w == 10 && (k == 0 || k == 3)) (base + 128) % 256
+            else base
+          ((bumped - 128) * 256).toShort
+        }
+      }.toArray
+    }
+
+    /** RIFF/WAVE bytes: 16-bit signed little-endian mono PCM, 8 kHz. */
+    def wav(pcm: Array[Short]): Array[Byte] = {
+      val bytes = new Array[Byte](pcm.length * 2)
+      var i = 0
+      while (i < pcm.length) {
+        bytes(2 * i) = (pcm(i) & 0xFF).toByte
+        bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** The hash the sample formula implies — what the SQL oracle
+      * computes; [[AudioHash.energyHash64]] of [[wav]] must equal it
+      * (spec-pinned). */
+    def expectedHash(pcm: Array[Short]): Long = {
+      val n = pcm.length
+      val sums = new Array[Long](Windows)
+      var i = 0
+      while (i < n) {
+        sums(math.min(i.toLong * Windows / n, Windows - 1).toInt) +=
+          pcm(i).toLong * pcm(i)
+        i += 1
+      }
+      var hash = 0L
+      var w = 0
+      while (w < 64) {
+        if (sums(w + 1) > sums(w)) hash |= 1L << w
+        w += 1
+      }
+      hash
+    }
+
+    /** Attach fixture WAV payloads to an id frame (executor-side batch
+      * encode, mirroring [[ImageFixture.withPayloads]]). */
+    def withWavPayloads(df: DataFrame, seedCol: String,
+                        pertCol: String): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.BinaryType
+      val outSchema = df.schema.add("payload", BinaryType, nullable = false)
+      val seedIdx = df.schema.fieldIndex(seedCol)
+      val pertIdx = df.schema.fieldIndex(pertCol)
+      df.mapPartitions { rows =>
+        rows.map { row =>
+          val payload = wav(samples(row.getLong(seedIdx),
+            row.getBoolean(pertIdx)))
+          Row.fromSeq(row.toSeq :+ payload)
+        }
+      }(Encoders.row(outSchema))
+    }
   }
 
   /** Batch decode: mapPartitions over typed rows — the decode runs

@@ -2796,6 +2796,75 @@ object ExtQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Perceptual AUDIO near-dup dedup ([[Dedup.audioNearDups]]): every
+    * document becomes a real RIFF/WAVE clip (16-bit mono PCM, 65
+    * windows × 8 samples from md5 — [[Multimodal.AudioFixture]]), plus
+    * ten perturbed variants (two bytes of window 10 bumped +128 mod
+    * 256, a ≤2-bit energy-hash change). The Spark side genuinely
+    * round-trips `javax.sound` — WAV encode on executors, PCM decode +
+    * energy-envelope hash in [[Multimodal.audioEnergyHashes]], the
+    * same 4-band pigeonhole pairing as images — while the oracle
+    * replays the sample formula, window energies, hash bits, banding,
+    * and popcount in SQL. */
+  val dedupAudioQ: Q = (s, dir) => {
+    val ids = documents(s, dir).select(col("doc_id"))
+    val base = ids.select(col("doc_id"), col("doc_id").as("__seed"),
+      lit(false).as("__pert"))
+    val variants = ids.where(col("doc_id") < 10)
+      .select((col("doc_id") + 960000).as("doc_id"),
+        col("doc_id").as("__seed"), lit(true).as("__pert"))
+    val corpus = Multimodal.AudioFixture.withWavPayloads(
+      base.unionAll(variants), "__seed", "__pert")
+      .select("doc_id", "payload")
+    Dedup.audioNearDups(corpus, "doc_id", "payload",
+        maxHamming = 3, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupAudioSql = {
+    // byte k (0-based) of md5("seed:w"), as an int 0..255
+    def hv(p: String) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(pid AS VARCHAR) || ':' || CAST(w AS VARCHAR)), $p, 1)) - 1)"
+    def byteAt(w: String, k: String) =
+      s"""((${hv(s"2*($k)+1")} * 16 + ${hv(s"2*($k)+2")} +
+         |       CASE WHEN pert AND ($w) = 10 AND (($k) = 0 OR ($k) = 3)
+         |            THEN 128 ELSE 0 END) % 256)""".stripMargin
+    s"""WITH src AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 960000, doc_id, TRUE FROM documents WHERE doc_id < 10),
+       |win AS (
+       |  SELECT id, pid, pert, w FROM src
+       |  CROSS JOIN (SELECT unnest(range(0, 65)) AS w)),
+       |en AS (
+       |  SELECT id, w,
+       |    ${foldSumSql(s"""list_transform(range(0, 8),
+       |      k -> CAST((${byteAt("w", "k")} - 128) AS BIGINT)
+       |         * CAST((${byteAt("w", "k")} - 128) AS BIGINT))""")} AS e
+       |  FROM win),
+       |bits AS (
+       |  SELECT a.id,
+       |    CASE WHEN b.e > a.e
+       |         THEN CASE WHEN a.w = 63 THEN (-9223372036854775807 - 1)
+       |                   ELSE (1::BIGINT << a.w) END
+       |         ELSE 0 END AS b
+       |  FROM en a JOIN en b ON a.id = b.id AND b.w = a.w + 1
+       |  WHERE a.w < 64),
+       |hash AS (SELECT id, bit_or(b) AS ahash FROM bits GROUP BY id),
+       |band AS (
+       |  SELECT id, ahash, bi, (ahash >> (16 * bi)) & 65535 AS bv
+       |  FROM hash CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    a.ahash AS ha, b.ahash AS hb
+       |  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv
+       |  WHERE a.id < b.id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Custom Aggregator (UDAF surface): per-language MinHash signature
     * merged across all documents of the group — map-side partial
     * aggregation merges buffers, never shuffling shingles. Oracle: the
@@ -6155,6 +6224,7 @@ object ExtQueries {
     "q_unigram_fertility" -> unigramFertilityQ,
     "q_multimodal_meta" -> multimodalMeta,
     "q_dedup_image" -> dedupImageQ,
+    "q_dedup_audio" -> dedupAudioQ,
     "q_stream_window" -> streamWindow,
     "q_stream_contamination" -> streamContaminationQ,
     "q_stream_semantic" -> streamSemanticQ,
@@ -6273,6 +6343,7 @@ object ExtQueries {
     "q_retrieval_metrics" -> retrievalMetricsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_dedup_image" -> dedupImageSql,
+    "q_dedup_audio" -> dedupAudioSql,
     "q_unigram_apply" -> unigramApplySql,
     "q_unigram_fertility" -> unigramFertilitySql,
     "q_stream_window" -> streamWindowSql,

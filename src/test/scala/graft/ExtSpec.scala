@@ -629,6 +629,46 @@ class ExtSpec extends AnyFunSuite {
       Multimodal.PngHeader.prefix(30000, 30000)).isEmpty)
   }
 
+  test("audio energy hash: WAV round trip equals the sample formula; non-audio and short clips hash to None") {
+    val F = Multimodal.AudioFixture
+    val H = Multimodal.AudioHash
+    (0L to 5L).foreach { seed =>
+      val pcm = F.samples(seed, perturbed = false)
+      // the REAL javax.sound decode path reproduces the formula hash
+      assert(H.energyHash64(F.wav(pcm)) == Some(F.expectedHash(pcm)),
+        s"seed=$seed")
+      ()
+    }
+    // the planted perturbation (window 10) moves at most bits {9, 10}
+    (0L to 9L).foreach { seed =>
+      val a = F.expectedHash(F.samples(seed, perturbed = false))
+      val b = F.expectedHash(F.samples(seed, perturbed = true))
+      val moved = a ^ b
+      assert((moved & ~((1L << 9) | (1L << 10))) == 0L,
+        s"seed=$seed moved=${java.lang.Long.toBinaryString(moved)}")
+      ()
+    }
+    // non-audio payloads hash to None, never a fake hash
+    assert(H.energyHash64("not audio".getBytes("UTF-8")).isEmpty)
+    // a clip with fewer samples than windows cannot be fingerprinted
+    assert(H.energyHash64(F.wav(Array.fill[Short](40)(100))).isEmpty)
+  }
+
+  test("audio near-dups end to end: perturbed WAV caught, distant and non-audio payloads kept apart") {
+    import spark.implicits._
+    val F = Multimodal.AudioFixture
+    val base = Seq(
+      (1L, 7L, false), (2L, 7L, true),  // near-dup pair (same seed, one perturbed)
+      (3L, 8L, false), (4L, 9L, false)) // distant organics
+      .toDF("id", "seed", "pert")
+    val wavs = F.withWavPayloads(base, "seed", "pert").select("id", "payload")
+    val text = Seq((5L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val pairs = Dedup.audioNearDups(wavs.unionAll(text), "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), pairs.mkString(","))
+  }
+
   test("hash near-dups: pigeonhole recall, hamming filter, loud bounds, null exclusion") {
     import spark.implicits._
     // hamming(1,2)=2 bits apart in band 0; hamming(1,3)=1 (band 0);
