@@ -236,15 +236,18 @@ class PlanSpec extends AnyFunSuite {
       // localCheckpoint (the plan would otherwise grow 3^rounds), the
       // near-dup operators eagerly checkpoint their verified-pairs
       // output so the big shingle caches can be released before
-      // returning, and the PageRank iteration checkpoints its
+      // returning, the PageRank iteration checkpoints its
       // |domains|-row ranks table per step (r_i embeds r_{i-1} three
-      // times — ~2^K subtrees otherwise). In every case the
-      // materialized RDD is the SMALL result — everything upstream of
-      // it planned with full pushdown — and the rule still guards
-      // every scan-shaped query.
+      // times — ~2^K subtrees otherwise), and the perceptual
+      // image/audio dedups checkpoint their (id, hash) frame so the
+      // payload DECODE runs once instead of once per pairing-join
+      // side. In every case the materialized RDD is the SMALL result
+      // — everything upstream of it planned with full pushdown — and
+      // the rule still guards every scan-shaped query.
       if (!Set("q_dedup_components", "q_dedup_apply",
           "q_dedup_neardup", "q_dedup_incremental",
-          "q_quality_authority", "q_mixture_authority").contains(name))
+          "q_quality_authority", "q_mixture_authority",
+          "q_dedup_image", "q_dedup_audio").contains(name))
         assert(!plan.contains("ExistingRDD"),
           s"$name plans an opaque RDD scan (breaks pushdown/codegen)")
       // min/max over var-length types silently falls back to
