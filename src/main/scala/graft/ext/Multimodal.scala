@@ -453,8 +453,14 @@ object Multimodal {
               var hash = 0L
               var w = 0
               while (w < Windows - 1) {
-                if (BigInt(sums(w + 1)) * cnts(w) > BigInt(sums(w)) * cnts(w + 1))
-                  hash |= 1L << w
+                // neighbor windows differ by at most one sample, so the
+                // equal-count fast path covers almost every bit — the
+                // BigInt cross product (overflow-proof for budget-length
+                // clips) is the rare-path fallback, not a per-bit alloc
+                val gt =
+                  if (cnts(w) == cnts(w + 1)) sums(w + 1) > sums(w)
+                  else BigInt(sums(w + 1)) * cnts(w) > BigInt(sums(w)) * cnts(w + 1)
+                if (gt) hash |= 1L << w
                 w += 1
               }
               Some(hash)

@@ -1949,6 +1949,16 @@ object TextStats extends Serializable {
     }(Encoders.row(outSchema))
   }
 
+  /** [[unigramApply]] from a loaded serving artifact
+    * ([[Tokenizer.UnigramArtifact]] — the frozen vocab+logprob table
+    * shipped like a BPE merge list). Micro-unit round trip is exact,
+    * so artifact-driven serving segments bit-identically to the
+    * trainer-side call (spec-pinned stream == batch). */
+  def unigramApply(df: DataFrame, textCol: String,
+                   artifact: Tokenizer.UnigramArtifact,
+                   outCol: String): DataFrame =
+    unigramApply(df, textCol, artifact.vocab, artifact.unkLogProb, outCol)
+
   /** Exact inverse of [[unigramApply]]: concatenate the pieces and
     * turn each word marker back into a space — `unigramDecode ∘
     * unigramApply == whitespace normalization` on any input

@@ -265,4 +265,84 @@ object Tokenizer {
     * consumers read v2 artifacts unchanged. */
   def loadMerges(path: String): Seq[(String, String, Long)] =
     loadArtifact(path).merges
+
+  // ---- unigram-LM artifacts ----
+
+  private val UnigramMagic = "graft-unigram"
+  private val UnigramV1 = "v1"
+
+  /** A frozen unigram-LM tokenizer ([[graft.ext.TextStats.unigramApply]]
+    * input): (piece, logprob) vocabulary + the unk logprob. Logprobs
+    * are stored as the INTEGER MICRO-units the DP actually runs on
+    * (`round(logprob × 10^6)`) so the artifact round-trips the exact
+    * serving arithmetic — no float re-parse can shift a tie.
+    *
+    * Format (`graft-unigram v1`):
+    * {{{
+    * graft-unigram\tv1\t<n_pieces>\t<unk_micro>
+    * <piece>\t<logprob_micro>     (× n_pieces)
+    * }}}
+    * Pieces are whitespace-free by the apply's own contract, so the
+    * tab separator is unambiguous; the same atomic write discipline as
+    * the BPE artifacts (a crashed writer never leaves a torn table
+    * silently mis-scoring a corpus). */
+  case class UnigramArtifact(pieces: Seq[(String, Long)], unkMicro: Long) {
+    pieces.foreach { case (p, _) =>
+      require(p.nonEmpty && !p.exists(_.isWhitespace),
+        s"unencodable unigram piece '$p'")
+    }
+    require(pieces.map(_._1).distinct.size == pieces.size,
+      "duplicate pieces in unigram vocabulary")
+
+    /** The (piece, logprob-double) view [[graft.ext.TextStats
+      * .unigramApply]] consumes; micro→double is exact (micro values
+      * are integers ≤ 2^53). */
+    def vocab: Seq[(String, Double)] =
+      pieces.map { case (p, m) => (p, m / 1e6) }
+    def unkLogProb: Double = unkMicro / 1e6
+  }
+
+  object UnigramArtifact {
+    /** Build from the double-logprob form, rounding to micro-units the
+      * same way the apply does. */
+    def fromVocab(vocab: Seq[(String, Double)],
+                  unkLogProb: Double): UnigramArtifact =
+      UnigramArtifact(vocab.map { case (p, lp) =>
+        require(lp.isFinite, s"non-finite logprob for '$p'")
+        (p, math.round(lp * 1e6))
+      }, math.round(unkLogProb * 1e6))
+  }
+
+  /** Atomically write a unigram artifact. */
+  def saveUnigram(artifact: UnigramArtifact, path: String): Unit =
+    writeAtomic(path,
+      s"$UnigramMagic\t$UnigramV1\t${artifact.pieces.size}\t${artifact.unkMicro}" +:
+        artifact.pieces.map { case (p, m) => s"$p\t$m" })
+
+  /** Load a unigram artifact; fails loudly on foreign files, unknown
+    * versions, malformed lines, or piece counts that disagree with the
+    * header (torn/concatenated artifacts). */
+  def loadUnigram(path: String): UnigramArtifact = {
+    val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
+      .asScala.toSeq
+    val header = lines.headOption.getOrElse(
+      throw new IllegalStateException(s"empty unigram artifact $path"))
+    header.split("\t", -1) match {
+      case Array(UnigramMagic, UnigramV1, n, unk) =>
+        val pieces = lines.tail.map { ln =>
+          ln.split("\t", -1) match {
+            case Array(p, m) => (p, m.toLong)
+            case _ => throw new IllegalStateException(
+              s"malformed unigram piece line in $path: '$ln'")
+          }
+        }
+        if (pieces.size != n.toInt) throw new IllegalStateException(
+          s"torn unigram artifact $path: header says $n pieces, found ${pieces.size}")
+        UnigramArtifact(pieces, unk.toLong)
+      case Array(UnigramMagic, v, _*) => throw new IllegalStateException(
+        s"unsupported unigram artifact version $v in $path")
+      case _ => throw new IllegalStateException(
+        s"not a graft-unigram artifact: $path ('$header')")
+    }
+  }
 }

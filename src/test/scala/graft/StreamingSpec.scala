@@ -704,6 +704,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch(1L) == List(s"new${J}york${J}city", "limits"), batch(1L))
   }
 
+  test("unigram artifact drives the streaming tokenizer identically to batch") {
+    import spark.implicits._
+    val T = graft.ext.TextStats
+    val Tok = graft.ext.Tokenizer
+    val vocab = Seq("▁new" -> -2.0, "▁york" -> -2.25, "▁san" -> -2.5,
+      "york" -> -4.0, "ci" -> -5.0, "ty" -> -5.25, "▁" -> -3.0) ++
+      "abcdefghijklmnopqrstuvwxyz".zipWithIndex.map { case (c, i) =>
+        c.toString -> (-7.0 - i * 0.03125) }
+    val art = java.nio.file.Files.createTempDirectory("uni_stream")
+      .resolve("unigram.tsv").toString
+    Tok.saveUnigram(Tok.UnigramArtifact.fromVocab(vocab, -20.0), art)
+    val loaded = Tok.loadUnigram(art)
+    // micro-unit round trip is EXACT: the loaded table is the saved one
+    assert(loaded == Tok.UnigramArtifact.fromVocab(vocab, -20.0))
+    val docs = Seq((1L, "new york city limits"), (2L, "san francisco fog"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("uni_src").toString
+    docs.write.mode("overwrite").parquet(dir)
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val batch = grab(T.unigramApply(docs, "text", loaded, "unigram_symbols")
+      .select("doc_id", "unigram_symbols"))
+    assert(batch == grab(T.unigramApply(docs, "text", vocab, -20.0)
+      .select("doc_id", "unigram_symbols")))
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = T.unigramApply(stream, "text", loaded, "unigram_symbols")
+      .select("doc_id", "unigram_symbols")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("uni_out").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(grab(spark.table("uni_out")) == batch)
+    // torn artifact refuses loudly
+    val torn = java.nio.file.Paths.get(art).resolveSibling("torn.tsv")
+    java.nio.file.Files.write(torn,
+      java.util.List.of("graft-unigram\tv1\t5\t-20000000", "a\t-1000000"))
+    assert(intercept[IllegalStateException](
+      Tok.loadUnigram(torn.toString)).getMessage.contains("torn"))
+    // a foreign file refuses with the magic check, not a parse error
+    val foreign = java.nio.file.Paths.get(art).resolveSibling("foreign.tsv")
+    java.nio.file.Files.write(foreign, java.util.List.of("not\tan\tartifact"))
+    assert(intercept[IllegalStateException](
+      Tok.loadUnigram(foreign.toString)).getMessage.contains("not a graft-unigram"))
+  }
+
   test("ranked v4 artifact drives the streaming tokenizer identically to batch") {
     import spark.implicits._
     val T = graft.ext.TextStats
