@@ -1265,6 +1265,251 @@ object Dedup {
     touched
   }
 
+  // ---- stored PERCEPTUAL hash index: media dedup as a MAINTAINED
+  //      artifact ----
+  //
+  // [[imageNearDups]]/[[audioNearDups]] re-decode the corpus every
+  // run; at 100 TB the payloads are decoded ONCE at ingest, the 64-bit
+  // fingerprints are stored, and media dedup becomes the same two
+  // problems text dedup already solved with [[writeBandIndex]]:
+  // serving (match an arrival batch/stream against the stored hashes,
+  // reading only the index slice the batch can touch) and maintenance
+  // (a CDC batch fixes up its band rows without re-reading — or worse,
+  // re-DECODING — the history).
+
+  /** Banded-hamming matches of an ARRIVAL hash set against a REFERENCE
+    * hash set — [[hashNearDups]]'s two-sided sibling, and the batch
+    * core of the streaming perceptual gate (stateless: explode + one
+    * stream-static equi-join + codegen popcount, so it runs in append
+    * mode with no watermark). Same pigeonhole contract as
+    * [[hashNearDups]]: recall is EXACT for `maxHamming <= bands - 1`,
+    * anything past that is rejected loudly. Each qualifying
+    * (arrival, neighbor) pair is emitted EXACTLY once via the
+    * first-agreeing-band rule (the streaming-safe dedup —
+    * [[minhashMatches]]'s trick — since `distinct()` would need a
+    * blocking aggregate). Null hashes on either side (undecodable
+    * payloads upstream) drop out of matching. Output:
+    * `(idCol, neighbor_id, hamming)`. */
+  def hashMatches(arrivals: DataFrame, reference: DataFrame,
+                  idCol: String, hashCol: String,
+                  maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands=$bands must divide 64 (and be >= 2)")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the pigeonhole guarantee of " +
+        s"bands - 1 = ${bands - 1}: the band join could silently miss " +
+        "qualifying pairs — raise bands instead")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    def probes(df: DataFrame, idAs: String, hashAs: String) = df
+      .select(col(idCol).as(idAs), col(hashCol).cast("long").as(hashAs))
+      .where(col(hashAs).isNotNull)
+      .select(col(idAs), col(hashAs),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col(hashAs), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("__bi", "__bv")))
+    val arr = probes(arrivals, "__id", "__hash")
+    val ref = probes(reference, "__rid", "__rhash")
+    joinProbes(arr, ref, idCol, bands, bandBits, mask, maxHamming)
+  }
+
+  /** The shared tail of [[hashMatches]] and [[hashMatchesIndexed]]:
+    * band equi-join, first-agreeing-band exact-once gate, popcount
+    * verification. Both inputs carry `(id, hash, __bi, __bv)`. */
+  private def joinProbes(arr: DataFrame, ref: DataFrame, idCol: String,
+                         bands: Int, bandBits: Int, mask: Long,
+                         maxHamming: Int): DataFrame = {
+    val bandEq = array((0 until bands).map(b =>
+      shiftright(col("__hash"), b * bandBits).bitwiseAND(lit(mask)) ===
+        shiftright(col("__rhash"), b * bandBits).bitwiseAND(lit(mask))): _*)
+    arr.join(ref, Seq("__bi", "__bv"))
+      .where(col("__bi") === array_position(bandEq, true) - 1)
+      .withColumn("hamming",
+        bit_count(col("__hash").bitwiseXOR(col("__rhash"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("__id").as(idCol), col("__rid").as("neighbor_id"),
+        col("hamming"))
+  }
+
+  /** Materialize the banded layout of a 64-bit perceptual-hash corpus
+    * (dHash, energy hash, simhash64 — anything [[hashNearDups]]
+    * pairs): one row per (id, band) carrying the full hash,
+    * partitioned by `pfx = xxhash64(band_idx, band_val) mod nPrefix`
+    * — the band values themselves are NOT uniform (natural images
+    * cluster), so the partition key re-randomizes them; dirs balance
+    * regardless of the corpus. Serving prunes at the SCAN via the
+    * partition column; maintenance rewrites only touched prefix dirs.
+    * Payloads never enter the index — decode happens once at ingest,
+    * upstream of this writer; the index is `(id, hash, band)` rows
+    * only. `bands`/`nPrefix` are layout constants persisted IN the
+    * index (a `_graft_hash_layout` marker, invisible to parquet
+    * readers): serve and maintenance read them back, so a caller can
+    * never probe with a different banding than the one on disk — the
+    * mismatch class (which silently under-recalls whenever the wrong
+    * value happens to divide the right one) is unrepresentable. */
+  def writeHashIndex(hashes: DataFrame, idCol: String, hashCol: String,
+                     outDir: String, bands: Int = 4,
+                     nPrefix: Int = 16): Unit = {
+    hashIndexRows(hashes, idCol, hashCol, bands, nPrefix)
+      .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
+    writeHashLayout(outDir, bands, nPrefix, hashes.sparkSession)
+  }
+
+  private val HashLayoutMarker = "_graft_hash_layout"
+
+  private def writeHashLayout(dir: String, bands: Int, nPrefix: Int,
+                              s: org.apache.spark.sql.SparkSession): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$HashLayoutMarker"), true)
+    try out.write(s"bands=$bands\nnPrefix=$nPrefix\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readHashLayout(dir: String,
+                             s: org.apache.spark.sql.SparkSession): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$HashLayoutMarker")
+    require(fs.exists(p),
+      s"$dir is not a writeHashIndex layout (no $HashLayoutMarker marker)")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toInt }
+      .toMap
+    (kv("bands"), kv("nPrefix"))
+  }
+
+  private def hashIndexRows(hashes: DataFrame, idCol: String,
+                            hashCol: String, bands: Int,
+                            nPrefix: Int): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands=$bands must divide 64 (and be >= 2)")
+    require(nPrefix >= 1, s"nPrefix=$nPrefix")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    hashes
+      .select(col(idCol), col(hashCol).cast("long").as("hash"))
+      .where(col("hash").isNotNull)
+      .select(col(idCol), col("hash"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("hash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band_idx", "band_val")))
+      .withColumn("pfx",
+        pmod(xxhash64(col("band_idx"), col("band_val")), lit(nPrefix))
+          .cast("int"))
+  }
+
+  /** [[hashMatches]] served from a [[writeHashIndex]] layout: the
+    * arrival batch's distinct prefixes (at most `nPrefix` values —
+    * driver-bounded by construction) push into the scan as a partition
+    * filter, so only the index slice the batch can touch is read.
+    * Result identical to [[hashMatches]] over the hash corpus the
+    * index was built from (spec-pinned and gated in-query by the
+    * driver surface). `bands`/`nPrefix` come from the index's own
+    * layout marker — a caller cannot probe with the wrong banding —
+    * and as defense-in-depth against a hand-built or corrupted layout,
+    * every scanned row re-derives its prefix and raises on the first
+    * mismatch. The pigeonhole recall contract is checked against the
+    * STORED band count: `maxHamming <= bands - 1` or this raises. */
+  def hashMatchesIndexed(indexDir: String, arrivals: DataFrame,
+                         idCol: String, hashCol: String,
+                         maxHamming: Int = 3): DataFrame = {
+    val s = arrivals.sparkSession
+    val (bands, nPrefix) = readHashLayout(indexDir, s)
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the pigeonhole guarantee of " +
+        s"bands - 1 = ${bands - 1} (the index at $indexDir was built " +
+        s"with bands=$bands) — rebuild with more bands instead")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val arr = arrivals
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__hash"))
+      .where(col("__hash").isNotNull)
+      .select(col("__id"), col("__hash"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("__hash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("__bi", "__bv")))
+    val probePfx = arr
+      .select(pmod(xxhash64(col("__bi"), col("__bv")), lit(nPrefix))
+        .cast("int").as("pfx"))
+      .distinct().collect().map(_.getInt(0)).sorted // bounded by nPrefix
+    val stored = s.read.parquet(indexDir)
+    require(stored.columns.contains("pfx"),
+      s"$indexDir is not a writeHashIndex layout (no pfx partition)")
+    val idx = stored
+      .where(col("pfx").isin(probePfx.toIndexedSeq.map(Int.box): _*))
+      .withColumn("__rhash", when(
+        pmod(xxhash64(col("band_idx"), col("band_val")), lit(nPrefix))
+          .cast("int") =!= col("pfx"),
+        raise_error(lit(s"hashMatchesIndexed: a stored row's pfx " +
+          s"disagrees with the layout marker (bands=$bands, " +
+          s"nPrefix=$nPrefix) at $indexDir — the index rows and marker " +
+          "were built by different writers")))
+        .otherwise(col("hash")))
+      .select(col(idCol).as("__rid"), col("__rhash"),
+        col("band_idx").as("__bi"), col("band_val").as("__bv"))
+    joinProbes(arr, idx, idCol, bands, bandBits, mask, maxHamming)
+  }
+
+  /** Apply a CDC change batch of `(id, hash, seq, op)` rows to a
+    * [[writeHashIndex]] layout IN PLACE, rewriting ONLY the prefix
+    * dirs the changed hashes' band rows live in (old homes and new
+    * homes both count — an update whose hash moves its bands touches
+    * both). Upstream decodes the changed payloads; history is never
+    * re-read, never re-decoded. Same crash-safety shape as
+    * [[updateBandIndex]]: the temp layout fully materializes before
+    * any live dir moves, a prefix emptied by deletes stays deleted.
+    * `bands`/`nPrefix` come from the index's layout marker, so an
+    * update can never band its new rows differently than the history.
+    * Returns the touched prefixes (bounded at `nPrefix`). */
+  def updateHashIndex(indexDir: String, changes: DataFrame,
+                      idCol: String, hashCol: String,
+                      seqCol: String = "seq",
+                      opCol: String = "op"): Array[Int] = {
+    val s = changes.sparkSession
+    val (bands, nPrefix) = readHashLayout(indexDir, s)
+    val latest = graft.etl.Merge.latestChanges(changes, idCol, seqCol)
+    val touchedIds = latest.select(col(idCol)).distinct()
+    val oldPfx = s.read.parquet(indexDir)
+      .select(col(idCol), col("pfx"))
+      .join(broadcast(touchedIds), Seq(idCol))
+      .select("pfx").distinct().collect().map(_.getInt(0))
+    val upserts = latest.where(col(opCol) =!= lit("d"))
+      .select(col(idCol), col(hashCol))
+    val newRows = hashIndexRows(upserts, idCol, hashCol, bands, nPrefix)
+    val newPfx = newRows.select("pfx").distinct()
+      .collect().map(_.getInt(0))
+    val touched = (oldPfx ++ newPfx).distinct.sorted
+    if (touched.isEmpty) return touched
+    val touchedAny = touched.toIndexedSeq.map(Int.box)
+    val survivors = s.read.parquet(indexDir)
+      .where(col("pfx").isin(touchedAny: _*))
+      .join(broadcast(touchedIds), Seq(idCol), "left_anti")
+    val tmpDir = s"$indexDir.upd-${java.util.UUID.randomUUID().toString.take(8)}"
+    survivors.unionByName(
+        newRows.select(survivors.columns.toIndexedSeq.map(col): _*))
+      .write.mode("overwrite").partitionBy("pfx").parquet(tmpDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmpDir), s.sparkContext.hadoopConfiguration)
+    try {
+      touched.foreach { p =>
+        val live = new org.apache.hadoop.fs.Path(s"$indexDir/pfx=$p")
+        val fresh = new org.apache.hadoop.fs.Path(s"$tmpDir/pfx=$p")
+        if (fs.exists(live)) fs.delete(live, true)
+        if (fs.exists(fresh)) fs.rename(fresh, live)
+        ()
+      }
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      ()
+    }
+    touched
+  }
+
   /** Cross-document EXACT substring dedup — the Lee et al. 2021
     * ("Deduplicating Training Data Makes Language Models Better",
     * ExactSubstr) semantics, as opposed to [[spanDedup]]'s

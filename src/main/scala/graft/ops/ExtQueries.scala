@@ -5340,6 +5340,211 @@ object ExtQueries {
        |ORDER BY doc_id, neighbor_id""".stripMargin
   }
 
+  /** The DuckDB replay of [[graft.ext.Multimodal.Codec.dHash64]] over
+    * an [[graft.ext.Multimodal.ImageFixture]] source CTE `$src` with
+    * columns (id, pid, pert): emits the cell/bits/hash/band CTE chain
+    * suffixed `$o`, ending in `band$o(id, dhash, bi, bv)` — the same
+    * pixel formula, bit packing, and 4×16-bit banding
+    * [[dedupImageSql]] inlines, factored so the two-sided perceptual
+    * queries can hash both sides. */
+  private def dhashBandSqlCtes(src: String, o: String): String = {
+    def hv(p: String) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(pid AS VARCHAR) || ':' || CAST(gy AS VARCHAR)), $p, 1)) - 1)"
+    def lumAt(x: String) =
+      s"""((${hv(s"2*($x)+1")} * 16 + ${hv(s"2*($x)+2")} +
+         |      CASE WHEN pert AND (($x) = 0 AND gy = 0 OR ($x) = 4 AND gy = 3)
+         |           THEN 64 ELSE 0 END) % 256)""".stripMargin
+    s"""cell$o AS (
+       |  SELECT id, pid, pert, gy, gx FROM $src
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gy)
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gx)),
+       |bits$o AS (
+       |  SELECT id,
+       |    CASE WHEN ${lumAt("gx + 1")} > ${lumAt("gx")}
+       |         THEN CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+       |                   ELSE (1::BIGINT << (gy * 8 + gx)) END
+       |         ELSE 0 END AS b
+       |  FROM cell$o),
+       |hash$o AS (SELECT id, bit_or(b) AS dhash FROM bits$o GROUP BY id),
+       |band$o AS (
+       |  SELECT id, dhash, bi, (dhash >> (16 * bi)) & 65535 AS bv
+       |  FROM hash$o CROSS JOIN (SELECT unnest(range(0, 4)) AS bi))""".stripMargin
+  }
+
+  /** Stored PERCEPTUAL hash index under CDC
+    * ([[Dedup.writeHashIndex]]/[[Dedup.updateHashIndex]]/
+    * [[Dedup.hashMatchesIndexed]] — the media twin of
+    * q_dedup_index_update): every document becomes a real fixture PNG,
+    * decoded ONCE into 64-bit dHashes; the banded index materializes
+    * to parquet; a CDC batch (two re-encoded images whose hashes move
+    * ≤3 bits, three deletes, three brand-new images) rewrites ONLY its
+    * touched prefix dirs — decode of the history never re-runs. Gates:
+    * (a) untouched prefix dirs byte-identical (md5 per file), (b) the
+    * updated index serves EXACTLY what a from-scratch
+    * [[Dedup.hashMatches]] over the post-CDC hash corpus computes.
+    * Output: matches of perturbed probes (originals, updated docs, a
+    * deleted doc, the inserts) against the updated index, oracled by
+    * replaying the pixel formula, dHash packing, banding, and popcount
+    * over the post-CDC corpus in SQL. */
+  val dedupHashIndexQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id")
+    def hashesOf(idSeedPert: DataFrame): DataFrame =
+      Multimodal.imageDHashes(
+        Multimodal.ImageFixture.withPayloads(idSeedPert, "__seed", "__pert")
+          .select("doc_id", "payload"), "payload")
+        .select("doc_id", "dhash")
+    val baseHashes = hashesOf(docs.select(col("doc_id"),
+        col("doc_id").as("__seed"), lit(false).as("__pert")))
+      .localCheckpoint() // ingest-time decode: happens exactly once
+    val idir = scratchDir("hashidx", dir)
+    // 64 prefix dirs: the CDC batch's ~50 band rows must leave most
+    // dirs untouched or the byte-identity gate proves nothing
+    Dedup.writeHashIndex(baseHashes, "doc_id", "dhash", idir, nPrefix = 64)
+    val before = pfxChecksums(idir)
+    val updHashes = hashesOf(docs.where(col("doc_id").isin(41L, 82L))
+      .select(col("doc_id"), col("doc_id").as("__seed"),
+        lit(true).as("__pert")))
+    val insHashes = hashesOf(s.range(3)
+      .select((col("id") + 860000L).as("doc_id"),
+        (col("id") + 860000L).as("__seed"), lit(false).as("__pert")))
+    val changes = docs.where(col("doc_id").isin(37L, 74L, 111L))
+      .select(col("doc_id"), lit(null).cast("long").as("dhash"),
+        lit(1L).as("seq"), lit("d").as("op"))
+      .unionByName(updHashes.select(col("doc_id"), col("dhash"),
+        lit(1L).as("seq"), lit("u").as("op")))
+      .unionByName(insHashes.select(col("doc_id"), col("dhash"),
+        lit(1L).as("seq"), lit("u").as("op")))
+      .localCheckpoint() // consumed by the update AND the CDC replay
+    val touched = Dedup.updateHashIndex(idir, changes, "doc_id", "dhash")
+    val after = pfxChecksums(idir)
+    val untouched = before.keySet.filterNot(p => touched.contains(p.toInt))
+    require(touched.nonEmpty && untouched.nonEmpty,
+      s"hash index update gate is vacuous: touched=${touched.length} " +
+        s"of ${before.size} prefixes")
+    untouched.foreach { p =>
+      require(before(p) == after.getOrElse(p, Map.empty),
+        s"untouched prefix $p was rewritten")
+    }
+    val postHashes = graft.etl.Merge.applyCdc(baseHashes, changes, "doc_id")
+    val arrivals = hashesOf(
+      docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 870000L).as("doc_id"),
+          col("doc_id").as("__seed"), lit(true).as("__pert"))
+      .unionByName(docs.where(col("doc_id").isin(41L, 82L))
+        .select((col("doc_id") + 880000L).as("doc_id"),
+          col("doc_id").as("__seed"), lit(false).as("__pert")))
+      .unionByName(docs.where(col("doc_id") === 37L)
+        .select((col("doc_id") + 890000L).as("doc_id"),
+          col("doc_id").as("__seed"), lit(true).as("__pert")))
+      .unionByName(s.range(3)
+        .select((col("id") + 895000L).as("doc_id"),
+          (col("id") + 860000L).as("__seed"), lit(true).as("__pert"))))
+      .localCheckpoint() // probed twice: served AND rebuild gate
+    val served = Dedup.hashMatchesIndexed(idir, arrivals, "doc_id", "dhash")
+    val fresh = Dedup.hashMatches(arrivals, postHashes, "doc_id", "dhash")
+    val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    require(key(served) == key(fresh),
+      "updated hash index diverged from a from-scratch rebuild")
+    served.orderBy("doc_id", "neighbor_id")
+  }
+
+  val dedupHashIndexSql =
+    s"""WITH post AS (
+       |  SELECT doc_id AS id, doc_id AS pid, (doc_id IN (41, 82)) AS pert
+       |  FROM documents WHERE doc_id NOT IN (37, 74, 111)
+       |  UNION ALL
+       |  SELECT 860000 + i, 860000 + i, FALSE
+       |  FROM (SELECT unnest(range(0, 3)) AS i)),
+       |arr AS (
+       |  SELECT doc_id + 870000 AS id, doc_id AS pid, TRUE AS pert
+       |  FROM documents WHERE doc_id < 5
+       |  UNION ALL
+       |  SELECT doc_id + 880000, doc_id, FALSE FROM documents
+       |  WHERE doc_id IN (41, 82)
+       |  UNION ALL
+       |  SELECT doc_id + 890000, doc_id, TRUE FROM documents
+       |  WHERE doc_id = 37
+       |  UNION ALL
+       |  SELECT 895000 + i, 860000 + i, TRUE
+       |  FROM (SELECT unnest(range(0, 3)) AS i)),
+       |${dhashBandSqlCtes("post", "r")},
+       |${dhashBandSqlCtes("arr", "a")},
+       |cand AS (
+       |  SELECT DISTINCT a.id AS doc_id, r.id AS neighbor_id,
+       |    a.dhash AS ha, r.dhash AS hb
+       |  FROM banda a JOIN bandr r ON a.bi = r.bi AND a.bv = r.bv)
+       |SELECT doc_id, neighbor_id,
+       |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_id, neighbor_id""".stripMargin
+
+  /** Streaming PERCEPTUAL near-dup gate ([[Dedup.hashMatches]] as a
+    * REAL streaming run — the contamination-gate discipline applied to
+    * media): arrivals = perturbed re-encodes of ten corpus images
+    * (doc_id+970000, MUST match their originals within hamming 3) plus
+    * five brand-new decoy images (doc_id+980000, unrelated seeds —
+    * match only on genuine ≤3-bit collisions, which the oracle replays
+    * identically), streamed AvailableNow and DECODED ON THE STREAM
+    * (`imageDHashes` over the arriving payloads — the media sibling of
+    * the streaming tokenizer) against the static corpus hash set,
+    * decoded once and pinned with localCheckpoint so microbatches
+    * never re-decode the reference. Stateless append all the way to
+    * the idempotent parquet sink; pairs emitted exactly once via the
+    * first-agreeing-band rule. */
+  val streamImageGateQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("simggate", dir)
+    val docs = documents(s, dir).select("doc_id")
+    val refHashes = Multimodal.imageDHashes(
+      Multimodal.ImageFixture.withPayloads(
+        docs.select(col("doc_id"), col("doc_id").as("__seed"),
+          lit(false).as("__pert")), "__seed", "__pert")
+        .select("doc_id", "payload"), "payload")
+      .select("doc_id", "dhash")
+      .localCheckpoint()
+    val arrivals = Multimodal.ImageFixture.withPayloads(
+      docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 970000L).as("doc_id"),
+          col("doc_id").as("__seed"), lit(true).as("__pert"))
+      .unionByName(docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 980000L).as("doc_id"),
+          (col("doc_id") + 980000L).as("__seed"),
+          lit(false).as("__pert"))),
+      "__seed", "__pert").select("doc_id", "payload")
+    arrivals.write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(arrivals.schema).parquet(s"$base/src")
+    val streamHashes = Multimodal.imageDHashes(stream, "payload")
+      .select("doc_id", "dhash")
+    val matches = Dedup.hashMatches(streamHashes, refHashes,
+      "doc_id", "dhash")
+    val q = graft.streaming.ScoreStream.idempotentParquetSink(
+      matches, s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select("doc_id", "neighbor_id", "hamming")
+      .orderBy("doc_id", "neighbor_id")
+  }
+
+  val streamImageGateSql =
+    s"""WITH ref AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert FROM documents),
+       |arr AS (
+       |  SELECT doc_id + 970000 AS id, doc_id AS pid, TRUE AS pert
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 980000, doc_id + 980000, FALSE FROM documents
+       |  WHERE doc_id < 5),
+       |${dhashBandSqlCtes("ref", "r")},
+       |${dhashBandSqlCtes("arr", "a")},
+       |cand AS (
+       |  SELECT DISTINCT a.id AS doc_id, r.id AS neighbor_id,
+       |    a.dhash AS ha, r.dhash AS hb
+       |  FROM banda a JOIN bandr r ON a.bi = r.bi AND a.bv = r.bv)
+       |SELECT doc_id, neighbor_id,
+       |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_id, neighbor_id""".stripMargin
+
   /** [[streamSemanticQ]]'s oracle: both sides assigned via the same
     * literal-centroid first-max-wins argmax as [[dedupSemanticSqlFor]],
     * joined on cell, 6-dp cosine ≥ 0.99. */
@@ -6240,6 +6445,8 @@ object ExtQueries {
     "q_dedup_minhash_grouped" -> dedupMinhashGrouped,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_index_update" -> dedupIndexUpdateQ,
+    "q_dedup_hash_index" -> dedupHashIndexQ,
+    "q_stream_image_gate" -> streamImageGateQ,
     "q_text_normalize" -> textNormalize,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_apply" -> bpeApplyQ,
@@ -6360,6 +6567,8 @@ object ExtQueries {
     "q_dedup_minhash_grouped" -> dedupMinhashGroupedSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_index_update" -> dedupIndexUpdateSql,
+    "q_dedup_hash_index" -> dedupHashIndexSql,
+    "q_stream_image_gate" -> streamImageGateSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_vocab_coverage" -> vocabCoverageSql,

@@ -716,6 +716,73 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)), pairs.mkString(","))
   }
 
+  test("two-sided hash matches: exact-once emission, null exclusion, loud bounds") {
+    import spark.implicits._
+    def jl(x: Long) = java.lang.Long.valueOf(x)
+    val ref = Seq(
+      (10L, jl(0x00000000000000FFL)),
+      (11L, jl(0x5555555555555555L)),
+      (12L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "h")
+    val arr = Seq(
+      (1L, jl(0x00000000000000FFL)), // identical: ALL 4 bands agree
+      (2L, jl(0x00000000000000FCL)), // hamming 2 vs ref 10
+      (3L, jl(0xAAAAAAAAAAAAAAAAL)), // ~32 bits from everything
+      (4L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "h")
+    val m = Dedup.hashMatches(arr, ref, "id", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the identical pair is emitted exactly ONCE (first-agreeing-band
+    // rule) even though all four band probes collide
+    assert(m.sorted.toSeq == Seq((1L, 10L, 0), (2L, 10L, 2)), m.mkString(","))
+    intercept[IllegalArgumentException] {
+      Dedup.hashMatches(arr, ref, "id", "h", maxHamming = 4, bands = 4)
+    }
+    ()
+  }
+
+  test("stored hash index: serve == from-scratch, CDC update, layout marker enforced") {
+    import spark.implicits._
+    def jl(x: Long) = java.lang.Long.valueOf(x)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hidx")
+      .toString + "/idx"
+    val ref = Seq((10L, 0x00000000000000FFL), (11L, 0x5555555555555555L),
+      (12L, Long.MinValue), (13L, -1L)).toDF("id", "h")
+    Dedup.writeHashIndex(ref, "id", "h", dir, bands = 4, nPrefix = 8)
+    val arr = Seq((1L, 0x00000000000000FEL), (2L, Long.MinValue | 2L),
+      (3L, 0x0F0F0F0F0F0F0F0FL)).toDF("id", "h")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val served = key(Dedup.hashMatchesIndexed(dir, arr, "id", "h"))
+    assert(served == key(Dedup.hashMatches(arr, ref, "id", "h")))
+    assert(served.contains((1L, 10L, 1)) && served.contains((2L, 12L, 1)))
+    // the pigeonhole bound is checked against the STORED band count
+    intercept[IllegalArgumentException] {
+      Dedup.hashMatchesIndexed(dir, arr, "id", "h", maxHamming = 4)
+    }
+    // CDC: delete 11, move 10 one more bit, insert 14 near arrival 3
+    val changes = Seq(
+      (11L, null.asInstanceOf[java.lang.Long], 1L, "d"),
+      (10L, jl(0x00000000000000FDL), 1L, "u"),
+      (14L, jl(0x0F0F0F0F0F0F0F0EL), 1L, "u"))
+      .toDF("id", "h", "seq", "op")
+    val touched = Dedup.updateHashIndex(dir, changes, "id", "h")
+    assert(touched.nonEmpty)
+    val post = graft.etl.Merge.applyCdc(ref, changes, "id")
+    val served2 = key(Dedup.hashMatchesIndexed(dir, arr, "id", "h"))
+    assert(served2 == key(Dedup.hashMatches(arr, post, "id", "h")))
+    assert(served2.contains((3L, 14L, 1)),
+      s"inserted hash not served: $served2")
+    // a layout without its marker refuses to serve (no silent
+    // banding guess)
+    val marker = new java.io.File(dir, "_graft_hash_layout")
+    assert(marker.delete())
+    intercept[IllegalArgumentException] {
+      Dedup.hashMatchesIndexed(dir, arr, "id", "h")
+    }
+    ()
+  }
+
   test("scratch-dir wipe deletes symlinks without following them") {
     val fixture = java.nio.file.Files.createTempDirectory("graft_fix")
     val precious = fixture.resolve("part-0000.parquet")

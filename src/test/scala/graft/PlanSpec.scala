@@ -247,7 +247,8 @@ class PlanSpec extends AnyFunSuite {
       if (!Set("q_dedup_components", "q_dedup_apply",
           "q_dedup_neardup", "q_dedup_incremental",
           "q_quality_authority", "q_mixture_authority",
-          "q_dedup_image", "q_dedup_audio").contains(name))
+          "q_dedup_image", "q_dedup_audio",
+          "q_dedup_hash_index").contains(name))
         assert(!plan.contains("ExistingRDD"),
           s"$name plans an opaque RDD scan (breaks pushdown/codegen)")
       // min/max over var-length types silently falls back to
