@@ -1265,6 +1265,60 @@ object Dedup {
     touched
   }
 
+  /** Perceptual near-duplicate VIDEO pairs — temporal voting over
+    * per-frame dHashes: [[graft.ext.Multimodal.videoFrameDHashes]]
+    * samples every `stride`-th frame and hashes it through the real
+    * PNG decode path; frames pair by the same banded-hamming join as
+    * [[hashNearDups]] but keyed ALSO on the frame index (aligned
+    * frames compare, nothing else); a video pair qualifies when at
+    * least `minMatches` sampled frame positions agree within
+    * `maxHamming` bits. The vote is what makes it video-shaped: a
+    * re-encode with one replaced scene (trailer swap, ad insert)
+    * still matches on its surviving frames, while a require-every-
+    * frame rule — or hashing the whole byte stream — misses it.
+    *
+    * Scale shape: payloads are parsed and decoded exactly ONCE
+    * (enforced — the sampled `(id, frame, hash)` frame checkpoints
+    * before the pairing self-join, same as [[imageNearDups]]), and
+    * sampling means skipped frames are never decoded at all (length-
+    * prefix seek). Everything that shuffles is `(id, int, long)`;
+    * the vote is one hash-aggregate over verified candidate rows.
+    * Output: `(id_a, id_b, matched_frames)`, each qualifying pair
+    * exactly once. */
+  def videoNearDups(df: DataFrame, idCol: String, payloadCol: String,
+                    stride: Int = 2, maxHamming: Int = 3, bands: Int = 4,
+                    minMatches: Int = 2): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands=$bands must divide 64 (and be >= 2)")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the pigeonhole guarantee of " +
+        s"bands - 1 = ${bands - 1}: the band join could silently miss " +
+        "qualifying pairs — raise bands instead")
+    require(minMatches >= 1, s"minMatches=$minMatches")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val hashes = Multimodal.videoFrameDHashes(
+        df.select(col(idCol), col(payloadCol)), payloadCol, stride)
+      .select(col(idCol).as("__id"), col("frame_idx").as("__f"),
+        col("dhash").as("__hash"))
+      .localCheckpoint() // decode once: both self-join sides read this
+    val probes = hashes.select(col("__id"), col("__f"), col("__hash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__hash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("__bi", "__bv")))
+    val right = probes.select(col("__id").as("__rid"), col("__f"),
+      col("__hash").as("__rhash"), col("__bi"), col("__bv"))
+    probes.join(right, Seq("__f", "__bi", "__bv"))
+      .where(col("__id") < col("__rid"))
+      .where(bit_count(col("__hash").bitwiseXOR(col("__rhash")))
+        .cast("int") <= maxHamming)
+      .select(col("__id").as("id_a"), col("__rid").as("id_b"), col("__f"))
+      .distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minMatches)
+  }
+
   // ---- stored PERCEPTUAL hash index: media dedup as a MAINTAINED
   //      artifact ----
   //

@@ -632,6 +632,142 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Per-frame perceptual hashing of VIDEO payloads: parses the GVID
+    * frame container (magic + frame count + length-prefixed PNG
+    * frames — the stand-in for a real codec's keyframe index, which
+    * this environment lacks), SAMPLES every `stride`-th frame, decodes
+    * only the sampled frames through the real `javax.imageio` path,
+    * and emits one `(id, frame_idx, dhash)` row per sampled,
+    * decodable frame. Frame sampling is the scale lever: a 100 TB
+    * video corpus never decodes frames the temporal vote won't read,
+    * and seeking is O(1) per skipped frame (length prefix — no
+    * decode). Payloads that aren't GVID, truncated containers, and
+    * over-budget frame counts emit NO rows (excluded from pairing
+    * rather than fabricating matches); individual frames no reader
+    * accepts are skipped. Same executor-side `mapPartitions` batch
+    * shape as [[imageDHashes]]: payloads never pass the driver, and
+    * everything downstream of this scan is `(id, int, long)`. */
+  def videoFrameDHashes(df: DataFrame, payloadCol: String,
+                        stride: Int = 2, maxFrames: Int = 64,
+                        maxPixels: Long = Codec.MaxPixels): DataFrame = {
+    require(stride >= 1, s"stride=$stride")
+    require(maxFrames >= 1, s"maxFrames=$maxFrames")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    val idFields = df.schema.fields.filterNot(_.name == payloadCol)
+    val outSchema = StructType(idFields)
+      .add("frame_idx", IntegerType, nullable = false)
+      .add("dhash", LongType, nullable = false)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val keepIdx = df.schema.fields.zipWithIndex
+      .filterNot(_._1.name == payloadCol).map(_._2)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val payload =
+          if (row.isNullAt(payloadIdx)) Array.empty[Byte]
+          else row.getAs[Array[Byte]](payloadIdx)
+        val keep = keepIdx.map(row.get).toSeq
+        VideoContainer.sampledFrames(payload, stride, maxFrames)
+          .flatMap { case (f, bytes) =>
+            Codec.dHash64(bytes, maxPixels)
+              .map(h => Row.fromSeq(keep :+ Int.box(f) :+ Long.box(h)))
+          }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** The GVID frame container: `"GVID"` magic, big-endian int frame
+    * count, then `count` frames of big-endian int length + PNG bytes.
+    * A deliberately trivial stand-in for a seekable video format —
+    * what matters for the engine is that frame EXTRACTION is cheap
+    * and sampled, not what codec the frames use. */
+  object VideoContainer {
+    private val Magic = Array[Byte]('G', 'V', 'I', 'D')
+
+    def pack(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(Magic)
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Every (frame_idx, frameBytes) with `frame_idx % stride == 0`;
+      * empty for non-GVID, truncated, or over-budget payloads. */
+    def sampledFrames(payload: Array[Byte], stride: Int,
+                      maxFrames: Int): Seq[(Int, Array[Byte])] = {
+      if (payload.length < 8 ||
+          !payload.take(4).sameElements(Magic)) return Nil
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(payload, 4, payload.length - 4))
+      try {
+        val n = in.readInt()
+        if (n < 0 || n > maxFrames) return Nil
+        val out = Seq.newBuilder[(Int, Array[Byte])]
+        var f = 0
+        while (f < n) {
+          val len = in.readInt()
+          if (len < 0 || len > payload.length) return Nil
+          if (f % stride == 0) {
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            out += ((f, bytes))
+          } else {
+            var skipped = 0L
+            while (skipped < len) skipped += in.skip(len - skipped)
+          }
+          f += 1
+        }
+        out.result()
+      } catch {
+        case _: java.io.IOException => Nil // truncated container
+      } finally in.close()
+    }
+  }
+
+  /** Deterministic planted-frame VIDEO fixtures over
+    * [[ImageFixture]]'s pixel formula: six frames per video, frame `f`
+    * of video seed `v` renders pixels from seed `v*100 + f` — fully
+    * replayable in SQL. The perturbed variant models a re-encoded
+    * video with one replaced scene: sampled frames 0 and 2 get the
+    * standard two-pixel bump (dHash moves ≤3 bits — still matches),
+    * frame 4 is REPLACED with unrelated content (seed `+555555` —
+    * hash lands far away), so a 2-of-3 temporal vote catches the pair
+    * while a require-every-frame rule would miss it. */
+  object VideoFixture {
+    val FrameCount = 6
+
+    def frameSeed(vseed: Long, f: Int, perturbed: Boolean): Long =
+      if (perturbed && f == 4) vseed * 100 + f + 555555L
+      else vseed * 100 + f
+
+    def video(vseed: Long, perturbed: Boolean): Array[Byte] =
+      VideoContainer.pack((0 until FrameCount).map { f =>
+        ImageFixture.png(ImageFixture.pixels(
+          frameSeed(vseed, f, perturbed),
+          perturbed && (f == 0 || f == 2)))
+      })
+
+    /** Attach fixture GVID payloads to an id frame — executor-side
+      * batch encode, mirroring [[ImageFixture.withPayloads]]. */
+    def withPayloads(df: DataFrame, seedCol: String,
+                     pertCol: String): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.BinaryType
+      val outSchema = df.schema.add("payload", BinaryType, nullable = false)
+      val seedIdx = df.schema.fieldIndex(seedCol)
+      val pertIdx = df.schema.fieldIndex(pertCol)
+      df.mapPartitions { rows =>
+        rows.map { row =>
+          val payload = video(row.getLong(seedIdx), row.getBoolean(pertIdx))
+          Row.fromSeq(row.toSeq :+ payload)
+        }
+      }(Encoders.row(outSchema))
+    }
+  }
+
   /** Deterministic planted-pixel image fixtures — the multimodal
     * analog of the unicode zoo: 9×8 grayscale PNGs whose pixel
     * luminances derive from md5 (`lum(seed, x, y)` = hex pair `x` of

@@ -5545,6 +5545,79 @@ object ExtQueries {
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
        |ORDER BY doc_id, neighbor_id""".stripMargin
 
+  /** Perceptual VIDEO near-dup dedup ([[Dedup.videoNearDups]]): every
+    * document becomes a six-frame GVID container of real fixture PNGs
+    * (frame `f` renders from seed `doc_id*100 + f`), plus ten
+    * perturbed variants modeling a re-encode with one replaced scene:
+    * sampled frames 0 and 2 move ≤3 dHash bits, frame 4 is swapped
+    * for unrelated content. The Spark side REALLY parses the
+    * container, seeks past unsampled frames, PNG-decodes the sampled
+    * ones, and votes 2-of-3 on aligned banded-hamming frame matches —
+    * catching every planted pair at matched_frames = 2 where a
+    * require-every-frame rule would return nothing. The oracle
+    * replays frame seeds, pixels, dHash packing, banding, popcount,
+    * and the vote entirely in SQL. */
+  val dedupVideoQ: Q = (s, dir) => {
+    val ids = documents(s, dir).select(col("doc_id"))
+    val base = ids.select(col("doc_id"), col("doc_id").as("__seed"),
+      lit(false).as("__pert"))
+    val variants = ids.where(col("doc_id") < 10)
+      .select((col("doc_id") + 990000L).as("doc_id"),
+        col("doc_id").as("__seed"), lit(true).as("__pert"))
+    val corpus = Multimodal.VideoFixture.withPayloads(
+      base.unionAll(variants), "__seed", "__pert")
+      .select("doc_id", "payload")
+    Dedup.videoNearDups(corpus, "doc_id", "payload",
+        stride = 2, maxHamming = 3, bands = 4, minMatches = 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupVideoSql = {
+    // hex pair x (0-based) of md5(fseed || ':' || gy), as an int 0..255
+    def hv(p: String) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(fseed AS VARCHAR) || ':' || CAST(gy AS VARCHAR)), $p, 1)) - 1)"
+    def lumAt(x: String) =
+      s"""((${hv(s"2*($x)+1")} * 16 + ${hv(s"2*($x)+2")} +
+         |      CASE WHEN fbump AND (($x) = 0 AND gy = 0 OR ($x) = 4 AND gy = 3)
+         |           THEN 64 ELSE 0 END) % 256)""".stripMargin
+    s"""WITH src AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 990000, doc_id, TRUE FROM documents
+       |  WHERE doc_id < 10),
+       |fr AS (
+       |  SELECT id, f,
+       |    CASE WHEN pert AND f = 4 THEN pid * 100 + f + 555555
+       |         ELSE pid * 100 + f END AS fseed,
+       |    (pert AND (f = 0 OR f = 2)) AS fbump
+       |  FROM src CROSS JOIN (SELECT unnest([0, 2, 4]) AS f)),
+       |cell AS (
+       |  SELECT id, f, fseed, fbump, gy, gx FROM fr
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gy)
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gx)),
+       |bits AS (
+       |  SELECT id, f,
+       |    CASE WHEN ${lumAt("gx + 1")} > ${lumAt("gx")}
+       |         THEN CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+       |                   ELSE (1::BIGINT << (gy * 8 + gx)) END
+       |         ELSE 0 END AS b
+       |  FROM cell),
+       |hash AS (SELECT id, f, bit_or(b) AS dhash FROM bits GROUP BY id, f),
+       |band AS (
+       |  SELECT id, f, dhash, bi, (dhash >> (16 * bi)) & 65535 AS bv
+       |  FROM hash CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.f
+       |  FROM band a JOIN band b
+       |    ON a.f = b.f AND a.bi = b.bi AND a.bv = b.bv
+       |  WHERE a.id < b.id
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= 3)
+       |SELECT id_a, id_b, COUNT(*) AS matched_frames
+       |FROM cand GROUP BY id_a, id_b
+       |HAVING COUNT(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** [[streamSemanticQ]]'s oracle: both sides assigned via the same
     * literal-centroid first-max-wins argmax as [[dedupSemanticSqlFor]],
     * joined on cell, 6-dp cosine ≥ 0.99. */
@@ -6447,6 +6520,7 @@ object ExtQueries {
     "q_dedup_index_update" -> dedupIndexUpdateQ,
     "q_dedup_hash_index" -> dedupHashIndexQ,
     "q_stream_image_gate" -> streamImageGateQ,
+    "q_dedup_video" -> dedupVideoQ,
     "q_text_normalize" -> textNormalize,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_apply" -> bpeApplyQ,
@@ -6569,6 +6643,7 @@ object ExtQueries {
     "q_dedup_index_update" -> dedupIndexUpdateSql,
     "q_dedup_hash_index" -> dedupHashIndexSql,
     "q_stream_image_gate" -> streamImageGateSql,
+    "q_dedup_video" -> dedupVideoSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_vocab_coverage" -> vocabCoverageSql,

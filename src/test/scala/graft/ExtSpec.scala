@@ -716,6 +716,47 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)), pairs.mkString(","))
   }
 
+  test("video frame sampling: container round trip, stride seek, garbage exclusion") {
+    import spark.implicits._
+    val V = Multimodal.VideoFixture
+    val vids = Seq((1L, 7L, false)).toDF("id", "seed", "pert")
+    val payloads = V.withPayloads(vids, "seed", "pert").select("id", "payload")
+    val frames = Multimodal.videoFrameDHashes(payloads, "payload", stride = 2)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // 6 frames at stride 2 → exactly frames 0, 2, 4 decoded
+    assert(frames.keySet == Set(0, 2, 4), frames.keySet)
+    // each sampled frame's hash equals the pixel formula's prediction
+    (0 to 4 by 2).foreach { f =>
+      val want = Multimodal.ImageFixture.expectedDHash(
+        Multimodal.ImageFixture.pixels(V.frameSeed(7L, f, false), false))
+      assert(frames(f) == want, s"frame $f")
+    }
+    // non-video and truncated payloads emit no rows
+    val junk = Seq(
+      (2L, "not a video".getBytes("UTF-8")),
+      (3L, V.video(7L, false).take(10)))
+      .toDF("id", "payload")
+    assert(Multimodal.videoFrameDHashes(junk, "payload").count() == 0)
+  }
+
+  test("video near-dups: temporal vote catches a re-encode with one replaced scene") {
+    import spark.implicits._
+    val V = Multimodal.VideoFixture
+    val base = Seq(
+      (1L, 7L, false), (2L, 7L, true),  // re-encode: frames 0,2 bumped, frame 4 replaced
+      (3L, 8L, false), (4L, 9L, false)) // unrelated videos
+      .toDF("id", "seed", "pert")
+    val vids = V.withPayloads(base, "seed", "pert").select("id", "payload")
+    val pairs = Dedup.videoNearDups(vids, "id", "payload",
+        stride = 2, minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 2 of 3 sampled frames survive the scene swap → caught at
+    // matched_frames = 2; a minMatches = 3 rule would miss it
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)), pairs.mkString(","))
+    assert(Dedup.videoNearDups(vids, "id", "payload",
+      stride = 2, minMatches = 3).count() == 0)
+  }
+
   test("two-sided hash matches: exact-once emission, null exclusion, loud bounds") {
     import spark.implicits._
     def jl(x: Long) = java.lang.Long.valueOf(x)
