@@ -1833,14 +1833,63 @@ object TextStats extends Serializable {
     * a flat symbol stream decodes unambiguously back to words. */
   val UnigramMarker = "▁"
 
+  /** The shared Viterbi DP of [[unigramApply]] and [[unigramTrain]]:
+    * segment one whitespace token (marker-prefixed here) into the
+    * max-score piece sequence under an integer-micro logprob table.
+    * Ties break higher score first, then longer final piece — by
+    * induction over positions the chosen path is unique, so trainer
+    * E-steps and serving segment bit-identically. */
+  private[ext] def viterbiPieces(tok: String,
+      table: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unkMicro: Long): Array[String] = {
+    val cps = (UnigramMarker + tok).codePoints.toArray
+      .map(cp => new String(Character.toChars(cp)))
+    val n = cps.length
+    val best = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bestSc = Long.MinValue
+      var bestJ = 0
+      var j = 1
+      val jMax = math.min(maxLen, i)
+      while (j <= jMax) {
+        val piece = cps.slice(i - j, i).mkString
+        val sc = table.get(piece)
+        val scV: Long =
+          if (sc != null) sc.longValue()
+          else if (j == 1) unkMicro
+          else Long.MinValue
+        if (scV != Long.MinValue) {
+          val cand = best(i - j) + scV
+          // higher score wins; equal score -> longer piece wins
+          if (cand > bestSc || (cand == bestSc && j > bestJ)) {
+            bestSc = cand; bestJ = j
+          }
+        }
+        j += 1
+      }
+      best(i) = bestSc; bp(i) = bestJ
+      i += 1
+    }
+    var pos = n
+    var rev: List[String] = Nil
+    while (pos > 0) {
+      val j = bp(pos)
+      rev = cps.slice(pos - j, pos).mkString :: rev
+      pos -= j
+    }
+    rev.toArray
+  }
+
   /** Unigram-LM tokenization APPLY — the other production tokenizer
     * family next to BPE (Kudo, arXiv:1804.10959; SentencePiece's
     * default model): given a FROZEN vocabulary of (piece, logprob)
     * rows, segment each whitespace word (marker-prefixed, SentencePiece
     * convention) into the piece sequence maximizing the summed logprob,
-    * by Viterbi DP over code points. Training the vocabulary (EM over
-    * segmentation lattices) is out of scope; apply-under-a-frozen-table
-    * is the serving-path operator a corpus pipeline runs.
+    * by Viterbi DP over code points. [[unigramTrain]] produces the
+    * vocabulary; apply-under-a-frozen-table is the serving-path
+    * operator a corpus pipeline runs.
     *
     * Cross-engine exactness, the usual discipline: logprobs round to
     * integer MICRO-units (×10^6) up front, the DP maximizes integer
@@ -1898,44 +1947,7 @@ object TextStats extends Serializable {
       def segment(tok: String): Array[String] = {
         val hit = memo.get(tok)
         if (hit != null) return hit
-        val cps = (UnigramMarker + tok).codePoints.toArray
-          .map(cp => new String(Character.toChars(cp)))
-        val n = cps.length
-        val best = new Array[Long](n + 1)
-        val bp = new Array[Int](n + 1)
-        var i = 1
-        while (i <= n) {
-          var bestSc = Long.MinValue
-          var bestJ = 0
-          var j = 1
-          val jMax = math.min(maxLen, i)
-          while (j <= jMax) {
-            val piece = cps.slice(i - j, i).mkString
-            val sc = table.get(piece)
-            val scV: Long =
-              if (sc != null) sc.longValue()
-              else if (j == 1) unkMicro
-              else Long.MinValue
-            if (scV != Long.MinValue) {
-              val cand = best(i - j) + scV
-              // higher score wins; equal score -> longer piece wins
-              if (cand > bestSc || (cand == bestSc && j > bestJ)) {
-                bestSc = cand; bestJ = j
-              }
-            }
-            j += 1
-          }
-          best(i) = bestSc; bp(i) = bestJ
-          i += 1
-        }
-        var pos = n
-        var rev: List[String] = Nil
-        while (pos > 0) {
-          val j = bp(pos)
-          rev = cps.slice(pos - j, pos).mkString :: rev
-          pos -= j
-        }
-        val res = rev.toArray
+        val res = viterbiPieces(tok, table, maxLen, unkMicro)
         if (memo.size < memoCap) { memo.put(tok, res); () }
         res
       }
@@ -1958,6 +1970,147 @@ object TextStats extends Serializable {
                    artifact: Tokenizer.UnigramArtifact,
                    outCol: String): DataFrame =
     unigramApply(df, textCol, artifact.vocab, artifact.unkLogProb, outCol)
+
+  /** Unigram-LM vocabulary TRAINING — the missing half of the
+    * SentencePiece pair now that [[unigramApply]] serves frozen
+    * tables (Kudo, arXiv:1804.10959). This is the Viterbi (hard-EM)
+    * variant: the E-step segments every distinct word with the SAME
+    * integer-micro DP serving uses ([[viterbiPieces]] — training and
+    * serving can never disagree about a segmentation), the M-step
+    * re-estimates piece logprobs from the exact integer piece counts,
+    * and pruning keeps every single code point (coverage — decode
+    * identity survives training) plus the highest-count multi-cp
+    * pieces until the vocabulary reaches `vocabSize`. Soft-EM's
+    * forward-backward lattice expectations are deliberately traded
+    * for Viterbi counts: counts stay EXACT LONGS end to end, so the
+    * whole train is bit-deterministic (`StrictMath.log` for the one
+    * float step, rounded once to micro-units) — same discipline as
+    * the BPE trainers. The hard-EM guarantee is checked, not assumed:
+    * once pruning stops, each round's Viterbi log-likelihood must be
+    * non-decreasing (within integer micro rounding), or this throws.
+    *
+    * Scale shape (the bounded-driver-model class — DSIR, k-means,
+    * langid): the corpus is tokenized ONCE into distinct words with
+    * counts, capped at the `wordCap` most frequent (Zipf head —
+    * SentencePiece subsamples the same way) and checkpointed; every
+    * EM round is one narrow pass over that word table (vocab
+    * broadcast, per-word DP) into a `(piece, count)` hash aggregate
+    * with map-side partials — never a shuffle of words or text. The
+    * driver holds only (seed vocab ∪ counts), bounded by
+    * `seedMultiplier × vocabSize + |alphabet|`. Returns the trained
+    * `(piece, logprob)` table sorted by piece, ready for
+    * [[unigramApply]] or [[Tokenizer.UnigramArtifact]]. */
+  def unigramTrain(df: DataFrame, textCol: String,
+                   vocabSize: Int, iterations: Int = 4,
+                   maxPieceLen: Int = 8, seedMultiplier: Int = 4,
+                   wordCap: Int = 1 << 20,
+                   unkLogProb: Double = -20.0): Seq[(String, Double)] = {
+    require(vocabSize >= 1, s"vocabSize=$vocabSize")
+    require(iterations >= 1, s"iterations=$iterations")
+    require(maxPieceLen >= 1 && maxPieceLen <= 63,
+      s"maxPieceLen=$maxPieceLen")
+    require(seedMultiplier >= 1, s"seedMultiplier=$seedMultiplier")
+    require(wordCap >= 1, s"wordCap=$wordCap")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+    val s = df.sparkSession
+    val unkMicro = math.round(unkLogProb * 1e6)
+    val words = df
+      .select(explode(graft.ml.Featurize.tokensCol(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__w").asc)
+      .limit(wordCap)
+      .localCheckpoint() // one tokenize; every EM round re-reads this
+    // ---- seed: all code-point substrings up to maxPieceLen, scored
+    //      by occurrences × word count; singles ALWAYS survive ----
+    val candSchema = StructType(Seq.empty)
+      .add("piece", StringType, nullable = false)
+      .add("cp_len", IntegerType, nullable = false)
+      .add("cnt", LongType, nullable = false)
+    val cands = words.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val w = row.getString(0); val n = row.getLong(1)
+        val cps = (UnigramMarker + w).codePoints.toArray
+          .map(cp => new String(Character.toChars(cp)))
+        for {
+          i <- cps.indices.iterator
+          j <- 1 to math.min(maxPieceLen, cps.length - i)
+        } yield Row(cps.slice(i, i + j).mkString, j, n)
+      }
+    }(Encoders.row(candSchema))
+      .groupBy("piece", "cp_len").agg(sum("cnt").as("cnt"))
+    val singles = cands.where(col("cp_len") === 1)
+      .select("piece", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val seedMultis = cands.where(col("cp_len") > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(math.max(0, seedMultiplier * vocabSize - singles.length))
+      .select("piece", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(singles.nonEmpty, "unigramTrain: empty corpus")
+    def microsFrom(counts: Map[String, Long]): Map[String, Long] = {
+      val total = counts.values.sum.toDouble
+      // zero-count singles stay for coverage at a half-count floor
+      counts.map { case (p, c) =>
+        p -> math.round(StrictMath.log(math.max(c, 0.5) / total) * 1e6)
+      }
+    }
+    var vocab = microsFrom((singles ++ seedMultis).toMap)
+    val eSchema = StructType(Seq.empty)
+      .add("piece", StringType, nullable = false)
+      .add("cnt", LongType, nullable = false)
+    var prevLL = Long.MinValue
+    var prunedSincePrev = true
+    var it = 0
+    while (it < iterations) {
+      val bc = s.sparkContext.broadcast(vocab.toArray)
+      val maxLen = vocab.keysIterator
+        .map(p => p.codePointCount(0, p.length)).max
+      val pieceCounts = words.mapPartitions { rows =>
+        val table = new java.util.HashMap[String, java.lang.Long](
+          bc.value.length * 2)
+        bc.value.foreach { case (p, m) => table.put(p, m); () }
+        rows.flatMap { row =>
+          val n = row.getLong(1)
+          viterbiPieces(row.getString(0), table, maxLen, unkMicro)
+            .iterator.map(p => Row(p, n))
+        }
+      }(Encoders.row(eSchema))
+        .groupBy("piece").agg(sum("cnt").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ll = pieceCounts.iterator.map { case (p, c) =>
+        c * vocab.getOrElse(p, unkMicro)
+      }.sum
+      // hard-EM monotonicity. Slack: ±0.5 micro rounding per piece
+      // occurrence, plus the coverage floor's probability-mass slop
+      // (each zero-count single carries 0.5 pseudo-count OUTSIDE the
+      // normalizer — worth at most 0.5 nat = 5e5 micro of apparent
+      // regression each)
+      val slack = pieceCounts.values.sum + 500000L * singles.length
+      require(prunedSincePrev || ll + slack >= prevLL,
+        s"unigramTrain: Viterbi log-likelihood regressed without a " +
+          s"prune ($prevLL -> $ll micro) — the EM invariant is broken")
+      prevLL = ll
+      // M-step over pieces the Viterbi paths used; coverage singles
+      // (zero count) stay at the floor, unused multis drop
+      val singleSet = singles.iterator.map(_._1).toSet
+      val counted = vocab.keysIterator.map { p =>
+        p -> pieceCounts.getOrElse(p, 0L)
+      }.filter { case (p, c) => c > 0 || singleSet.contains(p) }.toMap
+      // prune: singles always, then highest-count multis to target
+      val keepMultis = counted.iterator
+        .filter { case (p, _) => !singleSet.contains(p) }.toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - singleSet.size))
+      prunedSincePrev =
+        counted.size > singleSet.size + keepMultis.size
+      vocab = microsFrom(
+        (singleSet.iterator.map(p => p -> counted.getOrElse(p, 0L)) ++
+          keepMultis.iterator).toMap)
+      it += 1
+    }
+    vocab.toSeq.sortBy(_._1).map { case (p, m) => (p, m / 1e6) }
+  }
 
   /** Exact inverse of [[unigramApply]]: concatenate the pieces and
     * turn each word marker back into a space — `unigramDecode ∘

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.ext.{Dedup, Multimodal, Selection, Similarity, TextStats, UnicodeFixture}
+import graft.ext.{Dedup, Multimodal, Selection, Similarity, TextStats, Tokenizer, UnicodeFixture}
 import graft.ml.Featurize
 import Tables._
 
@@ -5618,6 +5618,56 @@ object ExtQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Unigram-LM vocabulary TRAINING ([[TextStats.unigramTrain]] —
+    * Viterbi hard-EM with coverage-preserving pruning, completing the
+    * SentencePiece pair whose apply/fertility/artifact surface landed
+    * with [[unigramApplyQ]]). No SQL oracle — the EM loop is a
+    * fixed-point no bounded recursive query replays — so the query
+    * gates itself: (a) hard-EM monotonicity throws inside the trainer
+    * if a round's Viterbi likelihood regresses without a prune;
+    * (b) decode∘apply under the TRAINED vocabulary must reproduce the
+    * whitespace-normalized corpus exactly (coverage survived
+    * training); (c) the trained tokenizer must actually compress —
+    * fewer symbols than characters (multi-cp pieces got used);
+    * (d) serving parity — an artifact round trip through
+    * [[graft.ext.Tokenizer.saveUnigram]]/`loadUnigram` re-applies
+    * bit-identically. Output: the trained (piece, logprob_micro)
+    * table — exact integers, deterministic across engines and runs. */
+  val unigramTrainQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val vocab = TextStats.unigramTrain(docs, "text",
+      vocabSize = 300, iterations = 3, maxPieceLen = 4)
+    require(vocab.exists(p => p._1.codePointCount(0, p._1.length) > 1),
+      "unigram train kept no multi-codepoint piece")
+    val applied = TextStats.unigramApply(docs, "text", vocab,
+      unkLogProb = -20.0).localCheckpoint() // gates read it 3 times
+    val norm = concat_ws(" ", graft.ml.Featurize.tokensCol(col("text")))
+    val broken = applied.where(
+      TextStats.unigramDecode(col("unigram_symbols")) =!= norm).count()
+    require(broken == 0,
+      s"decode identity broke on $broken documents after training")
+    val Array(symbols, chars) = applied.agg(
+        sum(size(col("unigram_symbols")).cast("long")),
+        sum(length(norm).cast("long")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(symbols < chars,
+      s"trained tokenizer does not compress: $symbols symbols vs " +
+        s"$chars chars")
+    val apath = scratchDir("unitrain", dir) + "/unigram.tsv"
+    new java.io.File(apath).getParentFile.mkdirs()
+    Tokenizer.saveUnigram(
+      Tokenizer.UnigramArtifact.fromVocab(vocab, -20.0), apath)
+    val reloaded = TextStats.unigramApply(docs, "text",
+      Tokenizer.loadUnigram(apath), "unigram_symbols")
+    val drift = applied.select(col("doc_id"), col("unigram_symbols"))
+      .exceptAll(reloaded.select(col("doc_id"), col("unigram_symbols")))
+      .count()
+    require(drift == 0, s"artifact round trip drifted on $drift docs")
+    val out = vocab.map { case (p, lp) => (p, math.round(lp * 1e6)) }
+    import s.implicits._
+    out.toDF("piece", "logprob_micro").orderBy("piece")
+  }
+
   /** [[streamSemanticQ]]'s oracle: both sides assigned via the same
     * literal-centroid first-max-wins argmax as [[dedupSemanticSqlFor]],
     * joined on cell, 6-dp cosine ≥ 0.99. */
@@ -6500,6 +6550,7 @@ object ExtQueries {
     "q_tokenizer_fertility_pretok" -> tokenizerFertilityPretokQ,
     "q_unigram_apply" -> unigramApplyQ,
     "q_unigram_fertility" -> unigramFertilityQ,
+    "q_unigram_train" -> unigramTrainQ,
     "q_multimodal_meta" -> multimodalMeta,
     "q_dedup_image" -> dedupImageQ,
     "q_dedup_audio" -> dedupAudioQ,

@@ -716,6 +716,45 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)), pairs.mkString(","))
   }
 
+  test("unigram train: planted boilerplate becomes a piece, coverage and determinism hold") {
+    import spark.implicits._
+    val T = TextStats
+    // "the" dominates the corpus; "qx" appears but rarely
+    val corpus = (1L to 40L).map(i => (i, "the the the qx zz"))
+      .toDF("doc_id", "text")
+    val vocab = T.unigramTrain(corpus, "text",
+      vocabSize = 12, iterations = 3, maxPieceLen = 4)
+    val pieces = vocab.map(_._1).toSet
+    // the dominant marker-prefixed word survives pruning as one piece
+    assert(pieces.contains(T.UnigramMarker + "the"), pieces)
+    // every single code point kept (coverage), target size respected
+    val singles = corpus.collect().flatMap(_.getString(1).split("\\s+"))
+      .flatMap(w => (T.UnigramMarker + w).toCharArray).map(_.toString).toSet
+    assert(singles.subsetOf(pieces))
+    assert(vocab.size <= math.max(12, singles.size))
+    // training is bit-deterministic
+    val again = T.unigramTrain(corpus, "text",
+      vocabSize = 12, iterations = 3, maxPieceLen = 4)
+    assert(vocab == again)
+    // the trained table actually serves: dominant word = 1 symbol,
+    // decode identity on text with characters unseen in training
+    val served = T.unigramApply(
+      Seq((1L, "the qx zz"), (2L, "völlig unseen")).toDF("doc_id", "text"),
+      "text", vocab)
+      .select(col("doc_id"), col("unigram_symbols"),
+        T.unigramDecode(col("unigram_symbols")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getString(2))).toMap
+    assert(served(1L)._1.head == T.UnigramMarker + "the")
+    assert(served(1L)._2 == "the qx zz")
+    assert(served(2L)._2 == "völlig unseen")
+    // bad parameters fail loudly
+    intercept[IllegalArgumentException] {
+      T.unigramTrain(corpus, "text", vocabSize = 0)
+    }
+    ()
+  }
+
   test("video frame sampling: container round trip, stride seek, garbage exclusion") {
     import spark.implicits._
     val V = Multimodal.VideoFixture
