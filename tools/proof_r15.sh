@@ -19,7 +19,8 @@ q_dedup_substrings q_heavy_hitters_approx q_quality_authority q_quality_c4 \
 q_shard_jsonl q_shard_shuffle q_sketch_cms q_sketch_column q_text_sentences \
 q_tfidf_keywords \
 q_dedup_substrings_perdoc q_unigram_apply q_unigram_fertility \
-q_dedup_image q_dedup_audio q_mixture_authority"
+q_dedup_image q_dedup_audio q_mixture_authority \
+q_dedup_video q_dedup_hash_index q_stream_image_gate q_unigram_train"
 
 step() { # step <name> <cmd...>
   local name="$1"; shift
