@@ -778,6 +778,35 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.videoFrameDHashes(junk, "payload").count() == 0)
   }
 
+  test("video container: arbitrary frame sizes round-trip; stride/maxFrames budgets hold") {
+    val V = Multimodal.VideoContainer
+    val rnd = new scala.util.Random(7)
+    // frames of wildly different sizes, incl. empty
+    val frames = Seq(0, 1, 5, 1024, 3, 77).map { len =>
+      val a = new Array[Byte](len); rnd.nextBytes(a); a
+    }
+    val packed = V.pack(frames)
+    // stride 1 returns every frame byte-exact
+    val all = V.sampledFrames(packed, stride = 1, maxFrames = 64)
+    assert(all.map(_._1) == (0 until 6))
+    all.foreach { case (i, bytes) =>
+      assert(bytes.sameElements(frames(i)), s"frame $i bytes differ")
+    }
+    // stride 4 decodes only frames 0 and 4 — seek, not decode
+    assert(V.sampledFrames(packed, 4, 64).map(_._1) == Seq(0, 4))
+    // a frame count over budget is excluded wholesale (bomb guard)
+    assert(V.sampledFrames(packed, 1, maxFrames = 5).isEmpty)
+    // every truncation point yields Nil, never a partial parse
+    (0 until packed.length by 7).foreach { cut =>
+      assert(V.sampledFrames(packed.take(cut), 1, 64).isEmpty ||
+        cut >= packed.length, s"truncation at $cut parsed")
+    }
+    // a corrupted length field (negative) is rejected, not allocated
+    val evil = packed.clone()
+    evil(8) = 0xFF.toByte // first frame length -> huge/negative
+    assert(V.sampledFrames(evil, 1, 64).isEmpty)
+  }
+
   test("video near-dups: temporal vote catches a re-encode with one replaced scene") {
     import spark.implicits._
     val V = Multimodal.VideoFixture
@@ -853,6 +882,15 @@ class ExtSpec extends AnyFunSuite {
     assert(served2 == key(Dedup.hashMatches(arr, post, "id", "h")))
     assert(served2.contains((3L, 14L, 1)),
       s"inserted hash not served: $served2")
+    // the pigeonhole boundary is tight: hamming 4 with 4 bands is
+    // findable only when a band happens to agree — hamming exactly
+    // bands-1 is ALWAYS found (here: 3 bits spread over 3 bands)
+    val spread = Seq((20L, 0L)).toDF("id", "h")
+    val probe3 = Seq((21L, (1L << 0) | (1L << 16) | (1L << 32)))
+      .toDF("id", "h")
+    val found = Dedup.hashMatches(probe3, spread, "id", "h",
+      maxHamming = 3, bands = 4).collect()
+    assert(found.length == 1 && found(0).getInt(2) == 3)
     // a layout without its marker refuses to serve (no silent
     // banding guess)
     val marker = new java.io.File(dir, "_graft_hash_layout")
