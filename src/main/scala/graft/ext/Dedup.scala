@@ -1152,7 +1152,13 @@ object Dedup {
   def writeBandIndex(corpus: DataFrame, textCol: String, idCol: String,
                      outDir: String, numHashes: Int = 4, bands: Int = 2,
                      prefixChars: Int = 1): Unit =
+    // repartition on pfx before the partitioned write: each prefix
+    // lands wholly in one task, so every dir gets ONE file instead of
+    // up to tasks×dirs — at cluster scale the build tracks dirs, not
+    // writers×dirs, in object-store metadata (measured file-count-
+    // bound before this: BENCH_R15B_SCALE.json)
     bandIndexRows(corpus, textCol, idCol, numHashes, bands, prefixChars)
+      .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
 
   private def bandIndexRows(corpus: DataFrame, textCol: String,
@@ -1247,22 +1253,44 @@ object Dedup {
       .join(broadcast(touchedIds), Seq(idCol), "left_anti")
     val tmpDir = s"$indexDir.upd-${java.util.UUID.randomUUID().toString.take(8)}"
     survivors.unionByName(newRows.select(survivors.columns.map(col): _*))
+      .repartition(col("pfx")) // one file per rewritten dir
       .write.mode("overwrite").partitionBy("pfx").parquet(tmpDir)
+    swapPrefixDirs(s, indexDir, tmpDir, touched.toIndexedSeq.map(p => s"pfx=$p"))
+    touched
+  }
+
+  /** Install the fresh prefix dirs a CDC update wrote under `tmpDir`
+    * over their live homes in `indexDir`, with a recovery copy alive
+    * at every step: each live dir is renamed ASIDE into `tmpDir`
+    * (never deleted first), then its replacement renames in, and
+    * `tmpDir` — which now holds every displaced old dir — is deleted
+    * ONLY after every prefix has landed. If any rename throws, or the
+    * process dies mid-loop, `tmpDir` survives holding both the
+    * not-yet-installed fresh dirs and the displaced old dirs, so no
+    * prefix's data has a single remaining copy at any point. The one
+    * residual window is a crash BETWEEN the aside-rename and the
+    * install-rename of a single prefix: that prefix is then absent
+    * from the live layout until the operator is re-run or the aside
+    * copy (`$tmpDir/aside-<dir>`) is restored by hand — absent, not
+    * lost. A prefix emptied by deletes (no fresh dir) is renamed
+    * aside and simply never replaced, so it stays deleted on success
+    * and recoverable on failure. */
+  private[graft] def swapPrefixDirs(s: org.apache.spark.sql.SparkSession,
+                                    indexDir: String, tmpDir: String,
+                                    dirs: Seq[String]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmpDir), s.sparkContext.hadoopConfiguration)
-    try {
-      touched.foreach { p =>
-        val live = new org.apache.hadoop.fs.Path(s"$indexDir/pfx=$p")
-        val fresh = new org.apache.hadoop.fs.Path(s"$tmpDir/pfx=$p")
-        if (fs.exists(live)) fs.delete(live, true)
-        if (fs.exists(fresh)) fs.rename(fresh, live)
-        ()
-      }
-    } finally {
-      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    dirs.foreach { d =>
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+      val fresh = new org.apache.hadoop.fs.Path(s"$tmpDir/$d")
+      val aside = new org.apache.hadoop.fs.Path(s"$tmpDir/aside-$d")
+      if (fs.exists(live)) fs.rename(live, aside)
+      if (fs.exists(fresh)) fs.rename(fresh, live)
       ()
     }
-    touched
+    // All prefixes landed — only now is the recovery copy redundant.
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    ()
   }
 
   /** Perceptual near-duplicate VIDEO pairs — temporal voting over
@@ -1404,7 +1432,11 @@ object Dedup {
   def writeHashIndex(hashes: DataFrame, idCol: String, hashCol: String,
                      outDir: String, bands: Int = 4,
                      nPrefix: Int = 16): Unit = {
+    // one file per prefix dir (see writeBandIndex): without the pfx
+    // repartition this writes up to tasks×nPrefix part files and the
+    // build is file-count-bound, not data-bound
     hashIndexRows(hashes, idCol, hashCol, bands, nPrefix)
+      .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
     writeHashLayout(outDir, bands, nPrefix, hashes.sparkSession)
   }
@@ -1546,21 +1578,9 @@ object Dedup {
     val tmpDir = s"$indexDir.upd-${java.util.UUID.randomUUID().toString.take(8)}"
     survivors.unionByName(
         newRows.select(survivors.columns.toIndexedSeq.map(col): _*))
+      .repartition(col("pfx")) // one file per rewritten dir
       .write.mode("overwrite").partitionBy("pfx").parquet(tmpDir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmpDir), s.sparkContext.hadoopConfiguration)
-    try {
-      touched.foreach { p =>
-        val live = new org.apache.hadoop.fs.Path(s"$indexDir/pfx=$p")
-        val fresh = new org.apache.hadoop.fs.Path(s"$tmpDir/pfx=$p")
-        if (fs.exists(live)) fs.delete(live, true)
-        if (fs.exists(fresh)) fs.rename(fresh, live)
-        ()
-      }
-    } finally {
-      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
-      ()
-    }
+    swapPrefixDirs(s, indexDir, tmpDir, touched.toIndexedSeq.map(p => s"pfx=$p"))
     touched
   }
 

@@ -715,8 +715,16 @@ object Multimodal {
             in.readFully(bytes)
             out += ((f, bytes))
           } else {
+            // ByteArrayInputStream.skip returns 0 at EOF instead of
+            // throwing, so a non-positive return means the container
+            // is truncated inside this skipped frame — same contract
+            // as the readFully path: emit NO rows.
             var skipped = 0L
-            while (skipped < len) skipped += in.skip(len - skipped)
+            while (skipped < len) {
+              val k = in.skip(len - skipped)
+              if (k <= 0L) return Nil
+              skipped += k
+            }
           }
           f += 1
         }

@@ -670,8 +670,11 @@ object Similarity {
     * build. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     cents: Array[Array[Double]], outDir: String): Unit =
+    // repartition on cell first: one file per cell dir instead of up
+    // to tasks×cells (same file-count audit as Dedup.writeHashIndex)
     assignCells(corpus, vecCol, cents)
       .select(col(idCol), col(vecCol), col("cell"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
 
   /** The distinct probe-cell union of a query set — bounded at
@@ -769,22 +772,13 @@ object Similarity {
     // temp layout fully materializes BEFORE any index file moves — a
     // failure mid-write leaves the live index untouched
     survivors.unionByName(newAssigned)
+      .repartition(col("cell")) // one file per rewritten dir
       .write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmpDir), s.sparkContext.hadoopConfiguration)
-    try {
-      touched.foreach { k =>
-        val live = new org.apache.hadoop.fs.Path(s"$indexDir/cell=$k")
-        val fresh = new org.apache.hadoop.fs.Path(s"$tmpDir/cell=$k")
-        if (fs.exists(live)) fs.delete(live, true)
-        // a cell emptied by deletes has no fresh dir — stays deleted
-        if (fs.exists(fresh)) fs.rename(fresh, live)
-        ()
-      }
-    } finally {
-      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
-      ()
-    }
+    // crash-safe swap (see Dedup.swapPrefixDirs): live dirs rename
+    // ASIDE into tmpDir before replacements install; tmpDir — holding
+    // every displaced dir — is deleted only after all cells land
+    Dedup.swapPrefixDirs(s, indexDir, tmpDir,
+      touched.toIndexedSeq.map(k => s"cell=$k"))
     touched
   }
 

@@ -2078,6 +2078,10 @@ object TextStats extends Serializable {
       }(Encoders.row(eSchema))
         .groupBy("piece").agg(sum("cnt").as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the vocab broadcast is consumed by the collect above; destroy
+      // it now or every EM round (and every train in a session) leaks
+      // a copy on the driver and executors
+      bc.destroy()
       val ll = pieceCounts.iterator.map { case (p, c) =>
         c * vocab.getOrElse(p, unkMicro)
       }.sum

@@ -801,6 +801,15 @@ class ExtSpec extends AnyFunSuite {
       assert(V.sampledFrames(packed.take(cut), 1, 64).isEmpty ||
         cut >= packed.length, s"truncation at $cut parsed")
     }
+    // truncation landing inside a SKIPPED frame must also yield Nil:
+    // ByteArrayInputStream.skip returns 0 at EOF instead of raising,
+    // so the stride>1 path once spun forever here (r16 regression)
+    (0 until packed.length by 3).foreach { cut =>
+      Seq(2, 3, 4).foreach { stride =>
+        assert(V.sampledFrames(packed.take(cut), stride, 64).isEmpty,
+          s"stride-$stride truncation at $cut parsed")
+      }
+    }
     // a corrupted length field (negative) is rejected, not allocated
     val evil = packed.clone()
     evil(8) = 0xFF.toByte // first frame length -> huge/negative
@@ -858,6 +867,13 @@ class ExtSpec extends AnyFunSuite {
     val ref = Seq((10L, 0x00000000000000FFL), (11L, 0x5555555555555555L),
       (12L, Long.MinValue), (13L, -1L)).toDF("id", "h")
     Dedup.writeHashIndex(ref, "id", "h", dir, bands = 4, nPrefix = 8)
+    // the pfx repartition means every prefix dir holds exactly ONE
+    // part file — the build writes dirs, not tasks×dirs, files
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("pfx="))
+      .foreach { d =>
+        val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(parts == 1, s"${d.getName}: $parts part files, want 1")
+      }
     val arr = Seq((1L, 0x00000000000000FEL), (2L, Long.MinValue | 2L),
       (3L, 0x0F0F0F0F0F0F0F0FL)).toDF("id", "h")
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -898,6 +914,36 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.hashMatchesIndexed(dir, arr, "id", "h")
     }
+    ()
+  }
+
+  test("swapPrefixDirs: installs fresh dirs, drops emptied ones, cleans tmp only at the end") {
+    val root = java.nio.file.Files.createTempDirectory("graft_swap")
+    val idx = new java.io.File(root.toFile, "idx")
+    val tmp = new java.io.File(root.toFile, "idx.upd-test")
+    def put(dir: java.io.File, name: String, body: String): Unit = {
+      val d = new java.io.File(dir, name); assert(d.mkdirs())
+      val w = new java.io.FileWriter(new java.io.File(d, "part-0"))
+      try w.write(body) finally w.close()
+    }
+    put(idx, "pfx=0", "old0")   // replaced by fresh
+    put(idx, "pfx=1", "old1")   // emptied by deletes: no fresh dir
+    put(idx, "pfx=9", "keep9")  // untouched: not in the dir list
+    put(tmp, "pfx=0", "new0")
+    put(tmp, "pfx=2", "new2")   // brand-new prefix, no live dir
+    Dedup.swapPrefixDirs(spark, idx.toString, tmp.toString,
+      Seq("pfx=0", "pfx=1", "pfx=2"))
+    def body(name: String): String = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(new java.io.File(idx, name), "part-0"))
+      try src.mkString finally src.close()
+    }
+    assert(body("pfx=0") == "new0")
+    assert(!new java.io.File(idx, "pfx=1").exists(),
+      "a prefix emptied by deletes must stay deleted")
+    assert(body("pfx=2") == "new2")
+    assert(body("pfx=9") == "keep9")
+    assert(!tmp.exists(), "tmp dir must be deleted after a full swap")
     ()
   }
 
