@@ -1315,16 +1315,10 @@ object Dedup {
     * exactly once. */
   def videoNearDups(df: DataFrame, idCol: String, payloadCol: String,
                     stride: Int = 2, maxHamming: Int = 3, bands: Int = 4,
-                    minMatches: Int = 2): DataFrame = {
-    require(bands >= 2 && 64 % bands == 0,
-      s"bands=$bands must divide 64 (and be >= 2)")
-    require(maxHamming >= 0 && maxHamming <= bands - 1,
-      s"maxHamming=$maxHamming exceeds the pigeonhole guarantee of " +
-        s"bands - 1 = ${bands - 1}: the band join could silently miss " +
-        "qualifying pairs — raise bands instead")
-    require(minMatches >= 1, s"minMatches=$minMatches")
-    val bandBits = 64 / bands
-    val mask = (1L << bandBits) - 1
+                    minMatches: Int = 2,
+                    align: String = "aligned"): DataFrame = {
+    val (bandBits, mask) = videoVoteChecks(bands, maxHamming, minMatches,
+      align, stride)
     val hashes = Multimodal.videoFrameDHashes(
         df.select(col(idCol), col(payloadCol)), payloadCol, stride)
       .select(col(idCol).as("__id"), col("frame_idx").as("__f"),
@@ -1334,17 +1328,116 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("__hash"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("__bi", "__bv")))
-    val right = probes.select(col("__id").as("__rid"), col("__f"),
-      col("__hash").as("__rhash"), col("__bi"), col("__bv"))
-    probes.join(right, Seq("__f", "__bi", "__bv"))
-      .where(col("__id") < col("__rid"))
-      .where(bit_count(col("__hash").bitwiseXOR(col("__rhash")))
+    val right = probes.select(col("__id").as("__rid"), col("__f").as("__rf"),
+      col("__hash").as("__rhash"), col("__bi").as("__rbi"),
+      col("__bv").as("__rbv"))
+    videoVote(probes, right, selfPair = true, align, maxHamming,
+      minMatches, "id_a", "id_b")
+  }
+
+  /** Two-sided temporal-vote matcher — [[videoNearDups]]'s
+    * arrival-vs-reference sibling and the per-batch core of the
+    * streaming video gate ([[graft.streaming.ScoreStream
+    * .videoGateSink]]). Both inputs are FRAME-HASH frames
+    * `(idCol, frameCol, hashCol)` — decode happens upstream: the
+    * stream decodes arrivals inside its micro-batch, the reference
+    * corpus is hashed once and pinned, so serving never re-decodes
+    * history. Frames pair by the banded-hamming join; the vote
+    * follows `align` (see [[videoNearDups]]): `"aligned"` requires
+    * positional agreement, `"offset"` votes on the best offset of the
+    * matched-frame histogram, tolerating frame insertions/deletions.
+    * Output `(idCol, neighbor_id, matched_frames)`, one row per
+    * qualifying (arrival, reference) pair. */
+  def videoHashMatches(arrivals: DataFrame, reference: DataFrame,
+                       idCol: String, hashCol: String = "dhash",
+                       frameCol: String = "frame_idx",
+                       maxHamming: Int = 3, bands: Int = 4,
+                       minMatches: Int = 2,
+                       align: String = "aligned"): DataFrame = {
+    val (bandBits, mask) = videoVoteChecks(bands, maxHamming, minMatches,
+      align, stride = 1)
+    def probes(df: DataFrame, idAs: String, fAs: String, hAs: String,
+               biAs: String, bvAs: String) = df
+      .select(col(idCol).as(idAs), col(frameCol).cast("int").as(fAs),
+        col(hashCol).cast("long").as(hAs))
+      .where(col(hAs).isNotNull)
+      .select(col(idAs), col(fAs), col(hAs),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col(hAs), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq(biAs, bvAs)))
+    videoVote(
+      probes(arrivals, "__id", "__f", "__hash", "__bi", "__bv"),
+      probes(reference, "__rid", "__rf", "__rhash", "__rbi", "__rbv"),
+      selfPair = false, align, maxHamming, minMatches,
+      idCol, "neighbor_id")
+  }
+
+  private def videoVoteChecks(bands: Int, maxHamming: Int,
+                              minMatches: Int, align: String,
+                              stride: Int): (Int, Long) = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands=$bands must divide 64 (and be >= 2)")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the pigeonhole guarantee of " +
+        s"bands - 1 = ${bands - 1}: the band join could silently miss " +
+        "qualifying pairs — raise bands instead")
+    require(minMatches >= 1, s"minMatches=$minMatches")
+    require(align == "aligned" || align == "offset",
+      s"align=$align (want 'aligned' or 'offset')")
+    require(align == "aligned" || stride == 1,
+      "align='offset' needs stride=1: stride sampling after a frame " +
+        "insertion samples a DIFFERENT subset of the original frames, " +
+        "so no offset can line the two hash sets up — drift tolerance " +
+        "requires dense frames (production: scene-change keyframes)")
+    val bandBits = 64 / bands
+    (bandBits, (1L << bandBits) - 1)
+  }
+
+  /** The shared vote tail of [[videoNearDups]] and
+    * [[videoHashMatches]]. `align` picks the temporal rule:
+    *  - `"aligned"` (default): only frames at the SAME index compare
+    *    (the equality is a join key — candidates never cross frame
+    *    positions), and the vote counts distinct agreeing positions.
+    *    Cheap and exact for same-cut re-encodes; a single frame
+    *    insertion breaks every subsequent position.
+    *  - `"offset"`: frames pair on band agreement at ANY position,
+    *    each match votes for its arrival→reference offset
+    *    `rf - f`, and the pair's score is the LARGEST single-offset
+    *    vote — the best-offset histogram. A re-encode with inserted
+    *    or dropped frames still concentrates `>= minMatches` of its
+    *    surviving frames on one offset, where positional alignment
+    *    finds nothing. Costs more than `"aligned"` (candidates =
+    *    band collisions across all frame pairs of the two videos,
+    *    not one per position) — the documented price of drift
+    *    tolerance. */
+  private def videoVote(left: DataFrame, right: DataFrame,
+                        selfPair: Boolean, align: String,
+                        maxHamming: Int, minMatches: Int,
+                        outId: String, outNbr: String): DataFrame = {
+    val bandCond = col("__bi") === col("__rbi") && col("__bv") === col("__rbv")
+    val joinCond =
+      if (align == "aligned") bandCond && col("__f") === col("__rf")
+      else bandCond
+    val cand0 = left.join(right, joinCond)
+    val cand1 = if (selfPair) cand0.where(col("__id") < col("__rid")) else cand0
+    val ok = cand1.where(
+      bit_count(col("__hash").bitwiseXOR(col("__rhash")))
         .cast("int") <= maxHamming)
-      .select(col("__id").as("id_a"), col("__rid").as("id_b"), col("__f"))
-      .distinct()
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("matched_frames"))
-      .where(col("matched_frames") >= minMatches)
+    val voted =
+      if (align == "aligned")
+        ok.select(col("__id"), col("__rid"), col("__f")).distinct()
+          .groupBy("__id", "__rid")
+          .agg(count(lit(1)).as("matched_frames"))
+      else
+        ok.select(col("__id"), col("__rid"),
+            (col("__rf") - col("__f")).as("__off"), col("__f")).distinct()
+          .groupBy("__id", "__rid", "__off")
+          .agg(count(lit(1)).as("__m"))
+          .groupBy("__id", "__rid")
+          .agg(max(col("__m")).as("matched_frames"))
+    voted.where(col("matched_frames") >= minMatches)
+      .select(col("__id").as(outId), col("__rid").as(outNbr),
+        col("matched_frames"))
   }
 
   // ---- stored PERCEPTUAL hash index: media dedup as a MAINTAINED
@@ -1512,17 +1605,8 @@ object Dedup {
         s"with bands=$bands) — rebuild with more bands instead")
     val bandBits = 64 / bands
     val mask = (1L << bandBits) - 1
-    val arr = arrivals
-      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__hash"))
-      .where(col("__hash").isNotNull)
-      .select(col("__id"), col("__hash"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("__hash"), b * bandBits).bitwiseAND(lit(mask))): _*))
-          .as(Seq("__bi", "__bv")))
-    val probePfx = arr
-      .select(pmod(xxhash64(col("__bi"), col("__bv")), lit(nPrefix))
-        .cast("int").as("pfx"))
-      .distinct().collect().map(_.getInt(0)).sorted // bounded by nPrefix
+    val arr = arrivalBandProbes(arrivals, idCol, hashCol, bands)
+    val probePfx = collectProbePrefixes(arr, nPrefix)
     val stored = s.read.parquet(indexDir)
     require(stored.columns.contains("pfx"),
       s"$indexDir is not a writeHashIndex layout (no pfx partition)")
@@ -1539,6 +1623,42 @@ object Dedup {
       .select(col(idCol).as("__rid"), col("__rhash"),
         col("band_idx").as("__bi"), col("band_val").as("__bv"))
     joinProbes(arr, idx, idCol, bands, bandBits, mask, maxHamming)
+  }
+
+  /** An arrival hash frame exploded to its `(id, hash, band_idx,
+    * band_val)` probes under the given band count — the shared head
+    * of [[hashMatchesIndexed]] and [[probePrefixes]]. */
+  private def arrivalBandProbes(arrivals: DataFrame, idCol: String,
+                                hashCol: String, bands: Int): DataFrame = {
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    arrivals
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__hash"))
+      .where(col("__hash").isNotNull)
+      .select(col("__id"), col("__hash"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("__hash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("__bi", "__bv")))
+  }
+
+  private def collectProbePrefixes(arr: DataFrame, nPrefix: Int): Array[Int] =
+    arr.select(pmod(xxhash64(col("__bi"), col("__bv")), lit(nPrefix))
+        .cast("int").as("pfx"))
+      .distinct().collect().map(_.getInt(0)).sorted // bounded by nPrefix
+
+  /** The distinct prefix dirs of a [[writeHashIndex]] layout an
+    * arrival hash set can touch — at most `nPrefix` ints, driver-
+    * bounded by construction, computed under the index's OWN layout
+    * marker so the answer is exactly the partition filter
+    * [[hashMatchesIndexed]] will push. Public so serving layers can
+    * gate on — and LOG — how much of the index a batch reads: the
+    * streaming gate ([[graft.streaming.ScoreStream
+    * .indexedHashGateSink]]) records it per micro-batch. */
+  def probePrefixes(indexDir: String, arrivals: DataFrame,
+                    idCol: String, hashCol: String): (Array[Int], Int) = {
+    val (bands, nPrefix) = readHashLayout(indexDir, arrivals.sparkSession)
+    (collectProbePrefixes(
+      arrivalBandProbes(arrivals, idCol, hashCol, bands), nPrefix), nPrefix)
   }
 
   /** Apply a CDC change batch of `(id, hash, seq, op)` rows to a

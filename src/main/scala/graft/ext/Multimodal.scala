@@ -758,6 +758,22 @@ object Multimodal {
           perturbed && (f == 0 || f == 2)))
       })
 
+    /** Frame-DRIFT variant: one unrelated frame (seed
+      * `vseed*100 + 777777`) is INSERTED at the front and the last
+      * original frame is dropped, so every surviving original frame
+      * sits one position later than in [[video]] — the ad-insert /
+      * intro-bumper re-encode. Positional alignment matches ZERO
+      * frames against the original; the offset vote finds all
+      * `FrameCount - 1` surviving frames concentrated at offset −1. */
+    def videoDrifted(vseed: Long): Array[Byte] =
+      VideoContainer.pack(
+        ImageFixture.png(
+          ImageFixture.pixels(vseed * 100 + 777777L, false)) +:
+        (0 until FrameCount - 1).map { f =>
+          ImageFixture.png(ImageFixture.pixels(
+            frameSeed(vseed, f, perturbed = false), false))
+        })
+
     /** Attach fixture GVID payloads to an id frame — executor-side
       * batch encode, mirroring [[ImageFixture.withPayloads]]. */
     def withPayloads(df: DataFrame, seedCol: String,
@@ -771,6 +787,20 @@ object Multimodal {
         rows.map { row =>
           val payload = video(row.getLong(seedIdx), row.getBoolean(pertIdx))
           Row.fromSeq(row.toSeq :+ payload)
+        }
+      }(Encoders.row(outSchema))
+    }
+
+    /** [[videoDrifted]] payloads attached executor-side — the
+      * insert-one-drop-one re-encode fixture for the offset vote. */
+    def withDriftedPayloads(df: DataFrame, seedCol: String): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.BinaryType
+      val outSchema = df.schema.add("payload", BinaryType, nullable = false)
+      val seedIdx = df.schema.fieldIndex(seedCol)
+      df.mapPartitions { rows =>
+        rows.map { row =>
+          Row.fromSeq(row.toSeq :+ videoDrifted(row.getLong(seedIdx)))
         }
       }(Encoders.row(outSchema))
     }

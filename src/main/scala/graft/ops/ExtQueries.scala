@@ -2821,7 +2821,14 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val dedupAudioSql = {
+  /** The DuckDB replay of [[graft.ext.Multimodal.AudioHash
+    * .energyHash64]] over an [[graft.ext.Multimodal.AudioFixture]]
+    * source CTE `$src` with columns (id, pid, pert): emits the
+    * win/en/bits/hash/band CTE chain suffixed `$o`, ending in
+    * `band$o(id, ahash, bi, bv)` — the audio sibling of
+    * [[dhashBandSqlCtes]], factored so the streaming audio gate can
+    * hash both sides. */
+  private def energyBandSqlCtes(src: String, o: String): String = {
     // byte k (0-based) of md5("seed:w"), as an int 0..255
     def hv(p: String) =
       s"(instr('0123456789abcdef', substr(md5(CAST(pid AS VARCHAR) || ':' || CAST(w AS VARCHAR)), $p, 1)) - 1)"
@@ -2829,31 +2836,35 @@ object ExtQueries {
       s"""((${hv(s"2*($k)+1")} * 16 + ${hv(s"2*($k)+2")} +
          |       CASE WHEN pert AND ($w) = 10 AND (($k) = 0 OR ($k) = 3)
          |            THEN 128 ELSE 0 END) % 256)""".stripMargin
-    s"""WITH src AS (
-       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 960000, doc_id, TRUE FROM documents WHERE doc_id < 10),
-       |win AS (
-       |  SELECT id, pid, pert, w FROM src
+    s"""win$o AS (
+       |  SELECT id, pid, pert, w FROM $src
        |  CROSS JOIN (SELECT unnest(range(0, 65)) AS w)),
-       |en AS (
+       |en$o AS (
        |  SELECT id, w,
        |    ${foldSumSql(s"""list_transform(range(0, 8),
        |      k -> CAST((${byteAt("w", "k")} - 128) AS BIGINT)
        |         * CAST((${byteAt("w", "k")} - 128) AS BIGINT))""")} AS e
-       |  FROM win),
-       |bits AS (
+       |  FROM win$o),
+       |bits$o AS (
        |  SELECT a.id,
        |    CASE WHEN b.e > a.e
        |         THEN CASE WHEN a.w = 63 THEN (-9223372036854775807 - 1)
        |                   ELSE (1::BIGINT << a.w) END
        |         ELSE 0 END AS b
-       |  FROM en a JOIN en b ON a.id = b.id AND b.w = a.w + 1
+       |  FROM en$o a JOIN en$o b ON a.id = b.id AND b.w = a.w + 1
        |  WHERE a.w < 64),
-       |hash AS (SELECT id, bit_or(b) AS ahash FROM bits GROUP BY id),
-       |band AS (
+       |hash$o AS (SELECT id, bit_or(b) AS ahash FROM bits$o GROUP BY id),
+       |band$o AS (
        |  SELECT id, ahash, bi, (ahash >> (16 * bi)) & 65535 AS bv
-       |  FROM hash CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
+       |  FROM hash$o CROSS JOIN (SELECT unnest(range(0, 4)) AS bi))""".stripMargin
+  }
+
+  val dedupAudioSql = {
+    s"""WITH src AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 960000, doc_id, TRUE FROM documents WHERE doc_id < 10),
+       |${energyBandSqlCtes("src", "")},
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |    a.ahash AS ha, b.ahash AS hb
@@ -5545,6 +5556,365 @@ object ExtQueries {
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
        |ORDER BY doc_id, neighbor_id""".stripMargin
 
+  /** Streaming perceptual gate served from the STORED hash index
+    * ([[graft.streaming.ScoreStream.indexedHashGateSink]]): the same
+    * arrival/decoy discipline as q_stream_image_gate, but each
+    * micro-batch prunes the index SCAN to the prefix dirs its own
+    * band probes can touch (the driver-side prefix collect that a
+    * continuous streaming plan cannot run lives in foreachBatch).
+    * The source is split into three files streamed one per trigger,
+    * so the narrowing is proven PER BATCH, not just once: in-query
+    * gates require (a) at least two micro-batches ran, (b) every
+    * batch's recorded probe count stays under a quarter of the
+    * layout's 256 prefixes (15 arrivals × 4 bands = at most 60), and
+    * (c) the union of per-batch outputs is EXACTLY what the batch
+    * [[Dedup.hashMatches]] computes over the same arrivals — served
+    * == from-scratch, streamed. */
+  val streamHashIndexedQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("shidx", dir)
+    val docs = documents(s, dir).select("doc_id")
+    val refHashes = Multimodal.imageDHashes(
+      Multimodal.ImageFixture.withPayloads(
+        docs.select(col("doc_id"), col("doc_id").as("__seed"),
+          lit(false).as("__pert")), "__seed", "__pert")
+        .select("doc_id", "payload"), "payload")
+      .select("doc_id", "dhash")
+      .localCheckpoint() // ingest-time decode: exactly once
+    val idir = s"$base/idx"
+    Dedup.writeHashIndex(refHashes, "doc_id", "dhash", idir,
+      bands = 4, nPrefix = 256)
+    val arrivals = Multimodal.ImageFixture.withPayloads(
+      docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 940000L).as("doc_id"),
+          col("doc_id").as("__seed"), lit(true).as("__pert"))
+      .unionByName(docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 950000L).as("doc_id"),
+          (col("doc_id") + 950000L).as("__seed"),
+          lit(false).as("__pert"))),
+      "__seed", "__pert").select("doc_id", "payload")
+    arrivals.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val streamHashes = Multimodal.imageDHashes(stream, "payload")
+      .select("doc_id", "dhash")
+    val q = graft.streaming.ScoreStream.indexedHashGateSink(
+      streamHashes, idir, "doc_id", "dhash", s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    // gate (a)+(b): every trigger narrowed its scan, and there were
+    // enough triggers for "per batch" to mean something
+    val logs = new java.io.File(s"$base/out/_probe").listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq
+    require(logs.length >= 2,
+      s"expected >= 2 micro-batches, saw ${logs.length}")
+    logs.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      val j = try src.mkString finally src.close()
+      val probed = "\"probed\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      val np = "\"n_prefix\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      require(np == 256 && probed > 0 && probed <= np / 4,
+        s"batch ${f.getName} scanned $probed of $np prefixes — no pruning")
+    }
+    val served = s.read.parquet(s"$base/out")
+      .select("doc_id", "neighbor_id", "hamming")
+    // gate (c): streamed+indexed == one-shot batch over the same hashes
+    val arrHashes = Multimodal.imageDHashes(arrivals, "payload")
+      .select("doc_id", "dhash")
+    val fresh = Dedup.hashMatches(arrHashes, refHashes, "doc_id", "dhash")
+    val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    require(key(served) == key(fresh),
+      "indexed streaming gate diverged from the batch hashMatches")
+    served.orderBy("doc_id", "neighbor_id")
+  }
+
+  val streamHashIndexedSql =
+    s"""WITH ref AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert FROM documents),
+       |arr AS (
+       |  SELECT doc_id + 940000 AS id, doc_id AS pid, TRUE AS pert
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 950000, doc_id + 950000, FALSE FROM documents
+       |  WHERE doc_id < 5),
+       |${dhashBandSqlCtes("ref", "r")},
+       |${dhashBandSqlCtes("arr", "a")},
+       |cand AS (
+       |  SELECT DISTINCT a.id AS doc_id, r.id AS neighbor_id,
+       |    a.dhash AS ha, r.dhash AS hb
+       |  FROM banda a JOIN bandr r ON a.bi = r.bi AND a.bv = r.bv)
+       |SELECT doc_id, neighbor_id,
+       |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_id, neighbor_id""".stripMargin
+
+  /** Streaming perceptual AUDIO gate — the energy-hash member of the
+    * streaming gate family: arrivals are real RIFF/WAVE clips
+    * ([[Multimodal.AudioFixture]]) PCM-DECODED ON THE STREAM
+    * ([[Multimodal.audioEnergyHashes]] over the arriving payloads)
+    * and banded-hamming matched ([[Dedup.hashMatches]], stateless —
+    * explode + stream-static equi-join + codegen popcount, append
+    * mode, no watermark) against the static corpus hash set, decoded
+    * once and localCheckpoint-pinned so microbatches never re-decode
+    * the reference. Ten perturbed re-encodes MUST match their
+    * originals within hamming 3; five unrelated decoys match only on
+    * genuine collisions the oracle replays identically. */
+  val streamAudioGateQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("saudgate", dir)
+    val docs = documents(s, dir).select("doc_id")
+    val refHashes = Multimodal.audioEnergyHashes(
+      Multimodal.AudioFixture.withWavPayloads(
+        docs.select(col("doc_id"), col("doc_id").as("__seed"),
+          lit(false).as("__pert")), "__seed", "__pert")
+        .select("doc_id", "payload"), "payload")
+      .select("doc_id", "ahash")
+      .localCheckpoint() // ingest-time decode: exactly once
+    val arrivals = Multimodal.AudioFixture.withWavPayloads(
+      docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 910000L).as("doc_id"),
+          col("doc_id").as("__seed"), lit(true).as("__pert"))
+      .unionByName(docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 915000L).as("doc_id"),
+          (col("doc_id") + 915000L).as("__seed"),
+          lit(false).as("__pert"))),
+      "__seed", "__pert").select("doc_id", "payload")
+    arrivals.write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(arrivals.schema).parquet(s"$base/src")
+    val streamHashes = Multimodal.audioEnergyHashes(stream, "payload")
+      .select("doc_id", "ahash")
+    val matches = Dedup.hashMatches(streamHashes, refHashes,
+      "doc_id", "ahash")
+    val q = graft.streaming.ScoreStream.idempotentParquetSink(
+      matches, s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    val served = s.read.parquet(s"$base/out")
+      .select("doc_id", "neighbor_id", "hamming")
+    // stream == batch, pinned in-query
+    val fresh = Dedup.hashMatches(
+      Multimodal.audioEnergyHashes(arrivals, "payload")
+        .select("doc_id", "ahash"),
+      refHashes, "doc_id", "ahash")
+    val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    require(key(served) == key(fresh),
+      "streaming audio gate diverged from the batch hashMatches")
+    served.orderBy("doc_id", "neighbor_id")
+  }
+
+  val streamAudioGateSql =
+    s"""WITH ref AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert FROM documents),
+       |arr AS (
+       |  SELECT doc_id + 910000 AS id, doc_id AS pid, TRUE AS pert
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 915000, doc_id + 915000, FALSE FROM documents
+       |  WHERE doc_id < 5),
+       |${energyBandSqlCtes("ref", "r")},
+       |${energyBandSqlCtes("arr", "a")},
+       |cand AS (
+       |  SELECT DISTINCT a.id AS doc_id, r.id AS neighbor_id,
+       |    a.ahash AS ha, r.ahash AS hb
+       |  FROM banda a JOIN bandr r ON a.bi = r.bi AND a.bv = r.bv)
+       |SELECT doc_id, neighbor_id,
+       |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_id, neighbor_id""".stripMargin
+
+  /** Streaming perceptual VIDEO gate ([[graft.streaming.ScoreStream
+    * .videoGateSink]]): arriving GVID containers are parsed, stride-
+    * sampled, and PNG-decoded INSIDE their micro-batch, then
+    * temporally voted ([[Dedup.videoHashMatches]], 2-of-3 aligned
+    * frames within hamming 3) against the reference corpus' frame
+    * hashes — decoded once, pinned, and passed to the sink as plain
+    * `(id, frame, hash)` rows. The vote is a group-by aggregate a
+    * continuous append plan cannot run; each arrival's frames travel
+    * inside one payload row, so the foreachBatch vote is exact, not
+    * approximate. Source split across two files streamed one per
+    * trigger — the gate is proven across multiple batches. Arrivals:
+    * ten one-scene re-encodes (MUST match at matched_frames = 2)
+    * plus three unrelated decoy videos. Stream == batch pinned
+    * in-query. */
+  val streamVideoGateQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("svidgate", dir)
+    val docs = documents(s, dir).select("doc_id")
+      .where(col("doc_id") < 100)
+    val refFrames = Multimodal.videoFrameDHashes(
+      Multimodal.VideoFixture.withPayloads(
+        docs.select(col("doc_id"), col("doc_id").as("__seed"),
+          lit(false).as("__pert")), "__seed", "__pert")
+        .select("doc_id", "payload"), "payload", stride = 2)
+      .select("doc_id", "frame_idx", "dhash")
+      .localCheckpoint() // ingest-time decode: exactly once
+    val arrivals = Multimodal.VideoFixture.withPayloads(
+      docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 905000L).as("doc_id"),
+          col("doc_id").as("__seed"), lit(true).as("__pert"))
+      .unionByName(s.range(3)
+        .select((col("id") + 908000L).as("doc_id"),
+          (col("id") + 908000L).as("__seed"), lit(false).as("__pert"))),
+      "__seed", "__pert").select("doc_id", "payload")
+    arrivals.repartition(2).write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = graft.streaming.ScoreStream.videoGateSink(
+      stream, refFrames, "doc_id", "payload",
+      s"$base/out", s"$base/chk", stride = 2, minMatches = 2)
+    q.awaitTermination()
+    val served = s.read.parquet(s"$base/out")
+      .select("doc_id", "neighbor_id", "matched_frames")
+    // stream == batch, pinned in-query
+    val fresh = Dedup.videoHashMatches(
+      Multimodal.videoFrameDHashes(arrivals, "payload", stride = 2),
+      refFrames, "doc_id", minMatches = 2)
+    val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    require(key(served) == key(fresh),
+      "streaming video gate diverged from the batch videoHashMatches")
+    served.orderBy("doc_id", "neighbor_id")
+  }
+
+  val streamVideoGateSql = {
+    def hv(p: String) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(fseed AS VARCHAR) || ':' || CAST(gy AS VARCHAR)), $p, 1)) - 1)"
+    def lumAt(x: String) =
+      s"""((${hv(s"2*($x)+1")} * 16 + ${hv(s"2*($x)+2")} +
+         |      CASE WHEN fbump AND (($x) = 0 AND gy = 0 OR ($x) = 4 AND gy = 3)
+         |           THEN 64 ELSE 0 END) % 256)""".stripMargin
+    s"""WITH src AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert, FALSE AS arr
+       |  FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 905000, doc_id, TRUE, TRUE FROM documents
+       |  WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT 908000 + i, 908000 + i, FALSE, TRUE
+       |  FROM (SELECT unnest(range(0, 3)) AS i)),
+       |fr AS (
+       |  SELECT id, arr, f,
+       |    CASE WHEN pert AND f = 4 THEN pid * 100 + f + 555555
+       |         ELSE pid * 100 + f END AS fseed,
+       |    (pert AND (f = 0 OR f = 2)) AS fbump
+       |  FROM src CROSS JOIN (SELECT unnest([0, 2, 4]) AS f)),
+       |cell AS (
+       |  SELECT id, arr, f, fseed, fbump, gy, gx FROM fr
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gy)
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gx)),
+       |bits AS (
+       |  SELECT id, arr, f,
+       |    CASE WHEN ${lumAt("gx + 1")} > ${lumAt("gx")}
+       |         THEN CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+       |                   ELSE (1::BIGINT << (gy * 8 + gx)) END
+       |         ELSE 0 END AS b
+       |  FROM cell),
+       |hash AS (
+       |  SELECT id, arr, f, bit_or(b) AS dhash FROM bits GROUP BY id, arr, f),
+       |band AS (
+       |  SELECT id, arr, f, dhash, bi, (dhash >> (16 * bi)) & 65535 AS bv
+       |  FROM hash CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS doc_id, r.id AS neighbor_id, a.f
+       |  FROM band a JOIN band r
+       |    ON a.f = r.f AND a.bi = r.bi AND a.bv = r.bv
+       |  WHERE a.arr AND NOT r.arr
+       |    AND bit_count(xor(a.dhash, r.dhash)) <= 3)
+       |SELECT doc_id, neighbor_id, COUNT(*) AS matched_frames
+       |FROM cand GROUP BY doc_id, neighbor_id
+       |HAVING COUNT(*) >= 2
+       |ORDER BY doc_id, neighbor_id""".stripMargin
+  }
+
+  /** Frame-DRIFT video dedup — [[Dedup.videoNearDups]] with
+    * `align = "offset"`: arrivals are [[Multimodal.VideoFixture
+    * .videoDrifted]] re-encodes (one unrelated frame INSERTED at the
+    * front, the last original frame dropped — the ad-insert /
+    * intro-bumper case), so every surviving original frame sits one
+    * position later than in the original cut. Positional alignment
+    * matches ZERO frames — an in-query gate proves the `"aligned"`
+    * vote returns nothing for the drifted pairs — while the
+    * best-offset histogram vote concentrates all five surviving
+    * frames at offset −1 and catches every planted pair at the SAME
+    * `minMatches` threshold. Dense sampling (stride 1) is the
+    * documented price: stride sampling after an insertion samples a
+    * different subset of the original frames, so no single offset
+    * can line the hash sets up (the operator raises on
+    * `align="offset"` with stride > 1). Oracle replays frames,
+    * dHashes, banding, the offset histogram, and the arg-max vote in
+    * SQL. */
+  val dedupVideoDriftQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id")
+      .where(col("doc_id") < 100)
+    val base = docs.select(col("doc_id"), col("doc_id").as("__seed"),
+      lit(false).as("__pert"))
+    val originals = Multimodal.VideoFixture.withPayloads(
+      base, "__seed", "__pert").select("doc_id", "payload")
+    val drifted = Multimodal.VideoFixture.withDriftedPayloads(
+      docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 920000L).as("doc_id"),
+          col("doc_id").as("__seed")), "__seed")
+      .select("doc_id", "payload")
+    val corpus = originals.unionByName(drifted)
+      .localCheckpoint() // voted twice: offset result + aligned gate
+    val caught = Dedup.videoNearDups(corpus, "doc_id", "payload",
+      stride = 1, maxHamming = 3, bands = 4, minMatches = 2,
+      align = "offset")
+    // the aligned vote MUST miss every drifted pair — that is the
+    // failure mode this operator exists for
+    val alignedHits = Dedup.videoNearDups(corpus, "doc_id", "payload",
+        stride = 1, maxHamming = 3, bands = 4, minMatches = 2)
+      .where(col("id_b") >= 920000L).count()
+    require(alignedHits == 0,
+      s"aligned vote caught $alignedHits drifted pairs — the drift " +
+        "fixture no longer drifts")
+    caught.orderBy("id_a", "id_b")
+  }
+
+  val dedupVideoDriftSql = {
+    def hv(p: String) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(fseed AS VARCHAR) || ':' || CAST(gy AS VARCHAR)), $p, 1)) - 1)"
+    def lumAt(x: String) =
+      s"((${hv(s"2*($x)+1")} * 16 + ${hv(s"2*($x)+2")}) % 256)"
+    s"""WITH src AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS drift
+       |  FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 920000, doc_id, TRUE FROM documents
+       |  WHERE doc_id < 10),
+       |fr AS (
+       |  SELECT id, f,
+       |    CASE WHEN drift AND f = 0 THEN pid * 100 + 777777
+       |         WHEN drift THEN pid * 100 + (f - 1)
+       |         ELSE pid * 100 + f END AS fseed
+       |  FROM src CROSS JOIN (SELECT unnest(range(0, 6)) AS f)),
+       |cell AS (
+       |  SELECT id, f, fseed, gy, gx FROM fr
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gy)
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gx)),
+       |bits AS (
+       |  SELECT id, f,
+       |    CASE WHEN ${lumAt("gx + 1")} > ${lumAt("gx")}
+       |         THEN CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+       |                   ELSE (1::BIGINT << (gy * 8 + gx)) END
+       |         ELSE 0 END AS b
+       |  FROM cell),
+       |hash AS (SELECT id, f, bit_or(b) AS dhash FROM bits GROUP BY id, f),
+       |band AS (
+       |  SELECT id, f, dhash, bi, (dhash >> (16 * bi)) & 65535 AS bv
+       |  FROM hash CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    (b.f - a.f) AS off, a.f
+       |  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv
+       |  WHERE a.id < b.id
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |votes AS (
+       |  SELECT id_a, id_b, off, COUNT(*) AS m
+       |  FROM cand GROUP BY id_a, id_b, off)
+       |SELECT id_a, id_b, MAX(m) AS matched_frames
+       |FROM votes GROUP BY id_a, id_b
+       |HAVING MAX(m) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Perceptual VIDEO near-dup dedup ([[Dedup.videoNearDups]]): every
     * document becomes a six-frame GVID container of real fixture PNGs
     * (frame `f` renders from seed `doc_id*100 + f`), plus ten
@@ -6571,7 +6941,11 @@ object ExtQueries {
     "q_dedup_index_update" -> dedupIndexUpdateQ,
     "q_dedup_hash_index" -> dedupHashIndexQ,
     "q_stream_image_gate" -> streamImageGateQ,
+    "q_stream_hash_indexed" -> streamHashIndexedQ,
+    "q_stream_audio_gate" -> streamAudioGateQ,
+    "q_stream_video_gate" -> streamVideoGateQ,
     "q_dedup_video" -> dedupVideoQ,
+    "q_dedup_video_drift" -> dedupVideoDriftQ,
     "q_text_normalize" -> textNormalize,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_apply" -> bpeApplyQ,
@@ -6694,7 +7068,11 @@ object ExtQueries {
     "q_dedup_index_update" -> dedupIndexUpdateSql,
     "q_dedup_hash_index" -> dedupHashIndexSql,
     "q_stream_image_gate" -> streamImageGateSql,
+    "q_stream_hash_indexed" -> streamHashIndexedSql,
+    "q_stream_audio_gate" -> streamAudioGateSql,
+    "q_stream_video_gate" -> streamVideoGateSql,
     "q_dedup_video" -> dedupVideoSql,
+    "q_dedup_video_drift" -> dedupVideoDriftSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_vocab_coverage" -> vocabCoverageSql,

@@ -406,6 +406,87 @@ object ScoreStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming perceptual-hash gate served from a STORED
+    * [[graft.ext.Dedup.writeHashIndex]] layout. The plain streaming
+    * gate ([[graft.ext.Dedup.hashMatches]] on a stream) scans the
+    * full reference hash set every trigger; the stored index could
+    * not help because [[graft.ext.Dedup.hashMatchesIndexed]] prunes
+    * partitions via a driver-side prefix collect, which cannot run
+    * inside a continuous streaming plan. foreachBatch is the legal
+    * home for it: each micro-batch arrives as a PLAIN DataFrame, so
+    * the collect runs per trigger and the batch reads only the
+    * prefix dirs its own band probes can touch — at most `nPrefix`,
+    * typically a small fraction (production: a thousand-image batch
+    * against a billion-image index touches ≤ 4·|batch| of the
+    * nPrefix dirs; everything else is never opened).
+    *
+    * The batch pins with localCheckpoint before probing so arriving
+    * hashes are computed once though probed twice (narrowing log +
+    * match). Output follows the [[idempotentParquetSink]] contract
+    * (per-batch overwrite → exactly-once in effect); the per-batch
+    * narrowing lands in `outDir/_probe/batch-<id>.json`
+    * (`{"batch":B,"probed":K,"n_prefix":N}`, overwritten on replay)
+    * so callers — and the driver query's in-query gate — can PROVE
+    * each trigger pruned the scan instead of trusting the plan. */
+  def indexedHashGateSink(arrivalHashes: DataFrame, indexDir: String,
+                          idCol: String, hashCol: String,
+                          outDir: String, checkpoint: String,
+                          maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivalHashes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batch = df.localCheckpoint()
+        val (probed, nPrefix) = graft.ext.Dedup.probePrefixes(
+          indexDir, batch, idCol, hashCol)
+        graft.ext.Dedup.hashMatchesIndexed(
+            indexDir, batch, idCol, hashCol, maxHamming)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/_probe/batch-$id.json")
+        val out = fs.create(p, true)
+        try out.write(
+          s"""{"batch":$id,"probed":${probed.length},"n_prefix":$nPrefix}"""
+            .getBytes("UTF-8"))
+        finally out.close()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Streaming perceptual VIDEO gate: arriving GVID payloads decode
+    * INSIDE their micro-batch ([[graft.ext.Multimodal
+    * .videoFrameDHashes]] over the batch frame — sampled frames only,
+    * skipped frames never decode) and vote against a reference
+    * frame-hash set that was decoded once upstream and is passed in
+    * as plain hashes. The temporal vote is a group-by aggregate, so
+    * it cannot run in an append-mode streaming plan — but every
+    * arrival's frames travel inside its own payload row, so the vote
+    * COMPLETES within the batch and foreachBatch is semantically
+    * exact, not an approximation: batching never splits a video.
+    * Stateless across batches; per-batch overwrite keeps the
+    * [[idempotentParquetSink]] exactly-once contract. `align` follows
+    * [[graft.ext.Dedup.videoHashMatches]] (`"offset"` + stride 1 for
+    * drift-tolerant serving). */
+  def videoGateSink(arrivalPayloads: DataFrame, refFrameHashes: DataFrame,
+                    idCol: String, payloadCol: String,
+                    outDir: String, checkpoint: String,
+                    stride: Int = 2, maxHamming: Int = 3,
+                    bands: Int = 4, minMatches: Int = 2,
+                    align: String = "aligned"): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivalPayloads.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val frames = graft.ext.Multimodal.videoFrameDHashes(
+          df.select(df(idCol), df(payloadCol)), payloadCol, stride)
+        graft.ext.Dedup.videoHashMatches(frames, refFrameHashes,
+            idCol, "dhash", "frame_idx", maxHamming, bands, minMatches,
+            align)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming CDC apply: each micro-batch of change rows merges into
     * the CURRENT published version of `tableDir`
     * ([[graft.etl.Merge.applyCdc]]) and lands as a NEW version via the

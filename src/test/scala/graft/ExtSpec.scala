@@ -917,6 +917,40 @@ class ExtSpec extends AnyFunSuite {
     ()
   }
 
+  test("video offset vote: catches frame drift the aligned vote misses; stride guard raises") {
+    import spark.implicits._
+    val V = Multimodal.VideoFixture
+    val corpus = Seq(
+      (1L, V.video(7L, perturbed = false)),
+      (2L, V.videoDrifted(7L)), // intro-bumper insert: all frames shift
+      (3L, V.video(8L, perturbed = false)))
+      .toDF("id", "payload")
+    val aligned = Dedup.videoNearDups(corpus, "id", "payload",
+      stride = 1, minMatches = 2)
+    assert(aligned.count() == 0, "aligned vote should miss the drifted pair")
+    val offset = Dedup.videoNearDups(corpus, "id", "payload",
+        stride = 1, minMatches = 2, align = "offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(offset.toSeq == Seq((1L, 2L, V.FrameCount - 1L)),
+      s"offset vote: ${offset.mkString(",")}")
+    // two-sided serving path agrees
+    val refFrames = Multimodal.videoFrameDHashes(
+      corpus.where($"id" === 1L || $"id" === 3L), "payload", stride = 1)
+    val arrFrames = Multimodal.videoFrameDHashes(
+      corpus.where($"id" === 2L).select(lit(99L).as("id"), $"payload"),
+      "payload", stride = 1)
+    val m = Dedup.videoHashMatches(arrFrames, refFrames, "id",
+        minMatches = 2, align = "offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.toSeq == Seq((99L, 1L, V.FrameCount - 1L)), m.mkString(","))
+    // drift tolerance requires dense frames: offset + stride>1 raises
+    intercept[IllegalArgumentException] {
+      Dedup.videoNearDups(corpus, "id", "payload", stride = 2,
+        align = "offset")
+    }
+    ()
+  }
+
   test("swapPrefixDirs: installs fresh dirs, drops emptied ones, cleans tmp only at the end") {
     val root = java.nio.file.Files.createTempDirectory("graft_swap")
     val idx = new java.io.File(root.toFile, "idx")
