@@ -649,9 +649,57 @@ object Multimodal {
     * everything downstream of this scan is `(id, int, long)`. */
   def videoFrameDHashes(df: DataFrame, payloadCol: String,
                         stride: Int = 2, maxFrames: Int = 64,
-                        maxPixels: Long = Codec.MaxPixels): DataFrame = {
-    require(stride >= 1, s"stride=$stride")
+                        maxPixels: Long = Codec.MaxPixels): DataFrame =
+    frameHashesWith(df, payloadCol, GvidDHash(maxFrames, maxPixels), stride)
+
+  /** THE DECODE SEAM. Everything downstream of decode — banding,
+    * pairing and temporal votes ([[graft.ext.Dedup.videoNearDups]] /
+    * [[graft.ext.Dedup.videoHashMatches]]), the stored hash index
+    * with its CDC maintenance, and the streaming gates — consumes
+    * only the `(id…, frame_idx, hash)` rows this contract produces
+    * and never touches a payload byte. Real corpora arrive in codecs
+    * the bare JVM cannot decode (MP4/H.264 need native libs): a
+    * production deployment implements this trait over its codec
+    * stack (JNI FFmpeg, a GPU decode service, …) and plugs it into
+    * [[frameHashesWith]]; nothing in the dedup layer changes.
+    * [[GvidDHash]] is the sandbox instance — the repo's own seekable
+    * GVID container over PNG frames, chosen so the whole chain stays
+    * testable and SQL-replayable without native dependencies.
+    *
+    * Contract: deterministic per payload; `stride`-sampled frame
+    * indices of the ORIGINAL frame numbering (so votes and oracles
+    * can reason about positions); empty for undecodable, truncated,
+    * or over-budget payloads — never a partial parse, never a
+    * throw. */
+  trait FrameHasher extends Serializable {
+    /** Sampled `(frame_idx, 64-bit perceptual hash)` rows for one
+      * payload; empty when the payload cannot be decoded. */
+    def frameHashes(payload: Array[Byte], stride: Int): Seq[(Int, Long)]
+  }
+
+  /** The sandbox [[FrameHasher]]: GVID container parse (length-prefix
+    * seek — skipped frames never decode) + per-frame PNG dHash. */
+  final case class GvidDHash(maxFrames: Int = 64,
+                             maxPixels: Long = Codec.MaxPixels)
+      extends FrameHasher {
     require(maxFrames >= 1, s"maxFrames=$maxFrames")
+    override def frameHashes(payload: Array[Byte],
+                             stride: Int): Seq[(Int, Long)] =
+      VideoContainer.sampledFrames(payload, stride, maxFrames)
+        .flatMap { case (f, bytes) =>
+          Codec.dHash64(bytes, maxPixels).map(h => (f, h))
+        }
+  }
+
+  /** Per-frame perceptual hashes of a payload column through any
+    * [[FrameHasher]] — the generic plumbing behind
+    * [[videoFrameDHashes]] and the plug point for production codecs.
+    * Output: the input's non-payload columns + `(frame_idx, dhash)`,
+    * one row per sampled decodable frame; payloads the hasher
+    * rejects contribute no rows. */
+  def frameHashesWith(df: DataFrame, payloadCol: String,
+                      hasher: FrameHasher, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride=$stride")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
     val idFields = df.schema.fields.filterNot(_.name == payloadCol)
@@ -667,11 +715,9 @@ object Multimodal {
           if (row.isNullAt(payloadIdx)) Array.empty[Byte]
           else row.getAs[Array[Byte]](payloadIdx)
         val keep = keepIdx.map(row.get).toSeq
-        VideoContainer.sampledFrames(payload, stride, maxFrames)
-          .flatMap { case (f, bytes) =>
-            Codec.dHash64(bytes, maxPixels)
-              .map(h => Row.fromSeq(keep :+ Int.box(f) :+ Long.box(h)))
-          }
+        hasher.frameHashes(payload, stride).map { case (f, h) =>
+          Row.fromSeq(keep :+ Int.box(f) :+ Long.box(h))
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -1882,6 +1882,85 @@ object TextStats extends Serializable {
     rev.toArray
   }
 
+  /** The soft-EM sibling of [[viterbiPieces]]: forward-backward over
+    * the same segmentation lattice, returning every piece's EXPECTED
+    * occurrence count in the word (posterior mass summed over all
+    * segmentations, not just the best path) and the word's marginal
+    * log-likelihood `log Z` in nats. Determinism note: the DP runs in
+    * Double, but it is a pure function of (word, table) evaluated in
+    * a fixed loop order on one executor — identical on every replay —
+    * and the caller rounds each expectation to integer micro-units
+    * BEFORE the distributed sum, so aggregation is exact-long and
+    * partitioning-independent, the same discipline as the hard path. */
+  private[graft] def forwardBackwardPieces(tok: String,
+      table: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unkMicro: Long): (Seq[(String, Double)], Double) = {
+    val cps = (UnigramMarker + tok).codePoints.toArray
+      .map(cp => new String(Character.toChars(cp)))
+    val n = cps.length
+    val NEG = Double.NegativeInfinity
+    // piece text + logprob (nats) for span [i, i+j); unk fallback on
+    // singles keeps the lattice total, exactly as in the Viterbi DP
+    val pieceAt = Array.tabulate(n) { i =>
+      Array.tabulate(math.min(maxLen, n - i)) { jm1 =>
+        val p = cps.slice(i, i + jm1 + 1).mkString
+        val sc = table.get(p)
+        val lp: Double =
+          if (sc != null) sc.longValue() / 1e6
+          else if (jm1 == 0) unkMicro / 1e6
+          else NEG
+        (p, lp)
+      }
+    }
+    def lse(xs: Array[Double]): Double = {
+      var mx = NEG
+      var i = 0
+      while (i < xs.length) { if (xs(i) > mx) mx = xs(i); i += 1 }
+      if (mx == NEG) NEG
+      else {
+        var s = 0.0; i = 0
+        while (i < xs.length) { s += StrictMath.exp(xs(i) - mx); i += 1 }
+        mx + StrictMath.log(s)
+      }
+    }
+    val alpha = Array.fill(n + 1)(NEG); alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      val terms = (1 to math.min(maxLen, i)).map { j =>
+        alpha(i - j) + pieceAt(i - j)(j - 1)._2
+      }.toArray
+      alpha(i) = lse(terms)
+      i += 1
+    }
+    val beta = Array.fill(n + 1)(NEG); beta(n) = 0.0
+    i = n - 1
+    while (i >= 0) {
+      val terms = (1 to math.min(maxLen, n - i)).map { j =>
+        pieceAt(i)(j - 1)._2 + beta(i + j)
+      }.toArray
+      beta(i) = lse(terms)
+      i -= 1
+    }
+    val z = alpha(n)
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    i = 0
+    while (i < n) {
+      var j = 1
+      val jMax = math.min(maxLen, n - i)
+      while (j <= jMax) {
+        val (p, lp) = pieceAt(i)(j - 1)
+        if (lp != NEG) {
+          val w = alpha(i) + lp + beta(i + j) - z
+          if (w != NEG)
+            acc.update(p, acc.getOrElse(p, 0.0) + StrictMath.exp(w))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (acc.toSeq, z)
+  }
+
   /** Unigram-LM tokenization APPLY — the other production tokenizer
     * family next to BPE (Kudo, arXiv:1804.10959; SentencePiece's
     * default model): given a FROZEN vocabulary of (piece, logprob)
@@ -1980,14 +2059,30 @@ object TextStats extends Serializable {
     * re-estimates piece logprobs from the exact integer piece counts,
     * and pruning keeps every single code point (coverage — decode
     * identity survives training) plus the highest-count multi-cp
-    * pieces until the vocabulary reaches `vocabSize`. Soft-EM's
-    * forward-backward lattice expectations are deliberately traded
-    * for Viterbi counts: counts stay EXACT LONGS end to end, so the
-    * whole train is bit-deterministic (`StrictMath.log` for the one
-    * float step, rounded once to micro-units) — same discipline as
-    * the BPE trainers. The hard-EM guarantee is checked, not assumed:
-    * once pruning stops, each round's Viterbi log-likelihood must be
-    * non-decreasing (within integer micro rounding), or this throws.
+    * pieces until the vocabulary reaches `vocabSize`. Counts stay
+    * EXACT LONGS end to end, so the whole train is bit-deterministic
+    * (`StrictMath.log` for the one float step, rounded once to
+    * micro-units) — same discipline as the BPE trainers. The hard-EM
+    * guarantee is checked, not assumed: once pruning stops, each
+    * round's Viterbi log-likelihood must be non-decreasing (within
+    * integer micro rounding), or this throws.
+    *
+    * `mode = "soft"` switches the E-step to SentencePiece's actual
+    * formulation: [[forwardBackwardPieces]] lattice expectations
+    * (posterior piece mass over ALL segmentations, not just the best
+    * path) and Kudo's likelihood-drop pruning — each multi-cp piece
+    * is scored by `E[count] × (logp(piece) − logp(single-char
+    * fallback))`, the likelihood the corpus LOSES if the piece is
+    * removed and its occurrences re-segment through the always-
+    * present singles (the bounded, deterministic approximation of
+    * the paper's exact alt-segmentation rule), and the lowest-loss
+    * pieces prune first. Expectations round to integer micro-counts
+    * PER WORD before the distributed sum, so soft mode keeps the
+    * same exact-long aggregation and bit-determinism; its runtime
+    * gate checks the MARGINAL likelihood `Σ n_w·log Z_w` is
+    * non-decreasing between prune-free rounds (within micro rounding
+    * slack). Hard mode stays the default: identical DP to serving,
+    * and the gate is exact rather than slack-bounded.
     *
     * Scale shape (the bounded-driver-model class — DSIR, k-means,
     * langid): the corpus is tokenized ONCE into distinct words with
@@ -2004,13 +2099,17 @@ object TextStats extends Serializable {
                    vocabSize: Int, iterations: Int = 4,
                    maxPieceLen: Int = 8, seedMultiplier: Int = 4,
                    wordCap: Int = 1 << 20,
-                   unkLogProb: Double = -20.0): Seq[(String, Double)] = {
+                   unkLogProb: Double = -20.0,
+                   mode: String = "hard"): Seq[(String, Double)] = {
     require(vocabSize >= 1, s"vocabSize=$vocabSize")
     require(iterations >= 1, s"iterations=$iterations")
     require(maxPieceLen >= 1 && maxPieceLen <= 63,
       s"maxPieceLen=$maxPieceLen")
     require(seedMultiplier >= 1, s"seedMultiplier=$seedMultiplier")
     require(wordCap >= 1, s"wordCap=$wordCap")
+    require(mode == "hard" || mode == "soft",
+      s"mode=$mode (want 'hard' or 'soft')")
+    val soft = mode == "soft"
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
     val s = df.sparkSession
@@ -2048,14 +2147,22 @@ object TextStats extends Serializable {
       .select("piece", "cnt").collect()
       .map(r => r.getString(0) -> r.getLong(1))
     require(singles.nonEmpty, "unigramTrain: empty corpus")
-    def microsFrom(counts: Map[String, Long]): Map[String, Long] = {
+    // `floor` is half a count in the counts' own unit: 0.5 for the
+    // hard path's raw longs, 5e5 for soft mode's micro-scaled
+    // expectations (the total cancels the scale out of log(c/total))
+    def microsFrom(counts: Map[String, Long],
+                   floor: Double = 0.5): Map[String, Long] = {
       val total = counts.values.sum.toDouble
       // zero-count singles stay for coverage at a half-count floor
       counts.map { case (p, c) =>
-        p -> math.round(StrictMath.log(math.max(c, 0.5) / total) * 1e6)
+        p -> math.round(StrictMath.log(math.max(c.toDouble, floor) / total) * 1e6)
       }
     }
     var vocab = microsFrom((singles ++ seedMultis).toMap)
+    // soft-mode slack counts word OCCURRENCES (one ±0.5-micro Z
+    // rounding each); bounded agg, computed once off the checkpoint
+    val totalWordOccurrences: Long =
+      if (soft) words.agg(sum(col("__n"))).head().getLong(0) else 0L
     val eSchema = StructType(Seq.empty)
       .add("piece", StringType, nullable = false)
       .add("cnt", LongType, nullable = false)
@@ -2066,14 +2173,28 @@ object TextStats extends Serializable {
       val bc = s.sparkContext.broadcast(vocab.toArray)
       val maxLen = vocab.keysIterator
         .map(p => p.codePointCount(0, p.length)).max
-      val pieceCounts = words.mapPartitions { rows =>
+      val rawCounts = words.mapPartitions { rows =>
         val table = new java.util.HashMap[String, java.lang.Long](
           bc.value.length * 2)
         bc.value.foreach { case (p, m) => table.put(p, m); () }
         rows.flatMap { row =>
           val n = row.getLong(1)
-          viterbiPieces(row.getString(0), table, maxLen, unkMicro)
-            .iterator.map(p => Row(p, n))
+          if (soft) {
+            // expectations round to micro PER WORD, then scale by the
+            // word's exact count: the distributed sum stays exact-long
+            // (overflow headroom: ≤ 64 occurrences × 1e6 micro ≈ 6e7
+            // per word, × count — safe past 1e10 occurrences). The
+            // empty-string key (never a piece — pieces are non-empty)
+            // carries n·round(1e6·log Z) for the marginal-LL gate.
+            val (exp, z) = forwardBackwardPieces(
+              row.getString(0), table, maxLen, unkMicro)
+            exp.iterator.map { case (p, e) =>
+              Row(p, math.round(e * 1e6) * n)
+            } ++ Iterator.single(Row("", math.round(z * 1e6) * n))
+          } else {
+            viterbiPieces(row.getString(0), table, maxLen, unkMicro)
+              .iterator.map(p => Row(p, n))
+          }
         }
       }(Encoders.row(eSchema))
         .groupBy("piece").agg(sum("cnt").as("cnt"))
@@ -2082,35 +2203,57 @@ object TextStats extends Serializable {
       // it now or every EM round (and every train in a session) leaks
       // a copy on the driver and executors
       bc.destroy()
-      val ll = pieceCounts.iterator.map { case (p, c) =>
-        c * vocab.getOrElse(p, unkMicro)
-      }.sum
-      // hard-EM monotonicity. Slack: ±0.5 micro rounding per piece
-      // occurrence, plus the coverage floor's probability-mass slop
-      // (each zero-count single carries 0.5 pseudo-count OUTSIDE the
-      // normalizer — worth at most 0.5 nat = 5e5 micro of apparent
-      // regression each)
-      val slack = pieceCounts.values.sum + 500000L * singles.length
+      val pieceCounts = if (soft) rawCounts - "" else rawCounts
+      // hard: Viterbi path LL (exact); soft: marginal LL Σ n·log Z
+      val ll =
+        if (soft) rawCounts.getOrElse("", Long.MinValue)
+        else pieceCounts.iterator.map { case (p, c) =>
+          c * vocab.getOrElse(p, unkMicro)
+        }.sum
+      // EM monotonicity. Slack: ±0.5 micro rounding per counted unit
+      // (piece occurrence for hard, word occurrence for soft's
+      // per-word Z rounding), plus the coverage floor's
+      // probability-mass slop (each zero-count single carries half a
+      // pseudo-count OUTSIDE the normalizer — worth at most 0.5 nat
+      // = 5e5 micro of apparent regression each)
+      val slack = (if (soft) totalWordOccurrences
+                   else pieceCounts.values.sum) +
+        500000L * singles.length
       require(prunedSincePrev || ll + slack >= prevLL,
-        s"unigramTrain: Viterbi log-likelihood regressed without a " +
+        s"unigramTrain($mode): log-likelihood regressed without a " +
           s"prune ($prevLL -> $ll micro) — the EM invariant is broken")
       prevLL = ll
-      // M-step over pieces the Viterbi paths used; coverage singles
-      // (zero count) stay at the floor, unused multis drop
+      // M-step over pieces the E-step used; coverage singles (zero
+      // count) stay at the floor, unused multis drop
       val singleSet = singles.iterator.map(_._1).toSet
       val counted = vocab.keysIterator.map { p =>
         p -> pieceCounts.getOrElse(p, 0L)
       }.filter { case (p, c) => c > 0 || singleSet.contains(p) }.toMap
-      // prune: singles always, then highest-count multis to target
-      val keepMultis = counted.iterator
+      // prune: singles always survive (coverage). Multis rank by
+      // count (hard) or by Kudo's likelihood drop (soft): the
+      // likelihood lost if the piece is removed and its expected
+      // occurrences re-segment through the single-char fallback —
+      // E[count] × (logp(piece) − Σ logp(chars)). Driver-side over
+      // ≤ seedMultiplier×vocabSize pieces; Double scoring is
+      // deterministic (exact-long inputs, fixed tie-break).
+      def kudoLoss(p: String, cMicro: Long): Double = {
+        val alt = p.codePoints.toArray.map { cp =>
+          vocab.getOrElse(new String(Character.toChars(cp)), unkMicro)
+        }.sum
+        cMicro.toDouble * (vocab.getOrElse(p, unkMicro) - alt).toDouble
+      }
+      val multis = counted.iterator
         .filter { case (p, _) => !singleSet.contains(p) }.toSeq
-        .sortBy { case (p, c) => (-c, p) }
-        .take(math.max(0, vocabSize - singleSet.size))
+      val keepMultis =
+        (if (soft) multis.sortBy { case (p, c) => (-kudoLoss(p, c), p) }
+         else multis.sortBy { case (p, c) => (-c, p) })
+          .take(math.max(0, vocabSize - singleSet.size))
       prunedSincePrev =
         counted.size > singleSet.size + keepMultis.size
       vocab = microsFrom(
         (singleSet.iterator.map(p => p -> counted.getOrElse(p, 0L)) ++
-          keepMultis.iterator).toMap)
+          keepMultis.iterator).toMap,
+        floor = if (soft) 5e5 else 0.5)
       it += 1
     }
     vocab.toSeq.sortBy(_._1).map { case (p, m) => (p, m / 1e6) }

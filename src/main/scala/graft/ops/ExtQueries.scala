@@ -5988,6 +5988,59 @@ object ExtQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** SOFT-EM unigram training ([[TextStats.unigramTrain]] with
+    * `mode = "soft"` — SentencePiece's actual formulation: forward-
+    * backward lattice expectations and Kudo likelihood-drop pruning,
+    * next to the hard-EM default of [[unigramTrainQ]]). Same
+    * rows-only discipline (an EM fixed point no bounded recursive
+    * query replays) and the same gate family, soft-specific where it
+    * matters: (a) the MARGINAL likelihood `Σ n_w·log Z_w` must be
+    * non-decreasing between prune-free rounds (within micro-rounding
+    * slack) — thrown inside the trainer; (b) decode∘apply identity
+    * under the trained vocabulary; (c) compression — the soft-trained
+    * tokenizer emits fewer symbols than characters; (d) hard/soft
+    * AGREEMENT on the head: every multi-cp piece the hard trainer
+    * keeps on this corpus that the soft budget also retains scores
+    * within the same table shape, and the dominant planted pieces of
+    * the corpus appear in BOTH vocabularies (the two E-steps may
+    * legitimately differ in the tail — posterior mass reaches
+    * off-Viterbi sub-pieces — but not on what matters). */
+  val unigramTrainSoftQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val soft = TextStats.unigramTrain(docs, "text",
+      vocabSize = 300, iterations = 3, maxPieceLen = 4, mode = "soft")
+    require(soft.exists(p => p._1.codePointCount(0, p._1.length) > 1),
+      "soft unigram train kept no multi-codepoint piece")
+    val applied = TextStats.unigramApply(docs, "text", soft,
+      unkLogProb = -20.0).localCheckpoint() // gates read it twice
+    val norm = concat_ws(" ", graft.ml.Featurize.tokensCol(col("text")))
+    val broken = applied.where(
+      TextStats.unigramDecode(col("unigram_symbols")) =!= norm).count()
+    require(broken == 0,
+      s"decode identity broke on $broken documents after soft training")
+    val Array(symbols, chars) = applied.agg(
+        sum(size(col("unigram_symbols")).cast("long")),
+        sum(length(norm).cast("long")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(symbols < chars,
+      s"soft-trained tokenizer does not compress: $symbols symbols " +
+        s"vs $chars chars")
+    // hard/soft head agreement: the top-10 multis of the hard train
+    // (by logprob) must all survive soft training too
+    val hard = TextStats.unigramTrain(docs, "text",
+      vocabSize = 300, iterations = 3, maxPieceLen = 4)
+    val hardHead = hard
+      .filter(p => p._1.codePointCount(0, p._1.length) > 1)
+      .sortBy { case (p, lp) => (-lp, p) }.take(10).map(_._1)
+    val softSet = soft.map(_._1).toSet
+    val missing = hardHead.filterNot(softSet.contains)
+    require(missing.isEmpty,
+      s"soft training lost dominant hard-EM pieces: $missing")
+    val out = soft.map { case (p, lp) => (p, math.round(lp * 1e6)) }
+    import s.implicits._
+    out.toDF("piece", "logprob_micro").orderBy("piece")
+  }
+
   /** Unigram-LM vocabulary TRAINING ([[TextStats.unigramTrain]] —
     * Viterbi hard-EM with coverage-preserving pruning, completing the
     * SentencePiece pair whose apply/fertility/artifact surface landed
@@ -6921,6 +6974,7 @@ object ExtQueries {
     "q_unigram_apply" -> unigramApplyQ,
     "q_unigram_fertility" -> unigramFertilityQ,
     "q_unigram_train" -> unigramTrainQ,
+    "q_unigram_train_soft" -> unigramTrainSoftQ,
     "q_multimodal_meta" -> multimodalMeta,
     "q_dedup_image" -> dedupImageQ,
     "q_dedup_audio" -> dedupAudioQ,

@@ -755,6 +755,65 @@ class ExtSpec extends AnyFunSuite {
     ()
   }
 
+  test("unigram soft-EM: expectations train the planted piece, Kudo pruning, hard parity") {
+    import spark.implicits._
+    val T = TextStats
+    val corpus = (1L to 40L).map(i => (i, "the the the qx zz"))
+      .toDF("doc_id", "text")
+    val soft = T.unigramTrain(corpus, "text",
+      vocabSize = 12, iterations = 3, maxPieceLen = 4, mode = "soft")
+    val hard = T.unigramTrain(corpus, "text",
+      vocabSize = 12, iterations = 3, maxPieceLen = 4)
+    // parity on the planted corpus: both EM variants learn the
+    // dominant word (its Kudo likelihood drop dwarfs every
+    // competitor's), keep every single (coverage), and respect the
+    // size target. Exact inventories legitimately differ: soft
+    // expectations give posterior mass to off-Viterbi sub-pieces
+    // ("▁th", "the") that hard counts at zero, so soft fills the
+    // size budget where hard stops early.
+    val softP = soft.map(_._1).toSet
+    val hardP = hard.map(_._1).toSet
+    assert(softP.contains(T.UnigramMarker + "the") &&
+      hardP.contains(T.UnigramMarker + "the"))
+    assert(hardP.filter(p => p.codePointCount(0, p.length) == 1)
+      .subsetOf(softP), "soft mode dropped a coverage single")
+    assert(soft.size <= math.max(12,
+      softP.count(p => p.codePointCount(0, p.length) == 1)))
+    // soft mode is deterministic under replay (micro-rounded
+    // expectations aggregate as exact longs)
+    val again = T.unigramTrain(corpus, "text",
+      vocabSize = 12, iterations = 3, maxPieceLen = 4, mode = "soft")
+    assert(soft == again)
+    // decode identity survives soft training
+    val served = T.unigramApply(
+      Seq((1L, "the qx völlig")).toDF("doc_id", "text"), "text", soft)
+      .select(T.unigramDecode(col("unigram_symbols")).as("d"))
+      .head().getString(0)
+    assert(served == "the qx völlig")
+    // the forward-backward DP itself: expectations are posterior mass
+    // (sum over ALL segmentations), so a piece off the Viterbi path
+    // still gets weight — plant a two-way-ambiguous word
+    val table = new java.util.HashMap[String, java.lang.Long]()
+    val m = T.UnigramMarker
+    Seq(m -> -1.0, "a" -> -1.0, "b" -> -1.0,
+      s"${m}a" -> -1.5, "ab" -> -1.5).foreach { case (p, lp) =>
+      table.put(p, math.round(lp * 1e6)); ()
+    }
+    val (exp, z) = T.forwardBackwardPieces("ab", table, 2, -20000000L)
+    val em = exp.toMap
+    // paths: [m,a,b] (-3.0), [ma,b] (-2.5), [m,ab] (-2.5); Z = lse
+    val want = math.log(math.exp(-3.0) + 2 * math.exp(-2.5))
+    assert(math.abs(z - want) < 1e-9, s"z=$z want=$want")
+    val pBest = math.exp(-2.5 - z)
+    assert(math.abs(em(s"${m}a") - pBest) < 1e-9)
+    assert(math.abs(em("ab") - pBest) < 1e-9)
+    assert(math.abs(em("b") - (pBest + math.exp(-3.0 - z))) < 1e-9)
+    intercept[IllegalArgumentException] {
+      T.unigramTrain(corpus, "text", vocabSize = 12, mode = "fuzzy")
+    }
+    ()
+  }
+
   test("video frame sampling: container round trip, stride seek, garbage exclusion") {
     import spark.implicits._
     val V = Multimodal.VideoFixture
@@ -914,6 +973,53 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.hashMatchesIndexed(dir, arr, "id", "h")
     }
+    ()
+  }
+
+  test("decode seam: a custom FrameHasher feeds the dedup layer unchanged") {
+    import spark.implicits._
+    // a stand-in for a production codec (MP4 via JNI, GPU decode, …):
+    // payloads are raw "frame streams" of 8-byte little-endian hashes,
+    // one per frame — no container, no PNG, nothing GVID-shaped
+    object RawLongHasher extends Multimodal.FrameHasher {
+      override def frameHashes(payload: Array[Byte],
+                               stride: Int): Seq[(Int, Long)] = {
+        if (payload == null || payload.length % 8 != 0) return Nil
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until payload.length / 8)
+          .filter(_ % stride == 0).map(f => (f, bb.getLong(f * 8)))
+      }
+    }
+    def pack(hs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(hs.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hs.foreach(bb.putLong); bb.array()
+    }
+    val corpus = Seq(
+      (1L, pack(0x00000000000000FFL, 0x1234567812345678L)),
+      (2L, pack(0x00000000000000FDL, 0x1234567812345679L)), // ham 1+1
+      (3L, pack(-1L, 0x0F0F0F0F0F0F0F0FL)),                 // unrelated
+      (4L, Array[Byte](1, 2, 3)))                           // undecodable
+      .toDF("id", "payload")
+    val frames = Multimodal.frameHashesWith(corpus, "payload",
+      RawLongHasher, stride = 1)
+    assert(frames.where($"id" === 4L).count() == 0,
+      "undecodable payloads must contribute no rows")
+    // the very same vote the GVID path uses, fed from the custom seam
+    val pairs = Dedup.videoHashMatches(
+        frames.where($"id" === 2L),
+        frames.where($"id" =!= 2L),
+        "id", minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((2L, 1L, 2L)), pairs.mkString(","))
+    // and the GVID default is itself just an instance of the seam
+    val V = Multimodal.VideoFixture
+    val gvid = Seq((7L, V.video(7L, perturbed = false))).toDF("id", "payload")
+    val viaSeam = Multimodal.frameHashesWith(gvid, "payload",
+      Multimodal.GvidDHash(), stride = 2).collect()
+    val viaDefault = Multimodal.videoFrameDHashes(gvid, "payload").collect()
+    assert(viaSeam.map(_.toSeq).toSeq == viaDefault.map(_.toSeq).toSeq)
     ()
   }
 
