@@ -3891,6 +3891,56 @@ object ExtQueries {
        |FROM base ORDER BY doc_id""".stripMargin
   }
 
+  /** PDF text extraction ([[graft.ext.Pdf]] — the other big crawl
+    * front door next to [[textHtmlQ]]'s HTML): every document becomes
+    * a COMPLETE valid two-page PDF 1.4 (catalog → page tree →
+    * FlateDecoded content streams → xref + trailer, written
+    * executor-side by [[graft.ext.Pdf.PdfFixture]]), and the Spark
+    * side genuinely parses the object layer back — balanced stream
+    * dictionaries gated on `/Length` (so the word "stream" in page
+    * TEXT cannot confuse the scanner), `java.util.zip` inflation,
+    * text operators with full literal-string escapes. Planted
+    * extras: a TJ-kerning + hex-string content stream (gap heuristic
+    * + both string forms), an uncompressed-stream PDF (the second
+    * decode path), and a non-PDF payload that must reject with a
+    * null text. The oracle replays the expected text from
+    * `documents.text` alone — extraction is an exact round trip. */
+  val textPdfQ: Q = (s, dir) => {
+    import s.implicits._
+    val docs = documents(s, dir).select("doc_id", "text")
+    val main = graft.ext.Pdf.PdfFixture.withPayloads(docs, "doc_id", "text")
+      .select("doc_id", "payload")
+    // bounded driver-side payloads: three planted corner-case docs
+    val fancy = graft.ext.Pdf.PdfFixture.pdf(Seq(Seq("x")),
+      rawContent = Some("BT /F1 12 Tf 72 720 Td " +
+        "[(Tom) -250 (Jerry) -20 (Co)] TJ <21> Tj ET"))
+    val rawPdf = graft.ext.Pdf.PdfFixture.pdf(
+      Seq(Seq("raw stream page")), compress = false)
+    val junk = "not a pdf".getBytes("UTF-8")
+    val planted = Seq(
+      (840000L, fancy), (840001L, junk), (840002L, rawPdf))
+      .toDF("doc_id", "payload")
+    graft.ext.Pdf.withPdfText(main.unionByName(planted), "payload")
+      .select(col("doc_id"),
+        trim(regexp_replace(col("text_pdf"), "\\s+", " ")).as("text_pdf"),
+        col("text_pdf_ok"))
+      .orderBy("doc_id")
+  }
+
+  val textPdfSql =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(
+       |      text || ' Page 2 of doc ' || CAST(doc_id AS VARCHAR),
+       |      '\\s+', ' ', 'g')) AS text_pdf,
+       |    TRUE AS text_pdf_ok
+       |  FROM documents
+       |  UNION ALL SELECT 840000, 'Tom JerryCo!', TRUE
+       |  UNION ALL SELECT 840001, NULL, FALSE
+       |  UNION ALL SELECT 840002, 'raw stream page', TRUE)
+       |SELECT doc_id, text_pdf, text_pdf_ok FROM base
+       |ORDER BY doc_id""".stripMargin
+
   /** URL canonicalization + site key ([[TextStats.normalizeUrl]] /
     * [[TextStats.urlDomain]]) over synthetic crawl URLs built from
     * every document (mixed-case scheme/host, default port, tracking
@@ -7032,6 +7082,7 @@ object ExtQueries {
     "q_quality_gopher" -> qualityGopher,
     "q_quality_blocklist" -> qualityBlocklistQ,
     "q_text_html" -> textHtmlQ,
+    "q_text_pdf" -> textPdfQ,
     "q_filter_funnel" -> filterFunnelQ,
     "q_quality_authority" -> qualityAuthorityQ,
     "q_mixture_authority" -> mixtureAuthorityQ,
@@ -7154,6 +7205,7 @@ object ExtQueries {
     "q_quality_gopher" -> qualityGopherSql,
     "q_quality_blocklist" -> qualityBlocklistSql,
     "q_text_html" -> textHtmlSql,
+    "q_text_pdf" -> textPdfSql,
     "q_quality_authority" -> qualityAuthoritySql,
     "q_mixture_authority" -> mixtureAuthoritySql,
     "q_filter_funnel" -> filterFunnelSql,

@@ -976,6 +976,48 @@ class ExtSpec extends AnyFunSuite {
     ()
   }
 
+  test("pdf extraction: fixture round trip, escapes, hex, TJ gaps, recovery, rejection") {
+    import spark.implicits._
+    val P = Pdf
+    // two-page fixture round-trips arbitrary text incl. escapes + unicode
+    val tricky = "paren (x) back\\slash völlig 日本語 end"
+    val doc = P.PdfFixture.pdf(Seq(Seq(tricky, "line two"), Seq("p2")))
+    val got = P.extractText(doc).get.replaceAll("\\s+", " ").trim
+    assert(got == s"$tricky line two p2", got)
+    // uncompressed streams decode on the same path
+    val raw = P.PdfFixture.pdf(Seq(Seq("no deflate")), compress = false)
+    assert(P.extractText(raw).get.trim == "no deflate")
+    // TJ kerning: ≤ -180 reads as a word gap, small tweaks do not;
+    // hex strings decode; escapes incl. octal
+    val content = "BT /F1 12 Tf 72 720 Td " +
+      "[(Tom) -250 (Jerry) -20 (Co)] TJ " +
+      "<546F6D32> Tj (a\\(b\\)c\\\\d\\055e) Tj ET"
+    val fancy = P.PdfFixture.pdf(Seq(Seq("ignored")),
+      rawContent = Some(content))
+    val fancyText = P.extractText(fancy).get.replaceAll("\\s+", " ").trim
+    assert(fancyText == "Tom JerryCoTom2a(b)c\\d-e", fancyText)
+    // the word "stream" in page TEXT must not confuse the scanner
+    val evil = P.PdfFixture.pdf(Seq(Seq("a stream of text endstream ok")),
+      compress = false)
+    assert(P.extractText(evil).get.trim == "a stream of text endstream ok")
+    // recovery: truncating the xref/trailer loses nothing — the
+    // content streams are intact and still extract
+    val cut = doc.take(doc.length - 120)
+    assert(P.extractText(cut).get.contains("line two"))
+    // non-PDF payloads are rejected, not parsed
+    assert(P.extractText("plain text".getBytes("UTF-8")).isEmpty)
+    assert(P.extractText(null).isEmpty)
+    // frame function: ok flag + null text for junk
+    val df = Seq((1L, doc), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = P.withPdfText(df, "payload")
+      .select("id", "text_pdf", "text_pdf_ok")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)).isDefined, r.getBoolean(2)))).toMap
+    assert(out(1L) == ((true, true)) && out(2L) == ((false, false)))
+    ()
+  }
+
   test("decode seam: a custom FrameHasher feeds the dedup layer unchanged") {
     import spark.implicits._
     // a stand-in for a production codec (MP4 via JNI, GPU decode, …):
