@@ -1218,6 +1218,34 @@ object Dedup {
       .select(col(idCol), col("neighbor_id"), col("est_jaccard"))
   }
 
+  /** The narrowing evidence for a [[minhashMatchesIndexed]] call: the
+    * distinct band-key prefixes the arrival batch's band probes can
+    * touch (at most 16^prefixChars values — driver-bounded) plus the
+    * layout's total prefix count.
+    * [[graft.streaming.ScoreStream.indexedBandGateSink]] logs the
+    * pair per micro-batch so each trigger can PROVE it pruned the
+    * index scan instead of trusting the plan. */
+  def probeBandPrefixes(indexDir: String, arrivals: DataFrame,
+                        idCol: String, textCol: String,
+                        numHashes: Int = 4,
+                        bands: Int = 2): (Array[String], Int) = {
+    val s = arrivals.sparkSession
+    val rows = numHashes / bands
+    val stored = s.read.parquet(indexDir)
+    require(stored.columns.contains("pfx"),
+      s"$indexDir is not a writeBandIndex layout (no pfx partition)")
+    val prefixLen = stored.select(max(length(col("pfx")))).head().getInt(0)
+    val probed = arrivals
+      .select(col(idCol), Featurize.tokensCol(col(textCol)).as("__t"))
+      .select(col(idCol), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__asig", minhashSignature(col("__sh"), numHashes))
+      .select(explode(bandKeys(col("__asig"), bands, rows)).as("band_key"))
+      .select(substring(col("band_key"), 1, prefixLen).as("pfx"))
+      .distinct().collect().map(_.getString(0)).sorted
+    (probed, math.pow(16, prefixLen).toInt)
+  }
+
   /** Apply a CDC change batch to a [[writeBandIndex]] layout IN
     * PLACE, rewriting ONLY the prefix dirs the changed documents'
     * band rows live in (old rows and new rows both count — an update
@@ -1316,7 +1344,8 @@ object Dedup {
   def videoNearDups(df: DataFrame, idCol: String, payloadCol: String,
                     stride: Int = 2, maxHamming: Int = 3, bands: Int = 4,
                     minMatches: Int = 2,
-                    align: String = "aligned"): DataFrame = {
+                    align: String = "aligned",
+                    maxBandBucket: Long = DefaultMaxBandBucket): DataFrame = {
     val (bandBits, mask) = videoVoteChecks(bands, maxHamming, minMatches,
       align, stride)
     val hashes = Multimodal.videoFrameDHashes(
@@ -1332,7 +1361,7 @@ object Dedup {
       col("__hash").as("__rhash"), col("__bi").as("__rbi"),
       col("__bv").as("__rbv"))
     videoVote(probes, right, selfPair = true, align, maxHamming,
-      minMatches, "id_a", "id_b")
+      minMatches, "id_a", "id_b", maxBandBucket)
   }
 
   /** Two-sided temporal-vote matcher — [[videoNearDups]]'s
@@ -1353,7 +1382,8 @@ object Dedup {
                        frameCol: String = "frame_idx",
                        maxHamming: Int = 3, bands: Int = 4,
                        minMatches: Int = 2,
-                       align: String = "aligned"): DataFrame = {
+                       align: String = "aligned",
+                       maxBandBucket: Long = DefaultMaxBandBucket): DataFrame = {
     val (bandBits, mask) = videoVoteChecks(bands, maxHamming, minMatches,
       align, stride = 1)
     def probes(df: DataFrame, idAs: String, fAs: String, hAs: String,
@@ -1369,8 +1399,16 @@ object Dedup {
       probes(arrivals, "__id", "__f", "__hash", "__bi", "__bv"),
       probes(reference, "__rid", "__rf", "__rhash", "__rbi", "__rbv"),
       selfPair = false, align, maxHamming, minMatches,
-      idCol, "neighbor_id")
+      idCol, "neighbor_id", maxBandBucket)
   }
+
+  /** Default per-(band_idx, band_val) candidate cap for the
+    * align='offset' vote: the largest bucket product the operator
+    * will launch without being told to. 2^22 (~4.2M frame pairs in
+    * ONE bucket) is far beyond any non-degenerate corpus — natural
+    * frames spread band values md5-thin — so tripping it means a
+    * degenerate value, not scale. */
+  val DefaultMaxBandBucket: Long = 1L << 22
 
   private def videoVoteChecks(bands: Int, maxHamming: Int,
                               minMatches: Int, align: String,
@@ -1413,11 +1451,41 @@ object Dedup {
   private def videoVote(left: DataFrame, right: DataFrame,
                         selfPair: Boolean, align: String,
                         maxHamming: Int, minMatches: Int,
-                        outId: String, outNbr: String): DataFrame = {
+                        outId: String, outNbr: String,
+                        maxBandBucket: Long = DefaultMaxBandBucket): DataFrame = {
     val bandCond = col("__bi") === col("__rbi") && col("__bv") === col("__rbv")
     val joinCond =
       if (align == "aligned") bandCond && col("__f") === col("__rf")
       else bandCond
+    if (align == "offset") {
+      // Offset-mode candidates are Σ over (band_idx, band_val)
+      // buckets of |left bucket| × |right bucket| — quadratic in
+      // same-band frames. A degenerate band value (constant-color
+      // frames: title cards, black leaders, slide decks) makes one
+      // bucket's product explode SILENTLY; refuse loudly BEFORE
+      // launching the join. The check is linear (two narrow counts +
+      // a bucket equi-join) and collects at most one row.
+      val lc = left.groupBy(col("__bi"), col("__bv"))
+        .agg(count(lit(1)).as("__lc"))
+      val rc = right.groupBy(col("__rbi"), col("__rbv"))
+        .agg(count(lit(1)).as("__rc"))
+      val worst = lc.join(rc,
+          lc("__bi") === rc("__rbi") && lc("__bv") === rc("__rbv"))
+        .where(col("__lc") * col("__rc") > maxBandBucket)
+        .select(col("__bi"), col("__bv"),
+          (col("__lc") * col("__rc")).as("__n"))
+        .orderBy(col("__n").desc).limit(1).collect()
+      require(worst.isEmpty, {
+        val w = worst.head
+        s"align='offset' band bucket (band_idx=${w.getInt(0)}, " +
+          s"band_val=${w.getLong(1)}) would produce ${w.getLong(2)} " +
+          s"candidate frame pairs (cap $maxBandBucket): a degenerate " +
+          "band value — typically constant-color frames (black " +
+          "leaders, title cards) — makes the offset join quadratic. " +
+          "Pre-filter constant frames, raise `bands`, raise " +
+          "`maxBandBucket` deliberately, or use align='aligned'."
+      })
+    }
     val cand0 = left.join(right, joinCond)
     val cand1 = if (selfPair) cand0.where(col("__id") < col("__rid")) else cand0
     val ok = cand1.where(

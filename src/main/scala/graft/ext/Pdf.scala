@@ -15,11 +15,22 @@ import org.apache.spark.sql.DataFrame
   *
   * Honest scope, same discipline as the media decode seam
   * ([[Multimodal.FrameHasher]]): string bytes decode as UTF-8
-  * (Latin-1 fallback per byte via the replacement policy below);
-  * CID/Type0 composite fonts whose bytes are code points into an
-  * embedded CMap are OUT of scope — a production deployment puts a
-  * full font-aware extractor (pdfium via JNI, Tika) behind the same
-  * `payload → text` seam without touching the Spark plumbing.
+  * (Latin-1 fallback per byte via the replacement policy below) —
+  * UNLESS the document carries a `/ToUnicode` CMap for the font the
+  * content stream selects, in which case string bytes are 2-byte
+  * codes mapped through it (`bfchar` + `bfrange`, offset and array
+  * forms — the CID/Type0 subset every tagged-for-accessibility and
+  * most generated PDFs ship). Font resolution is recovery-mode like
+  * everything else: object headers are found by linear scan (object
+  * streams — `/Type /ObjStm`, where modern writers pack the page and
+  * font dictionaries — are unpacked first), and the content stream's
+  * `Tf` selects the CMap by resource NAME globally; per-page name
+  * shadowing (two pages binding the same /F1 to different fonts)
+  * falls back to the last binding. CID fonts WITHOUT a ToUnicode
+  * CMap (glyph-id-only subset embeds) remain out of scope — a
+  * production deployment puts a full font-aware extractor (pdfium
+  * via JNI, Tika) behind the same `payload → text` seam without
+  * touching the Spark plumbing.
   * Recovery-mode parsing by design: streams are found by a linear
   * byte scan, not by following the xref table, so a truncated or
   * xref-corrupt file still yields the text of every intact content
@@ -43,9 +54,18 @@ object Pdf {
     if (payload == null || payload.length < 5) return None
     val head = new String(payload, 0, math.min(payload.length, 8), "ISO-8859-1")
     if (!head.startsWith("%PDF-")) return None
+    // CID support costs a second linear pass (object table + CMap
+    // parse); only documents that can possibly need it pay — the
+    // /ObjStm marker lives in an UNcompressed stream dict, and a
+    // top-level /ToUnicode ref is raw too, so the guard never misses
+    val raw = new String(payload, "ISO-8859-1")
+    val cmaps =
+      if (raw.contains("/ToUnicode") || raw.contains("/ObjStm"))
+        fontCMaps(payload)
+      else Map.empty[String, CMap]
     val out = new StringBuilder
     streams(payload).foreach { s =>
-      appendContentText(s, out)
+      appendContentText(s, out, cmaps)
     }
     Some(out.result())
   }
@@ -152,6 +172,260 @@ object Pdf {
     } finally inf.end()
   }
 
+  // ---- object layer: the recovery-mode table behind CID text ----
+
+  /** One indirect object: its dictionary text and, when it is a
+    * stream object, the DECODED stream body. */
+  private case class PdfObj(dict: String, stream: Option[Array[Byte]])
+
+  /** The indirect-object table by linear scan — `N G obj` headers,
+    * balanced dictionaries, `/Length`-disciplined stream bodies (the
+    * [[streams]] rules), then `/Type /ObjStm` object streams unpacked
+    * so the page/font dictionaries modern writers compress into them
+    * become visible. No xref following, same recovery contract as
+    * [[streams]]: a truncated file yields every intact object. */
+  private def objects(payload: Array[Byte]): Map[Int, PdfObj] = {
+    val text = new String(payload, "ISO-8859-1")
+    val out = scala.collection.mutable.Map.empty[Int, PdfObj]
+    val m = java.util.regex.Pattern
+      .compile("(\\d+)\\s+\\d+\\s+obj\\b").matcher(text)
+    val lengthRe = "/Length\\s+(\\d+)".r
+    var pos = 0
+    while (pos < text.length && m.find(pos)) {
+      val num = m.group(1).toInt
+      var i = m.end
+      while (i < text.length && Character.isWhitespace(text.charAt(i))) i += 1
+      if (!text.startsWith("<<", i)) pos = m.end
+      else {
+        val dictEnd = dictForward(text, i)
+        val dict = text.substring(i, dictEnd)
+        var j = dictEnd
+        while (j < text.length && Character.isWhitespace(text.charAt(j))) j += 1
+        if (!text.startsWith("stream", j)) {
+          out(num) = PdfObj(dict, None)
+          pos = j
+        } else {
+          var body0 = j + "stream".length
+          if (body0 < text.length && text.charAt(body0) == '\r') body0 += 1
+          if (body0 < text.length && text.charAt(body0) == '\n') body0 += 1
+          val declared = lengthRe.findFirstMatchIn(dict).map(_.group(1).toLong)
+          val end = declared match {
+            case Some(len) if len >= 0 && body0 + len <= text.length &&
+                text.startsWith("endstream",
+                  skipEol(text, (body0 + len).toInt)) =>
+              (body0 + len).toInt
+            case _ =>
+              var e = text.indexOf("endstream", body0)
+              if (e >= 0) {
+                if (e > body0 && text.charAt(e - 1) == '\n') e -= 1
+                if (e > body0 && text.charAt(e - 1) == '\r') e -= 1
+              }
+              e
+          }
+          if (end < 0) pos = text.length
+          else {
+            val rawBody = java.util.Arrays.copyOfRange(payload, body0, end)
+            val decoded =
+              if (dict.contains("/FlateDecode")) inflate(rawBody)
+              else Some(rawBody)
+            out(num) = PdfObj(dict, decoded)
+            pos = text.indexOf("endstream", end) match {
+              case -1 => text.length
+              case e => e + "endstream".length
+            }
+          }
+        }
+      }
+    }
+    // unpack object streams: header = N (objnum, offset) int pairs,
+    // members start at /First — members are always dict-level objects
+    // (the spec excludes streams), so dict-only entries suffice
+    val packed = out.toSeq.collect {
+      case (_, o) if o.dict.contains("/ObjStm") && o.stream.isDefined =>
+        o
+    }
+    packed.foreach { o =>
+      val body = o.stream.get
+      val btxt = new String(body, "ISO-8859-1")
+      val n = "/N\\s+(\\d+)".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+      val first = "/First\\s+(\\d+)".r.findFirstMatchIn(o.dict)
+        .map(_.group(1).toInt)
+      for (nv <- n; fv <- first if fv <= btxt.length) {
+        val header = btxt.substring(0, fv).trim
+          .split("\\s+").filter(_.nonEmpty)
+        val pairs = header.grouped(2).take(nv).collect {
+          case Array(on, off) => (on.toInt, off.toInt)
+        }.toIndexedSeq
+        val sorted = pairs.sortBy(_._2)
+        sorted.zipWithIndex.foreach { case ((objNum, off), k) =>
+          val from = math.min(fv + off, btxt.length)
+          val to =
+            if (k + 1 < sorted.length) math.min(fv + sorted(k + 1)._2, btxt.length)
+            else btxt.length
+          if (from < to) out(objNum) = PdfObj(btxt.substring(from, to), None)
+          ()
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Index just past the balanced `<< … >>` starting at `open`. */
+  private def dictForward(text: String, open: Int): Int = {
+    var i = open
+    var depth = 0
+    while (i < text.length) {
+      if (text.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (text.startsWith(">>", i)) {
+        depth -= 1; i += 2
+        if (depth == 0) return i
+      } else i += 1
+    }
+    text.length
+  }
+
+  // ---- ToUnicode CMaps: the CID subset ----
+
+  /** A parsed ToUnicode CMap: explicit `bfchar` entries override
+    * `bfrange`s; ranges map either by last-UTF-16-unit offset or by
+    * explicit destination array. Codes neither covers fall through to
+    * the identity (code = UTF-16 unit) — the Identity-H convention. */
+  private[graft] case class CMap(
+      chars: Map[Int, String],
+      ranges: Seq[(Int, Int, Either[String, IndexedSeq[String]])]) {
+    def map(code: Int): String =
+      chars.getOrElse(code,
+        ranges.collectFirst {
+          case (lo, hi, dst) if code >= lo && code <= hi => dst match {
+            case Left(start) if start.nonEmpty =>
+              start.init + (start.last + (code - lo)).toChar
+            case Left(_) => ""
+            case Right(arr) => arr(code - lo)
+          }
+        }.getOrElse(code.toChar.toString))
+
+    /** Map a shown string's bytes: 2-byte big-endian codes (the
+      * Identity-H/ToUnicode convention); a trailing odd byte maps as
+      * a 1-byte code rather than being dropped. */
+    def mapBytes(bytes: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 1 < bytes.length) {
+        sb.append(map(((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)))
+        i += 2
+      }
+      if (i < bytes.length) sb.append(map(bytes(i) & 0xFF))
+      sb.result()
+    }
+  }
+
+  /** Parse the `bfchar`/`bfrange` sections of a ToUnicode CMap
+    * stream. Token scan, not regex: hex strings `<…>`, `[`/`]`, and
+    * bare words; everything outside begin/end blocks is PostScript
+    * boilerplate and skips. Destination hex decodes as UTF-16BE
+    * (multi-unit destinations — ligatures — come out whole). */
+  private[graft] def parseCMap(body: Array[Byte]): CMap = {
+    val text = new String(body, "ISO-8859-1")
+    val token = java.util.regex.Pattern
+      .compile("<([0-9A-Fa-f \\t\\r\\n]*)>|\\[|\\]|[^\\s<>\\[\\]]+")
+      .matcher(text)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (token.find()) {
+      toks += (if (token.group(1) != null) "<" + token.group(1).replaceAll("\\s", "") else token.group())
+      ()
+    }
+    def hexStr(t: String): String = {
+      val h = t.drop(1)
+      val padded = if (h.length % 2 == 1) h + "0" else h
+      new String(padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        "UTF-16BE")
+    }
+    def hexInt(t: String): Int = {
+      val h = t.drop(1)
+      if (h.isEmpty) 0 else Integer.parseInt(h.takeRight(4), 16)
+    }
+    val chars = Map.newBuilder[Int, String]
+    val ranges = Seq.newBuilder[(Int, Int, Either[String, IndexedSeq[String]])]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case "beginbfchar" =>
+          i += 1
+          while (i + 1 < toks.length && toks(i) != "endbfchar" &&
+              toks(i).startsWith("<") && toks(i + 1).startsWith("<")) {
+            chars += hexInt(toks(i)) -> hexStr(toks(i + 1))
+            i += 2
+          }
+        case "beginbfrange" =>
+          i += 1
+          while (i + 2 < toks.length && toks(i) != "endbfrange" &&
+              toks(i).startsWith("<") && toks(i + 1).startsWith("<")) {
+            val lo = hexInt(toks(i)); val hi = hexInt(toks(i + 1))
+            if (toks(i + 2) == "[") {
+              val arr = IndexedSeq.newBuilder[String]
+              i += 3
+              while (i < toks.length && toks(i) != "]") {
+                if (toks(i).startsWith("<")) arr += hexStr(toks(i))
+                i += 1
+              }
+              i += 1 // past ]
+              val a = arr.result()
+              if (hi >= lo && a.length >= hi - lo + 1)
+                ranges += ((lo, hi, Right(a)))
+            } else {
+              if (hi >= lo && toks(i + 2).startsWith("<"))
+                ranges += ((lo, hi, Left(hexStr(toks(i + 2)))))
+              i += 3
+            }
+          }
+        case _ => i += 1
+      }
+    }
+    CMap(chars.result(), ranges.result())
+  }
+
+  /** Resource-name → ToUnicode CMap for every font any object's
+    * `/Font` resource dictionary binds: the name the content stream's
+    * `Tf` selects resolves here. Inline resource dicts and one level
+    * of `/Resources N 0 R` indirection both work; bindings are
+    * global by name (recovery mode — see the object scaladoc). */
+  private def fontCMaps(payload: Array[Byte]): Map[String, CMap] = {
+    val objs = objects(payload)
+    val fontRef = java.util.regex.Pattern
+      .compile("/([A-Za-z0-9_.]+)\\s+(\\d+)\\s+0\\s+R")
+    val toUniRe = "/ToUnicode\\s+(\\d+)\\s+0\\s+R".r
+    val resRe = "/Resources\\s+(\\d+)\\s+0\\s+R".r
+    val out = scala.collection.mutable.Map.empty[String, CMap]
+    objs.toSeq.sortBy(_._1).foreach { case (_, o) =>
+      val withRes = resRe.findFirstMatchIn(o.dict) match {
+        case Some(r) => o.dict + objs.get(r.group(1).toInt)
+          .map(_.dict).getOrElse("")
+        case None => o.dict
+      }
+      val fontAt = withRes.indexOf("/Font")
+      if (fontAt >= 0) {
+        var k = fontAt + "/Font".length
+        while (k < withRes.length && Character.isWhitespace(withRes.charAt(k)))
+          k += 1
+        if (withRes.startsWith("<<", k)) {
+          val sub = withRes.substring(k, dictForward(withRes, k))
+          val fm = fontRef.matcher(sub)
+          while (fm.find()) {
+            val name = fm.group(1)
+            val ref = fm.group(2).toInt
+            for {
+              fontObj <- objs.get(ref)
+              tu <- toUniRe.findFirstMatchIn(fontObj.dict)
+              cmObj <- objs.get(tu.group(1).toInt)
+              body <- cmObj.stream
+            } out(name) = parseCMap(body)
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
   /** Word-gap heuristic for `TJ` kerning numbers: a leftward
     * adjustment of at least 180 thousandths of an em reads as an
     * inter-word gap (the threshold every practical extractor uses —
@@ -160,17 +434,30 @@ object Pdf {
 
   /** Interpret one decoded stream as a content stream, appending the
     * text its `Tj`/`'`/`"`/`TJ` operators show. Streams with no
-    * text-showing operators (fonts, images, xref streams) contribute
-    * nothing — safe to feed every stream through. */
-  private def appendContentText(stream: Array[Byte], out: StringBuilder): Unit = {
+    * text-showing operators (fonts, images, xref streams, ToUnicode
+    * CMaps — their hex strings never reach a `Tj`) contribute
+    * nothing — safe to feed every stream through. `Tf` switches the
+    * active ToUnicode CMap by resource name; strings shown under a
+    * mapped font decode as 2-byte codes through it, everything else
+    * keeps the UTF-8 byte decode. */
+  private def appendContentText(stream: Array[Byte], out: StringBuilder,
+                                cmaps: Map[String, CMap]): Unit = {
     val n = stream.length
     var i = 0
-    // operands since the last operator: decoded strings and numbers,
-    // in order (exactly what TJ needs)
-    var pending = List.empty[Either[String, Double]]
+    // operands since the last operator: raw string bytes and numbers,
+    // in order (exactly what TJ needs); bytes decode at EMIT time so
+    // the then-active font's CMap applies
+    var pending = List.empty[Either[Array[Byte], Double]]
+    var lastName = ""
+    var curCmap: Option[CMap] = None
     def emitPending(withGaps: Boolean): Unit = {
       pending.reverse.foreach {
-        case Left(s) => out.append(s); ()
+        case Left(bytes) =>
+          out.append(curCmap match {
+            case Some(cm) => cm.mapBytes(bytes)
+            case None => new String(bytes, "UTF-8")
+          })
+          ()
         case Right(num) =>
           if (withGaps && num <= TjGapThreshold) out.append(' ')
           ()
@@ -192,8 +479,10 @@ object Pdf {
         pending ::= Left(s); i = next
       } else if (c == '[' || c == ']') i += 1
       else if (c == '/') { // name object
+        val start = i + 1
         i += 1
         while (i < n && !isDelimiter(stream(i).toChar)) i += 1
+        lastName = new String(stream, start, i - start, "ISO-8859-1")
       } else if (c == '-' || c == '+' || c == '.' || Character.isDigit(c)) {
         val start = i
         i += 1
@@ -210,6 +499,9 @@ object Pdf {
         op match {
           case "Tj" | "'" | "\"" => emitPending(withGaps = false)
           case "TJ" => emitPending(withGaps = true)
+          case "Tf" =>
+            curCmap = cmaps.get(lastName)
+            pending = Nil
           case "Td" | "TD" | "T*" | "BT" | "ET" =>
             pending = Nil
             // line moves and text-block boundaries separate words
@@ -243,8 +535,9 @@ object Pdf {
 
   /** Literal string `(…)`: balanced nested parens, backslash escapes
     * (`\n \r \t \b \f \( \) \\`, 1–3 digit octal, line-continuation
-    * backslash-EOL). Returns (decoded-as-UTF-8, index past `)`). */
-  private def literalString(stream: Array[Byte], open: Int): (String, Int) = {
+    * backslash-EOL). Returns (raw string bytes, index past `)`) —
+    * the text decode (UTF-8 or the active CMap) happens at emit. */
+  private def literalString(stream: Array[Byte], open: Int): (Array[Byte], Int) = {
     val bytes = new java.io.ByteArrayOutputStream()
     var i = open + 1
     var depth = 1
@@ -282,12 +575,12 @@ object Pdf {
         case _ => bytes.write(b.toInt); i += 1
       }
     }
-    (new String(bytes.toByteArray, "UTF-8"), i)
+    (bytes.toByteArray, i)
   }
 
   /** Hex string `<…>`: whitespace ignored, odd final digit padded
-    * with 0 per spec. Returns (decoded-as-UTF-8, index past `>`). */
-  private def hexString(stream: Array[Byte], open: Int): (String, Int) = {
+    * with 0 per spec. Returns (raw string bytes, index past `>`). */
+  private def hexString(stream: Array[Byte], open: Int): (Array[Byte], Int) = {
     val sb = new StringBuilder
     var i = open + 1
     val n = stream.length
@@ -298,8 +591,7 @@ object Pdf {
     }
     if (i < n) i += 1 // past '>'
     val hex = if (sb.length % 2 == 1) sb.append('0').result() else sb.result()
-    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-    (new String(bytes, "UTF-8"), i)
+    (hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, i)
   }
 
   /** Per-payload extraction over a binary column — the codec-class
@@ -432,6 +724,123 @@ object Pdf {
       sb.append(s"startxref\n$xrefAt\n%%EOF\n")
       out.write(sb.result().getBytes("ISO-8859-1"))
       out.toByteArray
+    }
+
+    /** A CID/Type0 PDF: one page whose text is shown as a UTF-16BE
+      * hex string under a composite font with a planted `/ToUnicode`
+      * CMap — identity `bfrange` over the whole BMP plus two `bfchar`
+      * overrides (`A` → `α`, `B` → the `ff` ligature expansion) that
+      * PROVE the mapping is applied rather than bytes falling through
+      * to UTF-8. With `inObjStm` (the default, and how modern writers
+      * emit), the catalog, page tree, font, and page dictionaries are
+      * packed into a compressed `/Type /ObjStm` object stream, so the
+      * font → ToUnicode → resource-name association is reachable ONLY
+      * by unpacking it; the xref table covers the top-level objects
+      * (ObjStm members resolve through the object stream itself, the
+      * PDF 1.5 §7.5.7 shape — readers that insist on type-2 xref
+      * entries should regenerate it, recovery extractors never look). */
+    def cidPdf(text: String, inObjStm: Boolean = true): Array[Byte] = {
+      val units = (0 until text.length).map(k => f"${text.charAt(k).toInt}%04X")
+      val content = (s"BT /FC 12 Tf 72 720 Td <${units.mkString}> Tj ET")
+        .getBytes("ISO-8859-1")
+      val cmap = ("""/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |/CMapName /Planted-UTF16 def
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0041> <03B1>
+        |<0042> <00660066>
+        |endbfchar
+        |1 beginbfrange
+        |<0000> <FFFF> <0000>
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end
+        |end""".stripMargin).getBytes("ISO-8859-1")
+      val cat = "<< /Type /Catalog /Pages 2 0 R >>"
+      val pages = "<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
+      val font = "<< /Type /Font /Subtype /Type0 /BaseFont /Planted-H " +
+        "/Encoding /Identity-H /ToUnicode 6 0 R >>"
+      val page = "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 5 0 R /Resources << /Font << /FC 3 0 R >> >> >>"
+      def streamBytes(extraDict: String, body0: Array[Byte]): Array[Byte] = {
+        val body = deflate(body0)
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write((s"<< /Length ${body.length} /Filter /FlateDecode" +
+          s"$extraDict >>\nstream\n").getBytes("ISO-8859-1"))
+        bos.write(body)
+        bos.write("\nendstream".getBytes("ISO-8859-1"))
+        bos.toByteArray
+      }
+      val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      if (inObjStm) {
+        val members = Seq(1 -> cat, 2 -> pages, 3 -> font, 4 -> page)
+        var off = 0
+        val placed = members.map { case (id, d) =>
+          val r = (id, off, d); off += d.length + 1; r
+        }
+        val header = placed.map { case (id, o, _) => s"$id $o" }
+          .mkString(" ") + "\n"
+        val body = header + placed.map(_._3 + "\n").mkString
+        objs += 7 -> streamBytes(
+          s" /Type /ObjStm /N ${members.length} /First ${header.length}",
+          body.getBytes("ISO-8859-1"))
+      } else {
+        objs += 1 -> cat.getBytes("ISO-8859-1")
+        objs += 2 -> pages.getBytes("ISO-8859-1")
+        objs += 3 -> font.getBytes("ISO-8859-1")
+        objs += 4 -> page.getBytes("ISO-8859-1")
+      }
+      objs += 5 -> streamBytes("", content)
+      objs += 6 -> streamBytes("", cmap)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("%PDF-1.5\n".getBytes("ISO-8859-1"))
+      val offsets = scala.collection.mutable.Map.empty[Int, Int]
+      objs.sortBy(_._1).foreach { case (id, body) =>
+        offsets(id) = out.size()
+        out.write(s"$id 0 obj\n".getBytes("ISO-8859-1"))
+        out.write(body)
+        out.write("\nendobj\n".getBytes("ISO-8859-1"))
+        ()
+      }
+      val xrefAt = out.size()
+      val ids = objs.map(_._1).sorted
+      val sb = new StringBuilder
+      sb.append("xref\n0 1\n0000000000 65535 f \n")
+      ids.foreach { id =>
+        sb.append(s"$id 1\n"); sb.append(f"${offsets(id)}%010d 00000 n \n"); ()
+      }
+      sb.append(s"trailer\n<< /Size ${ids.max + 1} /Root 1 0 R >>\n")
+      sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+      out.write(sb.result().getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+
+    /** What [[Pdf.extractText]] should produce for [[cidPdf]]'s
+      * payload, pre-normalization: the planted CMap's overrides
+      * applied to the text (the oracle replays this with two SQL
+      * `replace`s). */
+    def cidExpected(text: String): String =
+      text.replace("A", "α").replace("B", "ff")
+
+    /** Attach [[cidPdf]] payloads to an id frame executor-side — the
+      * CID twin of [[withPayloads]], backing `q_text_pdf_cid`. */
+    def withCidPayloads(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.BinaryType
+      val outSchema = df.schema.add("payload", BinaryType, nullable = false)
+      val textIdx = df.schema.fieldIndex(textCol)
+      df.mapPartitions { rows =>
+        rows.map { row =>
+          val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
+          Row.fromSeq(row.toSeq :+ cidPdf(text))
+        }
+      }(Encoders.row(outSchema))
     }
 
     /** Attach fixture PDFs to an id frame executor-side: page 1 is

@@ -3941,6 +3941,36 @@ object ExtQueries {
        |SELECT doc_id, text_pdf, text_pdf_ok FROM base
        |ORDER BY doc_id""".stripMargin
 
+  /** CID/Type0 PDF text extraction ([[graft.ext.Pdf.PdfFixture
+    * .cidPdf]] — the PDF-1.5 depth behind q_text_pdf): every document
+    * becomes a composite-font PDF whose text is a UTF-16BE hex string
+    * resolved through a planted `/ToUnicode` CMap, with the catalog /
+    * page / font dictionaries packed into a compressed `/Type /ObjStm`
+    * object stream — so a correct answer REQUIRES (a) unpacking the
+    * object stream to find the font → ToUnicode → resource-name
+    * association, and (b) applying the CMap's `bfchar` overrides
+    * (`A` → `α`, `B` → `ff`) on top of its identity `bfrange`. Bytes
+    * falling through to the UTF-8 path instead would garble every
+    * document. The oracle replays the overrides with two `replace`s
+    * over `documents.text`. */
+  val textPdfCidQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text")
+    graft.ext.Pdf.withPdfText(
+        graft.ext.Pdf.PdfFixture.withCidPayloads(docs, "doc_id", "text")
+          .select("doc_id", "payload"), "payload")
+      .select(col("doc_id"),
+        trim(regexp_replace(col("text_pdf"), "\\s+", " ")).as("text_pdf"),
+        col("text_pdf_ok"))
+      .orderBy("doc_id")
+  }
+
+  val textPdfCidSql =
+    s"""SELECT doc_id,
+       |  trim(regexp_replace(replace(replace(text, 'A', 'α'), 'B', 'ff'),
+       |    '\\s+', ' ', 'g')) AS text_pdf,
+       |  TRUE AS text_pdf_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** URL canonicalization + site key ([[TextStats.normalizeUrl]] /
     * [[TextStats.urlDomain]]) over synthetic crawl URLs built from
     * every document (mixed-case scheme/host, default port, tracking
@@ -5697,6 +5727,200 @@ object ExtQueries {
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
        |ORDER BY doc_id, neighbor_id""".stripMargin
 
+  /** Streaming TEXT near-dup gate served from the STORED MinHash band
+    * index ([[graft.streaming.ScoreStream.indexedBandGateSink]]) —
+    * the text twin of q_stream_hash_indexed: the same planted-arrival
+    * discipline as q_stream_neardup (exact copies, tail-mutated
+    * near-dups, reversed decoys), but each micro-batch prunes the
+    * index SCAN to the prefix dirs its own band keys can touch (the
+    * driver-side prefix collect a continuous streaming plan cannot
+    * run lives in foreachBatch). The source is split into three files
+    * streamed one per trigger, so the narrowing is proven PER BATCH:
+    * in-query gates require (a) at least two micro-batches ran,
+    * (b) every batch's recorded probe count stays under a quarter of
+    * the layout's 256 prefixes (at most 7 arrivals × 2 bands = 14),
+    * and (c) the union of per-batch outputs is EXACTLY what the batch
+    * [[Dedup.minhashMatches]] computes over the same arrivals —
+    * served == from-scratch, streamed. */
+  val streamBandIndexedQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("sbidx", dir)
+    val docs = documents(s, dir).select("doc_id", "text")
+    val idir = s"$base/idx"
+    Dedup.writeBandIndex(docs, "text", "doc_id", idir, prefixChars = 2)
+    val arrivals = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 893000).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+        .select((col("doc_id") + 896000).as("doc_id"),
+          concat(col("text"), lit(" extra appended words here")).as("text")))
+      .unionByName(docs.where(col("doc_id") >= 15 && col("doc_id") < 20)
+        .select((col("doc_id") + 899000).as("doc_id"),
+          reverse(col("text")).as("text")))
+    arrivals.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = graft.streaming.ScoreStream.indexedBandGateSink(
+      stream, idir, "doc_id", "text", s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    // gate (a)+(b): every trigger narrowed its scan, and there were
+    // enough triggers for "per batch" to mean something
+    val logs = new java.io.File(s"$base/out/_probe").listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq
+    require(logs.length >= 2,
+      s"expected >= 2 micro-batches, saw ${logs.length}")
+    logs.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      val j = try src.mkString finally src.close()
+      val probed = "\"probed\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      val np = "\"n_prefix\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      require(np == 256 && probed > 0 && probed <= np / 4,
+        s"batch ${f.getName} scanned $probed of $np prefixes — no pruning")
+    }
+    val served = s.read.parquet(s"$base/out")
+      .select("doc_id", "neighbor_id", "est_jaccard")
+    // gate (c): streamed+indexed == one-shot batch over the same texts
+    val fresh = Dedup.minhashMatches(arrivals, docs, "doc_id", "text")
+    val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    require(key(served) == key(fresh),
+      "indexed streaming band gate diverged from the batch minhashMatches")
+    served.orderBy("doc_id", "neighbor_id")
+  }
+
+  /** [[streamBandIndexedQ]]'s oracle: the [[streamNeardupSql]] lane
+    * arithmetic over the shifted arrival set — the stored index and
+    * the per-batch pruning are value-invisible, so the replay is the
+    * plain two-sided MinHash join. */
+  val streamBandIndexedSql = {
+    def lanes(pfx: String) = (0 until 4).map(i =>
+      s"  list_min(list_transform(sh, x -> substr(md5(x), ${i * 8 + 1}, 8))) AS $pfx$i")
+      .mkString(",\n")
+    s"""WITH arr0 AS (
+       |  SELECT doc_id + 893000 AS id, text FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 896000, text || ' extra appended words here'
+       |  FROM documents WHERE doc_id >= 10 AND doc_id < 15
+       |  UNION ALL
+       |  SELECT doc_id + 899000, reverse(text)
+       |  FROM documents WHERE doc_id >= 15 AND doc_id < 20),
+       |ta AS (SELECT id, $toksSql AS toks FROM arr0),
+       |sa AS (SELECT id, $shinglesSql AS sh FROM ta),
+       |ma AS (SELECT id,
+       |${lanes("a")}
+       |FROM sa WHERE len(sh) > 0),
+       |tr AS (SELECT doc_id AS neighbor_id, $toksSql AS toks FROM documents),
+       |sr AS (SELECT neighbor_id, $shinglesSql AS sh FROM tr),
+       |mr AS (SELECT neighbor_id,
+       |${lanes("m")}
+       |FROM sr WHERE len(sh) > 0)
+       |SELECT a.id AS doc_id, r.neighbor_id,
+       |  ROUND(CAST((a.a0 = r.m0)::INT + (a.a1 = r.m1)::INT +
+       |    (a.a2 = r.m2)::INT + (a.a3 = r.m3)::INT AS DOUBLE) / 4, 6)
+       |    AS est_jaccard
+       |FROM ma a JOIN mr r
+       |  ON (a.a0 = r.m0 AND a.a1 = r.m1) OR (a.a2 = r.m2 AND a.a3 = r.m3)
+       |ORDER BY doc_id, neighbor_id""".stripMargin
+  }
+
+  /** The MEDIA curation pipeline as one oracled query — the image
+    * twin of [[curationPipelineQ]]: ingest-decode → stored-index
+    * near-dup serve → per-domain quota → deterministic shard export,
+    * each stage the already-oracled operator, composed end to end.
+    * Reference images decode exactly ONCE into the stored
+    * [[Dedup.writeHashIndex]] layout; arrivals (20 perturbed
+    * re-uploads that must drop + 20 fresh images that must survive,
+    * domain-tagged) decode once in the batch and are served from the
+    * index — an in-query gate proves the serve PRUNED the scan
+    * (probed prefixes ≤ a quarter of the layout) rather than reading
+    * the whole index. Survivors pass a per-domain quota
+    * (row_number ≤ 3) and land in the md5 shard/position export.
+    * Everything downstream of the pixels is replayed value-exact by
+    * the oracle. */
+  val mediaPipelineQ: Q = (s, dir) => {
+    val base = scratchDir("mediapipe", dir)
+    val docs = documents(s, dir).select("doc_id")
+    val refHashes = Multimodal.imageDHashes(
+      Multimodal.ImageFixture.withPayloads(
+        docs.select(col("doc_id"), col("doc_id").as("__seed"),
+          lit(false).as("__pert")), "__seed", "__pert")
+        .select("doc_id", "payload"), "payload")
+      .select("doc_id", "dhash")
+      .localCheckpoint() // ingest-time decode: exactly once
+    val idir = s"$base/idx"
+    Dedup.writeHashIndex(refHashes, "doc_id", "dhash", idir,
+      bands = 4, nPrefix = 1024)
+    val arrivals = Multimodal.ImageFixture.withPayloads(
+      docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 993000L).as("doc_id"),
+          col("doc_id").as("__seed"), lit(true).as("__pert"))
+      .unionByName(docs.where(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 993000L).as("doc_id"),
+          (col("doc_id") + 993000L).as("__seed"),
+          lit(false).as("__pert"))),
+      "__seed", "__pert").select("doc_id", "payload")
+    val arrHashes = Multimodal.imageDHashes(arrivals, "payload")
+      .select(col("doc_id"), col("dhash"),
+        concat(lit("site"), pmod(col("doc_id"), lit(4))).as("domain"))
+      .localCheckpoint() // batch decode: exactly once, probed twice
+    // gate: the serve narrows the index scan to the arrival batch's
+    // band prefixes — a pipeline that reads the whole index is wrong
+    val (probed, nPrefix) = Dedup.probePrefixes(
+      idir, arrHashes, "doc_id", "dhash")
+    require(probed.length > 0 && probed.length <= nPrefix / 4,
+      s"media pipeline scanned ${probed.length} of $nPrefix prefixes — " +
+        "no pruning")
+    val dupIds = Dedup.hashMatchesIndexed(idir, arrHashes,
+        "doc_id", "dhash")
+      .select("doc_id").distinct()
+    require(dupIds.count() > 0,
+      "media pipeline dedup gate is vacuous: no arrival matched")
+    val kept = arrHashes.join(dupIds, Seq("doc_id"), "left_anti")
+    val quota = kept.withColumn("quota_rank", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
+      .where(col("quota_rank") <= 3)
+    graft.etl.Sharding.shuffleShards(
+        quota.select("doc_id", "domain"), "doc_id", nShards = 4)
+      .select("doc_id", "domain", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  /** [[mediaPipelineQ]]'s oracle: the dHash pixel replay on both
+    * sides, banded-hamming dup set, NOT-IN survivor set, per-domain
+    * row_number quota, then the [[graft.etl.Sharding.shuffleShards]]
+    * md5 arithmetic — the stored index and the prefix pruning are
+    * value-invisible. */
+  val mediaPipelineSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""WITH ref AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert FROM documents),
+       |arr AS (
+       |  SELECT doc_id + 993000 AS id, doc_id AS pid, TRUE AS pert
+       |  FROM documents WHERE doc_id < 20
+       |  UNION ALL
+       |  SELECT doc_id + 993000, doc_id + 993000, FALSE FROM documents
+       |  WHERE doc_id >= 20 AND doc_id < 40),
+       |${dhashBandSqlCtes("ref", "r")},
+       |${dhashBandSqlCtes("arr", "a")},
+       |dup AS (
+       |  SELECT DISTINCT a.id
+       |  FROM banda a JOIN bandr r ON a.bi = r.bi AND a.bv = r.bv
+       |  WHERE bit_count(xor(a.dhash, r.dhash)) <= 3),
+       |kept AS (
+       |  SELECT id AS doc_id, 'site' || (id % 4) AS domain
+       |  FROM (SELECT DISTINCT id FROM banda)
+       |  WHERE id NOT IN (SELECT id FROM dup)),
+       |quota AS (
+       |  SELECT doc_id, domain, ROW_NUMBER() OVER (
+       |    PARTITION BY domain ORDER BY doc_id) AS qr FROM kept),
+       |q AS (SELECT doc_id, domain FROM quota WHERE qr <= 3)
+       |SELECT doc_id, domain, CAST(($hex8) % 4 AS INTEGER) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY ($hex8) % 4
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pos
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
   /** Streaming perceptual AUDIO gate — the energy-hash member of the
     * streaming gate family: arrivals are real RIFF/WAVE clips
     * ([[Multimodal.AudioFixture]]) PCM-DECODED ON THE STREAM
@@ -7046,6 +7270,8 @@ object ExtQueries {
     "q_dedup_hash_index" -> dedupHashIndexQ,
     "q_stream_image_gate" -> streamImageGateQ,
     "q_stream_hash_indexed" -> streamHashIndexedQ,
+    "q_stream_band_indexed" -> streamBandIndexedQ,
+    "q_media_pipeline" -> mediaPipelineQ,
     "q_stream_audio_gate" -> streamAudioGateQ,
     "q_stream_video_gate" -> streamVideoGateQ,
     "q_dedup_video" -> dedupVideoQ,
@@ -7083,6 +7309,7 @@ object ExtQueries {
     "q_quality_blocklist" -> qualityBlocklistQ,
     "q_text_html" -> textHtmlQ,
     "q_text_pdf" -> textPdfQ,
+    "q_text_pdf_cid" -> textPdfCidQ,
     "q_filter_funnel" -> filterFunnelQ,
     "q_quality_authority" -> qualityAuthorityQ,
     "q_mixture_authority" -> mixtureAuthorityQ,
@@ -7174,6 +7401,8 @@ object ExtQueries {
     "q_dedup_hash_index" -> dedupHashIndexSql,
     "q_stream_image_gate" -> streamImageGateSql,
     "q_stream_hash_indexed" -> streamHashIndexedSql,
+    "q_stream_band_indexed" -> streamBandIndexedSql,
+    "q_media_pipeline" -> mediaPipelineSql,
     "q_stream_audio_gate" -> streamAudioGateSql,
     "q_stream_video_gate" -> streamVideoGateSql,
     "q_dedup_video" -> dedupVideoSql,
@@ -7206,6 +7435,7 @@ object ExtQueries {
     "q_quality_blocklist" -> qualityBlocklistSql,
     "q_text_html" -> textHtmlSql,
     "q_text_pdf" -> textPdfSql,
+    "q_text_pdf_cid" -> textPdfCidSql,
     "q_quality_authority" -> qualityAuthoritySql,
     "q_mixture_authority" -> mixtureAuthoritySql,
     "q_filter_funnel" -> filterFunnelSql,

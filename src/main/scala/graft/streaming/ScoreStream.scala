@@ -441,15 +441,60 @@ object ScoreStream {
         graft.ext.Dedup.hashMatchesIndexed(
             indexDir, batch, idCol, hashCol, maxHamming)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
-        val p = new org.apache.hadoop.fs.Path(s"$outDir/_probe/batch-$id.json")
-        val out = fs.create(p, true)
-        try out.write(
-          s"""{"batch":$id,"probed":${probed.length},"n_prefix":$nPrefix}"""
-            .getBytes("UTF-8"))
-        finally out.close()
+        writeProbeLog(batch.sparkSession, outDir, id, probed.length, nPrefix)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The per-batch narrowing record both indexed gate sinks write:
+    * `outDir/_probe/batch-<id>.json` with the probed-prefix count and
+    * the layout's total — overwritten on replay, so the evidence
+    * stays exactly-once alongside the batch output. */
+  private def writeProbeLog(spark: org.apache.spark.sql.SparkSession,
+                            outDir: String, batchId: Long,
+                            probed: Int, nPrefix: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_probe/batch-$batchId.json")
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"batch":$batchId,"probed":$probed,"n_prefix":$nPrefix}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Streaming TEXT near-dup gate served from a STORED
+    * [[graft.ext.Dedup.writeBandIndex]] layout — the MinHash twin of
+    * [[indexedHashGateSink]]. The plain streaming gate
+    * ([[graft.ext.Dedup.minhashMatches]] on a stream) re-reads the
+    * full signature set every trigger;
+    * [[graft.ext.Dedup.minhashMatchesIndexed]] prunes the scan to the
+    * prefix dirs the batch's band keys can touch, but its driver-side
+    * prefix collect cannot run inside a continuous streaming plan —
+    * foreachBatch is its legal home (each micro-batch is a plain
+    * DataFrame). Production shape: a thousand-document arrival batch
+    * against a billion-document band index opens at most
+    * `bands × |batch|` of the 16^prefixChars dirs; everything else is
+    * never read. The batch pins with localCheckpoint so arrival
+    * shingling runs once though probed twice (narrowing log + match).
+    * Output follows the [[idempotentParquetSink]] contract; the
+    * per-batch narrowing lands in `outDir/_probe/batch-<id>.json` so
+    * callers can PROVE each trigger pruned the scan. */
+  def indexedBandGateSink(arrivalTexts: DataFrame, indexDir: String,
+                          idCol: String, textCol: String,
+                          outDir: String, checkpoint: String,
+                          numHashes: Int = 4, bands: Int = 2,
+                          minJaccard: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivalTexts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batch = df.localCheckpoint()
+        val (probed, nPrefix) = graft.ext.Dedup.probeBandPrefixes(
+          indexDir, batch, idCol, textCol, numHashes, bands)
+        graft.ext.Dedup.minhashMatchesIndexed(
+            indexDir, batch, idCol, textCol, numHashes, bands, minJaccard)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        writeProbeLog(batch.sparkSession, outDir, id, probed.length, nPrefix)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

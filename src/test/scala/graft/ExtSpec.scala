@@ -1018,6 +1018,52 @@ class ExtSpec extends AnyFunSuite {
     ()
   }
 
+  test("pdf CID extraction: ObjStm unpacking + ToUnicode CMap mapping") {
+    val P = Pdf
+    val text = "ABBA sings ünïcode 日本 and 😀 survives"
+    val expected = P.PdfFixture.cidExpected(text)
+    assert(expected == "αffffα sings ünïcode 日本 and 😀 survives")
+    // packed form: the font/page dicts live ONLY inside the
+    // compressed object stream — the raw bytes never show the
+    // association, so a correct answer proves ObjStm unpacking
+    val packed = P.PdfFixture.cidPdf(text)
+    assert(!new String(packed, "ISO-8859-1").contains("/ToUnicode"),
+      "fixture leak: /ToUnicode visible without unpacking the ObjStm")
+    assert(P.extractText(packed).get.trim == expected)
+    // flat form (dicts top-level) maps identically
+    val flat = P.PdfFixture.cidPdf(text, inObjStm = false)
+    assert(P.extractText(flat).get.trim == expected)
+    // plain fixtures are untouched by the CID machinery (no
+    // ToUnicode → byte path): exact same output as before
+    val plain = P.PdfFixture.pdf(Seq(Seq("plain Aa Bb page")))
+    assert(P.extractText(plain).get.trim == "plain Aa Bb page")
+    ()
+  }
+
+  test("pdf CMap parsing: bfchar overrides, offset + array bfranges, identity fallback") {
+    val cm = Pdf.parseCMap(
+      ("""begincmap
+        |2 beginbfchar
+        |<0041> <2603>
+        |<0042> <00660066>
+        |endbfchar
+        |2 beginbfrange
+        |<0061> <007A> <0141>
+        |<0030> <0032> [ <0058> <0059005A> <005A> ]
+        |endbfrange
+        |endcmap""".stripMargin).getBytes("ISO-8859-1"))
+    assert(cm.map(0x41) == "☃")         // bfchar
+    assert(cm.map(0x42) == "ff")             // multi-unit bfchar
+    assert(cm.map(0x61) == "Ł")         // range start
+    assert(cm.map(0x7A) == "Ś")         // range offset on last unit
+    assert(cm.map(0x30) == "X")              // array form
+    assert(cm.map(0x31) == "YZ")             // multi-unit array entry
+    assert(cm.map(0x4242) == 0x4242.toChar.toString) // unmapped → identity
+    // odd trailing byte maps as a 1-byte code instead of dropping
+    assert(cm.mapBytes(Array[Byte](0x00, 0x41, 0x42)) == "☃ff")
+    ()
+  }
+
   test("decode seam: a custom FrameHasher feeds the dedup layer unchanged") {
     import spark.implicits._
     // a stand-in for a production codec (MP4 via JNI, GPU decode, …):
@@ -1096,6 +1142,31 @@ class ExtSpec extends AnyFunSuite {
       Dedup.videoNearDups(corpus, "id", "payload", stride = 2,
         align = "offset")
     }
+    ()
+  }
+
+  test("video offset vote: degenerate band bucket raises BEFORE the quadratic join") {
+    import spark.implicits._
+    // Adversarial corpus: 4 videos × 10 frames, every frame the SAME
+    // hash (black leader / title card) — each (band, value) bucket
+    // holds all 40 rows per side, so offset-mode candidates are
+    // 40×40 per band where a natural corpus has ~1×1.
+    val frames = (for (v <- 1L to 4L; f <- 0 until 10)
+      yield (v, f, 0x5A5A5A5A5A5A5A5AL)).toDF("id", "frame_idx", "dhash")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.videoHashMatches(frames, frames, "id", minMatches = 2,
+        align = "offset", maxBandBucket = 100L)
+    }
+    assert(ex.getMessage.contains("degenerate band value") &&
+      ex.getMessage.contains("1600"), ex.getMessage)
+    // the aligned vote never checks: the frame-index join key splits
+    // every bucket, so the same corpus passes at the same cap
+    Dedup.videoHashMatches(frames, frames, "id", minMatches = 2,
+      maxBandBucket = 100L).count()
+    // raising the cap DELIBERATELY lets the offset join run
+    val ok = Dedup.videoHashMatches(frames, frames, "id", minMatches = 2,
+      align = "offset", maxBandBucket = 100000L)
+    assert(ok.count() > 0)
     ()
   }
 
