@@ -249,7 +249,7 @@ class PlanSpec extends AnyFunSuite {
           "q_quality_authority", "q_mixture_authority",
           "q_dedup_image", "q_dedup_audio",
           "q_dedup_hash_index", "q_dedup_video",
-          "q_dedup_video_drift").contains(name))
+          "q_dedup_video_drift", "q_media_pipeline").contains(name))
         assert(!plan.contains("ExistingRDD"),
           s"$name plans an opaque RDD scan (breaks pushdown/codegen)")
       // min/max over var-length types silently falls back to
