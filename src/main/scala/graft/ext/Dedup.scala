@@ -1345,12 +1345,25 @@ object Dedup {
                     stride: Int = 2, maxHamming: Int = 3, bands: Int = 4,
                     minMatches: Int = 2,
                     align: String = "aligned",
-                    maxBandBucket: Long = DefaultMaxBandBucket): DataFrame = {
+                    maxBandBucket: Long = DefaultMaxBandBucket,
+                    timeQuantMs: Int = 100): DataFrame = {
     val (bandBits, mask) = videoVoteChecks(bands, maxHamming, minMatches,
       align, stride)
-    val hashes = Multimodal.videoFrameDHashes(
-        df.select(col(idCol), col(payloadCol)), payloadCol, stride)
-      .select(col(idCol).as("__id"), col("frame_idx").as("__f"),
+    // align='time' reads TIMED (GVKF) containers: the container's
+    // keyframe flags pick the sampled frames (content marks — the
+    // same original frames in any re-encode), so `stride` plays no
+    // part and drift tolerance needs no dense sampling
+    val frames =
+      if (align == "time")
+        Multimodal.videoKeyframeDHashes(
+            df.select(col(idCol), col(payloadCol)), payloadCol)
+          .select(col(idCol), col("ts_ms").as("__fk"), col("dhash"))
+      else
+        Multimodal.videoFrameDHashes(
+            df.select(col(idCol), col(payloadCol)), payloadCol, stride)
+          .select(col(idCol), col("frame_idx").as("__fk"), col("dhash"))
+    val hashes = frames
+      .select(col(idCol).as("__id"), col("__fk").as("__f"),
         col("dhash").as("__hash"))
       .localCheckpoint() // decode once: both self-join sides read this
     val probes = hashes.select(col("__id"), col("__f"), col("__hash"),
@@ -1361,7 +1374,7 @@ object Dedup {
       col("__hash").as("__rhash"), col("__bi").as("__rbi"),
       col("__bv").as("__rbv"))
     videoVote(probes, right, selfPair = true, align, maxHamming,
-      minMatches, "id_a", "id_b", maxBandBucket)
+      minMatches, "id_a", "id_b", maxBandBucket, timeQuantMs)
   }
 
   /** Two-sided temporal-vote matcher — [[videoNearDups]]'s
@@ -1383,7 +1396,8 @@ object Dedup {
                        maxHamming: Int = 3, bands: Int = 4,
                        minMatches: Int = 2,
                        align: String = "aligned",
-                       maxBandBucket: Long = DefaultMaxBandBucket): DataFrame = {
+                       maxBandBucket: Long = DefaultMaxBandBucket,
+                       timeQuantMs: Int = 100): DataFrame = {
     val (bandBits, mask) = videoVoteChecks(bands, maxHamming, minMatches,
       align, stride = 1)
     def probes(df: DataFrame, idAs: String, fAs: String, hAs: String,
@@ -1399,7 +1413,7 @@ object Dedup {
       probes(arrivals, "__id", "__f", "__hash", "__bi", "__bv"),
       probes(reference, "__rid", "__rf", "__rhash", "__rbi", "__rbv"),
       selfPair = false, align, maxHamming, minMatches,
-      idCol, "neighbor_id", maxBandBucket)
+      idCol, "neighbor_id", maxBandBucket, timeQuantMs)
   }
 
   /** Default per-(band_idx, band_val) candidate cap for the
@@ -1420,13 +1434,14 @@ object Dedup {
         s"bands - 1 = ${bands - 1}: the band join could silently miss " +
         "qualifying pairs — raise bands instead")
     require(minMatches >= 1, s"minMatches=$minMatches")
-    require(align == "aligned" || align == "offset",
-      s"align=$align (want 'aligned' or 'offset')")
-    require(align == "aligned" || stride == 1,
+    require(align == "aligned" || align == "offset" || align == "time",
+      s"align=$align (want 'aligned', 'offset', or 'time')")
+    require(align != "offset" || stride == 1,
       "align='offset' needs stride=1: stride sampling after a frame " +
         "insertion samples a DIFFERENT subset of the original frames, " +
         "so no offset can line the two hash sets up — drift tolerance " +
-        "requires dense frames (production: scene-change keyframes)")
+        "with sparse sampling needs content-determined sampling: " +
+        "align='time' over keyframe-flagged containers")
     val bandBits = 64 / bands
     (bandBits, (1L << bandBits) - 1)
   }
@@ -1447,17 +1462,26 @@ object Dedup {
     *    finds nothing. Costs more than `"aligned"` (candidates =
     *    band collisions across all frame pairs of the two videos,
     *    not one per position) — the documented price of drift
-    *    tolerance. */
+    *    tolerance.
+    *  - `"time"`: the offset vote with the frame column read as a
+    *    TIMESTAMP (ms) and the delta QUANTIZED to `timeQuantMs`
+    *    buckets before voting (real re-encodes jitter PTS by a few
+    *    ms; exact equality would split every vote). Paired with
+    *    keyframe-sampled hashes (`videoKeyframeDHashes` — sampling
+    *    by content marks, not index), this lifts the offset mode's
+    *    stride=1 requirement: both encodings sample the same
+    *    original frames no matter how insertions shifted indices. */
   private def videoVote(left: DataFrame, right: DataFrame,
                         selfPair: Boolean, align: String,
                         maxHamming: Int, minMatches: Int,
                         outId: String, outNbr: String,
-                        maxBandBucket: Long = DefaultMaxBandBucket): DataFrame = {
+                        maxBandBucket: Long = DefaultMaxBandBucket,
+                        timeQuantMs: Int = 100): DataFrame = {
     val bandCond = col("__bi") === col("__rbi") && col("__bv") === col("__rbv")
     val joinCond =
       if (align == "aligned") bandCond && col("__f") === col("__rf")
       else bandCond
-    if (align == "offset") {
+    if (align == "offset" || align == "time") {
       // Offset-mode candidates are Σ over (band_idx, band_val)
       // buckets of |left bucket| × |right bucket| — quadratic in
       // same-band frames. A degenerate band value (constant-color
@@ -1477,13 +1501,13 @@ object Dedup {
         .orderBy(col("__n").desc).limit(1).collect()
       require(worst.isEmpty, {
         val w = worst.head
-        s"align='offset' band bucket (band_idx=${w.getInt(0)}, " +
+        s"align='$align' band bucket (band_idx=${w.getInt(0)}, " +
           s"band_val=${w.getLong(1)}) would produce ${w.getLong(2)} " +
           s"candidate frame pairs (cap $maxBandBucket): a degenerate " +
           "band value — typically constant-color frames (black " +
-          "leaders, title cards) — makes the offset join quadratic. " +
-          "Pre-filter constant frames, raise `bands`, raise " +
-          "`maxBandBucket` deliberately, or use align='aligned'."
+          "leaders, title cards) — makes the any-position join " +
+          "quadratic. Pre-filter constant frames, raise `bands`, " +
+          "raise `maxBandBucket` deliberately, or use align='aligned'."
       })
     }
     val cand0 = left.join(right, joinCond)
@@ -1491,6 +1515,15 @@ object Dedup {
     val ok = cand1.where(
       bit_count(col("__hash").bitwiseXOR(col("__rhash")))
         .cast("int") <= maxHamming)
+    // 'offset' votes on the exact index delta; 'time' votes on the
+    // QUANTIZED timestamp delta (floor to timeQuantMs buckets — real
+    // re-encodes jitter PTS by a few ms, exact equality would split
+    // every vote)
+    val delta =
+      if (align == "time")
+        floor((col("__rf") - col("__f")).cast("double") / timeQuantMs)
+          .cast("long")
+      else (col("__rf") - col("__f")).cast("long")
     val voted =
       if (align == "aligned")
         ok.select(col("__id"), col("__rid"), col("__f")).distinct()
@@ -1498,7 +1531,7 @@ object Dedup {
           .agg(count(lit(1)).as("matched_frames"))
       else
         ok.select(col("__id"), col("__rid"),
-            (col("__rf") - col("__f")).as("__off"), col("__f")).distinct()
+            delta.as("__off"), col("__f")).distinct()
           .groupBy("__id", "__rid", "__off")
           .agg(count(lit(1)).as("__m"))
           .groupBy("__id", "__rid")
@@ -1629,6 +1662,14 @@ object Dedup {
       .toMap
     (kv("bands"), kv("nPrefix"))
   }
+
+  /** The `(bands, nPrefix)` layout constants persisted in a
+    * [[writeHashIndex]] marker — public so maintenance and serving
+    * layers can LOG their narrowing against the layout's total (the
+    * streaming maintenance sink records touched/nPrefix per batch). */
+  def hashIndexLayout(indexDir: String,
+                      s: org.apache.spark.sql.SparkSession): (Int, Int) =
+    readHashLayout(indexDir, s)
 
   private def hashIndexRows(hashes: DataFrame, idCol: String,
                             hashCol: String, bands: Int,

@@ -698,13 +698,14 @@ object Multimodal {
     * one row per sampled decodable frame; payloads the hasher
     * rejects contribute no rows. */
   def frameHashesWith(df: DataFrame, payloadCol: String,
-                      hasher: FrameHasher, stride: Int = 2): DataFrame = {
+                      hasher: FrameHasher, stride: Int = 2,
+                      frameColName: String = "frame_idx"): DataFrame = {
     require(stride >= 1, s"stride=$stride")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
     val idFields = df.schema.fields.filterNot(_.name == payloadCol)
     val outSchema = StructType(idFields)
-      .add("frame_idx", IntegerType, nullable = false)
+      .add(frameColName, IntegerType, nullable = false)
       .add("dhash", LongType, nullable = false)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val keepIdx = df.schema.fields.zipWithIndex
@@ -722,13 +723,109 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** The sandbox TIMED [[FrameHasher]]: GVKF container parse —
+    * KEYFRAMES ONLY decode (non-key frames seek past on their length
+    * prefix, exactly like GVID stride skips), each emitting
+    * `(timestamp_ms, dhash)`. Keyframe selection is CONTAINER-
+    * determined (the encoder marked them — real codecs' I-frames), so
+    * two encodings of the same footage sample the SAME content frames
+    * regardless of how insertions shifted frame indices — which is
+    * what frees the drift-tolerant vote from the offset mode's
+    * stride=1 requirement. `stride` is part of the [[FrameHasher]]
+    * contract but has no meaning here (sampling is the keyframe
+    * flag); it is ignored. */
+  final case class GvkfDHash(maxFrames: Int = 64,
+                             maxPixels: Long = Codec.MaxPixels)
+      extends FrameHasher {
+    require(maxFrames >= 1, s"maxFrames=$maxFrames")
+    override def frameHashes(payload: Array[Byte],
+                             stride: Int): Seq[(Int, Long)] =
+      VideoContainer.keyFrames(payload, maxFrames)
+        .flatMap { case (ts, bytes) =>
+          Codec.dHash64(bytes, maxPixels).map(h => (ts, h))
+        }
+  }
+
+  /** Per-KEYFRAME perceptual hashes of TIMED (GVKF) video payloads:
+    * one `(…, ts_ms, dhash)` row per decodable keyframe — the input
+    * to [[graft.ext.Dedup.videoNearDups]]' `align="time"` vote. Same
+    * contract as [[videoFrameDHashes]]: non-GVKF, truncated, and
+    * over-budget payloads emit NO rows; non-key frames never
+    * decode. */
+  def videoKeyframeDHashes(df: DataFrame, payloadCol: String,
+                           maxFrames: Int = 64,
+                           maxPixels: Long = Codec.MaxPixels): DataFrame =
+    frameHashesWith(df, payloadCol, GvkfDHash(maxFrames, maxPixels),
+      stride = 1, frameColName = "ts_ms")
+
   /** The GVID frame container: `"GVID"` magic, big-endian int frame
     * count, then `count` frames of big-endian int length + PNG bytes.
     * A deliberately trivial stand-in for a seekable video format —
     * what matters for the engine is that frame EXTRACTION is cheap
-    * and sampled, not what codec the frames use. */
+    * and sampled, not what codec the frames use. The TIMED variant
+    * (`"GVKF"` magic) adds a per-frame header of big-endian int
+    * timestamp-ms + keyframe byte before the bytes — the stand-in for
+    * a real container's I-frame index + PTS. */
   object VideoContainer {
     private val Magic = Array[Byte]('G', 'V', 'I', 'D')
+    private val MagicTimed = Array[Byte]('G', 'V', 'K', 'F')
+
+    /** Pack `(timestamp_ms, isKeyframe, frameBytes)` rows as GVKF. */
+    def packTimed(frames: Seq[(Int, Boolean, Array[Byte])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(MagicTimed)
+      out.writeInt(frames.length)
+      frames.foreach { case (ts, key, f) =>
+        out.writeInt(f.length)
+        out.writeInt(ts)
+        out.writeByte(if (key) 1 else 0)
+        out.write(f)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Every `(timestamp_ms, frameBytes)` whose keyframe flag is set;
+      * non-key frames SEEK past on the length prefix (never read into
+      * memory — the GVID stride-skip discipline, with the same
+      * skip-returns-0 truncation guard). Empty for non-GVKF,
+      * truncated, or over-budget payloads. */
+    def keyFrames(payload: Array[Byte],
+                  maxFrames: Int): Seq[(Int, Array[Byte])] = {
+      if (payload.length < 8 ||
+          !payload.take(4).sameElements(MagicTimed)) return Nil
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(payload, 4, payload.length - 4))
+      try {
+        val n = in.readInt()
+        if (n < 0 || n > maxFrames) return Nil
+        val out = Seq.newBuilder[(Int, Array[Byte])]
+        var f = 0
+        while (f < n) {
+          val len = in.readInt()
+          if (len < 0 || len > payload.length) return Nil
+          val ts = in.readInt()
+          val key = in.readByte() != 0
+          if (key) {
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            out += ((ts, bytes))
+          } else {
+            var skipped = 0L
+            while (skipped < len) {
+              val k = in.skip(len - skipped)
+              if (k <= 0L) return Nil
+              skipped += k
+            }
+          }
+          f += 1
+        }
+        out.result()
+      } catch {
+        case _: java.io.IOException => Nil // truncated container
+      } finally in.close()
+    }
 
     def pack(frames: Seq[Array[Byte]]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -833,6 +930,63 @@ object Multimodal {
         rows.map { row =>
           val payload = video(row.getLong(seedIdx), row.getBoolean(pertIdx))
           Row.fromSeq(row.toSeq :+ payload)
+        }
+      }(Encoders.row(outSchema))
+    }
+
+    /** TIMED (GVKF) fixture: six frames at `ts = f*1000` ms, KEYFRAMES
+      * at the even positions (f ∈ {0, 2, 4} — the I-frame cadence),
+      * every frame a real PNG from the same seed formula. Non-key
+      * frames carry valid, decodable content on purpose: an
+      * implementation that wrongly decoded them would emit extra hash
+      * rows and the oracle replay (keyframes only) would catch it. */
+    def timedVideo(vseed: Long): Array[Byte] =
+      VideoContainer.packTimed((0 until FrameCount).map { f =>
+        (f * 1000, f % 2 == 0,
+          ImageFixture.png(ImageFixture.pixels(
+            frameSeed(vseed, f, perturbed = false), false)))
+      })
+
+    /** Timestamp-DRIFT variant of [[timedVideo]]: a 500 ms intro
+      * keyframe (unrelated seed `vseed*100 + 777777`) lands at the
+      * front and every original frame's timestamp shifts +500 ms (the
+      * last frame drops). Because keyframe selection is CONTENT
+      * marks, both encodings still sample the SAME original frames —
+      * the time vote sees all three surviving keyframes concentrate
+      * at delta +500 ms, with no stride requirement; timestamp
+      * EQUALITY matching finds nothing. */
+    def timedVideoDrifted(vseed: Long): Array[Byte] =
+      VideoContainer.packTimed(
+        (0, true,
+          ImageFixture.png(ImageFixture.pixels(vseed * 100 + 777777L, false))) +:
+        (0 until FrameCount - 1).map { f =>
+          (f * 1000 + 500, f % 2 == 0,
+            ImageFixture.png(ImageFixture.pixels(
+              frameSeed(vseed, f, perturbed = false), false)))
+        })
+
+    /** [[timedVideo]] payloads attached executor-side. */
+    def withTimedPayloads(df: DataFrame, seedCol: String): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.BinaryType
+      val outSchema = df.schema.add("payload", BinaryType, nullable = false)
+      val seedIdx = df.schema.fieldIndex(seedCol)
+      df.mapPartitions { rows =>
+        rows.map { row =>
+          Row.fromSeq(row.toSeq :+ timedVideo(row.getLong(seedIdx)))
+        }
+      }(Encoders.row(outSchema))
+    }
+
+    /** [[timedVideoDrifted]] payloads attached executor-side. */
+    def withTimedDriftedPayloads(df: DataFrame, seedCol: String): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.BinaryType
+      val outSchema = df.schema.add("payload", BinaryType, nullable = false)
+      val seedIdx = df.schema.fieldIndex(seedCol)
+      df.mapPartitions { rows =>
+        rows.map { row =>
+          Row.fromSeq(row.toSeq :+ timedVideoDrifted(row.getLong(seedIdx)))
         }
       }(Encoders.row(outSchema))
     }

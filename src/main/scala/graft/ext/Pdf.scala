@@ -114,8 +114,14 @@ object Pdf {
           if (end < 0) from = -1
           else {
             val raw = java.util.Arrays.copyOfRange(payload, body0, end)
-            val decoded =
-              if (dict.contains("/FlateDecode")) inflate(raw) else Some(raw)
+            // Streams whose dict marks them BINARY non-content — xref
+            // streams, image XObjects — never carry text operators;
+            // their decoded bytes are arbitrary binary that the
+            // content interpreter must not scan (a 0x3C byte would
+            // open a phantom hex string). Fonts/CMaps/ObjStm bodies
+            // stay: they are text-shaped and operator-free.
+            val binary = dict.contains("/XRef") || dict.contains("/Image")
+            val decoded = if (binary) None else decodeBody(dict, raw)
             decoded.foreach { b => found += b; () }
             from = text.indexOf("endstream", end) match {
               case -1 => -1
@@ -153,6 +159,48 @@ object Pdf {
       } else j -= 1
     }
     ""
+  }
+
+  /** Decode one stream body per its dict's `/Filter`: `/FlateDecode`
+    * and `/ASCIIHexDecode`, in the NAME form (`/Filter /X`) or the
+    * ARRAY form (`/Filter [/X /Y]`, applied in order — how many
+    * real-world writers emit even single filters). No `/Filter` →
+    * raw bytes. An UNKNOWN filter (DCT images, JBIG2, Crypt) → None:
+    * its bytes are compressed binary the content interpreter must
+    * not scan — skipping the stream is the recovery-mode answer,
+    * feeding garbage through is not. */
+  private def decodeBody(dict: String, raw: Array[Byte]): Option[Array[Byte]] = {
+    val m = "/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)".r
+      .findFirstMatchIn(dict).getOrElse(return Some(raw))
+    val names = "/[A-Za-z0-9]+".r.findAllIn(m.group(1)).toList
+    names.foldLeft(Option(raw)) { (acc, f) =>
+      acc.flatMap { b =>
+        f match {
+          case "/FlateDecode" => inflate(b)
+          case "/ASCIIHexDecode" => asciiHexDecode(b)
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** `/ASCIIHexDecode`: hex pairs, whitespace ignored, `>` EOD, odd
+    * final digit zero-padded per spec; any other byte → None. */
+  private def asciiHexDecode(raw: Array[Byte]): Option[Array[Byte]] = {
+    val sb = new StringBuilder
+    var i = 0
+    var done = false
+    while (i < raw.length && !done) {
+      val c = raw(i).toChar
+      if (c == '>') done = true
+      else if (!Character.isWhitespace(c)) {
+        if (Character.digit(c, 16) < 0) return None
+        sb.append(c)
+      }
+      i += 1
+    }
+    val hex = if (sb.length % 2 == 1) sb.append('0').result() else sb.result()
+    Some(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
   }
 
   private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {
@@ -225,10 +273,7 @@ object Pdf {
           if (end < 0) pos = text.length
           else {
             val rawBody = java.util.Arrays.copyOfRange(payload, body0, end)
-            val decoded =
-              if (dict.contains("/FlateDecode")) inflate(rawBody)
-              else Some(rawBody)
-            out(num) = PdfObj(dict, decoded)
+            out(num) = PdfObj(dict, decodeBody(dict, rawBody))
             pos = text.indexOf("endstream", end) match {
               case -1 => text.length
               case e => e + "endstream".length
@@ -245,30 +290,159 @@ object Pdf {
         o
     }
     packed.foreach { o =>
-      val body = o.stream.get
-      val btxt = new String(body, "ISO-8859-1")
-      val n = "/N\\s+(\\d+)".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
-      val first = "/First\\s+(\\d+)".r.findFirstMatchIn(o.dict)
-        .map(_.group(1).toInt)
-      for (nv <- n; fv <- first if fv <= btxt.length) {
-        val header = btxt.substring(0, fv).trim
-          .split("\\s+").filter(_.nonEmpty)
-        val pairs = header.grouped(2).take(nv).collect {
-          case Array(on, off) => (on.toInt, off.toInt)
-        }.toIndexedSeq
-        val sorted = pairs.sortBy(_._2)
-        sorted.zipWithIndex.foreach { case ((objNum, off), k) =>
-          val from = math.min(fv + off, btxt.length)
-          val to =
-            if (k + 1 < sorted.length) math.min(fv + sorted(k + 1)._2, btxt.length)
-            else btxt.length
-          if (from < to) out(objNum) = PdfObj(btxt.substring(from, to), None)
-          ()
-        }
+      objStmMembers(o).foreach { case (objNum, dict) =>
+        out(objNum) = PdfObj(dict, None); ()
       }
     }
     out.toMap
   }
+
+  /** The `(objnum, dict text)` members of one decoded `/Type /ObjStm`
+    * object, in HEADER order (the order the xref stream's type-2
+    * member indices count in, PDF 1.5 §7.5.8.3): header = N
+    * (objnum, offset) int pairs, member bodies start at `/First`. */
+  private def objStmMembers(o: PdfObj): Seq[(Int, String)] = {
+    val body = o.stream.getOrElse(return Nil)
+    val btxt = new String(body, "ISO-8859-1")
+    val n = "/N\\s+(\\d+)".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+    val first = "/First\\s+(\\d+)".r.findFirstMatchIn(o.dict)
+      .map(_.group(1).toInt)
+    (for (nv <- n; fv <- first if fv <= btxt.length) yield {
+      val header = btxt.substring(0, fv).trim
+        .split("\\s+").filter(_.nonEmpty)
+      val pairs = header.grouped(2).take(nv).collect {
+        case Array(on, off) => (on.toInt, off.toInt)
+      }.toIndexedSeq
+      // slice bounds need offset order; output stays header order
+      val byOff = pairs.map(_._2).sorted
+      pairs.flatMap { case (objNum, off) =>
+        val from = math.min(fv + off, btxt.length)
+        val nextOff = byOff.find(_ > off)
+        val to = nextOff.map(x => math.min(fv + x, btxt.length))
+          .getOrElse(btxt.length)
+        if (from < to) Some(objNum -> btxt.substring(from, to).trim)
+        else None
+      }
+    }).getOrElse(Nil)
+  }
+
+  // ---- cross-reference STREAMS: the PDF 1.5 lookup path ----
+
+  /** One cross-reference-stream entry (PDF 1.5 §7.5.8.3):
+    * type 0 = free, type 1 = `a` is the object's byte offset,
+    * type 2 = the object lives in object stream number `a` at member
+    * index `b`. */
+  private[graft] case class XrefEntry(tpe: Int, a: Long, b: Long)
+
+  /** The cross-reference STREAM the trailer's `startxref` points at,
+    * decoded: objnum → entry. Empty map when the file has no xref
+    * stream there (classic-table PDFs, truncated files — the
+    * recovery-mode extractor never needs this; it exists so the
+    * 1.5 lookup path is a REAL reader, not write-only fixture
+    * output). Follows `/W` field widths (a zero-width type field
+    * defaults to type 1 per spec) and `/Index` subsections
+    * (default `[0 /Size]`). */
+  private[graft] def xrefStreamEntries(payload: Array[Byte]): Map[Int, XrefEntry] = {
+    val text = new String(payload, "ISO-8859-1")
+    val sx = text.lastIndexOf("startxref")
+    if (sx < 0) return Map.empty
+    val offRe = "startxref\\s+(\\d+)".r
+    val off = offRe.findFirstMatchIn(text.substring(sx))
+      .map(_.group(1).toInt).getOrElse(return Map.empty)
+    if (off < 0 || off >= text.length) return Map.empty
+    // expect `N G obj << …/Type /XRef… >> stream` at the offset
+    val m = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\s*")
+      .matcher(text)
+    if (!m.find(off) || m.start != off) return Map.empty
+    val dictStart = m.end
+    if (!text.startsWith("<<", dictStart)) return Map.empty
+    val dictEnd = dictForward(text, dictStart)
+    val dict = text.substring(dictStart, dictEnd)
+    if (!dict.contains("/XRef")) return Map.empty
+    var j = dictEnd
+    while (j < text.length && Character.isWhitespace(text.charAt(j))) j += 1
+    if (!text.startsWith("stream", j)) return Map.empty
+    var body0 = j + "stream".length
+    if (body0 < text.length && text.charAt(body0) == '\r') body0 += 1
+    if (body0 < text.length && text.charAt(body0) == '\n') body0 += 1
+    val len = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt).getOrElse(return Map.empty)
+    if (len < 0 || body0 + len > payload.length) return Map.empty
+    val raw = java.util.Arrays.copyOfRange(payload, body0, body0 + len)
+    val body = decodeBody(dict, raw).getOrElse(return Map.empty)
+    val w = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
+      .findFirstMatchIn(dict)
+      .map(x => (x.group(1).toInt, x.group(2).toInt, x.group(3).toInt))
+      .getOrElse(return Map.empty)
+    val size = "/Size\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt).getOrElse(return Map.empty)
+    val index: Seq[(Int, Int)] =
+      "/Index\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict) match {
+        case Some(ix) =>
+          val nums = ix.group(1).trim.split("\\s+").filter(_.nonEmpty)
+            .map(_.toInt)
+          nums.grouped(2).collect { case Array(s, n) => (s, n) }.toSeq
+        case None => Seq((0, size))
+      }
+    val entryW = w._1 + w._2 + w._3
+    if (entryW <= 0) return Map.empty
+    def field(at: Int, width: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < width) { v = (v << 8) | (body(at + k) & 0xFF); k += 1 }
+      v
+    }
+    val out = Map.newBuilder[Int, XrefEntry]
+    var at = 0
+    index.foreach { case (start, n) =>
+      var i = 0
+      while (i < n && at + entryW <= body.length) {
+        val tpe = if (w._1 == 0) 1L else field(at, w._1)
+        val a = field(at + w._1, w._2)
+        val b = field(at + w._1 + w._2, w._3)
+        out += (start + i) -> XrefEntry(tpe.toInt, a, b)
+        at += entryW
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Resolve every TYPE-2 xref entry the proper PDF-1.5 way — through
+    * the xref stream, NOT the recovery scan: entry `(2, S, k)` means
+    * "member k of object stream S", so the referenced ObjStm decodes
+    * and its k-th HEADER member (whose objnum must agree with the
+    * entry's — disagreements are dropped, recovery-style) yields the
+    * dict. Returns objnum → dict text; empty when the file has no
+    * xref stream. The driver query gates this against the recovery
+    * scan's object table — the two independent lookup paths must
+    * agree on every packed object. */
+  private[graft] def xrefResolvedMembers(payload: Array[Byte]): Map[Int, String] = {
+    val entries = xrefStreamEntries(payload)
+    if (entries.isEmpty) return Map.empty
+    val objs = objects(payload)
+    val memberCache = scala.collection.mutable.Map.empty[Int, Seq[(Int, String)]]
+    entries.toSeq.collect { case (objNum, XrefEntry(2, s, k)) =>
+      val members = memberCache.getOrElseUpdate(s.toInt,
+        objs.get(s.toInt).filter(_.dict.contains("/ObjStm"))
+          .map(objStmMembers).getOrElse(Nil))
+      members.lift(k.toInt) match {
+        case Some((mNum, dict)) if mNum == objNum => Some(objNum -> dict)
+        case _ => None
+      }
+    }.flatten.toMap
+  }
+
+  /** The RECOVERY-SCAN view of the same packed objects
+    * ([[xrefResolvedMembers]]'s independent twin): every `/ObjStm`
+    * object the linear scan finds, unpacked to objnum → dict text.
+    * The two maps agreeing on a fixture whose association dicts live
+    * ONLY inside the ObjStm proves both lookup paths genuinely work. */
+  private[graft] def recoveryMembers(payload: Array[Byte]): Map[Int, String] =
+    objects(payload).toSeq.collect {
+      case (_, o) if o.dict.contains("/ObjStm") && o.stream.isDefined =>
+        objStmMembers(o)
+    }.flatten.toMap
 
   /** Index just past the balanced `<< … >>` starting at `open`. */
   private def dictForward(text: String, open: Int): Int = {
@@ -433,10 +607,11 @@ object Pdf {
   private val TjGapThreshold = -180.0
 
   /** Interpret one decoded stream as a content stream, appending the
-    * text its `Tj`/`'`/`"`/`TJ` operators show. Streams with no
-    * text-showing operators (fonts, images, xref streams, ToUnicode
-    * CMaps — their hex strings never reach a `Tj`) contribute
-    * nothing — safe to feed every stream through. `Tf` switches the
+    * text its `Tj`/`'`/`"`/`TJ` operators show. Text-shaped streams
+    * with no text-showing operators (fonts, ToUnicode CMaps, ObjStm
+    * bodies — their hex strings never reach a `Tj`) contribute
+    * nothing; BINARY stream bodies (xref streams, image XObjects)
+    * are excluded upstream in [[streams]] and never reach here. `Tf` switches the
     * active ToUnicode CMap by resource name; strings shown under a
     * mapped font decode as 2-byte codes through it, everything else
     * keeps the UTF-8 byte decode. */
@@ -579,17 +754,27 @@ object Pdf {
   }
 
   /** Hex string `<…>`: whitespace ignored, odd final digit padded
-    * with 0 per spec. Returns (raw string bytes, index past `>`). */
+    * with 0 per spec. Returns (raw string bytes, index past `>`).
+    * Non-hex bytes inside the brackets mean this is not a string at
+    * all (binary stream bytes that happened to contain `<` — only
+    * reachable on spec-violating input, since binary-typed streams
+    * are excluded upstream): the "string" decodes as EMPTY rather
+    * than throwing or emitting garbage. */
   private def hexString(stream: Array[Byte], open: Int): (Array[Byte], Int) = {
     val sb = new StringBuilder
+    var junk = false
     var i = open + 1
     val n = stream.length
     while (i < n && stream(i).toChar != '>') {
       val c = stream(i).toChar
-      if (!Character.isWhitespace(c)) sb.append(c)
+      if (!Character.isWhitespace(c)) {
+        if (Character.digit(c, 16) < 0) junk = true
+        sb.append(c)
+      }
       i += 1
     }
     if (i < n) i += 1 // past '>'
+    if (junk) return (Array.empty[Byte], i)
     val hex = if (sb.length % 2 == 1) sb.append('0').result() else sb.result()
     (hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, i)
   }
@@ -667,9 +852,17 @@ object Pdf {
       * `compress = false` leaves content streams raw (both decode
       * paths are real and both are exercised by the driver query).
       * `rawContent` substitutes a verbatim content stream for page 0
-      * (the fixture hook for TJ-kerning and hex-string cases). */
+      * (the fixture hook for TJ-kerning and hex-string cases).
+      * `filterStyle` picks the `/Filter` emission when compressing:
+      * `"name"` (`/Filter /FlateDecode`), `"array"`
+      * (`/Filter [/FlateDecode]` — the array form many real writers
+      * emit even for single filters), or `"asciihex"`
+      * (`/Filter /ASCIIHexDecode`, hex body + `>` EOD). */
     def pdf(pages: Seq[Seq[String]], compress: Boolean = true,
-            rawContent: Option[String] = None): Array[Byte] = {
+            rawContent: Option[String] = None,
+            filterStyle: String = "name"): Array[Byte] = {
+      require(Set("name", "array", "asciihex").contains(filterStyle),
+        s"filterStyle=$filterStyle")
       require(pages.nonEmpty, "pdf: no pages")
       val nPages = pages.length
       // object ids: 1 catalog, 2 pages, 3 font, then per page:
@@ -693,8 +886,16 @@ object Pdf {
             rawContent.get.getBytes("ISO-8859-1")
           else pageContent(lines)
         val (body, filter) =
-          if (compress) (deflate(content0), " /Filter /FlateDecode")
-          else (content0, "")
+          if (!compress) (content0, "")
+          else filterStyle match {
+            case "array" =>
+              (deflate(content0), " /Filter [/FlateDecode]")
+            case "asciihex" =>
+              (content0.map(b => f"${b & 0xFF}%02X").mkString
+                .getBytes("ISO-8859-1") ++ ">".getBytes("ISO-8859-1"),
+                " /Filter /ASCIIHexDecode")
+            case _ => (deflate(content0), " /Filter /FlateDecode")
+          }
         val bos = new java.io.ByteArrayOutputStream()
         bos.write(s"<< /Length ${body.length}$filter >>\nstream\n"
           .getBytes("ISO-8859-1"))
@@ -739,7 +940,21 @@ object Pdf {
       * (ObjStm members resolve through the object stream itself, the
       * PDF 1.5 §7.5.7 shape — readers that insist on type-2 xref
       * entries should regenerate it, recovery extractors never look). */
-    def cidPdf(text: String, inObjStm: Boolean = true): Array[Byte] = {
+    /** With `xrefStream` (requires `inObjStm`): instead of the classic
+      * `xref` table + `trailer`, the file ends with a real PDF 1.5
+      * cross-reference STREAM — a `/Type /XRef` FlateDecoded stream
+      * whose `/W [1 4 2]` entries mark the four packed dicts as
+      * TYPE-2 (in ObjStm 7 at their member index) and the top-level
+      * objects as type-1 byte offsets, trailer keys (`/Size /Root`)
+      * merged into the stream dict per §7.5.8. No `trailer` keyword
+      * appears anywhere in the file, so a green
+      * [[Pdf.xrefResolvedMembers]] == [[Pdf.recoveryMembers]] gate
+      * proves the 1.5 lookup path itself, not a table fallback. */
+    def cidPdf(text: String, inObjStm: Boolean = true,
+               xrefStream: Boolean = false): Array[Byte] = {
+      require(!xrefStream || inObjStm,
+        "xrefStream fixtures pack their dicts in an ObjStm — type-2 " +
+          "entries have nothing to point at otherwise")
       val units = (0 until text.length).map(k => f"${text.charAt(k).toInt}%04X")
       val content = (s"BT /FC 12 Tf 72 720 Td <${units.mkString}> Tj ET")
         .getBytes("ISO-8859-1")
@@ -808,15 +1023,45 @@ object Pdf {
         ()
       }
       val xrefAt = out.size()
-      val ids = objs.map(_._1).sorted
-      val sb = new StringBuilder
-      sb.append("xref\n0 1\n0000000000 65535 f \n")
-      ids.foreach { id =>
-        sb.append(s"$id 1\n"); sb.append(f"${offsets(id)}%010d 00000 n \n"); ()
+      if (xrefStream) {
+        // the xref stream is itself object 8, covering objects 0..8:
+        // 0 free; 1-4 type-2 (ObjStm 7, member index = id - 1, the
+        // header order cidPdf packs them in); 5-8 type-1 offsets
+        val size = 9
+        val entries = new java.io.ByteArrayOutputStream()
+        def entry(t: Int, a: Long, b: Int): Unit = {
+          entries.write(t)
+          entries.write(((a >> 24) & 0xFF).toInt)
+          entries.write(((a >> 16) & 0xFF).toInt)
+          entries.write(((a >> 8) & 0xFF).toInt)
+          entries.write((a & 0xFF).toInt)
+          entries.write((b >> 8) & 0xFF)
+          entries.write(b & 0xFF)
+        }
+        entry(0, 0L, 0xFFFF)                      // obj 0: free head
+        (1 to 4).foreach(id => entry(2, 7L, id - 1))
+        (5 to 7).foreach(id => entry(1, offsets(id).toLong, 0))
+        entry(1, xrefAt.toLong, 0)                // obj 8: this stream
+        val body = deflate(entries.toByteArray)
+        out.write(s"8 0 obj\n".getBytes("ISO-8859-1"))
+        out.write((s"<< /Type /XRef /Size $size /Root 1 0 R " +
+          s"/W [1 4 2] /Index [0 $size] " +
+          s"/Length ${body.length} /Filter /FlateDecode >>\nstream\n")
+          .getBytes("ISO-8859-1"))
+        out.write(body)
+        out.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+        out.write(s"startxref\n$xrefAt\n%%EOF\n".getBytes("ISO-8859-1"))
+      } else {
+        val ids = objs.map(_._1).sorted
+        val sb = new StringBuilder
+        sb.append("xref\n0 1\n0000000000 65535 f \n")
+        ids.foreach { id =>
+          sb.append(s"$id 1\n"); sb.append(f"${offsets(id)}%010d 00000 n \n"); ()
+        }
+        sb.append(s"trailer\n<< /Size ${ids.max + 1} /Root 1 0 R >>\n")
+        sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+        out.write(sb.result().getBytes("ISO-8859-1"))
       }
-      sb.append(s"trailer\n<< /Size ${ids.max + 1} /Root 1 0 R >>\n")
-      sb.append(s"startxref\n$xrefAt\n%%EOF\n")
-      out.write(sb.result().getBytes("ISO-8859-1"))
       out.toByteArray
     }
 
@@ -828,9 +1073,10 @@ object Pdf {
       text.replace("A", "α").replace("B", "ff")
 
     /** Attach [[cidPdf]] payloads to an id frame executor-side — the
-      * CID twin of [[withPayloads]], backing `q_text_pdf_cid`. */
-    def withCidPayloads(df: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+      * CID twin of [[withPayloads]], backing `q_text_pdf_cid` (and,
+      * with `xrefStream`, `q_text_pdf_xref`). */
+    def withCidPayloads(df: DataFrame, idCol: String, textCol: String,
+                        xrefStream: Boolean = false): DataFrame = {
       import org.apache.spark.sql.{Encoders, Row}
       import org.apache.spark.sql.types.BinaryType
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
@@ -838,7 +1084,7 @@ object Pdf {
       df.mapPartitions { rows =>
         rows.map { row =>
           val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
-          Row.fromSeq(row.toSeq :+ cidPdf(text))
+          Row.fromSeq(row.toSeq :+ cidPdf(text, xrefStream = xrefStream))
         }
       }(Encoders.row(outSchema))
     }

@@ -3917,8 +3917,15 @@ object ExtQueries {
     val rawPdf = graft.ext.Pdf.PdfFixture.pdf(
       Seq(Seq("raw stream page")), compress = false)
     val junk = "not a pdf".getBytes("UTF-8")
+    // filter BREADTH: the array /Filter form many writers emit, and
+    // ASCIIHexDecode — both decode paths are real
+    val arrayPdf = graft.ext.Pdf.PdfFixture.pdf(
+      Seq(Seq("filter array page")), filterStyle = "array")
+    val hexPdf = graft.ext.Pdf.PdfFixture.pdf(
+      Seq(Seq("ascii hex page")), filterStyle = "asciihex")
     val planted = Seq(
-      (840000L, fancy), (840001L, junk), (840002L, rawPdf))
+      (840000L, fancy), (840001L, junk), (840002L, rawPdf),
+      (840003L, arrayPdf), (840004L, hexPdf))
       .toDF("doc_id", "payload")
     graft.ext.Pdf.withPdfText(main.unionByName(planted), "payload")
       .select(col("doc_id"),
@@ -3937,7 +3944,9 @@ object ExtQueries {
        |  FROM documents
        |  UNION ALL SELECT 840000, 'Tom JerryCo!', TRUE
        |  UNION ALL SELECT 840001, NULL, FALSE
-       |  UNION ALL SELECT 840002, 'raw stream page', TRUE)
+       |  UNION ALL SELECT 840002, 'raw stream page', TRUE
+       |  UNION ALL SELECT 840003, 'filter array page', TRUE
+       |  UNION ALL SELECT 840004, 'ascii hex page', TRUE)
        |SELECT doc_id, text_pdf, text_pdf_ok FROM base
        |ORDER BY doc_id""".stripMargin
 
@@ -3970,6 +3979,55 @@ object ExtQueries {
        |    '\\s+', ' ', 'g')) AS text_pdf,
        |  TRUE AS text_pdf_ok
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** PDF 1.5 cross-reference STREAMS ([[graft.ext.Pdf
+    * .xrefStreamEntries]] / [[graft.ext.Pdf.xrefResolvedMembers]]):
+    * the [[textPdfCidQ]] fixture re-emitted with a REAL `/Type /XRef`
+    * stream — `/W [1 4 2]` binary entries, type-2 rows pointing the
+    * four packed dicts at their ObjStm member slots, trailer keys
+    * merged into the stream dict, NO classic `trailer` anywhere. A
+    * distributed in-query gate requires, for EVERY payload, that the
+    * proper 1.5 lookup path (startxref → xref stream → W-field decode
+    * → type-2 → ObjStm member slice) resolves exactly objects 1–4 and
+    * agrees dict-for-dict with the independent recovery scan — then
+    * text extraction (which exercises the ObjStm + CMap machinery on
+    * top) is oracled like the CID query. */
+  val textPdfXrefQ: Q = (s, dir) => {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.BooleanType
+    val docs = documents(s, dir).select("doc_id", "text")
+    val payloads = graft.ext.Pdf.PdfFixture.withCidPayloads(
+        docs, "doc_id", "text", xrefStream = true)
+      .select("doc_id", "payload")
+    val outSchema = payloads.schema.add("xref_ok", BooleanType,
+      nullable = false)
+    val pIdx = payloads.schema.fieldIndex("payload")
+    val gated = payloads.mapPartitions { rows =>
+      rows.map { row =>
+        val p = row.getAs[Array[Byte]](pIdx)
+        val entries = graft.ext.Pdf.xrefStreamEntries(p)
+        val viaXref = graft.ext.Pdf.xrefResolvedMembers(p)
+        val viaScan = graft.ext.Pdf.recoveryMembers(p)
+        val ok = entries.values.count(_.tpe == 2) == 4 &&
+          viaXref.keySet == Set(1, 2, 3, 4) && viaXref == viaScan &&
+          !new String(p, "ISO-8859-1").contains("trailer")
+        Row.fromSeq(row.toSeq :+ Boolean.box(ok))
+      }
+    }(Encoders.row(outSchema))
+      .localCheckpoint() // fixture built once: gate + extraction
+    require(gated.where(!col("xref_ok")).limit(1).count() == 0,
+      "a payload's xref-stream lookup disagreed with the recovery scan")
+    graft.ext.Pdf.withPdfText(
+        gated.select("doc_id", "payload"), "payload")
+      .select(col("doc_id"),
+        trim(regexp_replace(col("text_pdf"), "\\s+", " ")).as("text_pdf"),
+        col("text_pdf_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** [[textPdfXrefQ]]'s oracle — the xref stream is value-invisible
+    * to extraction, so the replay is [[textPdfCidSql]] verbatim. */
+  val textPdfXrefSql = textPdfCidSql
 
   /** URL canonicalization + site key ([[TextStats.normalizeUrl]] /
     * [[TextStats.urlDomain]]) over synthetic crawl URLs built from
@@ -5821,6 +5879,291 @@ object ExtQueries {
        |ORDER BY doc_id, neighbor_id""".stripMargin
   }
 
+  /** Streaming MAINTENANCE of the stored MinHash band index
+    * ([[graft.streaming.ScoreStream.bandIndexMaintainSink]]) — the
+    * missing half of q_stream_band_indexed: serving already streamed,
+    * now the index is KEPT CURRENT by a CDC change stream. The base
+    * corpus builds the index once; a change set with disjoint ids
+    * (updates re-texting docs 0–4, deletes of 5–9, five fresh
+    * inserts — disjoint so ANY batch split yields the same final
+    * state) streams in three files, one per trigger, each micro-batch
+    * applying via [[Dedup.updateBandIndex]]'s crash-safe
+    * touched-dirs-only rewrite. In-query gates: (a) ≥ 2 maintenance
+    * batches ran; (b) every batch's `_maint` record shows it rewrote
+    * ≤ a quarter of the 256 prefix dirs; (c) the maintained layout is
+    * row-identical to a FROM-SCRATCH build of the post-CDC corpus;
+    * (d) serving a probe set from the maintained index equals the
+    * batch [[Dedup.minhashMatches]] against the post-CDC corpus —
+    * deleted documents can no longer match, updated text matches at
+    * its new signature. The oracle replays the post-CDC corpus and
+    * the MinHash lane arithmetic in SQL. */
+  val streamBandCdcQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("sbcdc", dir)
+    val docs = documents(s, dir).select("doc_id", "text")
+    val idir = s"$base/idx"
+    Dedup.writeBandIndex(docs, "text", "doc_id", idir, prefixChars = 2)
+    val changes = docs.where(col("doc_id") < 5)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" cdc updated text marker")).as("text"),
+        col("doc_id").as("seq"), lit("u").as("op"))
+      .unionByName(docs.where(col("doc_id") >= 5 && col("doc_id") < 10)
+        .select(col("doc_id"), lit("").as("text"),
+          col("doc_id").as("seq"), lit("d").as("op")))
+      .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+        .select((col("doc_id") + 705000).as("doc_id"),
+          concat(col("text"), lit(" freshly inserted document")).as("text"),
+          col("doc_id").as("seq"), lit("i").as("op")))
+    changes.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = graft.streaming.ScoreStream.bandIndexMaintainSink(
+      stream, idir, "text", "doc_id", s"$base/out", s"$base/chk",
+      prefixChars = 2)
+    q.awaitTermination()
+    // gates (a)+(b): enough triggers to mean "per batch", each one
+    // rewriting a slice of the layout, never the layout
+    val logs = new java.io.File(s"$base/out/_maint").listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq
+    require(logs.length >= 2,
+      s"expected >= 2 maintenance micro-batches, saw ${logs.length}")
+    logs.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      val j = try src.mkString finally src.close()
+      val touched = "\"touched\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      val np = "\"n_prefix\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      require(np == 256 && touched > 0 && touched <= np / 4,
+        s"batch ${f.getName} rewrote $touched of $np prefixes — " +
+          "no narrowing")
+    }
+    // the corpus the CDC log implies
+    val post = docs.where(col("doc_id") >= 10)
+      .unionByName(docs.where(col("doc_id") < 5)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" cdc updated text marker")).as("text")))
+      .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+        .select((col("doc_id") + 705000).as("doc_id"),
+          concat(col("text"), lit(" freshly inserted document")).as("text")))
+    // gate (c): maintained layout == from-scratch build, row for row
+    // (distributed exceptAll both ways — no collect, scale-safe)
+    val rebuildDir = s"$base/rebuild"
+    Dedup.writeBandIndex(post, "text", "doc_id", rebuildDir, prefixChars = 2)
+    val maintained = s.read.parquet(idir)
+    val rebuilt = s.read.parquet(rebuildDir)
+      .select(maintained.columns.map(col).toIndexedSeq: _*)
+    require(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+      "maintained band index diverged from a from-scratch rebuild " +
+        "of the post-CDC corpus")
+    // gate (d) + result: serve probes from the maintained index
+    val arrivals = post
+      .where(col("doc_id") < 5 || col("doc_id") >= 705000)
+      .select((col("doc_id") + 880000).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") >= 5 && col("doc_id") < 10)
+        .select((col("doc_id") + 883000).as("doc_id"), col("text")))
+    val served = Dedup.minhashMatchesIndexed(idir, arrivals,
+      "doc_id", "text")
+    val fresh = Dedup.minhashMatches(arrivals, post, "doc_id", "text")
+    val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    require(key(served) == key(fresh),
+      "serving from the maintained index diverged from the batch " +
+        "minhashMatches over the post-CDC corpus")
+    served.orderBy("doc_id", "neighbor_id")
+  }
+
+  /** [[streamBandCdcQ]]'s oracle: the CDC log replayed into the
+    * post-corpus CTE, then the [[streamBandIndexedSql]] lane
+    * arithmetic — the stored index, the streaming application, and
+    * the touched-dirs rewrite are all value-invisible. */
+  val streamBandCdcSql = {
+    def lanes(pfx: String) = (0 until 4).map(i =>
+      s"  list_min(list_transform(sh, x -> substr(md5(x), ${i * 8 + 1}, 8))) AS $pfx$i")
+      .mkString(",\n")
+    s"""WITH post AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+       |  UNION ALL
+       |  SELECT doc_id, text || ' cdc updated text marker'
+       |  FROM documents WHERE doc_id < 5
+       |  UNION ALL
+       |  SELECT doc_id + 705000, text || ' freshly inserted document'
+       |  FROM documents WHERE doc_id >= 10 AND doc_id < 15),
+       |arr0 AS (
+       |  SELECT doc_id + 880000 AS id, text FROM post
+       |  WHERE doc_id < 5 OR doc_id >= 705000
+       |  UNION ALL
+       |  SELECT doc_id + 883000, text FROM documents
+       |  WHERE doc_id >= 5 AND doc_id < 10),
+       |ta AS (SELECT id, $toksSql AS toks FROM arr0),
+       |sa AS (SELECT id, $shinglesSql AS sh FROM ta),
+       |ma AS (SELECT id,
+       |${lanes("a")}
+       |FROM sa WHERE len(sh) > 0),
+       |tr AS (SELECT doc_id AS neighbor_id, $toksSql AS toks FROM post),
+       |sr AS (SELECT neighbor_id, $shinglesSql AS sh FROM tr),
+       |mr AS (SELECT neighbor_id,
+       |${lanes("m")}
+       |FROM sr WHERE len(sh) > 0)
+       |SELECT a.id AS doc_id, r.neighbor_id,
+       |  ROUND(CAST((a.a0 = r.m0)::INT + (a.a1 = r.m1)::INT +
+       |    (a.a2 = r.m2)::INT + (a.a3 = r.m3)::INT AS DOUBLE) / 4, 6)
+       |    AS est_jaccard
+       |FROM ma a JOIN mr r
+       |  ON (a.a0 = r.m0 AND a.a1 = r.m1) OR (a.a2 = r.m2 AND a.a3 = r.m3)
+       |ORDER BY doc_id, neighbor_id""".stripMargin
+  }
+
+  /** Streaming MAINTENANCE of the stored PERCEPTUAL hash index
+    * ([[graft.streaming.ScoreStream.hashIndexMaintainSink]]) — the
+    * media twin of q_stream_band_cdc, with the decode discipline
+    * layered on: the CDC stream carries image PAYLOADS, each
+    * micro-batch decodes its own payloads exactly once
+    * ([[Multimodal.imageDHashes]] in-batch; delete rows carry empty
+    * payloads that hash to null, which the upsert path ignores), and
+    * [[Dedup.updateHashIndex]] rewrites only the touched prefix dirs
+    * under the index's own layout marker — history is never
+    * re-DECODED. Change set ids are disjoint (updates re-imaging
+    * docs 0–4 from new seeds, deletes of 5–9, five fresh inserts),
+    * so any batch split yields the same final state. Gates mirror
+    * the band twin: ≥ 2 triggers; each batch ≤ nPrefix/4 dirs;
+    * maintained layout row-identical to a from-scratch rebuild of
+    * the post-CDC hash corpus; serving perturbed re-encodes from the
+    * maintained index == batch [[Dedup.hashMatches]] — re-encodes of
+    * DELETED images no longer match, re-encodes of updates match
+    * their new hashes. Oracle: the pixel-formula replay over the
+    * post-CDC seed set. */
+  val streamHashCdcQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("shcdc", dir)
+    val docs = documents(s, dir).select("doc_id")
+    def payloadsOf(idSeedPert: DataFrame): DataFrame =
+      Multimodal.ImageFixture.withPayloads(idSeedPert, "__seed", "__pert")
+        .select("doc_id", "payload")
+    def hashesOf(payloads: DataFrame): DataFrame =
+      Multimodal.imageDHashes(payloads, "payload").select("doc_id", "dhash")
+    val baseHashes = hashesOf(payloadsOf(docs.select(col("doc_id"),
+        col("doc_id").as("__seed"), lit(false).as("__pert"))))
+      .localCheckpoint() // ingest-time decode: exactly once
+    val idir = s"$base/idx"
+    // 1024 prefixes (vs the band twin's 256): 4 bands × 2 homes per
+    // changed hash means a worst-case all-in-one-batch split draws
+    // 120 prefixes — the ≤ nPrefix/4 narrowing gate needs headroom
+    // that 256 would not give
+    Dedup.writeHashIndex(baseHashes, "doc_id", "dhash", idir,
+      nPrefix = 1024)
+    val changes = payloadsOf(docs.where(col("doc_id") < 5)
+        .select(col("doc_id"), (col("doc_id") + 650000L).as("__seed"),
+          lit(false).as("__pert")))
+      .select(col("doc_id"), col("payload"),
+        col("doc_id").as("seq"), lit("u").as("op"))
+      .unionByName(docs.where(col("doc_id") >= 5 && col("doc_id") < 10)
+        .select(col("doc_id"), lit(Array.empty[Byte]).as("payload"),
+          col("doc_id").as("seq"), lit("d").as("op")))
+      .unionByName(payloadsOf(
+          docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+            .select((col("doc_id") + 707000L).as("doc_id"),
+              (col("doc_id") + 707000L).as("__seed"),
+              lit(false).as("__pert")))
+        .select(col("doc_id"), col("payload"),
+          col("doc_id").as("seq"), lit("i").as("op")))
+    changes.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = graft.streaming.ScoreStream.hashIndexMaintainSink(
+      stream, idir, "doc_id", "payload", s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    val logs = new java.io.File(s"$base/out/_maint").listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq
+    require(logs.length >= 2,
+      s"expected >= 2 maintenance micro-batches, saw ${logs.length}")
+    logs.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      val j = try src.mkString finally src.close()
+      val touched = "\"touched\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      val np = "\"n_prefix\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      require(np == 1024 && touched > 0 && touched <= np / 4,
+        s"batch ${f.getName} rewrote $touched of $np prefixes — " +
+          "no narrowing")
+    }
+    // the hash corpus the CDC log implies, decoded fresh
+    val postHashes = hashesOf(payloadsOf(
+        docs.where(col("doc_id") >= 10)
+          .select(col("doc_id"), col("doc_id").as("__seed"),
+            lit(false).as("__pert"))
+        .unionByName(docs.where(col("doc_id") < 5)
+          .select(col("doc_id"), (col("doc_id") + 650000L).as("__seed"),
+            lit(false).as("__pert")))
+        .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+          .select((col("doc_id") + 707000L).as("doc_id"),
+            (col("doc_id") + 707000L).as("__seed"),
+            lit(false).as("__pert")))))
+      .localCheckpoint() // read by the rebuild AND the serve gate
+    val rebuildDir = s"$base/rebuild"
+    Dedup.writeHashIndex(postHashes, "doc_id", "dhash", rebuildDir,
+      nPrefix = 1024)
+    val maintained = s.read.parquet(idir)
+    val rebuilt = s.read.parquet(rebuildDir)
+      .select(maintained.columns.map(col).toIndexedSeq: _*)
+    require(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+      "maintained hash index diverged from a from-scratch rebuild " +
+        "of the post-CDC corpus")
+    val arrivals = hashesOf(payloadsOf(
+        docs.where(col("doc_id") < 5)
+          .select((col("doc_id") + 885000L).as("doc_id"),
+            (col("doc_id") + 650000L).as("__seed"), lit(true).as("__pert"))
+        .unionByName(docs.where(col("doc_id") >= 5 && col("doc_id") < 10)
+          .select((col("doc_id") + 886000L).as("doc_id"),
+            col("doc_id").as("__seed"), lit(true).as("__pert")))
+        .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+          .select((col("doc_id") + 887000L).as("doc_id"),
+            (col("doc_id") + 707000L).as("__seed"),
+            lit(true).as("__pert")))))
+      .localCheckpoint() // probed twice: served AND the fresh gate
+    val served = Dedup.hashMatchesIndexed(idir, arrivals,
+      "doc_id", "dhash")
+    val fresh = Dedup.hashMatches(arrivals, postHashes, "doc_id", "dhash")
+    val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    require(key(served) == key(fresh),
+      "serving from the maintained hash index diverged from the " +
+        "batch hashMatches over the post-CDC corpus")
+    served.orderBy("doc_id", "neighbor_id")
+  }
+
+  /** [[streamHashCdcQ]]'s oracle: the CDC log replayed into the
+    * post-corpus seed set, then the pixel-formula dHash/band/popcount
+    * replay — the stored index, the streaming application, and the
+    * in-batch decode are all value-invisible. */
+  val streamHashCdcSql =
+    s"""WITH post AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert
+       |  FROM documents WHERE doc_id >= 10
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 650000, FALSE FROM documents
+       |  WHERE doc_id < 5
+       |  UNION ALL
+       |  SELECT doc_id + 707000, doc_id + 707000, FALSE FROM documents
+       |  WHERE doc_id >= 10 AND doc_id < 15),
+       |arr AS (
+       |  SELECT doc_id + 885000 AS id, doc_id + 650000 AS pid,
+       |    TRUE AS pert
+       |  FROM documents WHERE doc_id < 5
+       |  UNION ALL
+       |  SELECT doc_id + 886000, doc_id, TRUE FROM documents
+       |  WHERE doc_id >= 5 AND doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 887000, doc_id + 707000, TRUE FROM documents
+       |  WHERE doc_id >= 10 AND doc_id < 15),
+       |${dhashBandSqlCtes("post", "r")},
+       |${dhashBandSqlCtes("arr", "a")},
+       |cand AS (
+       |  SELECT DISTINCT a.id AS doc_id, r.id AS neighbor_id,
+       |    a.dhash AS ha, r.dhash AS hb
+       |  FROM banda a JOIN bandr r ON a.bi = r.bi AND a.bv = r.bv)
+       |SELECT doc_id, neighbor_id,
+       |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_id, neighbor_id""".stripMargin
+
   /** The MEDIA curation pipeline as one oracled query — the image
     * twin of [[curationPipelineQ]]: ingest-decode → stored-index
     * near-dup serve → per-domain quota → deterministic shard export,
@@ -5916,6 +6259,201 @@ object ExtQueries {
        |    PARTITION BY domain ORDER BY doc_id) AS qr FROM kept),
        |q AS (SELECT doc_id, domain FROM quota WHERE qr <= 3)
        |SELECT doc_id, domain, CAST(($hex8) % 4 AS INTEGER) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY ($hex8) % 4
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pos
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  /** The DOCUMENT curation pipeline as one oracled query — the TEXT
+    * twin of [[mediaPipelineQ]], fed by the two crawl FRONT DOORS:
+    * even-id documents arrive as complete two-page PDFs
+    * ([[graft.ext.Pdf.PdfFixture]], extracted by the structural
+    * parser), odd-id documents arrive as HTML (stripped by the regex
+    * chain), and ten odd documents arrive AGAIN under re-upload ids —
+    * the exact-duplicate plant. Extract → whitespace-normalize →
+    * quality floor (≥ 5 words) → [[Dedup.exactDedup]] (the
+    * re-uploads MUST collapse onto their originals — gated) →
+    * per-source quota (row_number ≤ 3) → md5 shard/position export.
+    * Every stage is an already-oracled operator; the pipeline is one
+    * DuckDB statement replaying both extraction doors, the dedup
+    * winner rule, the quota window, and the shard arithmetic. */
+  val docPipelineQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text", "source")
+    val wrap = (t: org.apache.spark.sql.Column) =>
+      concat(lit("<html><body><h1>"), t, lit("</h1></body></html>"))
+    val pdfText = graft.ext.Pdf.withPdfText(
+        graft.ext.Pdf.PdfFixture.withPayloads(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text")
+          .select("doc_id", "source", "payload"), "payload")
+      .select(col("doc_id"), col("source"), col("text_pdf").as("raw"))
+    val htmlDocs = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("source"), wrap(col("text")).as("text"))
+      .unionByName(docs
+        .where(pmod(col("doc_id"), lit(2)) === 1 && col("doc_id") < 20)
+        .select((col("doc_id") + 970000).as("doc_id"), col("source"),
+          wrap(col("text")).as("text")))
+    val htmlText = TextStats.withHtmlText(htmlDocs, "text")
+      .select(col("doc_id"), col("source"), col("text_html").as("raw"))
+    val extracted = pdfText.unionByName(htmlText)
+      .select(col("doc_id"), col("source"),
+        trim(regexp_replace(col("raw"), "\\s+", " ")).as("text"))
+    val quality = extracted.where(size(split(col("text"), " ")) >= 5)
+      .localCheckpoint() // read thrice: dedup + both gate counts
+    val deduped = Dedup.exactDedup(quality, "text", "doc_id")
+    // gate: the ten planted re-uploads collapsed (>= — scale replicas
+    // may repeat natural text and collapse more, which the oracle
+    // replays identically)
+    require(quality.count() - deduped.count() >= 10,
+      "doc pipeline dedup gate is vacuous: planted re-uploads survived")
+    val quota = deduped.withColumn("quota_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .where(col("quota_rank") <= 3)
+    graft.etl.Sharding.shuffleShards(
+        quota.select("doc_id", "source"), "doc_id", nShards = 4)
+      .select("doc_id", "source", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  /** [[docPipelineQ]]'s oracle: both extraction doors replayed from
+    * `documents.text` (PDF = text + the page-2 footer; HTML = the
+    * wrapper stripped back to the text), min-id dedup winners, quota
+    * window, md5 shard arithmetic. */
+  val docPipelineSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""WITH ext AS (
+       |  SELECT doc_id, source, trim(regexp_replace(
+       |      text || ' Page 2 of doc ' || CAST(doc_id AS VARCHAR),
+       |      '\\s+', ' ', 'g')) AS text
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, source, trim(regexp_replace(text, '\\s+', ' ', 'g'))
+       |  FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 970000, source,
+       |    trim(regexp_replace(text, '\\s+', ' ', 'g'))
+       |  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 20),
+       |qual AS (
+       |  SELECT * FROM ext WHERE len(string_split(text, ' ')) >= 5),
+       |ded AS (
+       |  SELECT doc_id, source FROM qual
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM qual GROUP BY text)),
+       |quota AS (
+       |  SELECT doc_id, source, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY doc_id) AS qr FROM ded),
+       |q AS (SELECT doc_id, source FROM quota WHERE qr <= 3)
+       |SELECT doc_id, source, CAST(($hex8) % 4 AS INTEGER) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY ($hex8) % 4
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pos
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  /** The MIXED-modality curation pipeline: the media and document
+    * doors land in ONE curated shard export — the end state the two
+    * single-modality pipelines (`q_media_pipeline`,
+    * `q_doc_pipeline`) build toward. Even-id documents arrive as
+    * IMAGES (ten perturbed re-uploads planted; decode once →
+    * [[Dedup.hashNearDups]] self-join → the re-upload side of every
+    * qualifying pair drops), odd-id documents arrive as HTML (ten
+    * exact re-uploads planted; extract → [[Dedup.exactDedup]]).
+    * Survivors of BOTH doors union under a channel key
+    * (`img-site<k>` / `doc-<source>`), pass one shared per-channel
+    * quota (row_number ≤ 3), and export through the md5
+    * shard/position arithmetic — one partitioning discipline across
+    * modalities, replayed by ONE DuckDB statement. */
+  val mixedPipelineQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id", "text", "source")
+    // media door: even ids, ten perturbed re-uploads must drop
+    val mediaArr = docs.where(col("doc_id") % 2 === 0 && col("doc_id") < 200)
+      .select(col("doc_id"), col("doc_id").as("__seed"),
+        lit(false).as("__pert"))
+      .unionByName(docs.where(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+        .select((col("doc_id") + 997000L).as("doc_id"),
+          col("doc_id").as("__seed"), lit(true).as("__pert")))
+    val mediaHashes = Multimodal.imageDHashes(
+        Multimodal.ImageFixture.withPayloads(mediaArr, "__seed", "__pert")
+          .select("doc_id", "payload"), "payload")
+      .select("doc_id", "dhash")
+      .localCheckpoint() // decode once: pairing + survivor set
+    val mediaDups = Dedup.hashNearDups(mediaHashes, "doc_id", "dhash")
+      .select(col("id_b").as("doc_id")).distinct()
+    require(mediaDups.count() > 0,
+      "mixed pipeline media dedup gate is vacuous: no re-upload matched")
+    val mediaKept = mediaHashes.join(mediaDups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        concat(lit("img-site"), pmod(col("doc_id"), lit(4))).as("channel"))
+    // document door: odd ids as HTML, ten exact re-uploads must drop
+    val wrap = (t: org.apache.spark.sql.Column) =>
+      concat(lit("<html><body><h1>"), t, lit("</h1></body></html>"))
+    val docArr = docs.where(col("doc_id") % 2 === 1 && col("doc_id") < 200)
+      .select(col("doc_id"), col("source"), wrap(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 2 === 1 && col("doc_id") < 20)
+        .select((col("doc_id") + 998000L).as("doc_id"), col("source"),
+          wrap(col("text")).as("text")))
+    val extracted = TextStats.withHtmlText(docArr, "text")
+      .select(col("doc_id"), col("source"), col("text_html").as("xt"))
+      .localCheckpoint() // extracted once: dedup + gate count
+    val docKept = Dedup.exactDedup(extracted, "xt", "doc_id")
+      .select(col("doc_id"),
+        concat(lit("doc-"), col("source")).as("channel"))
+    require(extracted.count() - docKept.count() >= 10,
+      "mixed pipeline doc dedup gate is vacuous: re-uploads survived")
+    // one quota + one shard discipline across both modalities
+    val uni = mediaKept.unionByName(docKept)
+    val quota = uni.withColumn("quota_rank", row_number().over(
+        Window.partitionBy(col("channel")).orderBy(col("doc_id"))))
+      .where(col("quota_rank") <= 3)
+    graft.etl.Sharding.shuffleShards(
+        quota.select("doc_id", "channel"), "doc_id", nShards = 4)
+      .select("doc_id", "channel", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  /** [[mixedPipelineQ]]'s oracle: the dHash pixel replay + pair-drop
+    * rule on the media door, the HTML replay + min-id winner rule on
+    * the document door, one union, one quota window, one md5 shard
+    * arithmetic. */
+  val mixedPipelineSql = {
+    val hex = (i: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val hex8 = (1 to 8).map(i =>
+      s"CAST(${hex(i)} AS BIGINT) * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"""WITH media0 AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 997000, doc_id, TRUE FROM documents
+       |  WHERE doc_id % 2 = 0 AND doc_id < 20),
+       |${dhashBandSqlCtes("media0", "m")},
+       |mdup AS (
+       |  SELECT DISTINCT b.id FROM bandm a JOIN bandm b
+       |    ON a.bi = b.bi AND a.bv = b.bv
+       |  WHERE a.id < b.id
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |mkept AS (
+       |  SELECT id AS doc_id, 'img-site' || (id % 4) AS channel
+       |  FROM (SELECT DISTINCT id FROM bandm)
+       |  WHERE id NOT IN (SELECT id FROM mdup)),
+       |docx AS (
+       |  SELECT doc_id, source,
+       |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS xt
+       |  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 998000, source,
+       |    trim(regexp_replace(text, '\\s+', ' ', 'g'))
+       |  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 20),
+       |dkept AS (
+       |  SELECT doc_id, 'doc-' || source AS channel FROM docx
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM docx GROUP BY xt)),
+       |uni AS (SELECT * FROM mkept UNION ALL SELECT * FROM dkept),
+       |quota AS (
+       |  SELECT doc_id, channel, ROW_NUMBER() OVER (
+       |    PARTITION BY channel ORDER BY doc_id) AS qr FROM uni),
+       |q AS (SELECT doc_id, channel FROM quota WHERE qr <= 3)
+       |SELECT doc_id, channel, CAST(($hex8) % 4 AS INTEGER) AS shard,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY ($hex8) % 4
        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pos
        |FROM q ORDER BY doc_id""".stripMargin
@@ -6187,6 +6725,212 @@ object ExtQueries {
        |FROM votes GROUP BY id_a, id_b
        |HAVING MAX(m) >= 2
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Keyframe-TIMESTAMP video alignment ([[Dedup.videoNearDups]]
+    * `align="time"` over TIMED GVKF containers) — the stride
+    * relaxation the offset vote cannot have: offset mode needs
+    * stride=1 because index-sampling after an insertion samples
+    * DIFFERENT original frames; keyframe flags are CONTENT marks, so
+    * both encodings sample the same frames and only keyframes ever
+    * decode (non-key frames — valid decodable PNGs on purpose — seek
+    * past on their length prefix; decoding them would emit extra hash
+    * rows the keyframes-only oracle replay would catch). The drift
+    * fixture prepends a 500 ms intro keyframe and shifts every
+    * surviving timestamp +500 ms: all three surviving keyframes
+    * concentrate in the floor(500/100) delta bucket. In-query gate:
+    * timestamp-EQUALITY matching (align="aligned" over the same
+    * keyframe hashes) finds ZERO drifted pairs — the failure mode
+    * this mode exists for. */
+  val dedupVideoTimeQ: Q = (s, dir) => {
+    val docs = documents(s, dir).select("doc_id")
+      .where(col("doc_id") < 100)
+    val originals = Multimodal.VideoFixture.withTimedPayloads(
+      docs.select(col("doc_id"), col("doc_id").as("__seed")), "__seed")
+      .select("doc_id", "payload")
+    val drifted = Multimodal.VideoFixture.withTimedDriftedPayloads(
+      docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 930000L).as("doc_id"),
+          col("doc_id").as("__seed")), "__seed")
+      .select("doc_id", "payload")
+    val corpus = originals.unionByName(drifted)
+      .localCheckpoint() // decoded twice: time vote + equality gate
+    val caught = Dedup.videoNearDups(corpus, "doc_id", "payload",
+      maxHamming = 3, bands = 4, minMatches = 2, align = "time")
+    // gate: the same keyframe hashes under timestamp EQUALITY find no
+    // drifted pair (every surviving ts moved +500 ms)
+    val kh = Multimodal.videoKeyframeDHashes(corpus, "payload")
+      .localCheckpoint()
+    val equalityHits = Dedup.videoHashMatches(
+        kh.where(col("doc_id") >= 930000L),
+        kh.where(col("doc_id") < 930000L),
+        "doc_id", "dhash", "ts_ms", 3, 4, 2, "aligned")
+      .count()
+    require(equalityHits == 0,
+      s"timestamp-equality matching caught $equalityHits drifted " +
+        "pairs — the drift fixture no longer drifts")
+    caught.orderBy("id_a", "id_b")
+  }
+
+  /** [[dedupVideoTimeQ]]'s oracle: keyframe seeds and timestamps
+    * replayed per [[Multimodal.VideoFixture.timedVideo]] /
+    * `timedVideoDrifted`, dHash pixel formula, banded candidates,
+    * popcount, then the QUANTIZED delta-bucket vote (floor of
+    * (ts_b − ts_a)/100, counting distinct left timestamps per
+    * bucket, best bucket wins). */
+  val dedupVideoTimeSql = {
+    def hv(p: String) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(fseed AS VARCHAR) || ':' || CAST(gy AS VARCHAR)), $p, 1)) - 1)"
+    def lumAt(x: String) =
+      s"((${hv(s"2*($x)+1")} * 16 + ${hv(s"2*($x)+2")}) % 256)"
+    s"""WITH src AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS drift
+       |  FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 930000, doc_id, TRUE FROM documents
+       |  WHERE doc_id < 10),
+       |fr AS (
+       |  SELECT id, CASE WHEN drift THEN f * 1000 + 500
+       |                  ELSE f * 1000 END AS ts,
+       |    pid * 100 + f AS fseed
+       |  FROM src CROSS JOIN (SELECT unnest([0, 2, 4]) AS f)
+       |  UNION ALL
+       |  SELECT id, 0, pid * 100 + 777777 FROM src WHERE drift),
+       |cell AS (
+       |  SELECT id, ts, fseed, gy, gx FROM fr
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gy)
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gx)),
+       |bits AS (
+       |  SELECT id, ts,
+       |    CASE WHEN ${lumAt("gx + 1")} > ${lumAt("gx")}
+       |         THEN CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+       |                   ELSE (1::BIGINT << (gy * 8 + gx)) END
+       |         ELSE 0 END AS b
+       |  FROM cell),
+       |hash AS (SELECT id, ts, bit_or(b) AS dhash FROM bits GROUP BY id, ts),
+       |band AS (
+       |  SELECT id, ts, dhash, bi, (dhash >> (16 * bi)) & 65535 AS bv
+       |  FROM hash CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    CAST(floor(CAST(b.ts - a.ts AS DOUBLE) / 100) AS BIGINT)
+       |      AS dbucket,
+       |    a.ts
+       |  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv
+       |  WHERE a.id < b.id
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |votes AS (
+       |  SELECT id_a, id_b, dbucket, COUNT(*) AS m
+       |  FROM cand GROUP BY id_a, id_b, dbucket)
+       |SELECT id_a, id_b, MAX(m) AS matched_frames
+       |FROM votes GROUP BY id_a, id_b
+       |HAVING MAX(m) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Streaming TIMED-video gate ([[graft.streaming.ScoreStream
+    * .timedVideoGateSink]]): GVKF arrivals — ten drifted re-encodes
+    * (500 ms intro keyframe, every surviving timestamp shifted) plus
+    * three fresh decoys — decode KEYFRAMES ONLY inside their
+    * micro-batch and vote quantized timestamp deltas against the
+    * reference keyframe hashes (decoded once, pinned). The drifted
+    * arrivals MUST match their originals on 3 keyframes at the +500ms
+    * delta bucket; a positional gate would see zero. In-query gate:
+    * streamed output == one-shot batch `videoHashMatches`
+    * (`align="time"`) over the same arrivals. */
+  val streamVideoTimeQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("svidtime", dir)
+    val docs = documents(s, dir).select("doc_id")
+      .where(col("doc_id") < 100)
+    val refFrames = Multimodal.videoKeyframeDHashes(
+      Multimodal.VideoFixture.withTimedPayloads(
+        docs.select(col("doc_id"), col("doc_id").as("__seed")), "__seed")
+        .select("doc_id", "payload"), "payload")
+      .select("doc_id", "ts_ms", "dhash")
+      .localCheckpoint() // ingest-time decode: exactly once
+    val arrivals = Multimodal.VideoFixture.withTimedDriftedPayloads(
+        docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 912000L).as("doc_id"),
+            col("doc_id").as("__seed")), "__seed")
+      .unionByName(Multimodal.VideoFixture.withTimedPayloads(
+        s.range(3).select((col("id") + 913000L).as("doc_id"),
+          (col("id") + 913000L).as("__seed")), "__seed"))
+      .select("doc_id", "payload")
+    arrivals.repartition(2).write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = graft.streaming.ScoreStream.timedVideoGateSink(
+      stream, refFrames, "doc_id", "payload", s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    val served = s.read.parquet(s"$base/out")
+      .select("doc_id", "neighbor_id", "matched_frames")
+    val fresh = Dedup.videoHashMatches(
+      Multimodal.videoKeyframeDHashes(arrivals, "payload"),
+      refFrames, "doc_id", "dhash", "ts_ms", align = "time")
+    val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    require(key(served) == key(fresh),
+      "streaming timed-video gate diverged from the batch time vote")
+    served.orderBy("doc_id", "neighbor_id")
+  }
+
+  /** [[streamVideoTimeQ]]'s oracle: keyframe seeds/timestamps of both
+    * sides replayed, then the quantized delta-bucket vote — the
+    * stream and the in-batch decode are value-invisible. */
+  val streamVideoTimeSql = {
+    def hv(p: String) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(fseed AS VARCHAR) || ':' || CAST(gy AS VARCHAR)), $p, 1)) - 1)"
+    def lumAt(x: String) =
+      s"((${hv(s"2*($x)+1")} * 16 + ${hv(s"2*($x)+2")}) % 256)"
+    s"""WITH src AS (
+       |  SELECT doc_id AS id, doc_id AS pid, FALSE AS drift,
+       |    FALSE AS arr
+       |  FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 912000, doc_id, TRUE, TRUE FROM documents
+       |  WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT 913000 + i, 913000 + i, FALSE, TRUE
+       |  FROM (SELECT unnest(range(0, 3)) AS i)),
+       |fr AS (
+       |  SELECT id, arr, CASE WHEN drift THEN f * 1000 + 500
+       |                       ELSE f * 1000 END AS ts,
+       |    pid * 100 + f AS fseed
+       |  FROM src CROSS JOIN (SELECT unnest([0, 2, 4]) AS f)
+       |  UNION ALL
+       |  SELECT id, arr, 0, pid * 100 + 777777 FROM src WHERE drift),
+       |cell AS (
+       |  SELECT id, arr, ts, fseed, gy, gx FROM fr
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gy)
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS gx)),
+       |bits AS (
+       |  SELECT id, arr, ts,
+       |    CASE WHEN ${lumAt("gx + 1")} > ${lumAt("gx")}
+       |         THEN CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+       |                   ELSE (1::BIGINT << (gy * 8 + gx)) END
+       |         ELSE 0 END AS b
+       |  FROM cell),
+       |hash AS (
+       |  SELECT id, arr, ts, bit_or(b) AS dhash FROM bits
+       |  GROUP BY id, arr, ts),
+       |band AS (
+       |  SELECT id, arr, ts, dhash, bi, (dhash >> (16 * bi)) & 65535 AS bv
+       |  FROM hash CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS doc_id, r.id AS neighbor_id,
+       |    CAST(floor(CAST(r.ts - a.ts AS DOUBLE) / 100) AS BIGINT)
+       |      AS dbucket,
+       |    a.ts
+       |  FROM band a JOIN band r ON a.bi = r.bi AND a.bv = r.bv
+       |  WHERE a.arr AND NOT r.arr
+       |    AND bit_count(xor(a.dhash, r.dhash)) <= 3),
+       |votes AS (
+       |  SELECT doc_id, neighbor_id, dbucket, COUNT(*) AS m
+       |  FROM cand GROUP BY doc_id, neighbor_id, dbucket)
+       |SELECT doc_id, neighbor_id, MAX(m) AS matched_frames
+       |FROM votes GROUP BY doc_id, neighbor_id
+       |HAVING MAX(m) >= 2
+       |ORDER BY doc_id, neighbor_id""".stripMargin
   }
 
   /** Perceptual VIDEO near-dup dedup ([[Dedup.videoNearDups]]): every
@@ -7272,10 +8016,16 @@ object ExtQueries {
     "q_stream_hash_indexed" -> streamHashIndexedQ,
     "q_stream_band_indexed" -> streamBandIndexedQ,
     "q_media_pipeline" -> mediaPipelineQ,
+    "q_doc_pipeline" -> docPipelineQ,
     "q_stream_audio_gate" -> streamAudioGateQ,
     "q_stream_video_gate" -> streamVideoGateQ,
     "q_dedup_video" -> dedupVideoQ,
     "q_dedup_video_drift" -> dedupVideoDriftQ,
+    "q_dedup_video_time" -> dedupVideoTimeQ,
+    "q_stream_band_cdc" -> streamBandCdcQ,
+    "q_stream_hash_cdc" -> streamHashCdcQ,
+    "q_stream_video_time" -> streamVideoTimeQ,
+    "q_mixed_pipeline" -> mixedPipelineQ,
     "q_text_normalize" -> textNormalize,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_apply" -> bpeApplyQ,
@@ -7310,6 +8060,7 @@ object ExtQueries {
     "q_text_html" -> textHtmlQ,
     "q_text_pdf" -> textPdfQ,
     "q_text_pdf_cid" -> textPdfCidQ,
+    "q_text_pdf_xref" -> textPdfXrefQ,
     "q_filter_funnel" -> filterFunnelQ,
     "q_quality_authority" -> qualityAuthorityQ,
     "q_mixture_authority" -> mixtureAuthorityQ,
@@ -7403,10 +8154,16 @@ object ExtQueries {
     "q_stream_hash_indexed" -> streamHashIndexedSql,
     "q_stream_band_indexed" -> streamBandIndexedSql,
     "q_media_pipeline" -> mediaPipelineSql,
+    "q_doc_pipeline" -> docPipelineSql,
     "q_stream_audio_gate" -> streamAudioGateSql,
     "q_stream_video_gate" -> streamVideoGateSql,
     "q_dedup_video" -> dedupVideoSql,
     "q_dedup_video_drift" -> dedupVideoDriftSql,
+    "q_dedup_video_time" -> dedupVideoTimeSql,
+    "q_stream_band_cdc" -> streamBandCdcSql,
+    "q_stream_hash_cdc" -> streamHashCdcSql,
+    "q_stream_video_time" -> streamVideoTimeSql,
+    "q_mixed_pipeline" -> mixedPipelineSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_vocab_coverage" -> vocabCoverageSql,
@@ -7436,6 +8193,7 @@ object ExtQueries {
     "q_text_html" -> textHtmlSql,
     "q_text_pdf" -> textPdfSql,
     "q_text_pdf_cid" -> textPdfCidSql,
+    "q_text_pdf_xref" -> textPdfXrefSql,
     "q_quality_authority" -> qualityAuthoritySql,
     "q_mixture_authority" -> mixtureAuthoritySql,
     "q_filter_funnel" -> filterFunnelSql,

@@ -499,6 +499,90 @@ object ScoreStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming MAINTENANCE of a stored [[graft.ext.Dedup
+    * .writeBandIndex]] layout from a CDC change stream — the missing
+    * half of the indexed-serving story: [[indexedBandGateSink]] reads
+    * the index on a stream, this keeps it CURRENT on a stream. Each
+    * micro-batch of `(id, text, seq, op)` change rows applies via
+    * [[graft.ext.Dedup.updateBandIndex]], which rewrites ONLY the
+    * prefix dirs the batch's documents band into (old homes and new
+    * homes both) through the crash-safe aside-rename swap — history
+    * is never re-read, never re-shingled. Batch order is CDC log
+    * order (in-order source); within a batch latest-`seq` wins
+    * (Merge's contract). A batch REPLAYED after a crash re-applies
+    * the same upserts/deletes onto the already-updated layout:
+    * upsert rows rewrite identically and deletes of absent ids are
+    * no-ops, so the maintained index is exactly-once in effect. The
+    * per-batch narrowing evidence lands in
+    * `logDir/_maint/batch-<id>.json` (`{"batch":B,"touched":K,
+    * "n_prefix":N}`, overwritten on replay) so callers can PROVE
+    * each trigger rewrote a slice, not the index. */
+  def bandIndexMaintainSink(changes: DataFrame, indexDir: String,
+                            textCol: String, idCol: String,
+                            logDir: String, checkpoint: String,
+                            numHashes: Int = 4, bands: Int = 2,
+                            prefixChars: Int = 1,
+                            seqCol: String = "seq",
+                            opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val touched = graft.ext.Dedup.updateBandIndex(
+          indexDir, batch, textCol, idCol, numHashes, bands,
+          prefixChars, seqCol, opCol)
+        writeMaintLog(batch.sparkSession, logDir, id, touched.length,
+          math.pow(16, prefixChars).toInt)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Streaming MAINTENANCE of a stored [[graft.ext.Dedup
+    * .writeHashIndex]] layout from a CDC stream of MEDIA payloads —
+    * the perceptual twin of [[bandIndexMaintainSink]]. Each
+    * micro-batch of `(id, payload, seq, op)` change rows DECODES
+    * ONCE inside its batch ([[graft.ext.Multimodal.imageDHashes]] —
+    * delete rows carry no payload and decode to null, which
+    * [[graft.ext.Dedup.updateHashIndex]] ignores for upserts), then
+    * rewrites only the touched prefix dirs under the index's OWN
+    * layout marker; history is never re-read, never re-DECODED.
+    * Same replay-idempotence and `_maint/batch-<id>.json` narrowing
+    * log as the band twin. */
+  def hashIndexMaintainSink(changes: DataFrame, indexDir: String,
+                            idCol: String, payloadCol: String,
+                            logDir: String, checkpoint: String,
+                            seqCol: String = "seq",
+                            opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val hashed = graft.ext.Multimodal.imageDHashes(batch, payloadCol)
+          .drop(payloadCol)
+        val touched = graft.ext.Dedup.updateHashIndex(
+          indexDir, hashed, idCol, "dhash", seqCol, opCol)
+        val (_, nPrefix) = graft.ext.Dedup.hashIndexLayout(
+          indexDir, batch.sparkSession)
+        writeMaintLog(batch.sparkSession, logDir, id, touched.length,
+          nPrefix)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The per-batch maintenance record [[bandIndexMaintainSink]]
+    * writes: `logDir/_maint/batch-<id>.json` with the touched-prefix
+    * count and the layout's total — overwritten on replay. */
+  private def writeMaintLog(spark: org.apache.spark.sql.SparkSession,
+                            logDir: String, batchId: Long,
+                            touched: Int, nPrefix: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(logDir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$logDir/_maint/batch-$batchId.json")
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"batch":$batchId,"touched":$touched,"n_prefix":$nPrefix}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Streaming perceptual VIDEO gate: arriving GVID payloads decode
     * INSIDE their micro-batch ([[graft.ext.Multimodal
     * .videoFrameDHashes]] over the batch frame — sampled frames only,
@@ -527,6 +611,37 @@ object ScoreStream {
         graft.ext.Dedup.videoHashMatches(frames, refFrameHashes,
             idCol, "dhash", "frame_idx", maxHamming, bands, minMatches,
             align)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Streaming TIMED-video gate — [[videoGateSink]]'s drift-tolerant
+    * sibling: arriving GVKF payloads decode KEYFRAMES ONLY inside
+    * their micro-batch ([[graft.ext.Multimodal.videoKeyframeDHashes]]
+    * — non-key frames seek past on the length prefix) and vote
+    * `align="time"` (quantized timestamp-delta buckets) against a
+    * reference keyframe-hash frame decoded once upstream. Same
+    * foreachBatch exactness argument as the frame-index gate: every
+    * arrival's keyframes travel inside its own payload row, so the
+    * vote completes within the batch. Catches re-encodes whose
+    * timestamps drifted (intro bumpers, ad inserts) that the
+    * positional gate misses — with no dense-sampling requirement. */
+  def timedVideoGateSink(arrivalPayloads: DataFrame,
+                         refKeyHashes: DataFrame,
+                         idCol: String, payloadCol: String,
+                         outDir: String, checkpoint: String,
+                         maxHamming: Int = 3, bands: Int = 4,
+                         minMatches: Int = 2,
+                         timeQuantMs: Int = 100): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivalPayloads.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val frames = graft.ext.Multimodal.videoKeyframeDHashes(
+          df.select(df(idCol), df(payloadCol)), payloadCol)
+        graft.ext.Dedup.videoHashMatches(frames, refKeyHashes,
+            idCol, "dhash", "ts_ms", maxHamming, bands, minMatches,
+            "time", graft.ext.Dedup.DefaultMaxBandBucket, timeQuantMs)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

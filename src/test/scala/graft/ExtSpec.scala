@@ -1145,6 +1145,140 @@ class ExtSpec extends AnyFunSuite {
     ()
   }
 
+  test("video time vote: keyframe timestamps catch drift with no stride constraint; non-key frames never hash") {
+    import spark.implicits._
+    val V = Multimodal.VideoFixture
+    val corpus = Seq(
+      (1L, V.timedVideo(7L)),
+      (2L, V.timedVideoDrifted(7L)), // +500ms shift, intro keyframe
+      (3L, V.timedVideo(8L)))
+      .toDF("id", "payload")
+    // only KEYFRAMES decode: 3 per original (f 0/2/4), intro + 3 for
+    // the drifted — the non-key frames are valid PNGs on purpose, so
+    // extra rows here would mean they were wrongly decoded
+    val kh = Multimodal.videoKeyframeDHashes(corpus, "payload")
+      .localCheckpoint()
+    val counts = kh.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 4L, 3L -> 3L), counts.toString)
+    // the time vote finds the drifted pair — at the DEFAULT stride
+    // (the whole point: keyframe sampling is content marks)
+    val got = Dedup.videoNearDups(corpus, "id", "payload", align = "time")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3L)), got.mkString(","))
+    // timestamp EQUALITY over the same hashes finds nothing
+    val eq = Dedup.videoHashMatches(
+      kh.where($"id" === 2L), kh.where($"id" =!= 2L),
+      "id", "dhash", "ts_ms", 3, 4, 2, "aligned")
+    assert(eq.count() == 0, "every surviving timestamp moved +500ms")
+    // GVID payloads are not GVKF: the keyframe hasher rejects them
+    assert(Multimodal.videoKeyframeDHashes(
+      Seq((9L, V.video(7L, perturbed = false))).toDF("id", "payload"),
+      "payload").count() == 0)
+    // truncation inside a skipped NON-key frame emits no rows (the
+    // skip-returns-0 guard): the last timed frame (f=5) is non-key
+    val full = V.timedVideo(7L)
+    assert(Multimodal.VideoContainer.keyFrames(
+      full.take(full.length - 5), 64).isEmpty)
+    ()
+  }
+
+  test("pdf xref stream: the 1.5 lookup path resolves type-2 members == recovery scan") {
+    val P = Pdf
+    val text = "ABBA via xref stream"
+    val p = P.PdfFixture.cidPdf(text, xrefStream = true)
+    val raw = new String(p, "ISO-8859-1")
+    assert(!raw.contains("trailer"),
+      "xref-stream fixture must not carry a classic trailer to fall back on")
+    val entries = P.xrefStreamEntries(p)
+    assert(entries.size == 9, entries.toString)
+    assert(entries(0).tpe == 0)
+    assert((1 to 4).forall(i => entries(i) == P.XrefEntry(2, 7, i - 1)),
+      "packed dicts must be type-2 entries at their ObjStm member index")
+    assert(Seq(5, 6, 7, 8).forall(i => entries(i).tpe == 1))
+    val via = P.xrefResolvedMembers(p)
+    assert(via.keySet == Set(1, 2, 3, 4), via.keySet.toString)
+    assert(via == P.recoveryMembers(p),
+      "xref-stream lookup and recovery scan disagree on the members")
+    assert(via(3).contains("/ToUnicode 6 0 R"))
+    // extraction itself is unchanged by the xref form
+    assert(P.extractText(p).get.trim == P.PdfFixture.cidExpected(text))
+    // classic-table files have no xref stream to find
+    assert(P.xrefStreamEntries(P.PdfFixture.cidPdf(text)).isEmpty)
+    assert(P.xrefStreamEntries(P.PdfFixture.pdf(Seq(Seq("x")))).isEmpty)
+    // xrefStream without an ObjStm is refused loudly
+    intercept[IllegalArgumentException] {
+      P.PdfFixture.cidPdf(text, inObjStm = false, xrefStream = true)
+    }
+    ()
+  }
+
+  test("pdf filter breadth: array /Filter form, ASCIIHexDecode, unknown filters skipped") {
+    val P = Pdf
+    val arr = P.PdfFixture.pdf(Seq(Seq("array form line")),
+      filterStyle = "array")
+    assert(new String(arr, "ISO-8859-1").contains("/Filter [/FlateDecode]"))
+    assert(P.extractText(arr).get.contains("array form line"))
+    val hexp = P.PdfFixture.pdf(Seq(Seq("hex body line")),
+      filterStyle = "asciihex")
+    assert(new String(hexp, "ISO-8859-1").contains("/ASCIIHexDecode"))
+    assert(P.extractText(hexp).get.contains("hex body line"))
+    // an unknown filter's bytes are compressed binary the interpreter
+    // must not scan: the stream is skipped, not garbled
+    val base = P.PdfFixture.pdf(Seq(Seq("x")), compress = false)
+    val unknown = new String(base, "ISO-8859-1")
+      .replace(">>\nstream", " /Filter /DCTDecode >>\nstream")
+      .getBytes("ISO-8859-1")
+    assert(P.extractText(unknown).get.trim == "",
+      "unknown-filter stream bodies must be skipped")
+    ()
+  }
+
+  test("hash index CDC re-apply is idempotent: the streaming-replay contract") {
+    import spark.implicits._
+    val hashes = Seq((1L, 11L), (2L, 1L << 40), (3L, (1L << 33) + 7L))
+      .toDF("doc_id", "dhash")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hidem").toString
+    Dedup.writeHashIndex(hashes, "doc_id", "dhash", dir, nPrefix = 16)
+    val changes = Seq(
+      (2L, Some(99L), 1L, "u"),
+      (3L, None, 1L, "d"),
+      (9L, Some(123456L), 1L, "i"))
+      .toDF("doc_id", "dhash", "seq", "op")
+    Dedup.updateHashIndex(dir, changes, "doc_id", "dhash")
+    def snapshot() = spark.read.parquet(dir).collect()
+      .map(_.toSeq.toString).sorted.toSeq
+    val once = snapshot()
+    Dedup.updateHashIndex(dir, changes, "doc_id", "dhash")
+    assert(snapshot() == once, "CDC re-apply changed the hash index")
+    ()
+  }
+
+  test("band index CDC re-apply is idempotent: the streaming-replay contract") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "hh ii jj kk ll mm nn"),
+      (3L, "oo pp qq rr ss tt uu")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bidem").toString
+    Dedup.writeBandIndex(corpus, "text", "doc_id", dir)
+    val changes = Seq(
+      (2L, "vv ww xx yy zz ab cd", 1L, "u"),
+      (3L, "", 1L, "d"),
+      (9L, "ef gh ij kl mn op qr", 1L, "i"))
+      .toDF("doc_id", "text", "seq", "op")
+    Dedup.updateBandIndex(dir, changes, "text", "doc_id")
+    def snapshot() = spark.read.parquet(dir).collect()
+      .map(_.toSeq.toString).sorted.toSeq
+    val once = snapshot()
+    // a crashed foreachBatch replays the SAME batch onto the already-
+    // updated layout: upserts rewrite identically, deletes of absent
+    // ids are no-ops — the maintained index must not move
+    Dedup.updateBandIndex(dir, changes, "text", "doc_id")
+    assert(snapshot() == once, "CDC re-apply changed the index")
+    ()
+  }
+
   test("video offset vote: degenerate band bucket raises BEFORE the quadratic join") {
     import spark.implicits._
     // Adversarial corpus: 4 videos × 10 frames, every frame the SAME

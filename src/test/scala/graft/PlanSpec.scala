@@ -244,12 +244,19 @@ class PlanSpec extends AnyFunSuite {
       // side. In every case the materialized RDD is the SMALL result
       // — everything upstream of it planned with full pushdown — and
       // the rule still guards every scan-shaped query.
+      // (q_dedup_video_time checkpoints its keyframe-hash frame,
+      // q_text_pdf_xref its fixture payloads — gate + extraction both
+      // read them — and q_doc_pipeline its post-quality frame, read
+      // by dedup and both gate counts: same decode/build-once class.)
       if (!Set("q_dedup_components", "q_dedup_apply",
           "q_dedup_neardup", "q_dedup_incremental",
           "q_quality_authority", "q_mixture_authority",
           "q_dedup_image", "q_dedup_audio",
           "q_dedup_hash_index", "q_dedup_video",
-          "q_dedup_video_drift", "q_media_pipeline").contains(name))
+          "q_dedup_video_drift", "q_media_pipeline",
+          "q_dedup_video_time", "q_text_pdf_xref",
+          "q_doc_pipeline", "q_stream_hash_cdc",
+          "q_mixed_pipeline").contains(name))
         assert(!plan.contains("ExistingRDD"),
           s"$name plans an opaque RDD scan (breaks pushdown/codegen)")
       // min/max over var-length types silently falls back to

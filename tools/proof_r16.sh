@@ -22,7 +22,9 @@ q_dedup_image q_dedup_audio q_mixture_authority \
 q_dedup_video q_dedup_hash_index q_stream_image_gate q_unigram_train \
 q_stream_hash_indexed q_stream_audio_gate q_stream_video_gate \
 q_dedup_video_drift q_unigram_train_soft q_text_pdf \
-q_stream_band_indexed q_media_pipeline q_text_pdf_cid"
+q_stream_band_indexed q_media_pipeline q_text_pdf_cid \
+q_text_pdf_xref q_stream_band_cdc q_dedup_video_time q_doc_pipeline \
+q_stream_hash_cdc q_stream_video_time q_mixed_pipeline"
 
 step() { # step <name> <cmd...>
   local name="$1"; shift
