@@ -1148,10 +1148,21 @@ object Dedup {
     * md5-uniform, so dirs balance). Serving prunes at the SCAN via
     * partition filters; maintenance rewrites only touched prefix
     * dirs. Bodies never enter the index — it is (id, lanes, band)
-    * rows only. */
+    * rows only. `numHashes`/`bands`/`prefixChars` are layout
+    * constants persisted IN the index (a `_graft_band_layout` marker,
+    * invisible to parquet readers — the MinHash twin of
+    * [[writeHashIndex]]'s `_graft_hash_layout`): serving and
+    * maintenance read them back, so a caller can never band or
+    * prefix a probe differently than the rows on disk — the silent-
+    * corruption class (new rows banded under different constants than
+    * stored rows) is unrepresentable. */
   def writeBandIndex(corpus: DataFrame, textCol: String, idCol: String,
                      outDir: String, numHashes: Int = 4, bands: Int = 2,
-                     prefixChars: Int = 1): Unit =
+                     prefixChars: Int = 1): Unit = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes=$numHashes not divisible by bands=$bands")
+    require(prefixChars >= 1 && prefixChars <= 8,
+      s"prefixChars=$prefixChars")
     // repartition on pfx before the partitioned write: each prefix
     // lands wholly in one task, so every dir gets ONE file instead of
     // up to tasks×dirs — at cluster scale the build tracks dirs, not
@@ -1160,6 +1171,45 @@ object Dedup {
     bandIndexRows(corpus, textCol, idCol, numHashes, bands, prefixChars)
       .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
+    writeBandLayout(outDir, numHashes, bands, prefixChars,
+      corpus.sparkSession)
+  }
+
+  private val BandLayoutMarker = "_graft_band_layout"
+
+  private def writeBandLayout(dir: String, numHashes: Int, bands: Int,
+                              prefixChars: Int,
+                              s: org.apache.spark.sql.SparkSession): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$BandLayoutMarker"), true)
+    try out.write(
+      s"numHashes=$numHashes\nbands=$bands\nprefixChars=$prefixChars\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The `(numHashes, bands, prefixChars)` layout constants persisted
+    * in a [[writeBandIndex]] marker — public so maintenance and
+    * serving layers can LOG their narrowing against the layout's
+    * 16^prefixChars total. Raises on a dir that is not a
+    * [[writeBandIndex]] layout. */
+  def bandIndexLayout(indexDir: String,
+                      s: org.apache.spark.sql.SparkSession): (Int, Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$BandLayoutMarker")
+    require(fs.exists(p),
+      s"$indexDir is not a writeBandIndex layout (no $BandLayoutMarker marker)")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toInt }
+      .toMap
+    (kv("numHashes"), kv("bands"), kv("prefixChars"))
+  }
 
   private def bandIndexRows(corpus: DataFrame, textCol: String,
                             idCol: String, numHashes: Int, bands: Int,
@@ -1177,12 +1227,14 @@ object Dedup {
     * partition filter, so only the index slice the batch can touch is
     * read; everything after is the same first-band exact-once join.
     * Result identical to [[minhashMatches]] over the corpus the index
-    * was built from (spec-pinned). */
+    * was built from (spec-pinned). `numHashes`/`bands`/`prefixChars`
+    * come from the index's OWN layout marker — a caller cannot probe
+    * with a different banding than the rows on disk. */
   def minhashMatchesIndexed(indexDir: String, arrivals: DataFrame,
                             idCol: String, textCol: String,
-                            numHashes: Int = 4, bands: Int = 2,
                             minJaccard: Double = 0.0): DataFrame = {
     val s = arrivals.sparkSession
+    val (numHashes, bands, prefixLen) = bandIndexLayout(indexDir, s)
     val rows = numHashes / bands
     val arr = arrivals
       .select(col(idCol), Featurize.tokensCol(col(textCol)).as("__t"))
@@ -1195,7 +1247,6 @@ object Dedup {
     val stored = s.read.parquet(indexDir)
     require(stored.columns.contains("pfx"),
       s"$indexDir is not a writeBandIndex layout (no pfx partition)")
-    val prefixLen = stored.select(max(length(col("pfx")))).head().getInt(0)
     val probePfx = arr.select(
         substring(col("band_key"), 1, prefixLen).as("pfx"))
       .distinct().collect().map(_.getString(0)).sorted
@@ -1226,15 +1277,11 @@ object Dedup {
     * pair per micro-batch so each trigger can PROVE it pruned the
     * index scan instead of trusting the plan. */
   def probeBandPrefixes(indexDir: String, arrivals: DataFrame,
-                        idCol: String, textCol: String,
-                        numHashes: Int = 4,
-                        bands: Int = 2): (Array[String], Int) = {
+                        idCol: String,
+                        textCol: String): (Array[String], Int) = {
     val s = arrivals.sparkSession
+    val (numHashes, bands, prefixLen) = bandIndexLayout(indexDir, s)
     val rows = numHashes / bands
-    val stored = s.read.parquet(indexDir)
-    require(stored.columns.contains("pfx"),
-      s"$indexDir is not a writeBandIndex layout (no pfx partition)")
-    val prefixLen = stored.select(max(length(col("pfx")))).head().getInt(0)
     val probed = arrivals
       .select(col(idCol), Featurize.tokensCol(col(textCol)).as("__t"))
       .select(col(idCol), Featurize.ngramsCol(col("__t"), 3).as("__sh"))
@@ -1253,14 +1300,15 @@ object Dedup {
     * crash-safety shape as [[graft.ext.Similarity.updateIvfIndex]]:
     * the temp layout fully materializes before any live dir moves, a
     * prefix emptied by deletes stays deleted. Returns the touched
-    * prefixes (bounded at 16^prefixChars). */
+    * prefixes (bounded at 16^prefixChars). The banding constants come
+    * from the index's OWN layout marker — a maintainer cannot band
+    * new rows differently than the stored rows. */
   def updateBandIndex(indexDir: String, changes: DataFrame,
                       textCol: String, idCol: String,
-                      numHashes: Int = 4, bands: Int = 2,
-                      prefixChars: Int = 1,
                       seqCol: String = "seq",
                       opCol: String = "op"): Array[String] = {
     val s = changes.sparkSession
+    val (numHashes, bands, prefixChars) = bandIndexLayout(indexDir, s)
     val latest = graft.etl.Merge.latestChanges(changes, idCol, seqCol)
     val touchedIds = latest.select(col(idCol)).distinct()
     val oldPfx = s.read.parquet(indexDir)
@@ -1348,7 +1396,7 @@ object Dedup {
                     maxBandBucket: Long = DefaultMaxBandBucket,
                     timeQuantMs: Int = 100): DataFrame = {
     val (bandBits, mask) = videoVoteChecks(bands, maxHamming, minMatches,
-      align, stride)
+      align, stride, timeQuantMs)
     // align='time' reads TIMED (GVKF) containers: the container's
     // keyframe flags pick the sampled frames (content marks — the
     // same original frames in any re-encode), so `stride` plays no
@@ -1399,7 +1447,7 @@ object Dedup {
                        maxBandBucket: Long = DefaultMaxBandBucket,
                        timeQuantMs: Int = 100): DataFrame = {
     val (bandBits, mask) = videoVoteChecks(bands, maxHamming, minMatches,
-      align, stride = 1)
+      align, stride = 1, timeQuantMs)
     def probes(df: DataFrame, idAs: String, fAs: String, hAs: String,
                biAs: String, bvAs: String) = df
       .select(col(idCol).as(idAs), col(frameCol).cast("int").as(fAs),
@@ -1426,9 +1474,13 @@ object Dedup {
 
   private def videoVoteChecks(bands: Int, maxHamming: Int,
                               minMatches: Int, align: String,
-                              stride: Int): (Int, Long) = {
+                              stride: Int, timeQuantMs: Int): (Int, Long) = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands=$bands must divide 64 (and be >= 2)")
+    require(align != "time" || timeQuantMs >= 1,
+      s"timeQuantMs=$timeQuantMs: the quantized-delta vote divides by " +
+        "it — zero or negative would turn every delta bucket into " +
+        "Infinity/NaN garbage silently")
     require(maxHamming >= 0 && maxHamming <= bands - 1,
       s"maxHamming=$maxHamming exceeds the pigeonhole guarantee of " +
         s"bands - 1 = ${bands - 1}: the band join could silently miss " +
@@ -1466,11 +1518,19 @@ object Dedup {
     *  - `"time"`: the offset vote with the frame column read as a
     *    TIMESTAMP (ms) and the delta QUANTIZED to `timeQuantMs`
     *    buckets before voting (real re-encodes jitter PTS by a few
-    *    ms; exact equality would split every vote). Paired with
-    *    keyframe-sampled hashes (`videoKeyframeDHashes` — sampling
-    *    by content marks, not index), this lifts the offset mode's
-    *    stride=1 requirement: both encodings sample the same
-    *    original frames no matter how insertions shifted indices. */
+    *    ms; exact equality would split every vote). The vote runs on
+    *    TWO half-offset quantization grids and keeps the better
+    *    bucket: floor-quantization alone still splits votes whose
+    *    true delta sits near a bucket boundary (jitter around a
+    *    multiple of `timeQuantMs` — e.g. deltas 499 and 501 ms at
+    *    quant 100 land in buckets 4 and 5), but any point has at
+    *    least `timeQuantMs/2` of clearance from one of the two
+    *    grids' boundaries, so ±timeQuantMs/4 jitter can never halve
+    *    the vote. Paired with keyframe-sampled hashes
+    *    (`videoKeyframeDHashes` — sampling by content marks, not
+    *    index), this lifts the offset mode's stride=1 requirement:
+    *    both encodings sample the same original frames no matter how
+    *    insertions shifted indices. */
   private def videoVote(left: DataFrame, right: DataFrame,
                         selfPair: Boolean, align: String,
                         maxHamming: Int, minMatches: Int,
@@ -1516,22 +1576,36 @@ object Dedup {
       bit_count(col("__hash").bitwiseXOR(col("__rhash")))
         .cast("int") <= maxHamming)
     // 'offset' votes on the exact index delta; 'time' votes on the
-    // QUANTIZED timestamp delta (floor to timeQuantMs buckets — real
-    // re-encodes jitter PTS by a few ms, exact equality would split
-    // every vote)
-    val delta =
-      if (align == "time")
-        floor((col("__rf") - col("__f")).cast("double") / timeQuantMs)
-          .cast("long")
-      else (col("__rf") - col("__f")).cast("long")
+    // QUANTIZED timestamp delta on TWO half-offset grids (floor to
+    // timeQuantMs buckets; the second grid shifts by timeQuantMs/2 —
+    // jitter that straddles one grid's bucket boundary lands in the
+    // interior of the other's, so the best-bucket vote never halves
+    // on boundary-adjacent true deltas)
     val voted =
       if (align == "aligned")
         ok.select(col("__id"), col("__rid"), col("__f")).distinct()
           .groupBy("__id", "__rid")
           .agg(count(lit(1)).as("matched_frames"))
-      else
+      else if (align == "time") {
+        val d = (col("__rf") - col("__f")).cast("double")
+        ok.select(col("__id"), col("__rid"), col("__f"),
+            explode(array(
+              struct(lit(0).as("g"),
+                floor(d / timeQuantMs).cast("long").as("b")),
+              struct(lit(1).as("g"),
+                floor((d + timeQuantMs / 2.0) / timeQuantMs)
+                  .cast("long").as("b")))).as("__gb"))
+          .select(col("__id"), col("__rid"), col("__f"),
+            col("__gb.g").as("__g"), col("__gb.b").as("__off"))
+          .distinct()
+          .groupBy("__id", "__rid", "__g", "__off")
+          .agg(count(lit(1)).as("__m"))
+          .groupBy("__id", "__rid")
+          .agg(max(col("__m")).as("matched_frames"))
+      } else
         ok.select(col("__id"), col("__rid"),
-            delta.as("__off"), col("__f")).distinct()
+            (col("__rf") - col("__f")).cast("long").as("__off"),
+            col("__f")).distinct()
           .groupBy("__id", "__rid", "__off")
           .agg(count(lit(1)).as("__m"))
           .groupBy("__id", "__rid")

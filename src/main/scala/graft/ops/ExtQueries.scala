@@ -5917,8 +5917,7 @@ object ExtQueries {
     val stream = s.readStream.schema(changes.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
     val q = graft.streaming.ScoreStream.bandIndexMaintainSink(
-      stream, idir, "text", "doc_id", s"$base/out", s"$base/chk",
-      prefixChars = 2)
+      stream, idir, "text", "doc_id", s"$base/out", s"$base/chk")
     q.awaitTermination()
     // gates (a)+(b): enough triggers to mean "per batch", each one
     // rewriting a slice of the layout, never the layout
@@ -6775,9 +6774,12 @@ object ExtQueries {
   /** [[dedupVideoTimeQ]]'s oracle: keyframe seeds and timestamps
     * replayed per [[Multimodal.VideoFixture.timedVideo]] /
     * `timedVideoDrifted`, dHash pixel formula, banded candidates,
-    * popcount, then the QUANTIZED delta-bucket vote (floor of
-    * (ts_b − ts_a)/100, counting distinct left timestamps per
-    * bucket, best bucket wins). */
+    * popcount, then the QUANTIZED delta-bucket vote on TWO
+    * half-offset grids (floor of ((ts_b − ts_a) + g·50)/100 for
+    * g ∈ {0, 1}, counting distinct left timestamps per (grid,
+    * bucket), best bucket of either grid wins — [[Dedup]]'s
+    * boundary-jitter defense, value-identical here because the
+    * fixture's deltas are jitter-free). */
   val dedupVideoTimeSql = {
     def hv(p: String) =
       s"(instr('0123456789abcdef', substr(md5(CAST(fseed AS VARCHAR) || ':' || CAST(gy AS VARCHAR)), $p, 1)) - 1)"
@@ -6813,15 +6815,19 @@ object ExtQueries {
        |  FROM hash CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-       |    CAST(floor(CAST(b.ts - a.ts AS DOUBLE) / 100) AS BIGINT)
-       |      AS dbucket,
+       |    CAST(b.ts - a.ts AS DOUBLE) AS delta,
        |    a.ts
        |  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv
        |  WHERE a.id < b.id
        |    AND bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |gcand AS (
+       |  SELECT DISTINCT id_a, id_b, g,
+       |    CAST(floor((delta + g * 50.0) / 100) AS BIGINT) AS dbucket,
+       |    ts
+       |  FROM cand CROSS JOIN (SELECT unnest([0, 1]) AS g)),
        |votes AS (
-       |  SELECT id_a, id_b, dbucket, COUNT(*) AS m
-       |  FROM cand GROUP BY id_a, id_b, dbucket)
+       |  SELECT id_a, id_b, g, dbucket, COUNT(*) AS m
+       |  FROM gcand GROUP BY id_a, id_b, g, dbucket)
        |SELECT id_a, id_b, MAX(m) AS matched_frames
        |FROM votes GROUP BY id_a, id_b
        |HAVING MAX(m) >= 2
@@ -6918,15 +6924,19 @@ object ExtQueries {
        |  FROM hash CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
        |cand AS (
        |  SELECT DISTINCT a.id AS doc_id, r.id AS neighbor_id,
-       |    CAST(floor(CAST(r.ts - a.ts AS DOUBLE) / 100) AS BIGINT)
-       |      AS dbucket,
+       |    CAST(r.ts - a.ts AS DOUBLE) AS delta,
        |    a.ts
        |  FROM band a JOIN band r ON a.bi = r.bi AND a.bv = r.bv
        |  WHERE a.arr AND NOT r.arr
        |    AND bit_count(xor(a.dhash, r.dhash)) <= 3),
+       |gcand AS (
+       |  SELECT DISTINCT doc_id, neighbor_id, g,
+       |    CAST(floor((delta + g * 50.0) / 100) AS BIGINT) AS dbucket,
+       |    ts
+       |  FROM cand CROSS JOIN (SELECT unnest([0, 1]) AS g)),
        |votes AS (
-       |  SELECT doc_id, neighbor_id, dbucket, COUNT(*) AS m
-       |  FROM cand GROUP BY doc_id, neighbor_id, dbucket)
+       |  SELECT doc_id, neighbor_id, g, dbucket, COUNT(*) AS m
+       |  FROM gcand GROUP BY doc_id, neighbor_id, g, dbucket)
        |SELECT doc_id, neighbor_id, MAX(m) AS matched_frames
        |FROM votes GROUP BY doc_id, neighbor_id
        |HAVING MAX(m) >= 2

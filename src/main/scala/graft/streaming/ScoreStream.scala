@@ -483,16 +483,15 @@ object ScoreStream {
   def indexedBandGateSink(arrivalTexts: DataFrame, indexDir: String,
                           idCol: String, textCol: String,
                           outDir: String, checkpoint: String,
-                          numHashes: Int = 4, bands: Int = 2,
                           minJaccard: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery =
     arrivalTexts.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batch = df.localCheckpoint()
         val (probed, nPrefix) = graft.ext.Dedup.probeBandPrefixes(
-          indexDir, batch, idCol, textCol, numHashes, bands)
+          indexDir, batch, idCol, textCol)
         graft.ext.Dedup.minhashMatchesIndexed(
-            indexDir, batch, idCol, textCol, numHashes, bands, minJaccard)
+            indexDir, batch, idCol, textCol, minJaccard)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
         writeProbeLog(batch.sparkSession, outDir, id, probed.length, nPrefix)
       }
@@ -513,23 +512,26 @@ object ScoreStream {
     * the same upserts/deletes onto the already-updated layout:
     * upsert rows rewrite identically and deletes of absent ids are
     * no-ops, so the maintained index is exactly-once in effect. The
-    * per-batch narrowing evidence lands in
+    * banding constants come from the index's OWN `_graft_band_layout`
+    * marker (written by `writeBandIndex`, read per batch by
+    * `updateBandIndex`) — this sink cannot band new rows differently
+    * than the stored rows, the same defense the hash twin gets from
+    * `hashIndexLayout`. The per-batch narrowing evidence lands in
     * `logDir/_maint/batch-<id>.json` (`{"batch":B,"touched":K,
     * "n_prefix":N}`, overwritten on replay) so callers can PROVE
     * each trigger rewrote a slice, not the index. */
   def bandIndexMaintainSink(changes: DataFrame, indexDir: String,
                             textCol: String, idCol: String,
                             logDir: String, checkpoint: String,
-                            numHashes: Int = 4, bands: Int = 2,
-                            prefixChars: Int = 1,
                             seqCol: String = "seq",
                             opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val touched = graft.ext.Dedup.updateBandIndex(
-          indexDir, batch, textCol, idCol, numHashes, bands,
-          prefixChars, seqCol, opCol)
+          indexDir, batch, textCol, idCol, seqCol, opCol)
+        val (_, _, prefixChars) = graft.ext.Dedup.bandIndexLayout(
+          indexDir, batch.sparkSession)
         writeMaintLog(batch.sparkSession, logDir, id, touched.length,
           math.pow(16, prefixChars).toInt)
       }

@@ -114,8 +114,7 @@ object BenchR12bScale {
         D.writeBandIndex(docs, "text", "doc_id", idir, prefixChars = 2)
       }
       val (tUpdate, touched) = timed {
-        D.updateBandIndex(idir, changes0, "text", "doc_id",
-          prefixChars = 2).length
+        D.updateBandIndex(idir, changes0, "text", "doc_id").length
       }
       val arrivals = docs0.where(col("doc_id") < 20)
         .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))

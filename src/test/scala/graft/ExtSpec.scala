@@ -1279,6 +1279,59 @@ class ExtSpec extends AnyFunSuite {
     ()
   }
 
+  test("band index layout marker: constants persist; maintenance reads them back") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "hh ii jj kk ll mm nn")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_blay").toString
+    Dedup.writeBandIndex(corpus, "text", "doc_id", dir, prefixChars = 2)
+    // the marker IS the layout: serve/update can never band a probe
+    // differently than the rows on disk
+    assert(Dedup.bandIndexLayout(dir, spark) == ((4, 2, 2)))
+    // update against the prefixChars=2 layout must rewrite 2-char
+    // dirs (the old caller-trusted default of 1 would have corrupted
+    // the layout silently — the ADVICE class this marker closes)
+    val changes = Seq((5L, "vv ww xx yy zz ab cd", 1L, "i"))
+      .toDF("doc_id", "text", "seq", "op")
+    val touched = Dedup.updateBandIndex(dir, changes, "text", "doc_id")
+    assert(touched.nonEmpty && touched.forall(_.length == 2), touched.toSeq)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.bandIndexLayout(
+        java.nio.file.Files.createTempDirectory("graft_nolay").toString, spark)
+    }
+    assert(ex.getMessage.contains("_graft_band_layout"))
+  }
+
+  test("time vote: dual half-offset grids rescue boundary-straddling jitter") {
+    import spark.implicits._
+    // Two matching keyframes whose true delta (~500 ms) jitters to
+    // 499 and 501 — grid 0 (floor(d/100)) splits them into buckets 4
+    // and 5 (vote 1 each, below minMatches=2); the half-offset grid
+    // puts both at floor((d+50)/100) = 5. Hashes are band-disjoint
+    // complements so nothing else pairs.
+    val hA = 0x0F0F0F0F0F0F0F0FL
+    val hB = ~hA
+    val arr = Seq((1L, 0, hA), (1L, 1000, hB)).toDF("id", "ts_ms", "dhash")
+    val ref = Seq((2L, 499, hA), (2L, 1501, hB)).toDF("id", "ts_ms", "dhash")
+    val got = Dedup.videoHashMatches(arr, ref, "id", frameCol = "ts_ms",
+        align = "time", minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L)), got.toSeq)
+    // zero-jitter deltas are unaffected: both grids agree
+    val ref0 = Seq((2L, 500, hA), (2L, 1500, hB)).toDF("id", "ts_ms", "dhash")
+    val got0 = Dedup.videoHashMatches(arr, ref0, "id", frameCol = "ts_ms",
+        align = "time", minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got0.toSeq == Seq((1L, 2L, 2L)), got0.toSeq)
+    // the divide-by-zero knob is loud now, like every other knob here
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.videoHashMatches(arr, ref, "id", frameCol = "ts_ms",
+        align = "time", minMatches = 2, timeQuantMs = 0)
+    }
+    assert(ex.getMessage.contains("timeQuantMs"))
+  }
+
   test("video offset vote: degenerate band bucket raises BEFORE the quadratic join") {
     import spark.implicits._
     // Adversarial corpus: 4 videos × 10 frames, every frame the SAME
