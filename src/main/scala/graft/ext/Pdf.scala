@@ -119,8 +119,11 @@ object Pdf {
             // their decoded bytes are arbitrary binary that the
             // content interpreter must not scan (a 0x3C byte would
             // open a phantom hex string). Fonts/CMaps/ObjStm bodies
-            // stay: they are text-shaped and operator-free.
-            val binary = dict.contains("/XRef") || dict.contains("/Image")
+            // stay: they are text-shaped and operator-free. The match
+            // is on STRUCTURED keys (/Type /XRef, /Subtype /Image),
+            // not raw substrings: a /ImageB name in a ProcSet array
+            // or an /XRefStm trailer key must not skip a text stream.
+            val binary = BinaryStreamRe.matcher(dict).find()
             val decoded = if (binary) None else decodeBody(dict, raw)
             decoded.foreach { b => found += b; () }
             from = text.indexOf("endstream", end) match {
@@ -133,6 +136,15 @@ object Pdf {
     }
     found.result()
   }
+
+  /** A stream dict whose TYPE marks its body as non-text binary:
+    * `/Type /XRef` (cross-reference streams) or `/Subtype /Image`
+    * (image XObjects). Structured keys, not substrings — the
+    * lookahead stops `/XRefStm` or `/ImageMask`-style longer names
+    * from matching, and bare `/Image`/`/XRef` tokens elsewhere in the
+    * dict (ProcSet arrays, trailer keys) never classify. */
+  private val BinaryStreamRe = java.util.regex.Pattern.compile(
+    "/Type\\s*/XRef(?![A-Za-z0-9])|/Subtype\\s*/Image(?![A-Za-z0-9])")
 
   private def skipEol(text: String, i: Int): Int = {
     var j = i
@@ -232,61 +244,88 @@ object Pdf {
     * so the page/font dictionaries modern writers compress into them
     * become visible. No xref following, same recovery contract as
     * [[streams]]: a truncated file yields every intact object. */
+  private val ObjHeaderRe =
+    java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+
+  /** Parse ONE indirect object whose `N G obj` header MATCH starts at
+    * `m.start` (the matcher must already be positioned): returns the
+    * object number, the parsed object, and the scan position just
+    * past it — or None when no balanced dictionary follows the
+    * header (the loop in [[objects]] then just advances). Shared by
+    * the recovery scan and the xref type-1 offset lookup, so both
+    * paths apply the same `/Length` discipline and body decode. */
+  private def parseObjAt(text: String, payload: Array[Byte],
+                         num: Int, headerEnd: Int): Option[(PdfObj, Int)] = {
+    val lengthRe = "/Length\\s+(\\d+)".r
+    var i = headerEnd
+    while (i < text.length && Character.isWhitespace(text.charAt(i))) i += 1
+    if (!text.startsWith("<<", i)) return None
+    val dictEnd = dictForward(text, i)
+    val dict = text.substring(i, dictEnd)
+    var j = dictEnd
+    while (j < text.length && Character.isWhitespace(text.charAt(j))) j += 1
+    if (!text.startsWith("stream", j)) Some((PdfObj(dict, None), j))
+    else {
+      var body0 = j + "stream".length
+      if (body0 < text.length && text.charAt(body0) == '\r') body0 += 1
+      if (body0 < text.length && text.charAt(body0) == '\n') body0 += 1
+      val declared = lengthRe.findFirstMatchIn(dict).map(_.group(1).toLong)
+      val end = declared match {
+        case Some(len) if len >= 0 && body0 + len <= text.length &&
+            text.startsWith("endstream",
+              skipEol(text, (body0 + len).toInt)) =>
+          (body0 + len).toInt
+        case _ =>
+          var e = text.indexOf("endstream", body0)
+          if (e >= 0) {
+            if (e > body0 && text.charAt(e - 1) == '\n') e -= 1
+            if (e > body0 && text.charAt(e - 1) == '\r') e -= 1
+          }
+          e
+      }
+      if (end < 0) None
+      else {
+        val rawBody = java.util.Arrays.copyOfRange(payload, body0, end)
+        val next = text.indexOf("endstream", end) match {
+          case -1 => text.length
+          case e => e + "endstream".length
+        }
+        Some((PdfObj(dict, decodeBody(dict, rawBody)), next))
+      }
+    }
+  }
+
+  /** The indirect object whose header sits EXACTLY at byte `off` —
+    * the PDF 1.5 type-1 xref-entry lookup (offset-addressed, never a
+    * scan): None when the offset does not hold an `N G obj` header
+    * or the object is malformed. Returns the header's object number
+    * with the object so callers can verify it against the entry. */
+  private def objectAtOffset(payload: Array[Byte], text: String,
+                             off: Int): Option[(Int, PdfObj)] = {
+    if (off < 0 || off >= text.length) return None
+    val m = ObjHeaderRe.matcher(text)
+    if (!m.find(off) || m.start != off) return None
+    parseObjAt(text, payload, m.group(1).toInt, m.end)
+      .map { case (o, _) => (m.group(1).toInt, o) }
+  }
+
   private def objects(payload: Array[Byte]): Map[Int, PdfObj] = {
     val text = new String(payload, "ISO-8859-1")
     val out = scala.collection.mutable.Map.empty[Int, PdfObj]
-    val m = java.util.regex.Pattern
-      .compile("(\\d+)\\s+\\d+\\s+obj\\b").matcher(text)
-    val lengthRe = "/Length\\s+(\\d+)".r
+    val m = ObjHeaderRe.matcher(text)
     var pos = 0
     while (pos < text.length && m.find(pos)) {
       val num = m.group(1).toInt
-      var i = m.end
-      while (i < text.length && Character.isWhitespace(text.charAt(i))) i += 1
-      if (!text.startsWith("<<", i)) pos = m.end
-      else {
-        val dictEnd = dictForward(text, i)
-        val dict = text.substring(i, dictEnd)
-        var j = dictEnd
-        while (j < text.length && Character.isWhitespace(text.charAt(j))) j += 1
-        if (!text.startsWith("stream", j)) {
-          out(num) = PdfObj(dict, None)
-          pos = j
-        } else {
-          var body0 = j + "stream".length
-          if (body0 < text.length && text.charAt(body0) == '\r') body0 += 1
-          if (body0 < text.length && text.charAt(body0) == '\n') body0 += 1
-          val declared = lengthRe.findFirstMatchIn(dict).map(_.group(1).toLong)
-          val end = declared match {
-            case Some(len) if len >= 0 && body0 + len <= text.length &&
-                text.startsWith("endstream",
-                  skipEol(text, (body0 + len).toInt)) =>
-              (body0 + len).toInt
-            case _ =>
-              var e = text.indexOf("endstream", body0)
-              if (e >= 0) {
-                if (e > body0 && text.charAt(e - 1) == '\n') e -= 1
-                if (e > body0 && text.charAt(e - 1) == '\r') e -= 1
-              }
-              e
-          }
-          if (end < 0) pos = text.length
-          else {
-            val rawBody = java.util.Arrays.copyOfRange(payload, body0, end)
-            out(num) = PdfObj(dict, decodeBody(dict, rawBody))
-            pos = text.indexOf("endstream", end) match {
-              case -1 => text.length
-              case e => e + "endstream".length
-            }
-          }
-        }
+      parseObjAt(text, payload, num, m.end) match {
+        case Some((o, next)) => out(num) = o; pos = next
+        case None => pos = m.end
       }
     }
     // unpack object streams: header = N (objnum, offset) int pairs,
     // members start at /First — members are always dict-level objects
     // (the spec excludes streams), so dict-only entries suffice
     val packed = out.toSeq.collect {
-      case (_, o) if o.dict.contains("/ObjStm") && o.stream.isDefined =>
+      case (_, o) if ObjStmTypeRe.matcher(o.dict).find() && o.stream.isDefined =>
         o
     }
     packed.foreach { o =>
@@ -408,28 +447,68 @@ object Pdf {
     out.result()
   }
 
+  private val ObjStmTypeRe = java.util.regex.Pattern.compile(
+    "/Type\\s*/ObjStm(?![A-Za-z0-9])")
+
+  /** The `/Extends S 0 R` parent of an ObjStm dict — PDF 1.5 §7.5.7
+    * object-stream chaining: the current stream is an EXTENSION of
+    * `S`, and an object a type-2 entry attributes to the extension
+    * may physically live anywhere up the chain (the shape
+    * incremental-update writers produce). */
+  private def extendsRef(dict: String): Option[Int] =
+    "/Extends\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt)
+
   /** Resolve every TYPE-2 xref entry the proper PDF-1.5 way — through
-    * the xref stream, NOT the recovery scan: entry `(2, S, k)` means
-    * "member k of object stream S", so the referenced ObjStm decodes
-    * and its k-th HEADER member (whose objnum must agree with the
-    * entry's — disagreements are dropped, recovery-style) yields the
-    * dict. Returns objnum → dict text; empty when the file has no
-    * xref stream. The driver query gates this against the recovery
-    * scan's object table — the two independent lookup paths must
-    * agree on every packed object. */
+    * the xref stream ONLY: entry `(2, S, k)` means "member k of
+    * object stream S", and the container ObjStm `S` is located by
+    * dereferencing ITS OWN type-1 entry's byte offset (never by the
+    * recovery scan's linear object table — the two lookup paths stay
+    * genuinely independent down to object location). A container
+    * whose entry is missing, FREE (type 0 — a superseded stream whose
+    * stale bytes may still sit in the file), or whose offset does not
+    * hold a `/Type /ObjStm` stream resolves nothing. When member `k`
+    * of `S` does not carry the entry's objnum (stale or sloppy xref),
+    * the stream is searched by objnum and then its `/Extends` chain
+    * is walked (cycle-guarded) — §7.5.7 chaining. Returns
+    * objnum → dict text; empty when the file has no xref stream. The
+    * driver query gates this against the recovery scan — the two
+    * independent paths must agree on every live packed object. */
   private[graft] def xrefResolvedMembers(payload: Array[Byte]): Map[Int, String] = {
     val entries = xrefStreamEntries(payload)
     if (entries.isEmpty) return Map.empty
-    val objs = objects(payload)
-    val memberCache = scala.collection.mutable.Map.empty[Int, Seq[(Int, String)]]
-    entries.toSeq.collect { case (objNum, XrefEntry(2, s, k)) =>
-      val members = memberCache.getOrElseUpdate(s.toInt,
-        objs.get(s.toInt).filter(_.dict.contains("/ObjStm"))
-          .map(objStmMembers).getOrElse(Nil))
-      members.lift(k.toInt) match {
-        case Some((mNum, dict)) if mNum == objNum => Some(objNum -> dict)
+    val text = new String(payload, "ISO-8859-1")
+    val containerCache = scala.collection.mutable
+      .Map.empty[Int, Option[(String, Seq[(Int, String)])]]
+    // a container ObjStm resolves through its OWN type-1 byte offset;
+    // free (type-0) or unlisted object numbers hold NO live stream —
+    // a stale superseded ObjStm still present in the bytes is
+    // unreachable here even though the recovery scan would see it
+    def container(s: Int): Option[(String, Seq[(Int, String)])] =
+      containerCache.getOrElseUpdate(s, entries.get(s) match {
+        case Some(XrefEntry(1, off, _)) =>
+          objectAtOffset(payload, text, off.toInt).collect {
+            case (num, o) if num == s && o.stream.isDefined &&
+                ObjStmTypeRe.matcher(o.dict).find() =>
+              (o.dict, objStmMembers(o))
+          }
         case _ => None
+      })
+    def resolve(objNum: Int, s: Int, k: Int, seen: Set[Int]): Option[String] =
+      if (seen(s)) None
+      else container(s) match {
+        case None => None
+        case Some((dict, members)) =>
+          members.lift(k) match {
+            case Some((mNum, d)) if mNum == objNum => Some(d)
+            case _ =>
+              members.collectFirst { case (mNum, d) if mNum == objNum => d }
+                .orElse(extendsRef(dict)
+                  .flatMap(p => resolve(objNum, p, k, seen + s)))
+          }
       }
+    entries.toSeq.collect { case (objNum, XrefEntry(2, s, k)) =>
+      resolve(objNum, s.toInt, k.toInt, Set.empty).map(objNum -> _)
     }.flatten.toMap
   }
 
@@ -440,7 +519,7 @@ object Pdf {
     * ONLY inside the ObjStm proves both lookup paths genuinely work. */
   private[graft] def recoveryMembers(payload: Array[Byte]): Map[Int, String] =
     objects(payload).toSeq.collect {
-      case (_, o) if o.dict.contains("/ObjStm") && o.stream.isDefined =>
+      case (_, o) if ObjStmTypeRe.matcher(o.dict).find() && o.stream.isDefined =>
         objStmMembers(o)
     }.flatten.toMap
 
@@ -950,11 +1029,28 @@ object Pdf {
       * appears anywhere in the file, so a green
       * [[Pdf.xrefResolvedMembers]] == [[Pdf.recoveryMembers]] gate
       * proves the 1.5 lookup path itself, not a table fallback. */
+    /** With `extendsChain` (requires `xrefStream`): the four dicts
+      * split across TWO chained object streams — the base ObjStm 9
+      * holds the catalog and page tree, the extension ObjStm 7
+      * (`/Extends 9 0 R`) holds the font and page — and the xref
+      * stream's type-2 entries for objects 1–2 point at the
+      * EXTENSION with slots that only resolve by walking the chain
+      * (the shape incremental-update writers produce). A third,
+      * STALE ObjStm (object 10) carrying a superseded copy of the
+      * page dict (`/Contents 99 0 R`) sits in the file bytes with
+      * its xref entry marked TYPE-0 FREE: a reader that located
+      * containers by scanning instead of through the xref would
+      * resolve the stale page — the free-entry discipline the
+      * driver gate checks. */
     def cidPdf(text: String, inObjStm: Boolean = true,
-               xrefStream: Boolean = false): Array[Byte] = {
+               xrefStream: Boolean = false,
+               extendsChain: Boolean = false): Array[Byte] = {
       require(!xrefStream || inObjStm,
         "xrefStream fixtures pack their dicts in an ObjStm — type-2 " +
           "entries have nothing to point at otherwise")
+      require(!extendsChain || xrefStream,
+        "extendsChain fixtures need xref-stream type-2 entries to " +
+          "point into the chain")
       val units = (0 until text.length).map(k => f"${text.charAt(k).toInt}%04X")
       val content = (s"BT /FC 12 Tf 72 720 Td <${units.mkString}> Tj ET")
         .getBytes("ISO-8859-1")
@@ -991,9 +1087,8 @@ object Pdf {
         bos.write("\nendstream".getBytes("ISO-8859-1"))
         bos.toByteArray
       }
-      val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
-      if (inObjStm) {
-        val members = Seq(1 -> cat, 2 -> pages, 3 -> font, 4 -> page)
+      def objStm(members: Seq[(Int, String)],
+                 extra: String = ""): Array[Byte] = {
         var off = 0
         val placed = members.map { case (id, d) =>
           val r = (id, off, d); off += d.length + 1; r
@@ -1001,9 +1096,21 @@ object Pdf {
         val header = placed.map { case (id, o, _) => s"$id $o" }
           .mkString(" ") + "\n"
         val body = header + placed.map(_._3 + "\n").mkString
-        objs += 7 -> streamBytes(
-          s" /Type /ObjStm /N ${members.length} /First ${header.length}",
+        streamBytes(
+          s" /Type /ObjStm /N ${members.length} /First ${header.length}$extra",
           body.getBytes("ISO-8859-1"))
+      }
+      val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      if (extendsChain) {
+        objs += 9 -> objStm(Seq(1 -> cat, 2 -> pages))
+        objs += 7 -> objStm(Seq(3 -> font, 4 -> page), " /Extends 9 0 R")
+        // superseded page dict in a FREED ObjStm — bytes present,
+        // xref entry type-0: only a scan-located container could
+        // ever resolve it
+        objs += 10 -> objStm(Seq(
+          4 -> page.replace("/Contents 5 0 R", "/Contents 99 0 R")))
+      } else if (inObjStm) {
+        objs += 7 -> objStm(Seq(1 -> cat, 2 -> pages, 3 -> font, 4 -> page))
       } else {
         objs += 1 -> cat.getBytes("ISO-8859-1")
         objs += 2 -> pages.getBytes("ISO-8859-1")
@@ -1024,24 +1131,39 @@ object Pdf {
       }
       val xrefAt = out.size()
       if (xrefStream) {
-        // the xref stream is itself object 8, covering objects 0..8:
-        // 0 free; 1-4 type-2 (ObjStm 7, member index = id - 1, the
-        // header order cidPdf packs them in); 5-8 type-1 offsets
-        val size = 9
+        // single-ObjStm shape: the xref stream is object 8, covering
+        // 0..8 — 0 free; 1-4 type-2 (ObjStm 7, member index = id - 1,
+        // the header order cidPdf packs them in); 5-8 type-1 offsets.
+        // extendsChain shape: 0..10 — 1-2 type-2 pointing at the
+        // EXTENSION stream 7 (resolvable only via /Extends to 9),
+        // 3-4 type-2 direct members of 7, 5-7 and 9 type-1 offsets,
+        // 8 the xref stream itself, 10 FREE (the stale ObjStm)
+        val size = if (extendsChain) 11 else 9
         val entries = new java.io.ByteArrayOutputStream()
         def entry(t: Int, a: Long, b: Int): Unit = {
           entries.write(t)
           entries.write(((a >> 24) & 0xFF).toInt)
           entries.write(((a >> 16) & 0xFF).toInt)
           entries.write(((a >> 8) & 0xFF).toInt)
-          entries.write((a & 0xFF).toInt)
+          entries.write(((a & 0xFF).toInt))
           entries.write((b >> 8) & 0xFF)
           entries.write(b & 0xFF)
         }
         entry(0, 0L, 0xFFFF)                      // obj 0: free head
-        (1 to 4).foreach(id => entry(2, 7L, id - 1))
-        (5 to 7).foreach(id => entry(1, offsets(id).toLong, 0))
-        entry(1, xrefAt.toLong, 0)                // obj 8: this stream
+        if (extendsChain) {
+          entry(2, 7L, 0)                         // 1: via /Extends
+          entry(2, 7L, 1)                         // 2: via /Extends
+          entry(2, 7L, 0)                         // 3: direct member
+          entry(2, 7L, 1)                         // 4: direct member
+          (5 to 7).foreach(id => entry(1, offsets(id).toLong, 0))
+          entry(1, xrefAt.toLong, 0)              // 8: this stream
+          entry(1, offsets(9).toLong, 0)          // 9: base ObjStm
+          entry(0, 0L, 0)                         // 10: freed stale
+        } else {
+          (1 to 4).foreach(id => entry(2, 7L, id - 1))
+          (5 to 7).foreach(id => entry(1, offsets(id).toLong, 0))
+          entry(1, xrefAt.toLong, 0)              // obj 8: this stream
+        }
         val body = deflate(entries.toByteArray)
         out.write(s"8 0 obj\n".getBytes("ISO-8859-1"))
         out.write((s"<< /Type /XRef /Size $size /Root 1 0 R " +
@@ -1076,7 +1198,8 @@ object Pdf {
       * CID twin of [[withPayloads]], backing `q_text_pdf_cid` (and,
       * with `xrefStream`, `q_text_pdf_xref`). */
     def withCidPayloads(df: DataFrame, idCol: String, textCol: String,
-                        xrefStream: Boolean = false): DataFrame = {
+                        xrefStream: Boolean = false,
+                        extendsChain: Boolean = false): DataFrame = {
       import org.apache.spark.sql.{Encoders, Row}
       import org.apache.spark.sql.types.BinaryType
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
@@ -1084,7 +1207,8 @@ object Pdf {
       df.mapPartitions { rows =>
         rows.map { row =>
           val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
-          Row.fromSeq(row.toSeq :+ cidPdf(text, xrefStream = xrefStream))
+          Row.fromSeq(row.toSeq :+ cidPdf(text, xrefStream = xrefStream,
+            extendsChain = extendsChain))
         }
       }(Encoders.row(outSchema))
     }

@@ -4029,6 +4029,66 @@ object ExtQueries {
     * to extraction, so the replay is [[textPdfCidSql]] verbatim. */
   val textPdfXrefSql = textPdfCidSql
 
+  /** PDF 1.5 object-stream BREADTH ([[graft.ext.Pdf.PdfFixture.cidPdf]]
+    * `extendsChain`): the CID fixture's four dicts split across TWO
+    * chained ObjStms (`/Extends`), the xref stream's type-2 entries
+    * for the catalog and page tree pointing at the EXTENSION stream
+    * with slots that only resolve by walking the chain — plus a
+    * STALE ObjStm carrying a superseded page dict whose xref entry
+    * is TYPE-0 FREE. The distributed in-query gate requires, per
+    * payload: 4 type-2 entries; the stale stream's objnum marked
+    * free; the 1.5 path resolving exactly objects 1–4 with the LIVE
+    * page dict (`/Contents 5 0 R` — a scan-located container would
+    * surface the freed `/Contents 99 0 R` copy); entries 1–2
+    * physically pointing at stream 7 (so their resolution PROVES the
+    * `/Extends` walk); and scan agreement on every unambiguous
+    * object. Extraction on top is oracled like the CID query. */
+  val textPdfExtendsQ: Q = (s, dir) => {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.BooleanType
+    val docs = documents(s, dir).select("doc_id", "text")
+    val payloads = graft.ext.Pdf.PdfFixture.withCidPayloads(
+        docs, "doc_id", "text", xrefStream = true, extendsChain = true)
+      .select("doc_id", "payload")
+    val outSchema = payloads.schema.add("chain_ok", BooleanType,
+      nullable = false)
+    val pIdx = payloads.schema.fieldIndex("payload")
+    val gated = payloads.mapPartitions { rows =>
+      rows.map { row =>
+        val p = row.getAs[Array[Byte]](pIdx)
+        val entries = graft.ext.Pdf.xrefStreamEntries(p)
+        val viaXref = graft.ext.Pdf.xrefResolvedMembers(p)
+        val viaScan = graft.ext.Pdf.recoveryMembers(p)
+        val ok = entries.values.count(_.tpe == 2) == 4 &&
+          entries.get(10).exists(_.tpe == 0) &&
+          viaXref.keySet == Set(1, 2, 3, 4) &&
+          viaXref(4).contains("/Contents 5 0 R") &&
+          entries.get(1).contains(graft.ext.Pdf.XrefEntry(2, 7, 0)) &&
+          entries.get(2).contains(graft.ext.Pdf.XrefEntry(2, 7, 1)) &&
+          viaXref(1).contains("/Catalog") &&
+          viaXref(2).contains("/Pages") &&
+          viaScan.get(1).contains(viaXref(1)) &&
+          viaScan.get(2).contains(viaXref(2)) &&
+          viaScan.get(3).contains(viaXref(3)) &&
+          viaScan.contains(4)
+        Row.fromSeq(row.toSeq :+ Boolean.box(ok))
+      }
+    }(Encoders.row(outSchema))
+      .localCheckpoint() // fixture built once: gate + extraction
+    require(gated.where(!col("chain_ok")).limit(1).count() == 0,
+      "a payload's /Extends-chain or free-entry lookup failed")
+    graft.ext.Pdf.withPdfText(
+        gated.select("doc_id", "payload"), "payload")
+      .select(col("doc_id"),
+        trim(regexp_replace(col("text_pdf"), "\\s+", " ")).as("text_pdf"),
+        col("text_pdf_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** [[textPdfExtendsQ]]'s oracle — chained ObjStms and freed stale
+    * streams are value-invisible to extraction: [[textPdfCidSql]]. */
+  val textPdfExtendsSql = textPdfCidSql
+
   /** URL canonicalization + site key ([[TextStats.normalizeUrl]] /
     * [[TextStats.urlDomain]]) over synthetic crawl URLs built from
     * every document (mixed-case scheme/host, default port, tracking
@@ -8071,6 +8131,7 @@ object ExtQueries {
     "q_text_pdf" -> textPdfQ,
     "q_text_pdf_cid" -> textPdfCidQ,
     "q_text_pdf_xref" -> textPdfXrefQ,
+    "q_text_pdf_extends" -> textPdfExtendsQ,
     "q_filter_funnel" -> filterFunnelQ,
     "q_quality_authority" -> qualityAuthorityQ,
     "q_mixture_authority" -> mixtureAuthorityQ,
@@ -8204,6 +8265,7 @@ object ExtQueries {
     "q_text_pdf" -> textPdfSql,
     "q_text_pdf_cid" -> textPdfCidSql,
     "q_text_pdf_xref" -> textPdfXrefSql,
+    "q_text_pdf_extends" -> textPdfExtendsSql,
     "q_quality_authority" -> qualityAuthoritySql,
     "q_mixture_authority" -> mixtureAuthoritySql,
     "q_filter_funnel" -> filterFunnelSql,

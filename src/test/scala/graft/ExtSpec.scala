@@ -1213,6 +1213,57 @@ class ExtSpec extends AnyFunSuite {
     ()
   }
 
+  test("pdf xref breadth: /Extends chains walk; freed stale ObjStms never resolve") {
+    val P = Pdf
+    val text = "ABBA via chained object streams"
+    val p = P.PdfFixture.cidPdf(text, xrefStream = true,
+      extendsChain = true)
+    val entries = P.xrefStreamEntries(p)
+    assert(entries.size == 11, entries.toString)
+    // the stale superseded ObjStm is in the BYTES (its header is
+    // plain text; its member dict is inside the Flate body) but FREE
+    // in the xref
+    assert(entries(10).tpe == 0)
+    assert(new String(p, "ISO-8859-1").contains("10 0 obj"),
+      "fixture lost its stale ObjStm — the free-entry gate is vacuous")
+    val via = P.xrefResolvedMembers(p)
+    assert(via.keySet == Set(1, 2, 3, 4), via.keySet.toString)
+    // entries 1-2 point at the EXTENSION stream; the dicts live in
+    // the base — only the /Extends walk can have resolved them
+    assert(entries(1) == P.XrefEntry(2, 7, 0) && via(1).contains("/Catalog"))
+    assert(entries(2) == P.XrefEntry(2, 7, 1) && via(2).contains("/Pages"))
+    // free-entry discipline: the LIVE page dict wins, never the
+    // freed stream's superseded copy
+    assert(via(4).contains("/Contents 5 0 R") &&
+      !via(4).contains("/Contents 99 0 R"))
+    // extraction is unchanged by the chain shape
+    assert(P.extractText(p).get.trim == P.PdfFixture.cidExpected(text))
+    intercept[IllegalArgumentException] {
+      P.PdfFixture.cidPdf(text, extendsChain = true) // needs xrefStream
+    }
+    ()
+  }
+
+  test("pdf binary-stream typing is structured: /ImageB in a ProcSet stays text") {
+    def doc(dict: String, body: String) =
+      (s"%PDF-1.4\n1 0 obj\n<< /Length ${body.length}$dict >>\nstream\n" +
+        body + "\nendstream\nendobj\n").getBytes("ISO-8859-1")
+    // a content dict that merely MENTIONS /ImageB (ProcSet array)
+    // must still reach the text interpreter — the old substring rule
+    // classified it binary and dropped the page text
+    val got = Pdf.extractText(
+      doc(" /ProcSet [/PDF /ImageB]", "BT (visible words) Tj ET"))
+    assert(got.exists(_.contains("visible words")), got.toString)
+    // a REAL binary type is still excluded, spacing-insensitively
+    val xref = Pdf.extractText(
+      doc(" /Type/XRef", "BT (phantom) Tj ET"))
+    assert(xref.exists(!_.contains("phantom")), xref.toString)
+    val img = Pdf.extractText(
+      doc(" /Subtype /Image /Width 4", "BT (phantom) Tj ET"))
+    assert(img.exists(!_.contains("phantom")), img.toString)
+    ()
+  }
+
   test("pdf filter breadth: array /Filter form, ASCIIHexDecode, unknown filters skipped") {
     val P = Pdf
     val arr = P.PdfFixture.pdf(Seq(Seq("array form line")),

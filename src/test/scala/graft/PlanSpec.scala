@@ -245,9 +245,10 @@ class PlanSpec extends AnyFunSuite {
       // — everything upstream of it planned with full pushdown — and
       // the rule still guards every scan-shaped query.
       // (q_dedup_video_time checkpoints its keyframe-hash frame,
-      // q_text_pdf_xref its fixture payloads — gate + extraction both
-      // read them — and q_doc_pipeline its post-quality frame, read
-      // by dedup and both gate counts: same decode/build-once class.)
+      // q_text_pdf_xref/q_text_pdf_extends their fixture payloads —
+      // gate + extraction both read them — and q_doc_pipeline its
+      // post-quality frame, read by dedup and both gate counts: same
+      // decode/build-once class.)
       if (!Set("q_dedup_components", "q_dedup_apply",
           "q_dedup_neardup", "q_dedup_incremental",
           "q_quality_authority", "q_mixture_authority",
@@ -255,6 +256,7 @@ class PlanSpec extends AnyFunSuite {
           "q_dedup_hash_index", "q_dedup_video",
           "q_dedup_video_drift", "q_media_pipeline",
           "q_dedup_video_time", "q_text_pdf_xref",
+          "q_text_pdf_extends",
           "q_doc_pipeline", "q_stream_hash_cdc",
           "q_mixed_pipeline").contains(name))
         assert(!plan.contains("ExistingRDD"),
