@@ -669,13 +669,53 @@ object Similarity {
     * all. Rewrite cost is one cell exchange, paid once per index
     * build. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    cents: Array[Array[Double]], outDir: String): Unit =
+                    cents: Array[Array[Double]], outDir: String): Unit = {
     // repartition on cell first: one file per cell dir instead of up
     // to tasks×cells (same file-count audit as Dedup.writeHashIndex)
     assignCells(corpus, vecCol, cents)
       .select(col(idCol), col(vecCol), col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    writeIvfLayout(outDir, cents, corpus.sparkSession)
+  }
+
+  private val IvfLayoutMarker = "_graft_ivf_layout"
+
+  /** Persist the centroids IN the layout (one line per centroid,
+    * shortest-round-trip `Double.toString` — parses back to the
+    * identical bits), the vector twin of `Dedup`'s band/hash layout
+    * markers: the centroids ARE the index's layout constants, and a
+    * maintainer assigning new rows under different centroids than
+    * the stored rows silently corrupts cells. */
+  private def writeIvfLayout(dir: String, cents: Array[Array[Double]],
+                             s: org.apache.spark.sql.SparkSession): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$IvfLayoutMarker"), true)
+    try out.write(cents.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The centroids persisted in a [[writeIvfIndex]] marker — the
+    * EXACT doubles the build assigned cells with (bit-identical
+    * through the decimal round trip). Raises on a dir that is not a
+    * [[writeIvfIndex]] layout. The streaming maintenance sink reads
+    * these instead of accepting centroids, so an unattended
+    * maintainer can never drift from the on-disk assignment. */
+  def ivfIndexCentroids(indexDir: String,
+                        s: org.apache.spark.sql.SparkSession): Array[Array[Double]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$IvfLayoutMarker")
+    require(fs.exists(p),
+      s"$indexDir is not a writeIvfIndex layout (no $IvfLayoutMarker marker)")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    text.linesIterator.filter(_.nonEmpty)
+      .map(_.split(",").map(_.toDouble)).toArray
+  }
 
   /** The distinct probe-cell union of a query set — bounded at
     * `nCells` ints (driver-data class of the centroids). Public so
@@ -749,6 +789,16 @@ object Similarity {
                      vecCol: String, cents: Array[Array[Double]],
                      seqCol: String = "seq", opCol: String = "op"): Array[Int] = {
     val s = changes.sparkSession
+    // the layout's own marker is the source of truth: assigning new
+    // rows under DIFFERENT centroids than the stored rows corrupts
+    // cells silently (the mismatch class the band/hash markers close)
+    val stored = ivfIndexCentroids(indexDir, s)
+    require(stored.length == cents.length &&
+        stored.indices.forall(i =>
+          java.util.Arrays.equals(stored(i), cents(i))),
+      s"caller centroids differ from the $IvfLayoutMarker marker at " +
+        s"$indexDir — maintain with ivfIndexCentroids(indexDir) or " +
+        "rebuild the index")
     val latest = graft.etl.Merge.latestChanges(changes, idCol, seqCol)
     val touchedIds = latest.select(col(idCol)).distinct()
     val oldCells = s.read.parquet(indexDir)

@@ -640,6 +640,70 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** STREAMING maintenance of the stored IVF layout
+    * ([[graft.streaming.ScoreStream.ivfIndexMaintainSink]]) — the
+    * vector twin of q_stream_band_cdc/q_stream_hash_cdc, closing the
+    * maintenance-sink family across all three stored indexes. The
+    * corpus builds the partitioned index once; the SAME deterministic
+    * change set as q_sim_ivf_update (disjoint id classes — any batch
+    * split yields the same final state) streams in three files, one
+    * per trigger, each micro-batch applying via
+    * [[Similarity.updateIvfIndex]]'s cell-local rewrite under
+    * centroids read from the index's OWN layout marker. In-query
+    * gates: (a) ≥ 2 maintenance batches ran; (b) every batch's
+    * `_maint` record rewrote a strict SLICE of the 16 cells, never
+    * the layout; (c) the maintained layout is row-identical to a
+    * from-scratch build of the CDC-applied corpus; (d) serving
+    * ([[Similarity.ivfPartitionedTopK]]) from the maintained layout
+    * is the result — oracled by the same centroid-literal SQL over
+    * the CDC-applied corpus as the batch update query. */
+  val streamIvfCdcQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("sivfcdc", dir)
+    val emb = embeddings(s, dir).select("vec_id", "embedding")
+    val cents = ivfCents(s, dir)
+    val idir = s"$base/idx"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, idir)
+    val changes = ivfUpdateChanges(emb)
+    changes.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = graft.streaming.ScoreStream.ivfIndexMaintainSink(
+      stream, idir, "vec_id", "embedding", s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    // gates (a)+(b): multiple triggers, each rewriting a strict slice
+    val logs = new java.io.File(s"$base/out/_maint").listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq
+    require(logs.length >= 2,
+      s"expected >= 2 maintenance micro-batches, saw ${logs.length}")
+    logs.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      val j = try src.mkString finally src.close()
+      val touched = "\"touched\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      val np = "\"n_prefix\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      require(np == 16 && touched > 0 && touched < np,
+        s"batch ${f.getName} rewrote $touched of $np cells — no narrowing")
+    }
+    // gate (c): maintained layout == from-scratch build of the
+    // CDC-applied corpus, row for row (distributed exceptAll both
+    // ways — no collect, scale-safe)
+    val updated = graft.etl.Merge.applyCdc(emb, changes, "vec_id")
+    val rebuildDir = s"$base/rebuild"
+    Similarity.writeIvfIndex(updated, "vec_id", "embedding", cents,
+      rebuildDir)
+    val maintained = s.read.parquet(idir)
+    val rebuilt = s.read.parquet(rebuildDir)
+      .select(maintained.columns.map(col).toIndexedSeq: _*)
+    require(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+      "stream-maintained IVF layout diverged from a from-scratch " +
+        "rebuild of the CDC-applied corpus")
+    // gate (d) + result: serve from the maintained layout
+    Similarity.ivfPartitionedTopK(idir,
+        updated.where(col("vec_id") < 10), "vec_id", "embedding", 5,
+        cents, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Int8 scalar-quantized ANN ([[Similarity.sqBounds]]/[[Similarity.sqTopK]],
     * the FAISS SQ8 shape): per-dimension (min, max) from one bounded
     * agg → 1-byte-per-dim codes (4× smaller index than float32) →
@@ -1167,6 +1231,9 @@ object ExtQueries {
           "q_sim_ivf_partitioned" -> simIvfSqlFor(
             ivfCentsCache.values.iterator.next(), nprobe = 2),
           "q_sim_ivf_update" -> simIvfSqlFor(
+            ivfCentsCache.values.iterator.next(), nprobe = 2,
+            corpusSql = ivfUpdateCorpusSql),
+          "q_stream_ivf_cdc" -> simIvfSqlFor(
             ivfCentsCache.values.iterator.next(), nprobe = 2,
             corpusSql = ivfUpdateCorpusSql),
           "q_dedup_semantic" -> dedupSemanticSqlFor(
@@ -8025,6 +8092,7 @@ object ExtQueries {
     "q_sim_ivf" -> simIvf,
     "q_sim_ivf_partitioned" -> simIvfPartitionedQ,
     "q_sim_ivf_update" -> simIvfUpdateQ,
+    "q_stream_ivf_cdc" -> streamIvfCdcQ,
     "q_sim_pq" -> simPq,
     "q_sim_sq8" -> simSq8,
     "q_text_sentences" -> textSentencesQ,

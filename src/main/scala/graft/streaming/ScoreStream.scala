@@ -569,6 +569,42 @@ object ScoreStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming MAINTENANCE of a stored [[graft.ext.Similarity
+    * .writeIvfIndex]] layout from a CDC stream of embedding vectors —
+    * the third and last stored-index family to get the maintenance
+    * sink, after the band (text) and hash (media) twins. Each
+    * micro-batch of `(id, vector, seq, op)` change rows applies via
+    * [[graft.ext.Similarity.updateIvfIndex]]'s cell-local rewrite:
+    * only the union of the touched ids' OLD cells (one column-pruned
+    * scan, no vector bytes) and the upserts' NEW cells
+    * re-materializes, installed through the crash-safe aside-rename
+    * swap — untouched cells' files are never opened. The centroids
+    * come from the index's OWN `_graft_ivf_layout` marker, never
+    * from a caller: an unattended maintainer can never assign new
+    * vectors under different centroids than the stored rows. Same
+    * replay-idempotence argument as the band twin (latest-`seq` wins
+    * within a batch; re-applied upserts rewrite identically, deletes
+    * of absent ids are no-ops) and the same
+    * `logDir/_maint/batch-<id>.json` narrowing log, with `n_prefix`
+    * carrying the layout's cell count. */
+  def ivfIndexMaintainSink(changes: DataFrame, indexDir: String,
+                           idCol: String, vecCol: String,
+                           logDir: String, checkpoint: String,
+                           seqCol: String = "seq",
+                           opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cents = graft.ext.Similarity.ivfIndexCentroids(
+          indexDir, batch.sparkSession)
+        val touched = graft.ext.Similarity.updateIvfIndex(
+          indexDir, batch, idCol, vecCol, cents, seqCol, opCol)
+        writeMaintLog(batch.sparkSession, logDir, id, touched.length,
+          cents.length)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** The per-batch maintenance record [[bandIndexMaintainSink]]
     * writes: `logDir/_maint/batch-<id>.json` with the touched-prefix
     * count and the layout's total — overwritten on replay. */

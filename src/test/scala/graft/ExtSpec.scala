@@ -2249,6 +2249,34 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf layout marker: centroids persist bit-exactly; mismatched maintenance raises") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7L)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val S = graft.ext.Similarity
+    val cents = S.kmeansCentroids(emb, "vec_id", "embedding", 4, iters = 1)
+    val idir = java.nio.file.Files.createTempDirectory("ivflay").toString + "/idx"
+    S.writeIvfIndex(emb, "vec_id", "embedding", cents, idir)
+    // the decimal round trip reproduces the exact doubles
+    val back = S.ivfIndexCentroids(idir, spark)
+    assert(back.length == cents.length &&
+      back.indices.forall(i => java.util.Arrays.equals(back(i), cents(i))))
+    // maintenance under DIFFERENT centroids is refused loudly — the
+    // silent cell-corruption class the marker closes
+    val drifted = cents.map(_.map(_ + 1e-9))
+    val changes = Seq((0L, rows.head._2, 1L, "u"))
+      .toDF("vec_id", "embedding", "seq", "op")
+    val ex = intercept[IllegalArgumentException] {
+      S.updateIvfIndex(idir, changes, "vec_id", "embedding", drifted)
+    }
+    assert(ex.getMessage.contains("_graft_ivf_layout"))
+    // matching centroids still maintain
+    assert(S.updateIvfIndex(idir, changes, "vec_id", "embedding", cents)
+      .nonEmpty)
+  }
+
   test("ivfadc: residual codes lift recall over raw-code ivfpq on clustered data") {
     import spark.implicits._
     // deterministic 8-center Gaussian mixture — the regime where the
