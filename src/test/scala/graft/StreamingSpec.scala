@@ -391,6 +391,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.select("event_id").distinct().count() == 300)
   }
 
+  test("band index maintenance: killed mid-log, crash-replayed, resumed — converges") {
+    // The restart proof the domain-quota gate already has, applied to
+    // the index maintainer: run 1 dies with the CDC log part-read
+    // (only the first change file processed); the batch-0 commit
+    // marker is then dropped to simulate a crash AFTER updateBandIndex
+    // rewrote dirs but BEFORE the engine committed; run 2 from the
+    // same checkpoint must REPLAY batch 0 onto the already-updated
+    // layout (idempotent by the upsert-rewrite/absent-delete argument)
+    // and then drain the rest of the log. Final gate: the maintained
+    // layout is row-identical to an uninterrupted from-scratch build.
+    val base = java.nio.file.Files.createTempDirectory("bmaint_restart").toString
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(30).localCheckpoint()
+    val idir = s"$base/idx"
+    graft.ext.Dedup.writeBandIndex(docs, "text", "doc_id", idir,
+      prefixChars = 2)
+    // disjoint id classes — any batch split yields the same end state
+    val upd = docs.where(col("doc_id") < 5)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" restarted update")).as("text"),
+        lit(1L).as("seq"), lit("u").as("op"))
+    val del = docs.where(col("doc_id") >= 5 && col("doc_id") < 10)
+      .select(col("doc_id"), lit("").as("text"),
+        lit(1L).as("seq"), lit("d").as("op"))
+    val ins = docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" restart insert")).as("text"),
+        lit(1L).as("seq"), lit("i").as("op"))
+    val srcDir = new java.io.File(s"$base/src")
+    assert(srcDir.mkdirs())
+    def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("bmaint_w").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, name).toPath)
+      ()
+    }
+    val schema = upd.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = ScoreStream.bandIndexMaintainSink(
+        stream, idir, "text", "doc_id", s"$base/out", s"$base/chk")
+      q.awaitTermination()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    }
+    drop("a.parquet", upd)
+    runOnce() // dies mid-log: only the update wave was visible
+    // crash-before-commit: batch 0 must replay on restart
+    val commit = new java.io.File(s"$base/chk/commits/0")
+    assert(commit.exists(), "checkpoint layout changed?")
+    assert(commit.delete())
+    new java.io.File(s"$base/chk/commits/.0.crc").delete()
+    drop("b.parquet", del)
+    drop("c.parquet", ins)
+    runOnce() // replays batch 0, then drains the remaining two waves
+    val logs = new java.io.File(s"$base/out/_maint").listFiles()
+      .map(_.getName).toSet
+    assert(Set("batch-0.json", "batch-1.json", "batch-2.json")
+      .subsetOf(logs), logs.toString)
+    val post = graft.etl.Merge.applyCdc(docs,
+      upd.unionByName(del).unionByName(ins), "doc_id")
+    val rdir = s"$base/rebuild"
+    graft.ext.Dedup.writeBandIndex(post, "text", "doc_id", rdir,
+      prefixChars = 2)
+    val maintained = spark.read.parquet(idir)
+    val rebuilt = spark.read.parquet(rdir)
+      .select(maintained.columns.map(col).toIndexedSeq: _*)
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "restarted maintenance diverged from an uninterrupted rebuild")
+  }
+
   test("transformWithState accumulates running totals across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
