@@ -6485,11 +6485,22 @@ object ExtQueries {
     * [[Dedup.hashNearDups]] self-join → the re-upload side of every
     * qualifying pair drops), odd-id documents arrive as HTML (ten
     * exact re-uploads planted; extract → [[Dedup.exactDedup]]).
-    * Survivors of BOTH doors union under a channel key
-    * (`img-site<k>` / `doc-<source>`), pass one shared per-channel
-    * quota (row_number ≤ 3), and export through the md5
-    * shard/position arithmetic — one partitioning discipline across
-    * modalities, replayed by ONE DuckDB statement. */
+    * The media door applies a QUALITY FLOOR with the same discipline
+    * the text door has for short text: ten UNDECODABLE payloads
+    * (no reader accepts them → null dhash) and ten CONSTANT-COLOR
+    * images (no luminance gradient → dhash 0, zero bits — the
+    * degenerate value that also explodes banded joins) are planted
+    * and must drop at a decode-success + dHash-entropy floor
+    * (`dhash IS NOT NULL AND 4 <= bit_count(dhash) <= 60`) BEFORE
+    * dedup ever sees them; an in-query gate requires the floor to
+    * drop exactly the planted junk and nothing real. Survivors of
+    * BOTH doors union under a channel key (`img-site<k>` /
+    * `doc-<source>`), pass one shared per-channel quota
+    * (row_number ≤ 3), and export through the md5 shard/position
+    * arithmetic — one partitioning discipline across modalities,
+    * replayed by ONE DuckDB statement (the junk hashes enter the
+    * oracle as literals — NULL and 0 — so the floor arithmetic
+    * itself is value-replayed). */
   val mixedPipelineQ: Q = (s, dir) => {
     val docs = documents(s, dir).select("doc_id", "text", "source")
     // media door: even ids, ten perturbed re-uploads must drop
@@ -6499,11 +6510,37 @@ object ExtQueries {
       .unionByName(docs.where(col("doc_id") % 2 === 0 && col("doc_id") < 20)
         .select((col("doc_id") + 997000L).as("doc_id"),
           col("doc_id").as("__seed"), lit(true).as("__pert")))
-    val mediaHashes = Multimodal.imageDHashes(
+    // planted junk: undecodable bytes and a constant-color PNG (a
+    // REAL PNG through the real decoder — its dHash is genuinely 0)
+    val junkBytes = "definitely not an image payload".getBytes("UTF-8")
+    val constPng = Multimodal.ImageFixture.png(
+      Array.fill(Multimodal.ImageFixture.GridH,
+        Multimodal.ImageFixture.GridW)(128))
+    val junkMedia = docs.where(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+      .select((col("doc_id") + 995000L).as("doc_id"),
+        lit(junkBytes).as("payload"))
+      .unionByName(docs.where(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+        .select((col("doc_id") + 996000L).as("doc_id"),
+          lit(constPng).as("payload")))
+    val mediaHashes0 = Multimodal.imageDHashes(
         Multimodal.ImageFixture.withPayloads(mediaArr, "__seed", "__pert")
-          .select("doc_id", "payload"), "payload")
+          .select("doc_id", "payload")
+          .unionByName(junkMedia), "payload")
       .select("doc_id", "dhash")
-      .localCheckpoint() // decode once: pairing + survivor set
+      .localCheckpoint() // decode once: floor gate + pairing + survivors
+    // the media quality floor: decode success + dHash entropy
+    val mediaHashes = mediaHashes0.where(col("dhash").isNotNull &&
+      bit_count(col("dhash")).between(4, 60))
+    // gate: the floor drops EXACTLY the planted junk — all twenty,
+    // and nothing real
+    val floorDropped = mediaHashes0
+      .join(mediaHashes, Seq("doc_id"), "left_anti")
+    val (droppedAll, droppedJunk) = (floorDropped.count(),
+      floorDropped.where(col("doc_id") >= 995000L &&
+        col("doc_id") < 997000L).count())
+    require(droppedAll == 20 && droppedJunk == 20,
+      s"media quality floor dropped $droppedAll rows ($droppedJunk " +
+        "junk) — expected exactly the 20 planted junk payloads")
     val mediaDups = Dedup.hashNearDups(mediaHashes, "doc_id", "dhash")
       .select(col("id_b").as("doc_id")).distinct()
     require(mediaDups.count() > 0,
@@ -6539,9 +6576,12 @@ object ExtQueries {
   }
 
   /** [[mixedPipelineQ]]'s oracle: the dHash pixel replay + pair-drop
-    * rule on the media door, the HTML replay + min-id winner rule on
-    * the document door, one union, one quota window, one md5 shard
-    * arithmetic. */
+    * rule on the media door — with the planted junk hashes entering
+    * as LITERALS (NULL for undecodable, 0 for constant-color: what
+    * the real decoder provably produces, spec-pinned) and the
+    * decode-success + entropy floor replayed on them value-for-value
+    * — the HTML replay + min-id winner rule on the document door,
+    * one union, one quota window, one md5 shard arithmetic. */
   val mixedPipelineSql = {
     val hex = (i: Int) =>
       s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
@@ -6553,7 +6593,23 @@ object ExtQueries {
        |  UNION ALL
        |  SELECT doc_id + 997000, doc_id, TRUE FROM documents
        |  WHERE doc_id % 2 = 0 AND doc_id < 20),
-       |${dhashBandSqlCtes("media0", "m")},
+       |${dhashBandSqlCtes("media0", "m0")},
+       |junkm AS (
+       |  SELECT doc_id + 995000 AS id, CAST(NULL AS BIGINT) AS dhash
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 20
+       |  UNION ALL
+       |  SELECT doc_id + 996000, CAST(0 AS BIGINT)
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 20),
+       |floorm AS (
+       |  SELECT id, dhash FROM hashm0
+       |  UNION ALL SELECT id, dhash FROM junkm),
+       |keptm AS (
+       |  SELECT id, dhash FROM floorm
+       |  WHERE dhash IS NOT NULL
+       |    AND bit_count(dhash) BETWEEN 4 AND 60),
+       |bandm AS (
+       |  SELECT id, dhash, bi, (dhash >> (16 * bi)) & 65535 AS bv
+       |  FROM keptm CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
        |mdup AS (
        |  SELECT DISTINCT b.id FROM bandm a JOIN bandm b
        |    ON a.bi = b.bi AND a.bv = b.bv
