@@ -704,6 +704,60 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming ANN serving from the stored IVF layout
+    * ([[graft.streaming.ScoreStream.indexedIvfGateSink]]) — the
+    * vector twin of q_stream_band_indexed/q_stream_hash_indexed,
+    * completing the indexed streaming-serving family across all
+    * three stored indexes. Query vectors stream in two files, one
+    * per trigger; each micro-batch collects its probe-cell union in
+    * foreachBatch and serves partition-pruned exact top-k within the
+    * probed cells under the index's OWN centroid marker. In-query
+    * gates: (a) ≥ 2 serving batches ran; (b) every batch's `_probe`
+    * record opened a strict SUBSET of the 16 cell dirs — the
+    * narrowing is per-trigger real, not planned; (c) the union of
+    * per-batch outputs is EXACTLY the one-shot batch
+    * [[Similarity.ivfPartitionedTopK]] over the same queries. Oracle:
+    * the centroid-literal IVF SQL at nprobe = 2. */
+  val streamIvfIndexedQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("sivfidx", dir)
+    val emb = embeddings(s, dir).select("vec_id", "embedding")
+    val cents = ivfCents(s, dir)
+    val idir = s"$base/idx"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, idir)
+    val queries = emb.where(col("vec_id") < 10)
+    queries.repartition(2).write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = graft.streaming.ScoreStream.indexedIvfGateSink(
+      stream, idir, "vec_id", "embedding", 5, s"$base/out", s"$base/chk",
+      nprobe = 2)
+    q.awaitTermination()
+    // gates (a)+(b): multiple triggers, each opening a strict subset
+    val logs = new java.io.File(s"$base/out/_probe").listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq
+    require(logs.length >= 2,
+      s"expected >= 2 serving micro-batches, saw ${logs.length}")
+    logs.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      val j = try src.mkString finally src.close()
+      val probed = "\"probed\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      val np = "\"n_prefix\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+      require(np == 16 && probed > 0 && probed < np,
+        s"batch ${f.getName} probed $probed of $np cells — no narrowing")
+    }
+    val served = s.read.parquet(s"$base/out")
+      .select("query_id", "neighbor_id", "cosine", "rank")
+    // gate (c): stream == one-shot batch serve, pinned in-query
+    val fresh = Similarity.ivfPartitionedTopK(idir, queries,
+      "vec_id", "embedding", 5, cents, nprobe = 2)
+    val key = (df: DataFrame) => df.orderBy("query_id", "rank")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    require(key(served) == key(fresh),
+      "streaming indexed IVF serving diverged from the batch serve")
+    served.orderBy("query_id", "rank")
+  }
+
   /** Int8 scalar-quantized ANN ([[Similarity.sqBounds]]/[[Similarity.sqTopK]],
     * the FAISS SQ8 shape): per-dimension (min, max) from one bounded
     * agg → 1-byte-per-dim codes (4× smaller index than float32) →
@@ -1236,6 +1290,8 @@ object ExtQueries {
           "q_stream_ivf_cdc" -> simIvfSqlFor(
             ivfCentsCache.values.iterator.next(), nprobe = 2,
             corpusSql = ivfUpdateCorpusSql),
+          "q_stream_ivf_indexed" -> simIvfSqlFor(
+            ivfCentsCache.values.iterator.next(), nprobe = 2),
           "q_dedup_semantic" -> dedupSemanticSqlFor(
             ivfCentsCache.values.iterator.next()),
           "q_stream_semantic" -> streamSemanticSqlFor(
@@ -8149,6 +8205,7 @@ object ExtQueries {
     "q_sim_ivf_partitioned" -> simIvfPartitionedQ,
     "q_sim_ivf_update" -> simIvfUpdateQ,
     "q_stream_ivf_cdc" -> streamIvfCdcQ,
+    "q_stream_ivf_indexed" -> streamIvfIndexedQ,
     "q_sim_pq" -> simPq,
     "q_sim_sq8" -> simSq8,
     "q_text_sentences" -> textSentencesQ,

@@ -569,6 +569,41 @@ object ScoreStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming ANN serving from a STORED [[graft.ext.Similarity
+    * .writeIvfIndex]] layout — the vector member of the indexed
+    * streaming-serving family ([[indexedBandGateSink]] /
+    * [[indexedHashGateSink]] are the text and media twins). Each
+    * micro-batch of query vectors collects its probe-cell union
+    * (bounded at nCells ints — driver-data class) in foreachBatch,
+    * pushes it into the scan as a partition IN filter
+    * ([[graft.ext.Similarity.ivfPartitionedTopK]]), and serves exact
+    * top-k within the probed cells. Centroids come from the index's
+    * OWN layout marker. Every query's rows complete within its own
+    * batch (the per-query window never crosses arrivals), so
+    * batching never splits a result. Output follows the
+    * [[idempotentParquetSink]] contract; per-batch narrowing lands
+    * in `outDir/_probe/batch-<id>.json` so each trigger can PROVE it
+    * pruned the index scan. */
+  def indexedIvfGateSink(queryVecs: DataFrame, indexDir: String,
+                         idCol: String, vecCol: String, k: Int,
+                         outDir: String, checkpoint: String,
+                         nprobe: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    queryVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batch = df.localCheckpoint()
+        val s = batch.sparkSession
+        val cents = graft.ext.Similarity.ivfIndexCentroids(indexDir, s)
+        val probed = graft.ext.Similarity.probeCellSet(
+          batch, vecCol, cents, nprobe)
+        graft.ext.Similarity.ivfPartitionedTopK(
+            indexDir, batch, idCol, vecCol, k, cents, nprobe)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        writeProbeLog(s, outDir, id, probed.length, cents.length)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming MAINTENANCE of a stored [[graft.ext.Similarity
     * .writeIvfIndex]] layout from a CDC stream of embedding vectors —
     * the third and last stored-index family to get the maintenance
