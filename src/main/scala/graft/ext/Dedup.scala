@@ -1200,8 +1200,20 @@ object Dedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), s.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/$BandLayoutMarker")
-    require(fs.exists(p),
-      s"$indexDir is not a writeBandIndex layout (no $BandLayoutMarker marker)")
+    require(fs.exists(p), {
+      // distinguish "pre-marker index" (band partition dirs present,
+      // marker absent) from "not an index at all" — old layouts are
+      // rebuildable, and the message should say which case this is
+      val dirP = new org.apache.hadoop.fs.Path(indexDir)
+      val preMarker = fs.exists(dirP) &&
+        fs.listStatus(dirP).exists(_.getPath.getName.startsWith("pfx="))
+      if (preMarker)
+        s"$indexDir has pfx= partition dirs but no $BandLayoutMarker " +
+          "marker — a pre-marker writeBandIndex layout; rebuild it with " +
+          "writeBandIndex (indexes are rebuildable) to persist the banding"
+      else
+        s"$indexDir is not a writeBandIndex layout (no $BandLayoutMarker marker)"
+    })
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
@@ -1278,7 +1290,7 @@ object Dedup {
     * index scan instead of trusting the plan. */
   def probeBandPrefixes(indexDir: String, arrivals: DataFrame,
                         idCol: String,
-                        textCol: String): (Array[String], Int) = {
+                        textCol: String): (Array[String], Long) = {
     val s = arrivals.sparkSession
     val (numHashes, bands, prefixLen) = bandIndexLayout(indexDir, s)
     val rows = numHashes / bands
@@ -1290,7 +1302,10 @@ object Dedup {
       .select(explode(bandKeys(col("__asig"), bands, rows)).as("band_key"))
       .select(substring(col("band_key"), 1, prefixLen).as("pfx"))
       .distinct().collect().map(_.getString(0)).sorted
-    (probed, math.pow(16, prefixLen).toInt)
+    // 16^prefixChars as a Long: prefixChars may be 8, where
+    // math.pow(16, 8).toInt saturates at Int.MaxValue and the
+    // "touched < n_prefix" narrowing gates would trivially pass.
+    (probed, 1L << (4 * prefixLen))
   }
 
   /** Apply a CDC change batch to a [[writeBandIndex]] layout IN
@@ -1726,8 +1741,17 @@ object Dedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$dir/$HashLayoutMarker")
-    require(fs.exists(p),
-      s"$dir is not a writeHashIndex layout (no $HashLayoutMarker marker)")
+    require(fs.exists(p), {
+      val dirP = new org.apache.hadoop.fs.Path(dir)
+      val preMarker = fs.exists(dirP) &&
+        fs.listStatus(dirP).exists(_.getPath.getName.startsWith("pfx="))
+      if (preMarker)
+        s"$dir has pfx= partition dirs but no $HashLayoutMarker marker — " +
+          "a pre-marker writeHashIndex layout; rebuild it with " +
+          "writeHashIndex (indexes are rebuildable) to persist the banding"
+      else
+        s"$dir is not a writeHashIndex layout (no $HashLayoutMarker marker)"
+    })
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()

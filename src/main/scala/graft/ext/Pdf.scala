@@ -249,22 +249,25 @@ object Pdf {
 
   /** Parse ONE indirect object whose `N G obj` header MATCH starts at
     * `m.start` (the matcher must already be positioned): returns the
-    * object number, the parsed object, and the scan position just
-    * past it — or None when no balanced dictionary follows the
-    * header (the loop in [[objects]] then just advances). Shared by
-    * the recovery scan and the xref type-1 offset lookup, so both
-    * paths apply the same `/Length` discipline and body decode. */
+    * parsed object (None when no balanced dictionary follows the
+    * header) and the scan position the caller must resume from.
+    * A stream with no `endstream` (truncated file) aborts the scan
+    * (resume = text.length): the unterminated binary body runs to
+    * EOF, and scanning inside it can register phantom `N G obj`
+    * headers that overwrite real entries. Shared by the recovery
+    * scan and the xref type-1 offset lookup, so both paths apply the
+    * same `/Length` discipline and body decode. */
   private def parseObjAt(text: String, payload: Array[Byte],
-                         num: Int, headerEnd: Int): Option[(PdfObj, Int)] = {
+                         num: Int, headerEnd: Int): (Option[PdfObj], Int) = {
     val lengthRe = "/Length\\s+(\\d+)".r
     var i = headerEnd
     while (i < text.length && Character.isWhitespace(text.charAt(i))) i += 1
-    if (!text.startsWith("<<", i)) return None
+    if (!text.startsWith("<<", i)) return (None, headerEnd)
     val dictEnd = dictForward(text, i)
     val dict = text.substring(i, dictEnd)
     var j = dictEnd
     while (j < text.length && Character.isWhitespace(text.charAt(j))) j += 1
-    if (!text.startsWith("stream", j)) Some((PdfObj(dict, None), j))
+    if (!text.startsWith("stream", j)) (Some(PdfObj(dict, None)), j)
     else {
       var body0 = j + "stream".length
       if (body0 < text.length && text.charAt(body0) == '\r') body0 += 1
@@ -283,14 +286,14 @@ object Pdf {
           }
           e
       }
-      if (end < 0) None
+      if (end < 0) (None, text.length)
       else {
         val rawBody = java.util.Arrays.copyOfRange(payload, body0, end)
         val next = text.indexOf("endstream", end) match {
           case -1 => text.length
           case e => e + "endstream".length
         }
-        Some((PdfObj(dict, decodeBody(dict, rawBody)), next))
+        (Some(PdfObj(dict, decodeBody(dict, rawBody))), next)
       }
     }
   }
@@ -306,7 +309,7 @@ object Pdf {
     val m = ObjHeaderRe.matcher(text)
     if (!m.find(off) || m.start != off) return None
     parseObjAt(text, payload, m.group(1).toInt, m.end)
-      .map { case (o, _) => (m.group(1).toInt, o) }
+      ._1.map(o => (m.group(1).toInt, o))
   }
 
   private def objects(payload: Array[Byte]): Map[Int, PdfObj] = {
@@ -316,10 +319,9 @@ object Pdf {
     var pos = 0
     while (pos < text.length && m.find(pos)) {
       val num = m.group(1).toInt
-      parseObjAt(text, payload, num, m.end) match {
-        case Some((o, next)) => out(num) = o; pos = next
-        case None => pos = m.end
-      }
+      val (objOpt, next) = parseObjAt(text, payload, num, m.end)
+      objOpt.foreach(o => out(num) = o)
+      pos = next
     }
     // unpack object streams: header = N (objnum, offset) int pairs,
     // members start at /First — members are always dict-level objects

@@ -708,8 +708,19 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), s.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/$IvfLayoutMarker")
-    require(fs.exists(p),
-      s"$indexDir is not a writeIvfIndex layout (no $IvfLayoutMarker marker)")
+    require(fs.exists(p), {
+      // distinguish "pre-marker index" (cell= partition dirs present,
+      // marker absent) from "not an index at all"
+      val dirP = new org.apache.hadoop.fs.Path(indexDir)
+      val preMarker = fs.exists(dirP) &&
+        fs.listStatus(dirP).exists(_.getPath.getName.startsWith("cell="))
+      if (preMarker)
+        s"$indexDir has cell= partition dirs but no $IvfLayoutMarker " +
+          "marker — a pre-marker writeIvfIndex layout; rebuild it with " +
+          "writeIvfIndex (indexes are rebuildable) to persist the centroids"
+      else
+        s"$indexDir is not a writeIvfIndex layout (no $IvfLayoutMarker marker)"
+    })
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()

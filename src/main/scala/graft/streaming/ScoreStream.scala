@@ -452,7 +452,7 @@ object ScoreStream {
     * stays exactly-once alongside the batch output. */
   private def writeProbeLog(spark: org.apache.spark.sql.SparkSession,
                             outDir: String, batchId: Long,
-                            probed: Int, nPrefix: Int): Unit = {
+                            probed: Int, nPrefix: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$outDir/_probe/batch-$batchId.json")
@@ -533,7 +533,7 @@ object ScoreStream {
         val (_, _, prefixChars) = graft.ext.Dedup.bandIndexLayout(
           indexDir, batch.sparkSession)
         writeMaintLog(batch.sparkSession, logDir, id, touched.length,
-          math.pow(16, prefixChars).toInt)
+          1L << (4 * prefixChars)) // 16^prefixChars, Int-overflow-proof
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -645,7 +645,7 @@ object ScoreStream {
     * count and the layout's total — overwritten on replay. */
   private def writeMaintLog(spark: org.apache.spark.sql.SparkSession,
                             logDir: String, batchId: Long,
-                            touched: Int, nPrefix: Int): Unit = {
+                            touched: Int, nPrefix: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(logDir), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$logDir/_maint/batch-$batchId.json")

@@ -469,6 +469,162 @@ class StreamingSpec extends AnyFunSuite {
       "restarted maintenance diverged from an uninterrupted rebuild")
   }
 
+  test("hash index maintenance: killed mid-log, crash-replayed, resumed — converges") {
+    // The band restart proof applied to the perceptual twin: run 1
+    // dies with only the first change file visible; the batch-0
+    // commit marker is dropped (crash after updateHashIndex rewrote
+    // dirs, before the engine committed); run 2 replays batch 0 onto
+    // the already-updated layout, then drains the rest. Final gate:
+    // the maintained layout is row-identical to an uninterrupted
+    // from-scratch build of the CDC-applied media corpus.
+    import spark.implicits._
+    val M = graft.ext.Multimodal
+    val base = java.nio.file.Files.createTempDirectory("hmaint_restart").toString
+    val media = (0L until 30L).map { id =>
+      (id, M.ImageFixture.png(M.ImageFixture.pixels(id, perturbed = false)))
+    }.toDF("doc_id", "payload").localCheckpoint()
+    val idir = s"$base/idx"
+    val baseHashes = M.imageDHashes(media, "payload").drop("payload")
+    graft.ext.Dedup.writeHashIndex(baseHashes, "doc_id", "dhash", idir,
+      bands = 4, nPrefix = 16)
+    // disjoint id classes — any batch split yields the same end state
+    val upd = (0L until 5L).map { id =>
+      (id, M.ImageFixture.png(M.ImageFixture.pixels(id, perturbed = true)),
+        1L, "u")
+    }.toDF("doc_id", "payload", "seq", "op")
+    val del = (5L until 10L).map { id =>
+      (id, null.asInstanceOf[Array[Byte]], 1L, "d")
+    }.toDF("doc_id", "payload", "seq", "op")
+    val ins = (10L until 15L).map { id =>
+      (id + 500000L,
+        M.ImageFixture.png(M.ImageFixture.pixels(id + 77L, perturbed = false)),
+        1L, "i")
+    }.toDF("doc_id", "payload", "seq", "op")
+    val srcDir = new java.io.File(s"$base/src")
+    assert(srcDir.mkdirs())
+    def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("hmaint_w").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, name).toPath)
+      ()
+    }
+    val schema = upd.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = ScoreStream.hashIndexMaintainSink(
+        stream, idir, "doc_id", "payload", s"$base/out", s"$base/chk")
+      q.awaitTermination()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    }
+    drop("a.parquet", upd)
+    runOnce() // dies mid-log: only the update wave was visible
+    val commit = new java.io.File(s"$base/chk/commits/0")
+    assert(commit.exists(), "checkpoint layout changed?")
+    assert(commit.delete())
+    new java.io.File(s"$base/chk/commits/.0.crc").delete()
+    drop("b.parquet", del)
+    drop("c.parquet", ins)
+    runOnce() // replays batch 0, then drains the remaining two waves
+    val logs = new java.io.File(s"$base/out/_maint").listFiles()
+      .map(_.getName).toSet
+    assert(Set("batch-0.json", "batch-1.json", "batch-2.json")
+      .subsetOf(logs), logs.toString)
+    val postMedia = graft.etl.Merge.applyCdc(media,
+      upd.unionByName(del).unionByName(ins), "doc_id")
+    val rdir = s"$base/rebuild"
+    graft.ext.Dedup.writeHashIndex(
+      M.imageDHashes(postMedia, "payload").drop("payload"),
+      "doc_id", "dhash", rdir, bands = 4, nPrefix = 16)
+    val maintained = spark.read.parquet(idir)
+    val rebuilt = spark.read.parquet(rdir)
+      .select(maintained.columns.map(col).toIndexedSeq: _*)
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "restarted hash maintenance diverged from an uninterrupted rebuild")
+  }
+
+  test("IVF index maintenance: killed mid-log, crash-replayed, resumed — converges") {
+    // The same restart proof for the vector member: centroids come
+    // from the index's own marker (the sink takes none), so the
+    // resumed run must keep assigning under the frozen layout. Final
+    // gate: maintained layout row-identical to a from-scratch build
+    // of the CDC-applied corpus under the same centroids.
+    val S = graft.ext.Similarity
+    val base = java.nio.file.Files.createTempDirectory("imaint_restart").toString
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val cents = S.kmeansCentroids(e, "vec_id", "embedding", 8, iters = 1)
+    val idir = s"$base/idx"
+    S.writeIvfIndex(e, "vec_id", "embedding", cents, idir)
+    // disjoint id classes: update moves vectors to new cells
+    // (reversed embedding), deletes drop, inserts add fresh ids
+    val upd = e.where(col("vec_id") < 5)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        lit(1L).as("seq"), lit("u").as("op"))
+    val del = e.where(col("vec_id") >= 5 && col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"),
+        lit(1L).as("seq"), lit("d").as("op"))
+    val ins = e.where(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select((col("vec_id") + 9000).as("vec_id"),
+        reverse(col("embedding")).as("embedding"),
+        lit(1L).as("seq"), lit("i").as("op"))
+    val srcDir = new java.io.File(s"$base/src")
+    assert(srcDir.mkdirs())
+    def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("imaint_w").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, name).toPath)
+      ()
+    }
+    val schema = upd.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = ScoreStream.ivfIndexMaintainSink(
+        stream, idir, "vec_id", "embedding", s"$base/out", s"$base/chk")
+      q.awaitTermination()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    }
+    drop("a.parquet", upd)
+    runOnce() // dies mid-log: only the update wave was visible
+    val commit = new java.io.File(s"$base/chk/commits/0")
+    assert(commit.exists(), "checkpoint layout changed?")
+    assert(commit.delete())
+    new java.io.File(s"$base/chk/commits/.0.crc").delete()
+    drop("b.parquet", del)
+    drop("c.parquet", ins)
+    runOnce() // replays batch 0, then drains the remaining two waves
+    val logs = new java.io.File(s"$base/out/_maint").listFiles()
+      .map(_.getName).toSet
+    assert(Set("batch-0.json", "batch-1.json", "batch-2.json")
+      .subsetOf(logs), logs.toString)
+    val applied = graft.etl.Merge.applyCdc(e,
+      upd.unionByName(del).unionByName(ins), "vec_id")
+    val rdir = s"$base/rebuild"
+    S.writeIvfIndex(applied, "vec_id", "embedding", cents, rdir)
+    def content(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("cell"),
+        md5(col("embedding").cast("string")).as("emb_md5"))
+    val maintained = content(idir)
+    val rebuilt = content(rdir)
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "restarted IVF maintenance diverged from an uninterrupted rebuild")
+  }
+
   test("transformWithState accumulates running totals across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
