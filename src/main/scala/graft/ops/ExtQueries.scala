@@ -758,6 +758,160 @@ object ExtQueries {
     served.orderBy("query_id", "rank")
   }
 
+  /** ONE mixed-modality arrival stream served against ALL THREE
+    * stored index families in a single sink
+    * ([[graft.streaming.ScoreStream.indexedAllGateSink]]): text
+    * arrivals against the MinHash band index, media payloads against
+    * the perceptual hash index (decoded once in-batch), embedding
+    * vectors against the IVF layout — the composed end of the
+    * indexed-serving story. The arrival feed reuses the EXACT planted
+    * sets of the three single-family queries (q_stream_band_indexed /
+    * q_stream_hash_indexed / q_stream_ivf_indexed), one row per
+    * arriving item with its absent modalities null, split across
+    * three files streamed one per trigger so every micro-batch
+    * carries all three modalities. In-query gates: (a) ≥ 2 serving
+    * batches ran; (b) EVERY batch's `_probe` record narrows EVERY
+    * family it served — band/hash open ≤ a quarter of their 256
+    * prefixes, IVF probes a strict subset of its 16 cells; (c) all
+    * three families appeared; (d) the union of per-batch outputs is
+    * EXACTLY the three one-shot batch serves, family by family.
+    * Oracle: the three single-family oracles UNION ALL'd under the
+    * normalized (family, doc_id, neighbor_id, metric) schema. */
+  val streamAllIndexedQ: Q = (s, dir) => withStreamParts(s) {
+    val base = scratchDir("sallidx", dir)
+    val docs = documents(s, dir).select("doc_id", "text")
+    val emb = embeddings(s, dir).select("vec_id", "embedding")
+    // the three stored indexes, each with its own layout marker
+    val bdir = s"$base/bandidx"
+    Dedup.writeBandIndex(docs, "text", "doc_id", bdir, prefixChars = 2)
+    val refHashes = Multimodal.imageDHashes(
+        Multimodal.ImageFixture.withPayloads(
+          docs.select(col("doc_id"), col("doc_id").as("__seed"),
+            lit(false).as("__pert")), "__seed", "__pert")
+          .select("doc_id", "payload"), "payload")
+      .select("doc_id", "dhash")
+      .localCheckpoint() // ingest-time decode: exactly once
+    val hdir = s"$base/hashidx"
+    Dedup.writeHashIndex(refHashes, "doc_id", "dhash", hdir,
+      bands = 4, nPrefix = 256)
+    val cents = ivfCents(s, dir)
+    val vdir = s"$base/ivfidx"
+    // one shared id namespace: every index is keyed by the arrival
+    // stream's id column (the serve functions resolve the index id
+    // under the same name they probe with)
+    Similarity.writeIvfIndex(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")),
+      "doc_id", "embedding", cents, vdir)
+    // the mixed arrival feed: the three single-family planted sets
+    val bandArr = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 893000).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+        .select((col("doc_id") + 896000).as("doc_id"),
+          concat(col("text"), lit(" extra appended words here")).as("text")))
+      .unionByName(docs.where(col("doc_id") >= 15 && col("doc_id") < 20)
+        .select((col("doc_id") + 899000).as("doc_id"),
+          reverse(col("text")).as("text")))
+    val hashArr = Multimodal.ImageFixture.withPayloads(
+      docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 940000L).as("doc_id"),
+          col("doc_id").as("__seed"), lit(true).as("__pert"))
+      .unionByName(docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 950000L).as("doc_id"),
+          (col("doc_id") + 950000L).as("__seed"),
+          lit(false).as("__pert"))),
+      "__seed", "__pert").select("doc_id", "payload")
+    val ivfArr = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val embType = emb.schema("embedding").dataType
+    val binType = org.apache.spark.sql.types.BinaryType
+    val arrivals = bandArr
+      .select(col("doc_id"), col("text"),
+        lit(null).cast(binType).as("payload"),
+        lit(null).cast(embType).as("embedding"))
+      .unionByName(hashArr.select(col("doc_id"),
+        lit(null).cast("string").as("text"), col("payload"),
+        lit(null).cast(embType).as("embedding")))
+      .unionByName(ivfArr.select(col("doc_id"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast(binType).as("payload"), col("embedding")))
+    arrivals.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(s.read.parquet(s"$base/src").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = graft.streaming.ScoreStream.indexedAllGateSink(
+      stream, bdir, hdir, vdir, "doc_id", "text", "payload", "embedding",
+      k = 5, nprobe = 2, s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    // gates (a)+(b)+(c): multiple triggers; every family narrowed in
+    // every batch it appeared in; all three families were served
+    val logs = new java.io.File(s"$base/out/_probe").listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq
+    require(logs.length >= 2,
+      s"expected >= 2 serving micro-batches, saw ${logs.length}")
+    val famRe =
+      "\"(band|hash|ivf)\":\\{\"probed\":(\\d+),\"n_prefix\":(\\d+)\\}".r
+    var seen = Set.empty[String]
+    logs.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      val j = try src.mkString finally src.close()
+      famRe.findAllMatchIn(j).foreach { m =>
+        val (fam, probed, np) =
+          (m.group(1), m.group(2).toInt, m.group(3).toLong)
+        seen += fam
+        fam match {
+          case "ivf" => require(np == 16 && probed > 0 && probed < np,
+            s"batch ${f.getName} $fam probed $probed of $np — no narrowing")
+          case _ => require(np == 256 && probed > 0 && probed <= np / 4,
+            s"batch ${f.getName} $fam probed $probed of $np — no narrowing")
+        }
+      }
+    }
+    require(seen == Set("band", "hash", "ivf"),
+      s"families served across batches: $seen — expected all three")
+    val served = s.read.parquet(s"$base/out")
+      .select("family", "doc_id", "neighbor_id", "metric")
+    // gate (d): streamed == the three one-shot batch serves
+    val freshBand = Dedup.minhashMatches(bandArr, docs, "doc_id", "text")
+      .select(lit("band").as("family"), col("doc_id"), col("neighbor_id"),
+        col("est_jaccard").cast("double").as("metric"))
+    val arrH = Multimodal.imageDHashes(hashArr, "payload")
+      .select("doc_id", "dhash")
+    val freshHash = Dedup.hashMatches(arrH, refHashes, "doc_id", "dhash")
+      .select(lit("hash").as("family"), col("doc_id"), col("neighbor_id"),
+        col("hamming").cast("double").as("metric"))
+    val freshIvf = Similarity.ivfPartitionedTopK(vdir, ivfArr,
+        "doc_id", "embedding", 5, cents, nprobe = 2)
+      .select(lit("ivf").as("family"), col("query_id").as("doc_id"),
+        col("neighbor_id"), col("cosine").as("metric"))
+    val fresh = freshBand.unionByName(freshHash).unionByName(freshIvf)
+    val key = (df: DataFrame) =>
+      df.orderBy("family", "doc_id", "neighbor_id", "metric")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    require(key(served) == key(fresh),
+      "all-indexed streaming serve diverged from the one-shot serves")
+    served.orderBy("family", "doc_id", "neighbor_id", "metric")
+  }
+
+  /** [[streamAllIndexedQ]]'s oracle: the three single-family oracles
+    * UNION ALL'd under the normalized schema — the stored indexes and
+    * the per-batch pruning are value-invisible, family by family. */
+  def streamAllIndexedSqlFor(cents: Array[Array[Double]]): String =
+    s"""SELECT family, doc_id, neighbor_id, metric FROM (
+       |SELECT 'band' AS family, doc_id, neighbor_id,
+       |  CAST(est_jaccard AS DOUBLE) AS metric FROM (
+       |$streamBandIndexedSql
+       |) b
+       |UNION ALL
+       |SELECT 'hash', doc_id, neighbor_id, CAST(hamming AS DOUBLE) FROM (
+       |$streamHashIndexedSql
+       |) h
+       |UNION ALL
+       |SELECT 'ivf', query_id, neighbor_id, cosine FROM (
+       |${simIvfSqlFor(cents, nprobe = 2)}
+       |) v
+       |) u ORDER BY family, doc_id, neighbor_id, metric""".stripMargin
+
   /** Int8 scalar-quantized ANN ([[Similarity.sqBounds]]/[[Similarity.sqTopK]],
     * the FAISS SQ8 shape): per-dimension (min, max) from one bounded
     * agg → 1-byte-per-dim codes (4× smaller index than float32) →
@@ -1292,6 +1446,8 @@ object ExtQueries {
             corpusSql = ivfUpdateCorpusSql),
           "q_stream_ivf_indexed" -> simIvfSqlFor(
             ivfCentsCache.values.iterator.next(), nprobe = 2),
+          "q_stream_all_indexed" -> streamAllIndexedSqlFor(
+            ivfCentsCache.values.iterator.next()),
           "q_dedup_semantic" -> dedupSemanticSqlFor(
             ivfCentsCache.values.iterator.next()),
           "q_stream_semantic" -> streamSemanticSqlFor(
@@ -8206,6 +8362,7 @@ object ExtQueries {
     "q_sim_ivf_update" -> simIvfUpdateQ,
     "q_stream_ivf_cdc" -> streamIvfCdcQ,
     "q_stream_ivf_indexed" -> streamIvfIndexedQ,
+    "q_stream_all_indexed" -> streamAllIndexedQ,
     "q_sim_pq" -> simPq,
     "q_sim_sq8" -> simSq8,
     "q_text_sentences" -> textSentencesQ,

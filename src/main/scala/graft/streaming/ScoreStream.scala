@@ -656,6 +656,107 @@ object ScoreStream {
     finally out.close()
   }
 
+  /** ONE arrival stream served against ALL THREE stored index
+    * families — the composed end of the indexed-serving story
+    * ([[indexedBandGateSink]] / [[indexedHashGateSink]] /
+    * [[indexedIvfGateSink]] are the single-family members). Each
+    * micro-batch slices itself by modality (text / media payload /
+    * embedding vector — null where absent) and serves every non-empty
+    * slice against its family's index with that family's narrowing:
+    * band prefixes for text, hash prefixes for media (payloads decode
+    * ONCE inside the batch), probe cells for vectors — all three
+    * constants read from each index's OWN layout marker. The
+    * normalized output (`family`, id, `neighbor_id`, `metric` DOUBLE:
+    * est_jaccard / hamming / cosine) writes per-batch-overwrite
+    * (exactly-once in effect); the per-family narrowing evidence
+    * lands in `outDir/_probe/batch-<id>.json` as
+    * `{"batch":B,"families":{"band":{"probed":K,"n_prefix":N},...}}`
+    * so each trigger PROVES every family pruned its scan. All three
+    * indexes must be keyed by `idCol` (the serve functions resolve
+    * the stored id column under the probe name) — one shared id
+    * namespace, the natural contract for a single mixed-modality
+    * stream. At 100 TB this is the serving topology a mixed-modality
+    * ingest needs: one stream, three billion-row indexes, each batch
+    * opening only the dirs its own arrivals can touch. */
+  def indexedAllGateSink(arrivals: DataFrame, bandDir: String,
+                         hashDir: String, ivfDir: String,
+                         idCol: String, textCol: String,
+                         payloadCol: String, vecCol: String,
+                         k: Int, nprobe: Int,
+                         outDir: String, checkpoint: String,
+                         minJaccard: Double = 0.0,
+                         maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batch = df.localCheckpoint()
+        val s = batch.sparkSession
+        val fams = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+        val texts = batch.where(col(textCol).isNotNull)
+          .select(col(idCol), col(textCol))
+        val bandOut = if (texts.isEmpty) None else {
+          val (probed, np) = graft.ext.Dedup.probeBandPrefixes(
+            bandDir, texts, idCol, textCol)
+          fams += (("band", probed.length, np))
+          Some(graft.ext.Dedup.minhashMatchesIndexed(
+              bandDir, texts, idCol, textCol, minJaccard)
+            .select(lit("band").as("family"), col(idCol),
+              col("neighbor_id"),
+              col("est_jaccard").cast("double").as("metric")))
+        }
+        val media = batch.where(col(payloadCol).isNotNull)
+          .select(col(idCol), col(payloadCol))
+        val hashOut = if (media.isEmpty) None else {
+          val hashes = graft.ext.Multimodal.imageDHashes(media, payloadCol)
+            .select(col(idCol), col("dhash"))
+          val (probed, np) = graft.ext.Dedup.probePrefixes(
+            hashDir, hashes, idCol, "dhash")
+          fams += (("hash", probed.length, np.toLong))
+          Some(graft.ext.Dedup.hashMatchesIndexed(
+              hashDir, hashes, idCol, "dhash", maxHamming)
+            .select(lit("hash").as("family"), col(idCol),
+              col("neighbor_id"),
+              col("hamming").cast("double").as("metric")))
+        }
+        val vecs = batch.where(col(vecCol).isNotNull)
+          .select(col(idCol), col(vecCol))
+        val ivfOut = if (vecs.isEmpty) None else {
+          val cents = graft.ext.Similarity.ivfIndexCentroids(ivfDir, s)
+          val probed = graft.ext.Similarity.probeCellSet(
+            vecs, vecCol, cents, nprobe)
+          fams += (("ivf", probed.length, cents.length.toLong))
+          Some(graft.ext.Similarity.ivfPartitionedTopK(
+              ivfDir, vecs, idCol, vecCol, k, cents, nprobe)
+            .select(lit("ivf").as("family"), col("query_id").as(idCol),
+              col("neighbor_id"), col("cosine").as("metric")))
+        }
+        Seq(bandOut, hashOut, ivfOut).flatten
+          .reduceOption(_.unionByName(_))
+          .foreach(_.write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$id"))
+        writeFamilyProbeLog(s, outDir, id, fams.toSeq)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The per-batch, per-family narrowing record [[indexedAllGateSink]]
+    * writes — one JSON object per batch keyed by family, overwritten
+    * on replay like [[writeProbeLog]]. */
+  private def writeFamilyProbeLog(spark: org.apache.spark.sql.SparkSession,
+                                  outDir: String, batchId: Long,
+                                  fams: Seq[(String, Int, Long)]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_probe/batch-$batchId.json")
+    val body = fams.map { case (f, probed, np) =>
+      s""""$f":{"probed":$probed,"n_prefix":$np}"""
+    }.mkString(",")
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"batch":$batchId,"families":{$body}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Streaming perceptual VIDEO gate: arriving GVID payloads decode
     * INSIDE their micro-batch ([[graft.ext.Multimodal
     * .videoFrameDHashes]] over the batch frame — sampled frames only,

@@ -44,7 +44,8 @@ q_dedup_video_drift q_unigram_train_soft q_text_pdf \
 q_stream_band_indexed q_media_pipeline q_text_pdf_cid \
 q_text_pdf_xref q_stream_band_cdc q_dedup_video_time q_doc_pipeline \
 q_stream_hash_cdc q_stream_video_time q_mixed_pipeline \
-q_text_pdf_extends q_stream_ivf_cdc q_stream_ivf_indexed"
+q_text_pdf_extends q_stream_ivf_cdc q_stream_ivf_indexed \
+q_stream_all_indexed"
 
 step() { # step <name> <cmd...>
   local name="$1"; shift
