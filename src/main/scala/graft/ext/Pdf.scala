@@ -892,6 +892,16 @@ object Pdf {
     * output from the planted text alone. */
   object PdfFixture {
 
+    /** Spread an id frame across the cores before the per-row PDF
+      * build (the fixture frames inherit the documents scan's ONE
+      * partition, serializing the whole encode on one task — same
+      * fix as [[graft.ext.Multimodal]]'s codec fixtures). Explicit
+      * `defaultParallelism` so AQE cannot coalesce the tiny exchange;
+      * payloads are deterministic per row, so placement is
+      * value-invisible. */
+    private def spreadForCodec(df: DataFrame): DataFrame =
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
     /** Escape one text chunk into PDF literal-string bytes: UTF-8
       * encode, then escape the three structural bytes — safe at the
       * byte level because `( ) \` never occur inside UTF-8 multibyte
@@ -1206,7 +1216,7 @@ object Pdf {
       import org.apache.spark.sql.types.BinaryType
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
       val textIdx = df.schema.fieldIndex(textCol)
-      df.mapPartitions { rows =>
+      spreadForCodec(df).mapPartitions { rows =>
         rows.map { row =>
           val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
           Row.fromSeq(row.toSeq :+ cidPdf(text, xrefStream = xrefStream,
@@ -1225,7 +1235,7 @@ object Pdf {
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
       val idIdx = df.schema.fieldIndex(idCol)
       val textIdx = df.schema.fieldIndex(textCol)
-      df.mapPartitions { rows =>
+      spreadForCodec(df).mapPartitions { rows =>
         rows.map { row =>
           val id = row.getLong(idIdx)
           val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)

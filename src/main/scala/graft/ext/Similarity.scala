@@ -671,10 +671,13 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     cents: Array[Array[Double]], outDir: String): Unit = {
     // repartition on cell first: one file per cell dir instead of up
-    // to tasks×cells (same file-count audit as Dedup.writeHashIndex)
+    // to tasks×cells (same file-count audit as Dedup.writeHashIndex);
+    // explicit core-count parallelism — the write is file-count-bound
+    // (see Dedup.layoutWriteParallelism)
     assignCells(corpus, vecCol, cents)
       .select(col(idCol), col(vecCol), col("cell"))
-      .repartition(col("cell"))
+      .repartition(Dedup.layoutWriteParallelism(corpus.sparkSession,
+        cents.length.toLong), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
     writeIvfLayout(outDir, cents, corpus.sparkSession)
   }
@@ -756,7 +759,11 @@ object Similarity {
       .withColumn("__qn", sqrt(nDot(s, col("qv"), col("qv"))))
     val cellSet = probed.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val indexed = s.read.parquet(indexDir)
+    // list + read ONLY the probed cell dirs (Dedup.
+    // readPrunedIntPartitions): a query batch against a billion-row
+    // layout must not pay a full-layout file listing to open nprobe
+    // cells
+    val indexed = Dedup.readPrunedIntPartitions(s, indexDir, "cell", cellSet)
       .where(col("cell").isin(cellSet.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
       .withColumn("__cn", sqrt(nDot(s, col("cv"), col("cv"))))
@@ -825,7 +832,9 @@ object Similarity {
     val touched = (oldCells ++ newCells).distinct.sorted
     if (touched.isEmpty) return touched
     val touchedAny = touched.toIndexedSeq.map(_.asInstanceOf[Any])
-    val survivors = s.read.parquet(indexDir)
+    // survivors live only in the touched cells — list+read exactly
+    // those dirs instead of discovering the whole layout's files
+    val survivors = Dedup.readPrunedIntPartitions(s, indexDir, "cell", touched)
       .where(col("cell").isin(touchedAny: _*))
       .join(broadcast(touchedIds), Seq(idCol), "left_anti")
       .select(col(idCol), col(vecCol), col("cell"))
@@ -833,7 +842,10 @@ object Similarity {
     // temp layout fully materializes BEFORE any index file moves — a
     // failure mid-write leaves the live index untouched
     survivors.unionByName(newAssigned)
-      .repartition(col("cell")) // one file per rewritten dir
+      // one file per rewritten dir; explicit core-count parallelism —
+      // the write is file-count-bound (see Dedup.layoutWriteParallelism)
+      .repartition(Dedup.layoutWriteParallelism(s, cents.length.toLong),
+        col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
     // crash-safe swap (see Dedup.swapPrefixDirs): live dirs rename
     // ASIDE into tmpDir before replacements install; tmpDir — holding
