@@ -1103,10 +1103,27 @@ object Dedup {
                      minJaccard: Double = 0.0): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes=$numHashes not divisible by bands=$bands")
-    val rows = numHashes / bands
-    val ref = minhashSignatures(
+    minhashMatchesWithRefSignatures(arrivals,
+      minhashSignatures(
         reference.select(col(idCol).as("neighbor_id"), col(textCol)),
-        textCol, "neighbor_id", numHashes)
+        textCol, "neighbor_id", numHashes),
+      idCol, textCol, numHashes, bands, minJaccard)
+  }
+
+  /** [[minhashMatches]] over an already-computed reference
+    * [[minhashSignatures]] frame keyed `neighbor_id` — the seam for
+    * callers whose reference corpus is already signed (ingest-time
+    * signing, a memoized fixture pass): arrivals still shingle fresh,
+    * the reference is never re-shingled. Value-identical to
+    * [[minhashMatches]] over the corpus the signatures came from. */
+  private[graft] def minhashMatchesWithRefSignatures(
+      arrivals: DataFrame, refSigs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 4, bands: Int = 2,
+      minJaccard: Double = 0.0): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes=$numHashes not divisible by bands=$bands")
+    val rows = numHashes / bands
+    val ref = refSigs
       .withColumn("__rsig",
         array((0 until numHashes).map(i => col(s"m$i")): _*))
       .select(col("neighbor_id"), col("__rsig"),
@@ -1277,12 +1294,46 @@ object Dedup {
   private def bandIndexRows(corpus: DataFrame, textCol: String,
                             idCol: String, numHashes: Int, bands: Int,
                             prefixChars: Int): DataFrame =
-    minhashSignatures(corpus, textCol, idCol, numHashes)
+    bandIndexRowsFromSignatures(
+      minhashSignatures(corpus, textCol, idCol, numHashes),
+      idCol, numHashes, bands, prefixChars)
+
+  /** [[bandIndexRows]] over an already-computed [[minhashSignatures]]
+    * frame (id, m0..m{n-1}) — the seam that lets a caller who has the
+    * corpus signatures materialized (ingest-time signing, a memoized
+    * fixture pass) band and prefix them without re-shingling the
+    * corpus. Value-identical to [[bandIndexRows]] by construction:
+    * everything downstream of the signature frame is the same
+    * deterministic column arithmetic. */
+  private[graft] def bandIndexRowsFromSignatures(
+      sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
+      prefixChars: Int): DataFrame =
+    sigs
       .select(col(idCol) +:
         (0 until numHashes).map(i => col(s"m$i")) :+
         posexplode(bandKeysFromColumns(numHashes, bands))
           .as(Seq("band_idx", "band_key")): _*)
       .withColumn("pfx", substring(col("band_key"), 1, prefixChars))
+
+  /** [[writeBandIndex]] over an already-computed [[minhashSignatures]]
+    * frame — skips the corpus re-shingle when the signatures are
+    * already materialized (the production ingest shape: sign once,
+    * index from the signatures). Layout and values identical to
+    * [[writeBandIndex]] over the corpus the signatures came from. */
+  private[graft] def writeBandIndexFromSignatures(
+      sigs: DataFrame, idCol: String, outDir: String,
+      numHashes: Int = 4, bands: Int = 2, prefixChars: Int = 1): Unit = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes=$numHashes not divisible by bands=$bands")
+    require(prefixChars >= 1 && prefixChars <= 8,
+      s"prefixChars=$prefixChars")
+    bandIndexRowsFromSignatures(sigs, idCol, numHashes, bands, prefixChars)
+      .repartition(layoutWriteParallelism(sigs.sparkSession,
+        1L << (4 * prefixChars)), col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
+    writeBandLayout(outDir, numHashes, bands, prefixChars,
+      sigs.sparkSession)
+  }
 
   /** [[minhashMatches]] served from a [[writeBandIndex]] layout: the
     * arrival batch's distinct band-key prefixes (at most
@@ -1377,17 +1428,19 @@ object Dedup {
     val (numHashes, bands, prefixChars) = bandIndexLayout(indexDir, s)
     val latest = graft.etl.Merge.latestChanges(changes, idCol, seqCol)
     val touchedIds = latest.select(col(idCol)).distinct()
-    val oldPfx = s.read.parquet(indexDir)
-      .select(col(idCol), col("pfx"))
-      .join(broadcast(touchedIds), Seq(idCol))
-      .select("pfx").distinct().collect().map(_.getString(0))
     val upserts = latest.where(col(opCol) =!= lit("d"))
       .select(col(idCol), col(textCol))
     val newRows = bandIndexRows(upserts, textCol, idCol, numHashes,
       bands, prefixChars)
-    val newPfx = newRows.select("pfx").distinct()
-      .collect().map(_.getString(0))
-    val touched = (oldPfx ++ newPfx).distinct.sorted
+    // old homes (column-pruned index scan against the broadcast
+    // touched-id set) and new homes in ONE distinct+collect — the
+    // two separate driver round trips per micro-batch folded into one
+    val touched = s.read.parquet(indexDir)
+      .select(col(idCol), col("pfx"))
+      .join(broadcast(touchedIds), Seq(idCol))
+      .select("pfx")
+      .unionByName(newRows.select("pfx"))
+      .distinct().collect().map(_.getString(0)).sorted
     if (touched.isEmpty) return touched
     val touchedAny = touched.toIndexedSeq.map(_.asInstanceOf[Any])
     val survivors = s.read.parquet(indexDir)
@@ -1947,16 +2000,17 @@ object Dedup {
     val (bands, nPrefix) = readHashLayout(indexDir, s)
     val latest = graft.etl.Merge.latestChanges(changes, idCol, seqCol)
     val touchedIds = latest.select(col(idCol)).distinct()
-    val oldPfx = s.read.parquet(indexDir)
-      .select(col(idCol), col("pfx"))
-      .join(broadcast(touchedIds), Seq(idCol))
-      .select("pfx").distinct().collect().map(_.getInt(0))
     val upserts = latest.where(col(opCol) =!= lit("d"))
       .select(col(idCol), col(hashCol))
     val newRows = hashIndexRows(upserts, idCol, hashCol, bands, nPrefix)
-    val newPfx = newRows.select("pfx").distinct()
-      .collect().map(_.getInt(0))
-    val touched = (oldPfx ++ newPfx).distinct.sorted
+    // old homes and new homes in ONE distinct+collect (see
+    // updateBandIndex) — one driver round trip per micro-batch
+    val touched = s.read.parquet(indexDir)
+      .select(col(idCol), col("pfx"))
+      .join(broadcast(touchedIds), Seq(idCol))
+      .select("pfx")
+      .unionByName(newRows.select("pfx"))
+      .distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return touched
     val touchedAny = touched.toIndexedSeq.map(Int.box)
     // survivors live only in the touched dirs — list+read exactly

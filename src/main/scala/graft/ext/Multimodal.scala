@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO stream caches: MEMORY, not temp files. With the default
+    * `useCache=true`, every `ImageIO.write(img, "png", outputStream)`
+    * spools its encode through a `FileCacheImageOutputStream` — a
+    * fresh TEMP FILE created, written, read back and deleted PER
+    * IMAGE — so a 30k-frame fixture pass paid 30k temp-file round
+    * trips (the decode path already avoided this with an explicit
+    * `MemoryCacheImageInputStream`). Fixture images are ≤ a few KB;
+    * memory caching is strictly cheaper at any realistic frame size.
+    * JVM-global, value-invisible (cache strategy only, identical
+    * bytes); referenced from every encode/decode entry point so any
+    * executor classload order still applies it first. */
+  private[ext] lazy val imageIoMemoryCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Attach a binary payload + metadata struct to a text column — the
     * fixture stand-in for real media bytes. */
   def withPayload(df: DataFrame, textCol: String): DataFrame =
@@ -269,6 +283,7 @@ object Multimodal {
       * bytes (the placeholder shape). */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       try {
+        imageIoMemoryCache // encode via memory cache, not a temp file
         val img = guardedRead(payload).getOrElse(null)
         if (img == null) java.util.Arrays.copyOf(payload, w)
         else {
@@ -1040,6 +1055,7 @@ object Multimodal {
 
     /** PNG-encode a luminance grid as a real grayscale RGB image. */
     def png(lums: Array[Array[Int]]): Array[Byte] = {
+      imageIoMemoryCache // encode via memory cache, not a temp file
       val img = new java.awt.image.BufferedImage(
         GridW, GridH, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0

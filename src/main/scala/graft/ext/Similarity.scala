@@ -819,17 +819,18 @@ object Similarity {
         "rebuild the index")
     val latest = graft.etl.Merge.latestChanges(changes, idCol, seqCol)
     val touchedIds = latest.select(col(idCol)).distinct()
-    val oldCells = s.read.parquet(indexDir)
-      .select(col(idCol), col("cell"))
-      .join(broadcast(touchedIds), Seq(idCol))
-      .select("cell").distinct().collect().map(_.getInt(0))
     val upserts = latest.where(col(opCol) =!= lit("d"))
       .select(col(idCol), col(vecCol))
     val newAssigned = assignCells(upserts, vecCol, cents)
       .select(col(idCol), col(vecCol), col("cell"))
-    val newCells = newAssigned.select("cell").distinct()
-      .collect().map(_.getInt(0))
-    val touched = (oldCells ++ newCells).distinct.sorted
+    // old cells and new cells in ONE distinct+collect (see
+    // Dedup.updateBandIndex) — one driver round trip per micro-batch
+    val touched = s.read.parquet(indexDir)
+      .select(col(idCol), col("cell"))
+      .join(broadcast(touchedIds), Seq(idCol))
+      .select("cell")
+      .unionByName(newAssigned.select("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return touched
     val touchedAny = touched.toIndexedSeq.map(_.asInstanceOf[Any])
     // survivors live only in the touched cells — list+read exactly

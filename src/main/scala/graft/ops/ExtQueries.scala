@@ -198,6 +198,7 @@ object ExtQueries {
     // localCheckpoint-backed — the blocks release via the context
     // cleaner once unreferenced; dropping the handle is the reset
     baseImageHashesCache.clear()
+    docSignaturesCache.clear()
   }
 
   /** The base-corpus perceptual hashes `(doc_id, dhash)` — every
@@ -225,6 +226,30 @@ object ExtQueries {
           "__seed", "__pert").select("doc_id", "payload"), "payload")
         .select("doc_id", "dhash")
         .localCheckpoint())
+
+  /** The base-corpus MinHash signatures `(doc_id, m0..m3)` — every
+    * document tokenized, 3-shingled and signed exactly once —
+    * memoized per (session, dir) like [[baseImageHashes]]: the band
+    * index builds (q_dedup_index_update, q_stream_band_indexed,
+    * q_stream_band_cdc, q_stream_all_indexed) and the
+    * batch-vs-stream reference sides (q_stream_neardup and the
+    * serve==fresh gates) each re-shingled the full corpus before
+    * this (~0.6–1.4 s per pass at sf0.1). The signature frame is the
+    * production ingest artifact — sign once, band/serve from the
+    * signatures — so sharing it is the 100 TB shape, not a shortcut.
+    * Bench clears it between passes. */
+  private val docSignaturesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def docSignatures(s: SparkSession, dir: String): DataFrame =
+    docSignaturesCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+      Dedup.minhashSignatures(documents(s, dir).select("doc_id", "text"),
+        "text", "doc_id", 4).localCheckpoint())
+
+  /** [[docSignatures]] keyed the way the reference side of
+    * [[Dedup.minhashMatchesWithRefSignatures]] expects. */
+  private def docRefSignatures(s: SparkSession, dir: String): DataFrame =
+    docSignatures(s, dir).withColumnRenamed("doc_id", "neighbor_id")
 
   /** Multiset row-identity gate: raise unless `a` and `b` hold
     * exactly the same rows, multiplicity included — the same
@@ -831,7 +856,9 @@ object ExtQueries {
     val emb = embeddings(s, dir).select("vec_id", "embedding")
     // the three stored indexes, each with its own layout marker
     val bdir = s"$base/bandidx"
-    Dedup.writeBandIndex(docs, "text", "doc_id", bdir, prefixChars = 2)
+    // signatures from the shared memoized sign-once pass
+    Dedup.writeBandIndexFromSignatures(docSignatures(s, dir), "doc_id",
+      bdir, prefixChars = 2)
     // ingest-time decode: exactly once (shared memoized base corpus)
     val refHashes = baseImageHashes(s, dir)
     val hdir = s"$base/hashidx"
@@ -913,7 +940,8 @@ object ExtQueries {
     val served = s.read.parquet(s"$base/out")
       .select("family", "doc_id", "neighbor_id", "metric")
     // gate (d): streamed == the three one-shot batch serves
-    val freshBand = Dedup.minhashMatches(bandArr, docs, "doc_id", "text")
+    val freshBand = Dedup.minhashMatchesWithRefSignatures(bandArr,
+      docRefSignatures(s, dir), "doc_id", "text")
       .select(lit("band").as("family"), col("doc_id"), col("neighbor_id"),
         col("est_jaccard").cast("double").as("metric"))
     val arrH = Multimodal.imageDHashes(hashArr, "payload")
@@ -5676,7 +5704,8 @@ object ExtQueries {
           reverse(col("text")).as("text")))
     arrivals.write.mode("overwrite").parquet(s"$base/src")
     val stream = s.readStream.schema(arrivals.schema).parquet(s"$base/src")
-    val matches = Dedup.minhashMatches(stream, docs, "doc_id", "text")
+    val matches = Dedup.minhashMatchesWithRefSignatures(stream,
+      docRefSignatures(s, dir), "doc_id", "text")
     val q = graft.streaming.ScoreStream.idempotentParquetSink(
       matches, s"$base/out", s"$base/chk")
     q.awaitTermination()
@@ -5809,7 +5838,8 @@ object ExtQueries {
   val dedupIndexUpdateQ: Q = (s, dir) => {
     val docs = documents(s, dir).select("doc_id", "text")
     val idir = scratchDir("bandidx", dir)
-    Dedup.writeBandIndex(docs, "text", "doc_id", idir)
+    // signatures from the shared memoized sign-once pass
+    Dedup.writeBandIndexFromSignatures(docSignatures(s, dir), "doc_id", idir)
     val before = pfxChecksums(idir)
     val touched = Dedup.updateBandIndex(idir, bandUpdateChanges(docs),
       "text", "doc_id")
@@ -6180,7 +6210,9 @@ object ExtQueries {
     val base = scratchDir("sbidx", dir)
     val docs = documents(s, dir).select("doc_id", "text")
     val idir = s"$base/idx"
-    Dedup.writeBandIndex(docs, "text", "doc_id", idir, prefixChars = 2)
+    // signatures from the shared memoized sign-once pass
+    Dedup.writeBandIndexFromSignatures(docSignatures(s, dir), "doc_id",
+      idir, prefixChars = 2)
     val arrivals = docs.where(col("doc_id") < 10)
       .select((col("doc_id") + 893000).as("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
@@ -6212,7 +6244,8 @@ object ExtQueries {
     val served = s.read.parquet(s"$base/out")
       .select("doc_id", "neighbor_id", "est_jaccard")
     // gate (c): streamed+indexed == one-shot batch over the same texts
-    val fresh = Dedup.minhashMatches(arrivals, docs, "doc_id", "text")
+    val fresh = Dedup.minhashMatchesWithRefSignatures(arrivals,
+      docRefSignatures(s, dir), "doc_id", "text")
     val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     require(key(served) == key(fresh),
@@ -6277,7 +6310,9 @@ object ExtQueries {
     val base = scratchDir("sbcdc", dir)
     val docs = documents(s, dir).select("doc_id", "text")
     val idir = s"$base/idx"
-    Dedup.writeBandIndex(docs, "text", "doc_id", idir, prefixChars = 2)
+    // signatures from the shared memoized sign-once pass
+    Dedup.writeBandIndexFromSignatures(docSignatures(s, dir), "doc_id",
+      idir, prefixChars = 2)
     val changes = docs.where(col("doc_id") < 5)
       .select(col("doc_id"),
         concat(col("text"), lit(" cdc updated text marker")).as("text"),
@@ -6322,7 +6357,12 @@ object ExtQueries {
     // (distributed one-pass multiset diff — no collect, scale-safe,
     // each layout scanned once)
     val rebuildDir = s"$base/rebuild"
-    Dedup.writeBandIndex(post, "text", "doc_id", rebuildDir, prefixChars = 2)
+    // sign the post-CDC corpus ONCE; the rebuild gate and the fresh
+    // serve gate both consume the same signature frame
+    val postSigs = Dedup.minhashSignatures(post, "text", "doc_id", 4)
+      .localCheckpoint()
+    Dedup.writeBandIndexFromSignatures(postSigs, "doc_id", rebuildDir,
+      prefixChars = 2)
     val maintained = s.read.parquet(idir)
     val rebuilt = s.read.parquet(rebuildDir)
       .select(maintained.columns.map(col).toIndexedSeq: _*)
@@ -6337,7 +6377,9 @@ object ExtQueries {
         .select((col("doc_id") + 883000).as("doc_id"), col("text")))
     val served = Dedup.minhashMatchesIndexed(idir, arrivals,
       "doc_id", "text")
-    val fresh = Dedup.minhashMatches(arrivals, post, "doc_id", "text")
+    val fresh = Dedup.minhashMatchesWithRefSignatures(arrivals,
+      postSigs.withColumnRenamed("doc_id", "neighbor_id"),
+      "doc_id", "text")
     val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     require(key(served) == key(fresh),

@@ -27,6 +27,8 @@ object ProfileWriteAB2 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "8192"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -73,6 +75,16 @@ object ProfileWriteAB2 {
     writeWith(2, Some(128))
     writeWith(3, None)
     writeWith(4, Some(32))
+
+    // committer v2 at core-count write tasks: does moving the commit
+    // renames into the (parallel) tasks beat the driver-side v1 merge?
+    s.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    writeWith(5, Some(32))
+    writeWith(6, Some(32))
+    s.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "1")
+    writeWith(7, Some(32))
 
     // band index: signature compute vs write split
     val docsT = s.read.parquet(s"$sfDir/documents.parquet")
