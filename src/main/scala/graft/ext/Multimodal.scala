@@ -595,7 +595,13 @@ object Multimodal {
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
       val seedIdx = df.schema.fieldIndex(seedCol)
       val pertIdx = df.schema.fieldIndex(pertCol)
-      spreadForCodec(df).mapPartitions { rows =>
+      // deliberately NOT spreadForCodec: javax.sound's AudioSystem
+      // serializes concurrent encodes (measured pure-JVM: 5000 WAVs
+      // 0.27–0.51 s on one thread, 0.98 s across 32 — the provider
+      // registry is a lock, unlike ImageIO after setUseCache(false)),
+      // so fanning the frame out only adds a shuffle and contention
+      // (+0.7 s on q_dedup_audio / q_stream_audio_gate when tried)
+      df.mapPartitions { rows =>
         rows.map { row =>
           val payload = wav(samples(row.getLong(seedIdx),
             row.getBoolean(pertIdx)))
