@@ -1243,6 +1243,44 @@ object Dedup {
     else s.read.option("basePath", indexDir).parquet(dirs: _*)
   }
 
+  /** [[readPrunedIntPartitions]] for STRING partition values (the
+    * band index's hex `pfx=` dirs). String values need one extra
+    * guard ints do not: partition-type INFERENCE over a pruned
+    * subset is not stable — an all-numeric subset of hex dirs would
+    * infer INT ("07" → 7) where the full layout infers STRING — so
+    * the read pins the schema explicitly: the data schema comes from
+    * ONE leaf file's footer (no partition column there) and the
+    * partition column is appended as StringType. Same fallback
+    * behavior as the int twin. */
+  private[graft] def readPrunedStringPartitions(
+      s: org.apache.spark.sql.SparkSession, indexDir: String,
+      partCol: String, wanted: Array[String]): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), s.sparkContext.hadoopConfiguration)
+    val want = wanted.toSet
+    val pfx = partCol + "="
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(pfx))
+      .filter(n => want.contains(n.drop(pfx.length)))
+      .map(n => s"$indexDir/$n")
+      .toIndexedSeq
+    val leaf = dirs.headOption.flatMap { d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .find(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    leaf match {
+      case None => s.read.parquet(indexDir)
+      case Some(f) =>
+        val dataSchema = s.read.parquet(f).schema
+        s.read.schema(dataSchema.add(partCol,
+            org.apache.spark.sql.types.StringType, nullable = true))
+          .option("basePath", indexDir).parquet(dirs: _*)
+    }
+  }
+
   private val BandLayoutMarker = "_graft_band_layout"
 
   private def writeBandLayout(dir: String, numHashes: Int, bands: Int,
@@ -1358,12 +1396,16 @@ object Dedup {
       .select(col(idCol), col("__asig"),
         posexplode(bandKeys(col("__asig"), bands, rows))
           .as(Seq("band_idx", "band_key")))
-    val stored = s.read.parquet(indexDir)
-    require(stored.columns.contains("pfx"),
-      s"$indexDir is not a writeBandIndex layout (no pfx partition)")
     val probePfx = arr.select(
         substring(col("band_key"), 1, prefixLen).as("pfx"))
       .distinct().collect().map(_.getString(0)).sorted
+    // list + read ONLY the probed prefix dirs (explicit string-typed
+    // partition schema — see readPrunedStringPartitions): a batch
+    // against a billion-document band index must not pay a
+    // full-layout file listing to open bands × |batch| dirs
+    val stored = readPrunedStringPartitions(s, indexDir, "pfx", probePfx)
+    require(stored.columns.contains("pfx"),
+      s"$indexDir is not a writeBandIndex layout (no pfx partition)")
     val idx = stored
       .where(col("pfx").isin(probePfx.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       .withColumn("__rsig",
@@ -1443,7 +1485,10 @@ object Dedup {
       .distinct().collect().map(_.getString(0)).sorted
     if (touched.isEmpty) return touched
     val touchedAny = touched.toIndexedSeq.map(_.asInstanceOf[Any])
-    val survivors = s.read.parquet(indexDir)
+    // survivors live only in the touched dirs — list+read exactly
+    // those (explicit string partition schema) instead of
+    // discovering the whole layout's files to then prune at the scan
+    val survivors = readPrunedStringPartitions(s, indexDir, "pfx", touched)
       .where(col("pfx").isin(touchedAny: _*))
       .join(broadcast(touchedIds), Seq(idCol), "left_anti")
     val tmpDir = s"$indexDir.upd-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1879,7 +1924,7 @@ object Dedup {
                       s: org.apache.spark.sql.SparkSession): (Int, Int) =
     readHashLayout(indexDir, s)
 
-  private def hashIndexRows(hashes: DataFrame, idCol: String,
+  private[graft] def hashIndexRows(hashes: DataFrame, idCol: String,
                             hashCol: String, bands: Int,
                             nPrefix: Int): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
