@@ -68,20 +68,44 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // The driver's BENCH_r{N}.json keeps only a truncated tail of this
-    // line, losing ~half the per-query timings; the COMPLETE map is
-    // also written to a committed sidecar so every query stays
-    // round-over-round diffable.
-    // Anchored path (GRAFT_BENCH_SIDECAR overrides; else CWD) and an
-    // IOException-only catch: swallowing Throwable here could mask an
-    // OOM/interrupt and leave a silently STALE sidecar behind.
+    // The driver's BENCH_r{N}.json keeps only a truncated TAIL of the
+    // full line above (~9 KB for 222 queries vs a ~4 KB tail window),
+    // so two rounds of PERF comparisons ran on `parsed: null`
+    // sidecars. Reporting-contract fix (r18 verdict item 1), additions
+    // only — the full contract line above is byte-identical to r17:
+    //  1. the COMPLETE map is written to a file (SPARK_GRAFT_BENCH_OUT
+    //     or GRAFT_BENCH_SIDECAR override the path; else
+    //     ./BENCH_FULL.json), and
+    //  2. a SHORT schema-compatible totals line is printed LAST, small
+    //     enough to survive any tail capture. Its `queries` map keeps
+    //     the slowest queries that fit a fixed byte budget — a summary,
+    //     never the measurement of record (that is the full line and
+    //     the sidecar file; budget chosen so the whole line stays
+    //     well under the observed ~4 KB window).
+    // Anchored path and an IOException-only catch: swallowing
+    // Throwable here could mask an OOM/interrupt and leave a silently
+    // STALE sidecar behind.
     val sidecar = java.nio.file.Paths.get(
-      sys.env.getOrElse("GRAFT_BENCH_SIDECAR", "BENCH_FULL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        sys.env.getOrElse("GRAFT_BENCH_SIDECAR", "BENCH_FULL.json")))
     try java.nio.file.Files.writeString(sidecar, line + "\n")
     catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] sidecar write failed ($sidecar): $e")
     }
+    val budget = 2500 // bytes for the short line's queries map
+    val slowestFirst = results.sortBy(-_._2)
+    val kept = new StringBuilder
+    var n = 0
+    slowestFirst.foreach { case (k, v) =>
+      val entry = (if (n == 0) "" else ",") +
+        "\"" + k + "\":" + f"$v%.3f"
+      if (kept.length + entry.length <= budget) { kept.append(entry); n += 1 }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":{${kept.result()}},"sf":"$sfDir",""" +
+      s""""n_queries":${results.length},"queries_shown":$n,""" +
+      s""""full":"$sidecar"}""")
     spark.stop()
   }
 }

@@ -1225,20 +1225,38 @@ object Dedup {
     * path list only narrows WHERE the listing looks. Falls back to
     * the full-layout read when no wanted dir exists (schema-
     * preserving empty result). */
-  private[graft] def readPrunedIntPartitions(
-      s: org.apache.spark.sql.SparkSession, indexDir: String,
-      partCol: String, wanted: Array[Int]): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexDir), s.sparkContext.hadoopConfiguration)
-    val want = wanted.toSet
+  /** The `FileSystem` owning `dir`, resolved through `Path` (NOT
+    * `FileSystem.get(new URI(dir))`, which throws `URISyntaxException`
+    * on unescaped paths — spaces, `%` — that every `read.parquet`
+    * call handles fine). */
+  private def fsFor(s: org.apache.spark.sql.SparkSession,
+                    dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** ONE-level listing of a partitioned layout's `partCol=` dirs,
+    * filtered to the values `keep` accepts — the snapshot taken per
+    * serve/maintenance call (fresh every call: other writers'
+    * changes are visible; nothing is cached across batches). */
+  private def listPartDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           indexDir: String, partCol: String,
+                           keep: String => Boolean): IndexedSeq[String] = {
     val pfx = partCol + "="
-    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
       .iterator
       .map(_.getPath.getName)
       .filter(_.startsWith(pfx))
-      .filter(n => n.drop(pfx.length).toIntOption.exists(want.contains))
+      .filter(n => keep(n.drop(pfx.length)))
       .map(n => s"$indexDir/$n")
       .toIndexedSeq
+  }
+
+  private[graft] def readPrunedIntPartitions(
+      s: org.apache.spark.sql.SparkSession, indexDir: String,
+      partCol: String, wanted: Array[Int]): DataFrame = {
+    val want = wanted.toSet
+    val dirs = listPartDirs(fsFor(s, indexDir), indexDir, partCol,
+      v => v.toIntOption.exists(want.contains))
     if (dirs.isEmpty) s.read.parquet(indexDir)
     else s.read.option("basePath", indexDir).parquet(dirs: _*)
   }
@@ -1255,22 +1273,47 @@ object Dedup {
   private[graft] def readPrunedStringPartitions(
       s: org.apache.spark.sql.SparkSession, indexDir: String,
       partCol: String, wanted: Array[String]): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexDir), s.sparkContext.hadoopConfiguration)
+    val fs = fsFor(s, indexDir)
     val want = wanted.toSet
-    val pfx = partCol + "="
-    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
-      .iterator
-      .map(_.getPath.getName)
-      .filter(_.startsWith(pfx))
-      .filter(n => want.contains(n.drop(pfx.length)))
-      .map(n => s"$indexDir/$n")
-      .toIndexedSeq
-    val leaf = dirs.headOption.flatMap { d =>
+    val dirs = listPartDirs(fs, indexDir, partCol, want.contains)
+    readStringPartitionDirs(s, fs, indexDir, partCol, dirs)
+  }
+
+  /** Full-layout read with the partition column PINNED to StringType
+    * — the locate-scan twin of [[readPrunedStringPartitions]]. The
+    * inference-typed `s.read.parquet(indexDir)` is a silent-corruption
+    * hazard for hex layouts: when every POPULATED prefix dir happens
+    * to be numeric-parseable (no a–f digit), inference yields INT and
+    * a later union with string-typed builder rows coerces '07' to
+    * '7', so the touched-dir set misses the real dir and stale rows
+    * (including deleted ids) stay live. Pinning the schema makes that
+    * class unrepresentable, and the explicit one-level listing means
+    * a maintenance batch never pays the whole layout's leaf-file
+    * discovery machinery (the snapshot is re-listed per call, so
+    * other writers' changes stay visible). */
+  private[graft] def readAllStringPartitions(
+      s: org.apache.spark.sql.SparkSession, indexDir: String,
+      partCol: String): DataFrame = {
+    val fs = fsFor(s, indexDir)
+    val dirs = listPartDirs(fs, indexDir, partCol, _ => true)
+    readStringPartitionDirs(s, fs, indexDir, partCol, dirs)
+  }
+
+  /** Shared tail of the string-typed partition reads: probe EVERY
+    * candidate dir (not just the first — an interrupted swap can
+    * leave one empty dir, which must not silently demote the read to
+    * a full-layout inference scan) for one `.parquet` leaf whose
+    * footer pins the data schema, then read the dirs with the
+    * partition column appended as StringType. */
+  private def readStringPartitionDirs(
+      s: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String,
+      partCol: String, dirs: IndexedSeq[String]): DataFrame = {
+    val leaf = dirs.iterator.flatMap { d =>
       fs.listStatus(new org.apache.hadoop.fs.Path(d))
         .find(_.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString)
-    }
+    }.nextOption()
     leaf match {
       case None => s.read.parquet(indexDir)
       case Some(f) =>
@@ -1476,8 +1519,12 @@ object Dedup {
       bands, prefixChars)
     // old homes (column-pruned index scan against the broadcast
     // touched-id set) and new homes in ONE distinct+collect — the
-    // two separate driver round trips per micro-batch folded into one
-    val touched = s.read.parquet(indexDir)
+    // two separate driver round trips per micro-batch folded into
+    // one. The scan pins pfx to StringType (readAllStringPartitions):
+    // inference over hex dirs is unstable, and an INT-inferred pfx
+    // would union-coerce '07' to '7' here — the touched set would
+    // miss the real dir and stale rows would stay live, silently.
+    val touched = readAllStringPartitions(s, indexDir, "pfx")
       .select(col(idCol), col("pfx"))
       .join(broadcast(touchedIds), Seq(idCol))
       .select("pfx")

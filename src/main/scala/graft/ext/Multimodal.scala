@@ -21,19 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** ImageIO stream caches: MEMORY, not temp files. With the default
-    * `useCache=true`, every `ImageIO.write(img, "png", outputStream)`
-    * spools its encode through a `FileCacheImageOutputStream` — a
-    * fresh TEMP FILE created, written, read back and deleted PER
-    * IMAGE — so a 30k-frame fixture pass paid 30k temp-file round
-    * trips (the decode path already avoided this with an explicit
-    * `MemoryCacheImageInputStream`). Fixture images are ≤ a few KB;
-    * memory caching is strictly cheaper at any realistic frame size.
-    * JVM-global, value-invisible (cache strategy only, identical
-    * bytes); referenced from every encode/decode entry point so any
-    * executor classload order still applies it first. */
-  private[ext] lazy val imageIoMemoryCache: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
+  /** PNG-encode through an EXPLICIT in-memory image stream. With
+    * ImageIO's default `useCache=true`, `ImageIO.write(img, "png",
+    * outputStream)` spools every encode through a
+    * `FileCacheImageOutputStream` — a fresh TEMP FILE created,
+    * written, read back and deleted PER IMAGE — so a 30k-frame
+    * fixture pass paid 30k temp-file round trips (the decode path
+    * already avoided this with an explicit
+    * `MemoryCacheImageInputStream`). Wrapping the target stream in a
+    * `MemoryCacheImageOutputStream` is the per-call-site version of
+    * that fix: same writer, identical bytes, no temp file — and no
+    * mutation of the JVM-GLOBAL `ImageIO.setUseCache` flag, which
+    * would silently change cache strategy for any co-resident code
+    * sharing the JVM (an embedding application's large-image encodes
+    * would lose disk-backed streaming). */
+  private[ext] def pngEncode(img: java.awt.image.RenderedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      try { writer.setOutput(ios); writer.write(img) }
+      finally writer.dispose()
+    } finally ios.close() // flushes the cache into bos
+    bos.toByteArray
+  }
 
   /** Attach a binary payload + metadata struct to a text column — the
     * fixture stand-in for real media bytes. */
@@ -283,7 +295,6 @@ object Multimodal {
       * bytes (the placeholder shape). */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       try {
-        imageIoMemoryCache // encode via memory cache, not a temp file
         val img = guardedRead(payload).getOrElse(null)
         if (img == null) java.util.Arrays.copyOf(payload, w)
         else {
@@ -295,9 +306,7 @@ object Multimodal {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(img, 0, 0, w, h, null)
           g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          bos.toByteArray
+          pngEncode(out) // memory-cached encode, no temp file
         }
       } catch { case _: Exception => java.util.Arrays.copyOf(payload, w) }
   }
@@ -1061,7 +1070,6 @@ object Multimodal {
 
     /** PNG-encode a luminance grid as a real grayscale RGB image. */
     def png(lums: Array[Array[Int]]): Array[Byte] = {
-      imageIoMemoryCache // encode via memory cache, not a temp file
       val img = new java.awt.image.BufferedImage(
         GridW, GridH, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -1074,9 +1082,7 @@ object Multimodal {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      pngEncode(img) // memory-cached encode, no temp file
     }
 
     /** The dHash the formula implies — what the SQL oracle computes;

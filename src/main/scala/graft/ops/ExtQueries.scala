@@ -218,7 +218,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def baseImageHashes(s: SparkSession, dir: String): DataFrame =
-    baseImageHashesCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+    baseImageHashesCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ =>
       Multimodal.imageDHashes(
         Multimodal.ImageFixture.withPayloads(
           documents(s, dir).select(col("doc_id"),
@@ -242,7 +242,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def docSignatures(s: SparkSession, dir: String): DataFrame =
-    docSignaturesCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+    docSignaturesCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ =>
       Dedup.minhashSignatures(documents(s, dir).select("doc_id", "text"),
         "text", "doc_id", 4).localCheckpoint())
 
@@ -272,7 +272,7 @@ object ExtQueries {
   }
 
   private def plantedNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    plantedPairsCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+    plantedPairsCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ => {
       val docs = documents(s, dir).select("doc_id", "text")
       val aug = docs.where(col("doc_id") < 10)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -321,7 +321,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def plantedComponents(s: SparkSession, dir: String): DataFrame =
-    componentsCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+    componentsCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ =>
       Dedup.connectedComponents(plantedNearDupPairs(s, dir)).persist())
 
   /** Pairs → groups: connected components over the verified near-dup
@@ -588,7 +588,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   private def ivfCents(s: SparkSession, dir: String): Array[Array[Double]] =
-    ivfCentsCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+    ivfCentsCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ =>
       Similarity.kmeansCentroids(embeddings(s, dir), "vec_id", "embedding",
         16, iters = 1))
 
@@ -1107,7 +1107,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
   private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    pqBooksCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+    pqBooksCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ =>
       Similarity.pqCodebooks(embeddings(s, dir), "vec_id", "embedding",
         dim = 64, m = 4, ksub = 8, iters = 1))
 
@@ -1210,7 +1210,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
   private def rpqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    rpqBooksCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+    rpqBooksCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ =>
       Similarity.pqResidualBooks(embeddings(s, dir), "vec_id", "embedding",
         ivfCents(s, dir), m = 4, ksub = 8, iters = 1))
 
@@ -2160,7 +2160,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
   private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpeMergesCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+    bpeMergesCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ =>
       TextStats.bpeTrain(
           documents(s, dir).where(col("doc_id") % 10 === 0).select("text"),
           "text", merges = 6)
@@ -2211,7 +2211,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
   private def bpeByteMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpeByteMergesCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+    bpeByteMergesCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ =>
       TextStats.bpeTrainBytes(
           documents(s, dir).where(col("doc_id") % 10 === 0).select("text"),
           "text", merges = 8)
@@ -2316,7 +2316,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
   private def bpePretokMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpePretokMergesCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ =>
+    bpePretokMergesCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ =>
       TextStats.bpeTrainBytesPretok(
           documents(s, dir).where(col("doc_id") % 10 === 0).select("text"),
           "text", merges = 8)
@@ -4546,7 +4546,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def domainAuthorityOf(s: SparkSession, dir: String): DataFrame =
-    authorityCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+    authorityCache.computeIfAbsent(s"${Queries.sessionKey(s)}|$dir", _ => {
       val pages = authorityPages(s, dir)
       graft.ext.LinkGraph.domainAuthority(
         graft.ext.LinkGraph.domainEdges(pages, "url", "html"),
@@ -8333,7 +8333,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, graft.ml.LangId.LangIdModel]()
 
   private def langIdModel(s: SparkSession): graft.ml.LangId.LangIdModel =
-    langIdCache.computeIfAbsent(s"${s.hashCode()}", _ =>
+    langIdCache.computeIfAbsent(s"${Queries.sessionKey(s)}", _ =>
       graft.ml.LangId.train(
         graft.ext.LangFixture.df(s).where(col("split") === "train"),
         "text", "lang"))

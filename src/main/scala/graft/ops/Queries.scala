@@ -20,6 +20,18 @@ object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Stable per-session memo-key prefix. The old `s.hashCode()` was
+    * an IDENTITY hash: after a stopped session is GC'd a new session
+    * can reuse the same identity hash and a memo lookup would serve a
+    * frame bound to a DEAD SparkContext. Keyed weakly by the session
+    * object itself, every distinct live session maps to a distinct
+    * UUID, and entries for dead sessions can never be re-keyed. */
+  private val sessionKeys = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private[ops] def sessionKey(s: SparkSession): String =
+    sessionKeys.computeIfAbsent(s,
+      _ => java.util.UUID.randomUUID().toString)
+
   // ---- 2.1/2.2 scans, projections, filters, derived columns ----
 
   /** P1+P3: projection with predicate pushed to the parquet scan. */
@@ -678,7 +690,7 @@ object Queries {
   }
 
   private def trainedScore(s: SparkSession, dir: String): DataFrame =
-    trainedScoreCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+    trainedScoreCache.computeIfAbsent(s"${sessionKey(s)}|$dir", _ => {
       val sig = concat(lit("xsig"), col("lang"))
       val docs = documents(s, dir).select(col("doc_id"), col("lang"),
         concat_ws(" ", col("text"), sig, sig, sig).as("text"))
@@ -752,7 +764,7 @@ object Queries {
   /** Held-out docs scored with keep_prob, gate already enforced —
     * memoized (and persisted) so Verify/Bench/PlanSpec train once. */
   private def qualityScored(s: SparkSession, dir: String): DataFrame =
-    qualityClsCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+    qualityClsCache.computeIfAbsent(s"${sessionKey(s)}|$dir", _ => {
       val curatedDoc = col("doc_id") % 3 =!= 0
       val sig = when(curatedDoc, lit("wellformed cited prose"))
         .otherwise(lit("boilerplate scraped clutter"))
@@ -793,7 +805,7 @@ object Queries {
   private[ops] def clearTuningMemo(): Unit = tuningCache.clear()
 
   val tuningHalving: Q = (s, dir) =>
-    tuningCache.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+    tuningCache.computeIfAbsent(s"${sessionKey(s)}|$dir", _ => {
       import s.implicits._
       val sig = concat(lit("xsig"), col("lang"))
       // bounded slice: the demo must cost the same at every SF. The

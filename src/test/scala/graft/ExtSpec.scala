@@ -1354,6 +1354,60 @@ class ExtSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("_graft_band_layout"))
   }
 
+  test("string partition reads pin StringType where inference would yield INT") {
+    // An all-numeric-parseable set of hex prefix dirs is the silent-
+    // corruption case: partition-type inference yields INT, '07'
+    // loses its leading zero, and any union with string-typed builder
+    // rows coerces to '7' — missing the real dir. The pinned reads
+    // must preserve the dir names verbatim.
+    val dir = java.nio.file.Files.createTempDirectory("graft_strpin").toString
+    Seq((1L, "07"), (2L, "12"), (3L, "07"))
+      .toDF("id", "pfx")
+      .write.mode("overwrite").partitionBy("pfx").parquet(dir)
+    // the hazard is real: inference turns these dirs into INTs
+    assert(spark.read.parquet(dir).schema("pfx").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val all = Dedup.readAllStringPartitions(spark, dir, "pfx")
+    assert(all.schema("pfx").dataType == org.apache.spark.sql.types.StringType)
+    assert(all.select("pfx").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("07", "12"))
+    val pruned = Dedup.readPrunedStringPartitions(spark, dir, "pfx",
+      Array("07"))
+    assert(pruned.select("pfx").collect().map(_.getString(0)).toSeq ==
+      Seq("07", "07"))
+  }
+
+  test("updateBandIndex locate scan survives an all-numeric prefix layout") {
+    import org.apache.hadoop.fs.Path
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "hh ii jj kk ll mm nn"),
+      (3L, "oo pp qq rr ss tt uu")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bnum").toString
+    Dedup.writeBandIndex(corpus, "text", "doc_id", dir, prefixChars = 2)
+    // Plant the hazard deterministically: rename every populated pfx
+    // dir to a leading-zero numeric name, the exact shape partition
+    // inference reads back as INT (dropping the zero). Before the
+    // pinned-schema locate scan, the union with string builder rows
+    // rendered '0k' as 'k', the touched set missed the real dir, and
+    // a deleted id's rows stayed live — silently.
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pfxDirs = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.startsWith("pfx=")).map(_.getPath)
+    assert(pfxDirs.length <= 9, s"fixture grew: ${pfxDirs.length} dirs")
+    pfxDirs.zipWithIndex.foreach { case (p, i) =>
+      assert(fs.rename(p, new Path(dir, s"pfx=0${i + 1}")))
+    }
+    assert(spark.read.parquet(dir).schema("pfx").dataType ==
+      org.apache.spark.sql.types.IntegerType) // inference really trips here
+    val del = Seq((2L, "", 1L, "d")).toDF("doc_id", "text", "seq", "op")
+    Dedup.updateBandIndex(dir, del, "text", "doc_id")
+    val after = Dedup.readAllStringPartitions(spark, dir, "pfx")
+    assert(after.where(col("doc_id") === 2L).count() == 0,
+      "deleted id survived: the locate scan missed its all-numeric home dir")
+    assert(after.where(col("doc_id") === 1L).count() > 0)
+  }
+
   test("time vote: dual half-offset grids rescue boundary-straddling jitter") {
     import spark.implicits._
     // Two matching keyframes whose true delta (~500 ms) jitters to
