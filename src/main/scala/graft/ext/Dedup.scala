@@ -1185,10 +1185,12 @@ object Dedup {
     // up to tasks×dirs — at cluster scale the build tracks dirs, not
     // writers×dirs, in object-store metadata (measured file-count-
     // bound before this: BENCH_R15B_SCALE.json)
-    bandIndexRows(corpus, textCol, idCol, numHashes, bands, prefixChars)
-      .repartition(layoutWriteParallelism(corpus.sparkSession,
-        1L << (4 * prefixChars)), col("pfx"))
-      .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
+    JobLabel(corpus.sparkSession, "writeBandIndex: build+write layout") {
+      bandIndexRows(corpus, textCol, idCol, numHashes, bands, prefixChars)
+        .repartition(layoutWriteParallelism(corpus.sparkSession,
+          1L << (4 * prefixChars)), col("pfx"))
+        .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
+    }
     writeBandLayout(outDir, numHashes, bands, prefixChars,
       corpus.sparkSession)
   }
@@ -1408,10 +1410,12 @@ object Dedup {
       s"numHashes=$numHashes not divisible by bands=$bands")
     require(prefixChars >= 1 && prefixChars <= 8,
       s"prefixChars=$prefixChars")
-    bandIndexRowsFromSignatures(sigs, idCol, numHashes, bands, prefixChars)
-      .repartition(layoutWriteParallelism(sigs.sparkSession,
-        1L << (4 * prefixChars)), col("pfx"))
-      .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
+    JobLabel(sigs.sparkSession, "writeBandIndex: build+write layout") {
+      bandIndexRowsFromSignatures(sigs, idCol, numHashes, bands, prefixChars)
+        .repartition(layoutWriteParallelism(sigs.sparkSession,
+          1L << (4 * prefixChars)), col("pfx"))
+        .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
+    }
     writeBandLayout(outDir, numHashes, bands, prefixChars,
       sigs.sparkSession)
   }
@@ -1427,7 +1431,22 @@ object Dedup {
     * with a different banding than the rows on disk. */
   def minhashMatchesIndexed(indexDir: String, arrivals: DataFrame,
                             idCol: String, textCol: String,
-                            minJaccard: Double = 0.0): DataFrame = {
+                            minJaccard: Double = 0.0): DataFrame =
+    minhashMatchesIndexedWithEvidence(
+      indexDir, arrivals, idCol, textCol, minJaccard)._1
+
+  /** [[minhashMatchesIndexed]] plus its narrowing EVIDENCE — the
+    * probed prefixes and the layout's total — from the serve's own
+    * internal probe collect. A serving layer that wants to LOG its
+    * per-batch narrowing (the streaming gate sinks) previously called
+    * [[probeBandPrefixes]] first and the serve second, re-tokenizing
+    * and re-signing every arrival for a number the serve had already
+    * computed; this returns both from one pass. Matches frame is
+    * identical to [[minhashMatchesIndexed]]. */
+  def minhashMatchesIndexedWithEvidence(
+      indexDir: String, arrivals: DataFrame, idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.0): (DataFrame, Array[String], Long) = {
     val s = arrivals.sparkSession
     val (numHashes, bands, prefixLen) = bandIndexLayout(indexDir, s)
     val rows = numHashes / bands
@@ -1459,13 +1478,14 @@ object Dedup {
       sequence(lit(0), lit(bands - 1)),
       b => slice(col("__asig"), b * rows + 1, lit(rows)) ===
         slice(col("__rsig"), b * rows + 1, lit(rows))))
-    arr.join(idx, Seq("band_idx", "band_key"))
+    val matches = arr.join(idx, Seq("band_idx", "band_key"))
       .where(col("band_idx") === firstMatch)
       .withColumn("est_jaccard", round(
         size(filter(zip_with(col("__asig"), col("__rsig"),
           (x, y) => x === y), b => b)).cast("double") / numHashes, 6))
       .where(col("est_jaccard") >= minJaccard)
       .select(col(idCol), col("neighbor_id"), col("est_jaccard"))
+    (matches, probePfx, 1L << (4 * prefixLen))
   }
 
   /** The narrowing evidence for a [[minhashMatchesIndexed]] call: the
@@ -1524,12 +1544,14 @@ object Dedup {
     // inference over hex dirs is unstable, and an INT-inferred pfx
     // would union-coerce '07' to '7' here — the touched set would
     // miss the real dir and stale rows would stay live, silently.
-    val touched = readAllStringPartitions(s, indexDir, "pfx")
-      .select(col(idCol), col("pfx"))
-      .join(broadcast(touchedIds), Seq(idCol))
-      .select("pfx")
-      .unionByName(newRows.select("pfx"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val touched = JobLabel(s, "updateBandIndex: locate touched dirs") {
+      readAllStringPartitions(s, indexDir, "pfx")
+        .select(col(idCol), col("pfx"))
+        .join(broadcast(touchedIds), Seq(idCol))
+        .select("pfx")
+        .unionByName(newRows.select("pfx"))
+        .distinct().collect().map(_.getString(0)).sorted
+    }
     if (touched.isEmpty) return touched
     val touchedAny = touched.toIndexedSeq.map(_.asInstanceOf[Any])
     // survivors live only in the touched dirs — list+read exactly
@@ -1539,12 +1561,15 @@ object Dedup {
       .where(col("pfx").isin(touchedAny: _*))
       .join(broadcast(touchedIds), Seq(idCol), "left_anti")
     val tmpDir = s"$indexDir.upd-${java.util.UUID.randomUUID().toString.take(8)}"
-    survivors.unionByName(newRows.select(survivors.columns.map(col): _*))
-      // one file per rewritten dir; explicit core-count parallelism —
-      // the write is file-count-bound (see layoutWriteParallelism)
-      .repartition(layoutWriteParallelism(s, 1L << (4 * prefixChars)),
-        col("pfx"))
-      .write.mode("overwrite").partitionBy("pfx").parquet(tmpDir)
+    JobLabel(s, "updateBandIndex: rewrite touched dirs") {
+      survivors.unionByName(
+          newRows.select(survivors.columns.toIndexedSeq.map(col): _*))
+        // one file per rewritten dir; explicit core-count parallelism —
+        // the write is file-count-bound (see layoutWriteParallelism)
+        .repartition(layoutWriteParallelism(s, 1L << (4 * prefixChars)),
+          col("pfx"))
+        .write.mode("overwrite").partitionBy("pfx").parquet(tmpDir)
+    }
     swapPrefixDirs(s, indexDir, tmpDir, touched.toIndexedSeq.map(p => s"pfx=$p"))
     touched
   }
@@ -1919,10 +1944,12 @@ object Dedup {
     // build is file-count-bound, not data-bound; explicit core-count
     // parallelism because the file-open cost, not the bytes, is the
     // stage (see layoutWriteParallelism)
-    hashIndexRows(hashes, idCol, hashCol, bands, nPrefix)
-      .repartition(layoutWriteParallelism(hashes.sparkSession,
-        nPrefix.toLong), col("pfx"))
-      .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
+    JobLabel(hashes.sparkSession, "writeHashIndex: build+write layout") {
+      hashIndexRows(hashes, idCol, hashCol, bands, nPrefix)
+        .repartition(layoutWriteParallelism(hashes.sparkSession,
+          nPrefix.toLong), col("pfx"))
+        .write.mode("overwrite").partitionBy("pfx").parquet(outDir)
+    }
     writeHashLayout(outDir, bands, nPrefix, hashes.sparkSession)
   }
 
@@ -2005,7 +2032,19 @@ object Dedup {
     * STORED band count: `maxHamming <= bands - 1` or this raises. */
   def hashMatchesIndexed(indexDir: String, arrivals: DataFrame,
                          idCol: String, hashCol: String,
-                         maxHamming: Int = 3): DataFrame = {
+                         maxHamming: Int = 3): DataFrame =
+    hashMatchesIndexedWithEvidence(
+      indexDir, arrivals, idCol, hashCol, maxHamming)._1
+
+  /** [[hashMatchesIndexed]] plus its narrowing EVIDENCE — the probed
+    * prefixes and the layout's `nPrefix` — from the serve's own
+    * internal probe collect (see
+    * [[minhashMatchesIndexedWithEvidence]]: the gate sinks previously
+    * paid a second full probe pass just to log the number the serve
+    * had already computed). */
+  def hashMatchesIndexedWithEvidence(
+      indexDir: String, arrivals: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 3): (DataFrame, Array[Int], Int) = {
     val s = arrivals.sparkSession
     val (bands, nPrefix) = readHashLayout(indexDir, s)
     require(maxHamming >= 0 && maxHamming <= bands - 1,
@@ -2034,7 +2073,8 @@ object Dedup {
         .otherwise(col("hash")))
       .select(col(idCol).as("__rid"), col("__rhash"),
         col("band_idx").as("__bi"), col("band_val").as("__bv"))
-    joinProbes(arr, idx, idCol, bands, bandBits, mask, maxHamming)
+    (joinProbes(arr, idx, idCol, bands, bandBits, mask, maxHamming),
+      probePfx, nPrefix)
   }
 
   /** An arrival hash frame exploded to its `(id, hash, band_idx,
@@ -2097,12 +2137,14 @@ object Dedup {
     val newRows = hashIndexRows(upserts, idCol, hashCol, bands, nPrefix)
     // old homes and new homes in ONE distinct+collect (see
     // updateBandIndex) — one driver round trip per micro-batch
-    val touched = s.read.parquet(indexDir)
-      .select(col(idCol), col("pfx"))
-      .join(broadcast(touchedIds), Seq(idCol))
-      .select("pfx")
-      .unionByName(newRows.select("pfx"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    val touched = JobLabel(s, "updateHashIndex: locate touched dirs") {
+      s.read.parquet(indexDir)
+        .select(col(idCol), col("pfx"))
+        .join(broadcast(touchedIds), Seq(idCol))
+        .select("pfx")
+        .unionByName(newRows.select("pfx"))
+        .distinct().collect().map(_.getInt(0)).sorted
+    }
     if (touched.isEmpty) return touched
     val touchedAny = touched.toIndexedSeq.map(Int.box)
     // survivors live only in the touched dirs — list+read exactly
@@ -2112,12 +2154,14 @@ object Dedup {
       .where(col("pfx").isin(touchedAny: _*))
       .join(broadcast(touchedIds), Seq(idCol), "left_anti")
     val tmpDir = s"$indexDir.upd-${java.util.UUID.randomUUID().toString.take(8)}"
-    survivors.unionByName(
-        newRows.select(survivors.columns.toIndexedSeq.map(col): _*))
-      // one file per rewritten dir; explicit core-count parallelism —
-      // the write is file-count-bound (see layoutWriteParallelism)
-      .repartition(layoutWriteParallelism(s, nPrefix.toLong), col("pfx"))
-      .write.mode("overwrite").partitionBy("pfx").parquet(tmpDir)
+    JobLabel(s, "updateHashIndex: rewrite touched dirs") {
+      survivors.unionByName(
+          newRows.select(survivors.columns.toIndexedSeq.map(col): _*))
+        // one file per rewritten dir; explicit core-count parallelism —
+        // the write is file-count-bound (see layoutWriteParallelism)
+        .repartition(layoutWriteParallelism(s, nPrefix.toLong), col("pfx"))
+        .write.mode("overwrite").partitionBy("pfx").parquet(tmpDir)
+    }
     swapPrefixDirs(s, indexDir, tmpDir, touched.toIndexedSeq.map(p => s"pfx=$p"))
     touched
   }

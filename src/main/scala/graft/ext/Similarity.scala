@@ -674,11 +674,13 @@ object Similarity {
     // to tasks×cells (same file-count audit as Dedup.writeHashIndex);
     // explicit core-count parallelism — the write is file-count-bound
     // (see Dedup.layoutWriteParallelism)
-    assignCells(corpus, vecCol, cents)
-      .select(col(idCol), col(vecCol), col("cell"))
-      .repartition(Dedup.layoutWriteParallelism(corpus.sparkSession,
-        cents.length.toLong), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    JobLabel(corpus.sparkSession, "writeIvfIndex: build+write layout") {
+      assignCells(corpus, vecCol, cents)
+        .select(col(idCol), col(vecCol), col("cell"))
+        .repartition(Dedup.layoutWriteParallelism(corpus.sparkSession,
+          cents.length.toLong), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    }
     writeIvfLayout(outDir, cents, corpus.sparkSession)
   }
 
@@ -751,7 +753,20 @@ object Similarity {
   def ivfPartitionedTopK(indexDir: String, queries: DataFrame,
                          idCol: String, vecCol: String, k: Int,
                          cents: Array[Array[Double]],
-                         nprobe: Int): DataFrame = {
+                         nprobe: Int): DataFrame =
+    ivfPartitionedTopKWithEvidence(
+      indexDir, queries, idCol, vecCol, k, cents, nprobe)._1
+
+  /** [[ivfPartitionedTopK]] plus its narrowing EVIDENCE — the probed
+    * cell set (the serve's own internal collect) and the layout's
+    * cell count. The streaming gate sinks previously called
+    * [[probeCellSet]] first and the serve second, paying the
+    * assignment pass twice for a number the serve had already
+    * computed (see `Dedup.minhashMatchesIndexedWithEvidence`). */
+  def ivfPartitionedTopKWithEvidence(
+      indexDir: String, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[Array[Double]],
+      nprobe: Int): (DataFrame, Array[Int], Int) = {
     val s = queries.sparkSession
     val probed = withProbeCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
@@ -769,13 +784,14 @@ object Similarity {
       .withColumn("__cn", sqrt(nDot(s, col("cv"), col("cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    indexed.join(broadcast(probed), Seq("cell"))
+    val topk = indexed.join(broadcast(probed), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineFromNorms(
         nDot(s, col("qv"), col("cv")), col("__qn"), col("__cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+    (topk, cellSet, cents.length)
   }
 
   /** Incremental maintenance of a [[writeIvfIndex]] layout under a CDC
@@ -825,12 +841,14 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell"))
     // old cells and new cells in ONE distinct+collect (see
     // Dedup.updateBandIndex) — one driver round trip per micro-batch
-    val touched = s.read.parquet(indexDir)
-      .select(col(idCol), col("cell"))
-      .join(broadcast(touchedIds), Seq(idCol))
-      .select("cell")
-      .unionByName(newAssigned.select("cell"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    val touched = JobLabel(s, "updateIvfIndex: locate touched cells") {
+      s.read.parquet(indexDir)
+        .select(col(idCol), col("cell"))
+        .join(broadcast(touchedIds), Seq(idCol))
+        .select("cell")
+        .unionByName(newAssigned.select("cell"))
+        .distinct().collect().map(_.getInt(0)).sorted
+    }
     if (touched.isEmpty) return touched
     val touchedAny = touched.toIndexedSeq.map(_.asInstanceOf[Any])
     // survivors live only in the touched cells — list+read exactly
@@ -842,12 +860,14 @@ object Similarity {
     val tmpDir = s"$indexDir.upd-${java.util.UUID.randomUUID().toString.take(8)}"
     // temp layout fully materializes BEFORE any index file moves — a
     // failure mid-write leaves the live index untouched
-    survivors.unionByName(newAssigned)
-      // one file per rewritten dir; explicit core-count parallelism —
-      // the write is file-count-bound (see Dedup.layoutWriteParallelism)
-      .repartition(Dedup.layoutWriteParallelism(s, cents.length.toLong),
-        col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
+    JobLabel(s, "updateIvfIndex: rewrite touched cells") {
+      survivors.unionByName(newAssigned)
+        // one file per rewritten dir; explicit core-count parallelism —
+        // the write is file-count-bound (see Dedup.layoutWriteParallelism)
+        .repartition(Dedup.layoutWriteParallelism(s, cents.length.toLong),
+          col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
+    }
     // crash-safe swap (see Dedup.swapPrefixDirs): live dirs rename
     // ASIDE into tmpDir before replacements install; tmpDir — holding
     // every displaced dir — is deleted only after all cells land

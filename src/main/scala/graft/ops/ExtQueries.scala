@@ -268,7 +268,9 @@ object ExtQueries {
       .unionByName(b.select(names.map(col): _*).withColumn("__w", lit(-1L)))
       .groupBy(names.map(col): _*).agg(sum(col("__w")).as("__d"))
       .where(col("__d") =!= 0L)
-    require(diff.isEmpty, msg)
+    graft.ext.JobLabel(a.sparkSession, "gate: one-pass multiset diff") {
+      require(diff.isEmpty, msg)
+    }
   }
 
   private def plantedNearDupPairs(s: SparkSession, dir: String): DataFrame =
@@ -858,22 +860,45 @@ object ExtQueries {
     val emb = embeddings(s, dir).select("vec_id", "embedding")
     // the three stored indexes, each with its own layout marker
     val bdir = s"$base/bandidx"
-    // signatures from the shared memoized sign-once pass
-    Dedup.writeBandIndexFromSignatures(docSignatures(s, dir), "doc_id",
-      bdir, prefixChars = 2)
-    // ingest-time decode: exactly once (shared memoized base corpus)
-    val refHashes = baseImageHashes(s, dir)
     val hdir = s"$base/hashidx"
-    Dedup.writeHashIndex(refHashes, "doc_id", "dhash", hdir,
-      bands = 4, nPrefix = 256)
-    val cents = ivfCents(s, dir)
-    val vdir = s"$base/ivfidx"
     // one shared id namespace: every index is keyed by the arrival
     // stream's id column (the serve functions resolve the index id
     // under the same name they probe with)
-    Similarity.writeIvfIndex(
-      emb.select(col("vec_id").as("doc_id"), col("embedding")),
-      "doc_id", "embedding", cents, vdir)
+    val vdir = s"$base/ivfidx"
+    // Build the three INDEPENDENT indexes concurrently (guide §2.6 —
+    // actions are only sequential because driver code calls them
+    // sequentially): same three writes, same bytes, same markers; a
+    // small pool lets each file-count-bound write's straggler tail
+    // backfill with the next build's tasks instead of idling the
+    // cores three times in turn. Each build pulls its own memoized
+    // ingest artifact (sign-once / decode-once / centroids), so the
+    // three ingest passes overlap too.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val builds = Seq(
+        Future {
+          // signatures from the shared memoized sign-once pass
+          Dedup.writeBandIndexFromSignatures(docSignatures(s, dir),
+            "doc_id", bdir, prefixChars = 2)
+        }(ec),
+        Future {
+          // ingest-time decode: exactly once (shared memoized corpus)
+          Dedup.writeHashIndex(baseImageHashes(s, dir), "doc_id",
+            "dhash", hdir, bands = 4, nPrefix = 256)
+        }(ec),
+        Future {
+          Similarity.writeIvfIndex(
+            emb.select(col("vec_id").as("doc_id"), col("embedding")),
+            "doc_id", "embedding", ivfCents(s, dir), vdir)
+        }(ec))
+      try builds.foreach(Await.result(_, Duration.Inf))
+      finally { pool.shutdown(); () }
+    }
+    val refHashes = baseImageHashes(s, dir)
+    val cents = ivfCents(s, dir)
     // the mixed arrival feed: the three single-family planted sets
     val bandArr = docs.where(col("doc_id") < 10)
       .select((col("doc_id") + 893000).as("doc_id"), col("text"))
@@ -5862,7 +5887,21 @@ object ExtQueries {
       .select((col("doc_id") + 850000).as("doc_id"), col("text"))
     val served = Dedup.minhashMatchesIndexed(idir, arrivals,
       "doc_id", "text")
-    val fresh = Dedup.minhashMatches(arrivals, post, "doc_id", "text")
+    // The fresh-gate reference signatures COMPOSE the same way the
+    // CDC applied: sig(docs minus touched ids) ⊎ sig(upserted rows)
+    // is sig(applyCdc(docs, changes)) as a multiset — signing is
+    // per-row deterministic, and the semi/anti joins mirror
+    // applyCdc's id semantics at any scale. Only the ~5 upserted
+    // rows sign fresh instead of re-shingling the whole corpus.
+    val changeIds = bandUpdateChanges(docs).select("doc_id").distinct()
+    val postRefSigs = docSignatures(s, dir)
+      .join(broadcast(changeIds), Seq("doc_id"), "left_anti")
+      .unionByName(Dedup.minhashSignatures(
+        post.join(broadcast(changeIds), Seq("doc_id"), "left_semi"),
+        "text", "doc_id", 4))
+      .withColumnRenamed("doc_id", "neighbor_id")
+    val fresh = Dedup.minhashMatchesWithRefSignatures(arrivals,
+      postRefSigs, "doc_id", "text")
     val key = (df: DataFrame) => df.orderBy("doc_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     require(key(served) == key(fresh),
@@ -6363,7 +6402,21 @@ object ExtQueries {
     // maintained ARTIFACT still reads from disk, so the gate checks
     // it against pristine builder output instead of paying a full
     // second layout write + read.
-    val postSigs = Dedup.minhashSignatures(post, "text", "doc_id", 4)
+    // The post-corpus signatures COMPOSE from the shared ingest
+    // artifact plus the changed rows — sig(docs >= 10) ⊎ sig(updated
+    // ∪ inserted) is sig(post) as a multiset, branch for branch,
+    // because signing is per-row deterministic column arithmetic.
+    // Re-signing the WHOLE corpus per CDC gate is the 100 TB
+    // anti-pattern the signature artifact exists to avoid; only the
+    // ~10 changed rows sign fresh.
+    val changedRows = docs.where(col("doc_id") < 5)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" cdc updated text marker")).as("text"))
+      .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+        .select((col("doc_id") + 705000).as("doc_id"),
+          concat(col("text"), lit(" freshly inserted document")).as("text")))
+    val postSigs = docSignatures(s, dir).where(col("doc_id") >= 10)
+      .unionByName(Dedup.minhashSignatures(changedRows, "text", "doc_id", 4))
       .localCheckpoint()
     val maintained = s.read.parquet(idir)
     val rebuilt = Dedup.bandIndexRowsFromSignatures(postSigs, "doc_id",
@@ -6502,18 +6555,23 @@ object ExtQueries {
         s"batch ${f.getName} rewrote $touched of $np prefixes — " +
           "no narrowing")
     }
-    // the hash corpus the CDC log implies, decoded fresh
-    val postHashes = hashesOf(payloadsOf(
-        docs.where(col("doc_id") >= 10)
-          .select(col("doc_id"), col("doc_id").as("__seed"),
-            lit(false).as("__pert"))
-        .unionByName(docs.where(col("doc_id") < 5)
+    // the hash corpus the CDC log implies. The unchanged branch
+    // (docs >= 10 at their own seeds) IS the shared ingest artifact
+    // filtered — hash(docs >= 10) ⊎ hash(changed payloads) equals
+    // hashing the whole constructed post corpus, branch for branch,
+    // because the decode is per-row deterministic. Only the ~10
+    // changed payloads decode fresh; re-DECODING the unchanged
+    // history per CDC gate is the anti-pattern the decode-once
+    // ingest contract exists to avoid.
+    val postHashes = baseImageHashes(s, dir).where(col("doc_id") >= 10)
+      .unionByName(hashesOf(payloadsOf(
+        docs.where(col("doc_id") < 5)
           .select(col("doc_id"), (col("doc_id") + 650000L).as("__seed"),
-            lit(false).as("__pert")))
+            lit(false).as("__pert"))
         .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
           .select((col("doc_id") + 707000L).as("doc_id"),
             (col("doc_id") + 707000L).as("__seed"),
-            lit(false).as("__pert")))))
+            lit(false).as("__pert"))))))
       .localCheckpoint() // read by the rebuild AND the serve gate
     // gate (c): maintained layout == from-scratch rebuild, row for
     // row. The rebuild rows are computed IN-FLIGHT by the same
@@ -6622,15 +6680,17 @@ object ExtQueries {
         concat(lit("site"), pmod(col("doc_id"), lit(4))).as("domain"))
       .localCheckpoint() // batch decode: exactly once, probed twice
     // gate: the serve narrows the index scan to the arrival batch's
-    // band prefixes — a pipeline that reads the whole index is wrong
-    val (probed, nPrefix) = Dedup.probePrefixes(
+    // band prefixes — a pipeline that reads the whole index is wrong.
+    // The narrowing evidence comes from the serve's OWN probe collect
+    // (hashMatchesIndexedWithEvidence): the old separate
+    // probePrefixes call re-banded the batch a second time for a
+    // number the serve had already computed.
+    val (matches, probed, nPrefix) = Dedup.hashMatchesIndexedWithEvidence(
       idir, arrHashes, "doc_id", "dhash")
     require(probed.length > 0 && probed.length <= nPrefix / 4,
       s"media pipeline scanned ${probed.length} of $nPrefix prefixes — " +
         "no pruning")
-    val dupIds = Dedup.hashMatchesIndexed(idir, arrHashes,
-        "doc_id", "dhash")
-      .select("doc_id").distinct()
+    val dupIds = matches.select("doc_id").distinct()
     require(dupIds.count() > 0,
       "media pipeline dedup gate is vacuous: no arrival matched")
     val kept = arrHashes.join(dupIds, Seq("doc_id"), "left_anti")

@@ -436,12 +436,21 @@ object ScoreStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batch = df.localCheckpoint()
-        val (probed, nPrefix) = graft.ext.Dedup.probePrefixes(
-          indexDir, batch, idCol, hashCol)
-        graft.ext.Dedup.hashMatchesIndexed(
-            indexDir, batch, idCol, hashCol, maxHamming)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-        writeProbeLog(batch.sparkSession, outDir, id, probed.length, nPrefix)
+        // the serve's OWN probe collect doubles as the narrowing
+        // evidence — the old separate probePrefixes call re-banded
+        // every arrival a second time for a number the serve had
+        // already computed
+        val (matches, probed, nPrefix) =
+          graft.ext.JobLabel(batch.sparkSession,
+            "serve: collect hash probe prefixes") {
+            graft.ext.Dedup.hashMatchesIndexedWithEvidence(
+              indexDir, batch, idCol, hashCol, maxHamming)
+          }
+        graft.ext.JobLabel(batch.sparkSession, "serve: hash match + write") {
+          matches.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        }
+        writeProbeLog(batch.sparkSession, outDir, id, probed.length,
+          nPrefix.toLong)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -488,11 +497,17 @@ object ScoreStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batch = df.localCheckpoint()
-        val (probed, nPrefix) = graft.ext.Dedup.probeBandPrefixes(
-          indexDir, batch, idCol, textCol)
-        graft.ext.Dedup.minhashMatchesIndexed(
-            indexDir, batch, idCol, textCol, minJaccard)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        // serve's own probe collect doubles as the narrowing evidence
+        // (see the hash twin) — one arrival shingle+sign pass fewer
+        val (matches, probed, nPrefix) =
+          graft.ext.JobLabel(batch.sparkSession,
+            "serve: collect band probe prefixes") {
+            graft.ext.Dedup.minhashMatchesIndexedWithEvidence(
+              indexDir, batch, idCol, textCol, minJaccard)
+          }
+        graft.ext.JobLabel(batch.sparkSession, "serve: band match + write") {
+          matches.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        }
         writeProbeLog(batch.sparkSession, outDir, id, probed.length, nPrefix)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -594,12 +609,13 @@ object ScoreStream {
         val batch = df.localCheckpoint()
         val s = batch.sparkSession
         val cents = graft.ext.Similarity.ivfIndexCentroids(indexDir, s)
-        val probed = graft.ext.Similarity.probeCellSet(
-          batch, vecCol, cents, nprobe)
-        graft.ext.Similarity.ivfPartitionedTopK(
+        // serve's own probe collect doubles as the narrowing evidence
+        // (see the hash/band twins) — one assignment pass fewer
+        val (topk, probed, nCells) =
+          graft.ext.Similarity.ivfPartitionedTopKWithEvidence(
             indexDir, batch, idCol, vecCol, k, cents, nprobe)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-        writeProbeLog(s, outDir, id, probed.length, cents.length)
+        topk.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        writeProbeLog(s, outDir, id, probed.length, nCells.toLong)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -692,14 +708,21 @@ object ScoreStream {
         val batch = df.localCheckpoint()
         val s = batch.sparkSession
         val fams = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+        // each family's serve computes its OWN narrowing evidence in
+        // its probe collect (the WithEvidence variants) — the old
+        // shape paid a SECOND full probe pass per family (re-shingle
+        // the texts, re-DECODE the media payloads, re-assign the
+        // vectors) just to log a number the serve already had
         val texts = batch.where(col(textCol).isNotNull)
           .select(col(idCol), col(textCol))
         val bandOut = if (texts.isEmpty) None else {
-          val (probed, np) = graft.ext.Dedup.probeBandPrefixes(
-            bandDir, texts, idCol, textCol)
-          fams += (("band", probed.length, np))
-          Some(graft.ext.Dedup.minhashMatchesIndexed(
+          val (matches, probed, np) = graft.ext.JobLabel(s,
+            "serve-all: collect band probe prefixes") {
+            graft.ext.Dedup.minhashMatchesIndexedWithEvidence(
               bandDir, texts, idCol, textCol, minJaccard)
+          }
+          fams += (("band", probed.length, np))
+          Some(matches
             .select(lit("band").as("family"), col(idCol),
               col("neighbor_id"),
               col("est_jaccard").cast("double").as("metric")))
@@ -707,13 +730,18 @@ object ScoreStream {
         val media = batch.where(col(payloadCol).isNotNull)
           .select(col(idCol), col(payloadCol))
         val hashOut = if (media.isEmpty) None else {
+          // decode ONCE per batch, literally: the pinned hash frame
+          // feeds both the probe collect and the serve join (before
+          // this, each of those actions re-decoded the payloads)
           val hashes = graft.ext.Multimodal.imageDHashes(media, payloadCol)
-            .select(col(idCol), col("dhash"))
-          val (probed, np) = graft.ext.Dedup.probePrefixes(
-            hashDir, hashes, idCol, "dhash")
-          fams += (("hash", probed.length, np.toLong))
-          Some(graft.ext.Dedup.hashMatchesIndexed(
+            .select(col(idCol), col("dhash")).localCheckpoint()
+          val (matches, probed, np) = graft.ext.JobLabel(s,
+            "serve-all: collect hash probe prefixes") {
+            graft.ext.Dedup.hashMatchesIndexedWithEvidence(
               hashDir, hashes, idCol, "dhash", maxHamming)
+          }
+          fams += (("hash", probed.length, np.toLong))
+          Some(matches
             .select(lit("hash").as("family"), col(idCol),
               col("neighbor_id"),
               col("hamming").cast("double").as("metric")))
@@ -722,18 +750,22 @@ object ScoreStream {
           .select(col(idCol), col(vecCol))
         val ivfOut = if (vecs.isEmpty) None else {
           val cents = graft.ext.Similarity.ivfIndexCentroids(ivfDir, s)
-          val probed = graft.ext.Similarity.probeCellSet(
-            vecs, vecCol, cents, nprobe)
-          fams += (("ivf", probed.length, cents.length.toLong))
-          Some(graft.ext.Similarity.ivfPartitionedTopK(
+          val (topk, probed, nCells) = graft.ext.JobLabel(s,
+            "serve-all: collect ivf probe cells") {
+            graft.ext.Similarity.ivfPartitionedTopKWithEvidence(
               ivfDir, vecs, idCol, vecCol, k, cents, nprobe)
+          }
+          fams += (("ivf", probed.length, nCells.toLong))
+          Some(topk
             .select(lit("ivf").as("family"), col("query_id").as(idCol),
               col("neighbor_id"), col("cosine").as("metric")))
         }
-        Seq(bandOut, hashOut, ivfOut).flatten
-          .reduceOption(_.unionByName(_))
-          .foreach(_.write.mode("overwrite")
-            .parquet(s"$outDir/batch_id=$id"))
+        graft.ext.JobLabel(s, "serve-all: three-family match + write") {
+          Seq(bandOut, hashOut, ivfOut).flatten
+            .reduceOption(_.unionByName(_))
+            .foreach(_.write.mode("overwrite")
+              .parquet(s"$outDir/batch_id=$id"))
+        }
         writeFamilyProbeLog(s, outDir, id, fams.toSeq)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -39,11 +39,16 @@ object ProfileQueries {
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        // the RESULT stage's name carries the action's source line
-        // ("collect at Dedup.scala:1854"); job properties carry no
-        // call site under runMain, so this is the localizer
-        val site = e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
-          .getOrElse("?")
+        // prefer the operator-step label (graft.ext.JobLabel sets
+        // spark.job.description, which AQE stage-materialization jobs
+        // inherit via withThreadLocalCaptured); fall back to the
+        // RESULT stage's name, which carries the action's source line
+        // ("collect at Dedup.scala:1854")
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        val site = desc.getOrElse(
+          e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+            .getOrElse("?"))
         open.put(e.jobId, Job(e.jobId, e.time, site)); ()
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
