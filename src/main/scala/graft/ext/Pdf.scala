@@ -1227,7 +1227,20 @@ object Pdf {
 
     /** Attach fixture PDFs to an id frame executor-side: page 1 is
       * the document's text, page 2 a deterministic footer — the shape
-      * [[graft.ops.ExtQueries]]' `q_text_pdf` oracle replays. */
+      * [[graft.ops.ExtQueries]]' `q_text_pdf` oracle replays.
+      *
+      * Deliberately NOT [[spreadForCodec]] (measured and reverted,
+      * the WAV-attacher precedent): this two-page writer is ~0.1 ms
+      * per row, so at fixture row counts the serial build is ~0.3 s
+      * while the spread's exchange plus the 32-partition frame it
+      * leaves behind cost more — q_doc_pipeline reads the attached
+      * frame's descendant checkpoint in five downstream passes and
+      * regressed 1.28→2.05 s with the spread; the interleaved A/B
+      * (tools/ProfileDocAB) measured warm full-pipeline 1.1 s
+      * without the spread vs 1.8-2.0 s with it, and the PDF door
+      * itself identical (±0.05 s) either way. The CID/xref builders
+      * below keep their spread: their per-row work is an order of
+      * magnitude heavier and measured 3-4× faster spread wide. */
     def withPayloads(df: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
       import org.apache.spark.sql.{Encoders, Row}
@@ -1235,7 +1248,7 @@ object Pdf {
       val outSchema = df.schema.add("payload", BinaryType, nullable = false)
       val idIdx = df.schema.fieldIndex(idCol)
       val textIdx = df.schema.fieldIndex(textCol)
-      spreadForCodec(df).mapPartitions { rows =>
+      df.mapPartitions { rows =>
         rows.map { row =>
           val id = row.getLong(idIdx)
           val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)

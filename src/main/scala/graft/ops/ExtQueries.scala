@@ -5468,7 +5468,13 @@ object ExtQueries {
     val quality = TextStats.withGopherFlags(base, "text")
       .where(col("pass_gopher"))
       .select("doc_id", "text", "lang")
+    // pin the dedup survivors: the LM model fit and the scoring pass
+    // both consume this frame, and without the pin each re-ran the
+    // whole upstream (scan + Gopher tokenization + the dedup window)
+    // — three full corpus passes to curate once. The pinned frame is
+    // the filtered survivor set; upstream planned with full pushdown.
     val deduped = Dedup.exactDedup(quality, "text", "doc_id")
+      .localCheckpoint()
     val scored = graft.ext.Selection.lmDocBits(deduped, "text", "doc_id",
         isTarget = col("lang") === "en")
       .where(col("ppl_bucket").isin("head", "middle"))

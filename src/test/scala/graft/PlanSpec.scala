@@ -248,7 +248,12 @@ class PlanSpec extends AnyFunSuite {
       // q_text_pdf_xref/q_text_pdf_extends their fixture payloads —
       // gate + extraction both read them — and q_doc_pipeline its
       // post-quality frame, read by dedup and both gate counts: same
-      // decode/build-once class.)
+      // decode/build-once class. q_lm_perplexity and
+      // q_curation_pipeline pin the SMALL per-doc LM score frame —
+      // the tercile percentile and the bucket projection both read
+      // it, and unpinned each re-scored the corpus; the curation
+      // pipeline additionally pins its dedup-survivor frame, read by
+      // the LM fit and the scoring pass: same build-once class.)
       if (!Set("q_dedup_components", "q_dedup_apply",
           "q_dedup_neardup", "q_dedup_incremental",
           "q_quality_authority", "q_mixture_authority",
@@ -258,7 +263,8 @@ class PlanSpec extends AnyFunSuite {
           "q_dedup_video_time", "q_text_pdf_xref",
           "q_text_pdf_extends",
           "q_doc_pipeline", "q_stream_hash_cdc",
-          "q_mixed_pipeline").contains(name))
+          "q_mixed_pipeline", "q_lm_perplexity",
+          "q_curation_pipeline").contains(name))
         assert(!plan.contains("ExistingRDD"),
           s"$name plans an opaque RDD scan (breaks pushdown/codegen)")
       // min/max over var-length types silently falls back to
