@@ -6424,7 +6424,11 @@ object ExtQueries {
     val postSigs = docSignatures(s, dir).where(col("doc_id") >= 10)
       .unionByName(Dedup.minhashSignatures(changedRows, "text", "doc_id", 4))
       .localCheckpoint()
-    val maintained = s.read.parquet(idir)
+    // pinned-string read (see updateBandIndex's locate scan): an
+    // all-numeric hex dir set would infer an INT pfx here and the
+    // gate's diff against the string-typed builder rows would
+    // misreport
+    val maintained = Dedup.readAllStringPartitions(s, idir, "pfx")
     val rebuilt = Dedup.bandIndexRowsFromSignatures(postSigs, "doc_id",
         numHashes = 4, bands = 2, prefixChars = 2)
       .select(maintained.columns.map(col).toIndexedSeq: _*)
